@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Scoring, Tables}
+import graft.ops.Panel
+
+/** First end-to-end slice: scan/project, pricing aggregation, semi/anti
+  * joins, master-update join, the entity×year panel with trends, and the
+  * flagship distress-scoring query (SURVEY.md §7.2 step 2).
+  */
+object CoreQueries extends QueryGroup {
+
+  /** S1/P1: projection + predicate pushed to the parquet scan. */
+  private def scanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .filter(col("l_quantity") >= 45d)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A4/A5-style pricing summary (TPC-H Q1 shape): decimal-exact sums,
+    * grouped distribution. */
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        // multiply in the DECIMAL domain: the raw columns are true 2-dp
+        // values, so the product is an exact 4-dp decimal in both engines;
+        // casting the computed double product would hit half-cent ties where
+        // Spark (exact-expansion HALF_UP) and DuckDB (x*100 nearbyint)
+        // disagree.
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P3: semi-join filter on a key set (reference: keep only EINs present in
+    * master, `...990.py:686-688`). */
+  private def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** U3/J5: anti-join dedup/resume semantics (reference: skip keys already
+    * present in the sink, `chat_acreage_bot.py:793-801`) — orders with no
+    * high-quantity lineitem. */
+  private def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(
+        Tables.lineitem(s, dir).filter(col("l_quantity") >= 48d)
+          .select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** J1/J2 + F20: master-update join — per-entity aggregate merged back into
+    * the master table by key with coalesce(new, old) per column (the
+    * relational rewrite of the reference's cell-level `at[idx,col]` loops,
+    * `...990.py:1287-1365`). */
+  private def updateJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+    cust.join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        round(coalesce(col("total_revenue"), col("c_acctbal")), 2)
+          .as("updated_value"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** W1/W2: entity×year panel with gap-aware lag and annualized CAGR. */
+  private def panelTrend(s: SparkSession, dir: String): DataFrame = {
+    val p = Panel.withCagr(
+      Panel.withPrior(Panel.customerYear(s, dir), Seq("revenue")),
+      Seq("revenue"))
+    p.select(
+        col("entity_id"), col("year"), col("revenue"), col("n_orders"),
+        col("prior_revenue"), col("gap"),
+        round(col("revenue_cagr"), 6).as("revenue_cagr"))
+      .orderBy("entity_id", "year")
+  }
+
+  /** W8 + A9: latest order per entity (deterministic tiebreak) alongside the
+    * historical average (reference: dedup-to-most-recent + multi-year
+    * averages per EIN, README.md:58-60). */
+  private def latestPerEntity(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    // exact-sum / count instead of round(avg(..)): rounding an average whose
+    // dyadic divisor puts the true value exactly on a half-boundary diverges
+    // between engines; plain division of identical doubles is deterministic.
+    val avgRev = o.groupBy(col("o_custkey").as("a_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_totalprice"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(avgRev, col("o_custkey") === col("a_custkey"))
+      .select(
+        col("o_custkey").as("entity_id"),
+        col("o_orderkey").as("latest_orderkey"),
+        col("o_totalprice").as("latest_totalprice"),
+        col("avg_totalprice"))
+      .orderBy("entity_id")
+  }
+
+  /** Flagship: the reference's whole scoring shape on the panel —
+    * trend indicators via linear interpolation (F6), account-balance
+    * indicator, weighted null-renormalizing composite (A1/A2), completeness
+    * gate (A3), risk categories (F7). Scored at the latest year per entity
+    * (W8) like `score_entity` on the target-else-latest year. */
+  private[graft] def distressScores(s: SparkSession, dir: String): DataFrame = {
+    val panel = Panel.withCagr(
+      Panel.withPrior(
+        Panel.customerYear(s, dir)
+          .withColumn("orders_d", col("n_orders").cast("double")),
+        Seq("revenue", "orders_d")),
+      Seq("revenue", "orders_d"))
+    val latest = Panel.latestPerEntity(panel)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+
+    val joined = latest.join(cust, col("entity_id") === col("c_custkey"), "inner")
+    val indRev = Scoring.interpolate(col("revenue_cagr"), 0.10, -0.30)
+    val indOrd = Scoring.interpolate(col("orders_d_cagr"), 0.10, -0.50)
+    val indBal = Scoring.interpolate(col("c_acctbal"), 5000d, -500d)
+    val inds = Seq(indRev, indOrd, indBal)
+    val composite = Scoring.minIndicatorsGate(
+      Scoring.weightedRenormMean(Seq(indRev -> 0.5, indOrd -> 0.25, indBal -> 0.25)),
+      inds, 2)
+    joined.select(
+        col("entity_id"), col("year"),
+        round(indRev, 6).as("ind_revenue_trend"),
+        round(indOrd, 6).as("ind_order_trend"),
+        round(indBal, 6).as("ind_balance"),
+        round(composite, 4).as("distress_score"),
+        Scoring.nonNullCount(inds).as("n_indicators"),
+        Scoring.categorize(composite).as("risk_category"))
+      .orderBy("entity_id")
+  }
+
+  def entry(s: SparkSession, dir: String): DataFrame = distressScores(s, dir)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> scanProject,
+    "q_pricing_summary" -> pricingSummary,
+    "q_semi_join" -> semiJoin,
+    "q_anti_join" -> antiJoin,
+    "q_update_join" -> updateJoin,
+    "q_panel_trend" -> panelTrend,
+    "q_latest_per_entity" -> latestPerEntity,
+    "q_distress_scores" -> distressScores,
+  )
+
+  private val panelSql =
+    """SELECT o_custkey AS entity_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_update_join" ->
+      """SELECT c_custkey, c_name,
+        |  round(COALESCE(r.total_revenue, c.c_acctbal), 2) AS updated_value,
+        |  COALESCE(r.n_orders, 0) AS n_orders
+        |FROM customer c
+        |LEFT JOIN (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey) r
+        |ON c.c_custkey = r.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_panel_trend" ->
+      s"""WITH panel AS ($panelSql),
+         |lagged AS (
+         |  SELECT entity_id, year, revenue, n_orders,
+         |    lag(revenue) OVER (PARTITION BY entity_id ORDER BY year) AS prior_revenue,
+         |    year - lag(year) OVER (PARTITION BY entity_id ORDER BY year) AS gap
+         |  FROM panel)
+         |SELECT entity_id, year, revenue, n_orders, prior_revenue, gap,
+         |  CASE WHEN revenue IS NULL OR prior_revenue IS NULL OR gap IS NULL
+         |         OR gap <= 0 OR revenue <= 0 OR prior_revenue <= 0 THEN NULL
+         |       ELSE round(pow(revenue / prior_revenue, 1.0 / gap) - 1, 6) END AS revenue_cagr
+         |FROM lagged
+         |ORDER BY entity_id, year""".stripMargin,
+
+    "q_latest_per_entity" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |averages AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_totalprice
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT r.o_custkey AS entity_id, r.o_orderkey AS latest_orderkey,
+        |  r.o_totalprice AS latest_totalprice, a.avg_totalprice
+        |FROM ranked r JOIN averages a ON r.o_custkey = a.o_custkey
+        |WHERE r.rn = 1
+        |ORDER BY entity_id""".stripMargin,
+
+    "q_distress_scores" ->
+      s"""WITH panel AS ($panelSql),
+         |lagged AS (
+         |  SELECT entity_id, year, revenue,
+         |    CAST(n_orders AS DOUBLE) AS orders_d,
+         |    lag(revenue) OVER (PARTITION BY entity_id ORDER BY year) AS prior_revenue,
+         |    lag(CAST(n_orders AS DOUBLE)) OVER (PARTITION BY entity_id ORDER BY year) AS prior_orders,
+         |    year - lag(year) OVER (PARTITION BY entity_id ORDER BY year) AS gap,
+         |    row_number() OVER (PARTITION BY entity_id ORDER BY year DESC) AS rn
+         |  FROM panel),
+         |trended AS (
+         |  SELECT entity_id, year,
+         |    CASE WHEN revenue IS NULL OR prior_revenue IS NULL OR gap IS NULL
+         |           OR gap <= 0 OR revenue <= 0 OR prior_revenue <= 0 THEN NULL
+         |         ELSE pow(revenue / prior_revenue, 1.0 / gap) - 1 END AS rev_cagr,
+         |    CASE WHEN orders_d IS NULL OR prior_orders IS NULL OR gap IS NULL
+         |           OR gap <= 0 OR orders_d <= 0 OR prior_orders <= 0 THEN NULL
+         |         ELSE pow(orders_d / prior_orders, 1.0 / gap) - 1 END AS ord_cagr
+         |  FROM lagged WHERE rn = 1),
+         |scored AS (
+         |  SELECT t.entity_id, t.year,
+         |    CASE WHEN rev_cagr IS NULL THEN NULL
+         |         WHEN rev_cagr >= 0.10 THEN 0.0
+         |         WHEN rev_cagr <= -0.30 THEN 1.0
+         |         ELSE (0.10 - rev_cagr) / 0.40 END AS ind_revenue_trend,
+         |    CASE WHEN ord_cagr IS NULL THEN NULL
+         |         WHEN ord_cagr >= 0.10 THEN 0.0
+         |         WHEN ord_cagr <= -0.50 THEN 1.0
+         |         ELSE (0.10 - ord_cagr) / 0.60 END AS ind_order_trend,
+         |    CASE WHEN c.c_acctbal IS NULL THEN NULL
+         |         WHEN c.c_acctbal >= 5000 THEN 0.0
+         |         WHEN c.c_acctbal <= -500 THEN 1.0
+         |         ELSE (5000 - c.c_acctbal) / 5500 END AS ind_balance
+         |  FROM trended t JOIN customer c ON t.entity_id = c.c_custkey),
+         |composed AS (
+         |  SELECT entity_id, year, ind_revenue_trend, ind_order_trend, ind_balance,
+         |    (CASE WHEN ind_revenue_trend IS NOT NULL THEN ind_revenue_trend * 0.5 ELSE 0 END
+         |     + CASE WHEN ind_order_trend IS NOT NULL THEN ind_order_trend * 0.25 ELSE 0 END
+         |     + CASE WHEN ind_balance IS NOT NULL THEN ind_balance * 0.25 ELSE 0 END) AS num,
+         |    (CASE WHEN ind_revenue_trend IS NOT NULL THEN 0.5 ELSE 0 END
+         |     + CASE WHEN ind_order_trend IS NOT NULL THEN 0.25 ELSE 0 END
+         |     + CASE WHEN ind_balance IS NOT NULL THEN 0.25 ELSE 0 END) AS den,
+         |    (CASE WHEN ind_revenue_trend IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN ind_order_trend IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN ind_balance IS NOT NULL THEN 1 ELSE 0 END) AS n_indicators
+         |  FROM scored),
+         |final AS (
+         |  SELECT entity_id, year, ind_revenue_trend, ind_order_trend, ind_balance,
+         |    CASE WHEN n_indicators >= 2 AND den > 0 THEN num / den * 100 ELSE NULL END AS score,
+         |    n_indicators
+         |  FROM composed)
+         |SELECT entity_id, year,
+         |  round(ind_revenue_trend, 6) AS ind_revenue_trend,
+         |  round(ind_order_trend, 6) AS ind_order_trend,
+         |  round(ind_balance, 6) AS ind_balance,
+         |  round(score, 4) AS distress_score,
+         |  n_indicators,
+         |  CASE WHEN score IS NULL THEN 'Unknown'
+         |       WHEN score < 20 THEN 'Healthy'
+         |       WHEN score < 40 THEN 'Watch'
+         |       WHEN score < 60 THEN 'Elevated'
+         |       WHEN score < 80 THEN 'High'
+         |       ELSE 'Severe' END AS risk_category
+         |FROM final
+         |ORDER BY entity_id""".stripMargin,
+  )
+}

@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named group of driver-checkable queries: each key has a Spark
+  * implementation and (when SQL-expressible) an equivalent DuckDB oracle.
+  * `SparkEntry` aggregates all groups.
+  *
+  * Cross-engine parity rules used throughout (see SURVEY.md §4 pitfalls):
+  *  - monetary aggregates: SUM over DECIMAL(18,2) then cast DOUBLE — exact
+  *    and bit-identical in Spark and DuckDB regardless of add order;
+  *  - computed doubles (ratios, CAGR, scores): round(_, 4..6) to absorb
+  *    sub-ulp libm differences;
+  *  - weights in weighted means are dyadic (0.5/0.25/...) so their double
+  *    sums are exact in both engines;
+  *  - every result ends in a total ORDER BY on a unique key;
+  *  - DuckDB year() returns BIGINT -> always CAST(... AS INTEGER) to match
+  *    Spark's IntegerType;
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    replace-all semantics.
+  */
+trait QueryGroup {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  /** DuckDB SQL per query key; omit keys that are not SQL-expressible
+    * (driver falls back to a rows-only check). */
+  def oracle: Map[String, String]
+}

@@ -1,0 +1,37 @@
+package graft
+
+/** Smoke + shape checks for every registered query at sf0.001. The real
+  * correctness gate is the driver's DuckDB oracle at sf0.01 (pre-flighted
+  * locally by scripts/check.py); these specs catch regressions fast. */
+class QueriesSpec extends SparkSuite {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracle keys without queries: $missing")
+  }
+
+  test("distress scores are bounded and categorized") {
+    val rows = queries.CoreQueries.distressScores(spark, sf).collect()
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("distress_score"))) {
+        val s = r.getDouble(r.fieldIndex("distress_score"))
+        assert(s >= 0.0 && s <= 100.0)
+      }
+      val cat = r.getString(r.fieldIndex("risk_category"))
+      assert(Set("Healthy", "Watch", "Elevated", "High", "Severe", "Unknown")(cat))
+    }
+  }
+}
