@@ -13,6 +13,8 @@ object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
     CoreQueries,
+    RelationalQueries,
+    EventsQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -83,9 +83,11 @@ object Scoring {
   def applyFloor(score: Column, guard: Column, floor: Column): Column =
     when(guard && score.isNotNull, greatest(score, floor)).otherwise(score)
 
-  /** Ratio clamped to [0,1] against a cap (F11): `min(1, v/cap)`. */
+  /** Ratio clamped to [0,1] against a cap (F11): `min(1, v/cap)`; NULL
+    * propagates (both Spark's and DuckDB's `least` skip NULLs, which would
+    * silently turn a missing ratio into 1.0). */
   def clampRatio(v: Column, cap: Double): Column =
-    least(lit(1.0), v / lit(cap))
+    when(v.isNull, lit(null)).otherwise(least(lit(1.0), v / lit(cap)))
 
   /** Truthy flag parse (F9/P7): 'Y','YES','1','TRUE' (any case) -> 1.0 else 0.0;
     * NULL -> NULL. */

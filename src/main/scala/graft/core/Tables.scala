@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -23,7 +24,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "events")
+  /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 rejects;
+    * read the raw ns longs and truncate to microseconds — the same ns->us
+    * truncation DuckDB applies internally, so values stay oracle-equal. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

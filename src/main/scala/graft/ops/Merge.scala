@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's merge semantics, relationalized:
+  *
+  *  - "only update if better" + per-cell changelog
+  *    (`master_acreage_merge.py:121-142, 192-215`): a compare-and-select
+  *    join that emits both the merged table and a CDC DataFrame;
+  *  - idempotency by design: running the merge twice yields the same
+  *    output and an empty second changelog.
+  *
+  * The master side stays partitioned by its key; updates arrive as a
+  * (usually much smaller) keyed DataFrame — at scale the update side is
+  * broadcast or shuffles once on the shared key.
+  */
+object Merge {
+
+  /** Merge `updates(key, value)` into `master(key, value)`, taking the new
+    * value only when `better(new, old)` holds (or old is null). Returns the
+    * merged frame with old/new/action columns (the changelog is the
+    * `action === "updated"` slice). */
+  def updateIfBetter(master: DataFrame, updates: DataFrame, key: String,
+                     valueCol: String,
+                     better: (Column, Column) => Column): DataFrame = {
+    val upd = updates.withColumnRenamed(valueCol, "__new")
+    master.withColumnRenamed(valueCol, "__old")
+      .join(upd, Seq(key), "left")
+      .withColumn("take_new",
+        col("__new").isNotNull &&
+          (col("__old").isNull || better(col("__new"), col("__old"))))
+      .withColumn(valueCol, when(col("take_new"), col("__new")).otherwise(col("__old")))
+      .withColumn("action",
+        when(col("take_new"), "updated").otherwise("kept"))
+      .withColumnRenamed("__old", "old_value")
+      .withColumnRenamed("__new", "new_value")
+      .drop("take_new")
+  }
+}

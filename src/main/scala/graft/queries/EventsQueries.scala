@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Event-stream shaped queries (SURVEY.md §2.10): the batch equivalents of
+  * the streaming slice — tumbling-window aggregation and semi-structured
+  * props extraction. The true Structured Streaming versions (file source +
+  * watermark + checkpoint) live in [[graft.streaming.EventStream]] and are
+  * asserted equal to these batch results in StreamingSpec.
+  */
+object EventsQueries extends QueryGroup {
+
+  /** Tumbling 1-hour window counts + value sums per event type.
+    * Window starts are emitted as epoch-microsecond BIGINTs: timestamp
+    * columns in outputs invite tz-adjustment/ns-precision comparison
+    * hazards between engines, while epoch integers are exact. */
+  private def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        unix_micros(date_trunc("hour", col("ts"))).as("window_start_us"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("window_start_us", "event_type")
+
+  /** Semi-structured extraction: JSON props field -> grouped distribution. */
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("k").cast("int"))
+
+  /** Per-user event funnel counters (A6 over the stream table). */
+  private def userFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        unix_micros(min(col("ts"))).as("first_ts_us"),
+        unix_micros(max(col("ts"))).as("last_ts_us"))
+      .orderBy("user_id")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_tumbling" -> tumbling,
+    "q_events_json" -> jsonExtract,
+    "q_events_funnel" -> userFunnel,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY CAST(k AS INTEGER)""".stripMargin,
+
+    "q_events_funnel" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,503 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Scoring, Tables}
+import graft.ops.{Merge, Subsidiary}
+
+/** SURVEY.md §2 relational coverage: grouped self-comparison (J3), fuzzy
+  * joins (J4/J8), star joins with broadcast dims (J6), as-of fallback (J7),
+  * conditional counters (A6), HHI (A7), agreement vote (A8), rollup, custom
+  * sort (O1), top-k search (O3), argmax (O4), multi-source union (U2),
+  * flag/compound predicates (P7/P8), null-footprint (P9), key/name
+  * normalization (F1/F2/F19), category maps + priority bins (F8/F16/F17),
+  * ratio arithmetic (F5/F11/F15), and the update-if-better merge with
+  * changelog (reference `master_acreage_merge.py:121-215`).
+  */
+object RelationalQueries extends QueryGroup {
+
+  /** J3: parent/subsidiary detection via grouped self-comparison. */
+  private def subsidiary(s: SparkSession, dir: String): DataFrame =
+    Subsidiary.detect(
+        Tables.customer(s, dir).select("c_custkey", "c_nationkey", "c_acctbal"),
+        groupKey = "c_nationkey", rankMetric = "c_acctbal",
+        compareMetric = "c_acctbal", idCol = "c_custkey")
+      .select("c_custkey", "c_nationkey", "c_acctbal", "parent_id",
+        "parent_metric", "is_parent", "is_subsidiary")
+      .orderBy("c_custkey")
+
+  /** J4/J8: fuzzy name join — the documented `ein_fuzzy.py` capability
+    * (README.md:45-47), built the way it scales: a cheap blocking key
+    * (last 4 chars) turns the quadratic levenshtein theta-join into an
+    * equi-join + per-block verify, which shuffles once on the block key
+    * instead of cross-joining. */
+  private def fuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .withColumn("block", expr("right(s_name, 4)"))
+      .join(Tables.customer(s, dir).withColumn("block", expr("right(c_name, 4)")),
+        Seq("block"))
+      .withColumn("dist", levenshtein(lower(col("s_name")), lower(col("c_name"))))
+      .filter(col("dist") <= 6)
+      .select("s_suppkey", "c_custkey", "s_name", "c_name", "dist")
+      .orderBy("s_suppkey", "c_custkey")
+
+  /** J6: star join — fact joined through dims with explicit broadcasts of
+    * the small sides; revenue per region (decimal-exact). */
+  private def starJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+
+  /** J7: as-of / latest-usable fallback join — most recent order at/before
+    * the cutoff that passes the usability predicate; else most recent
+    * overall (reference target-else-latest with usable-year fallback,
+    * `..._ipeds_v5.py:1442-1458, 485-496`). */
+  private def asofFallback(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val usable = col("o_totalprice") >= 50000d &&
+      col("o_orderdate") <= to_timestamp(lit("1998-12-31 00:00:00"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(when(usable, 0).otherwise(1).asc,
+        col("o_orderdate").desc, col("o_orderkey").desc)
+    o.withColumn("was_usable", usable)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("entity_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_totalprice").as("asof_totalprice"),
+        col("was_usable"))
+      .orderBy("entity_id")
+  }
+
+  /** A6: grouped conditional counters (matched/no-data/floor-fired tallies
+    * re-shaped onto orders). */
+  private def condCounters(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_fulfilled"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        count(when(col("o_totalprice") > 200000d, 1)).as("n_high_value"))
+      .orderBy("o_orderpriority")
+
+  /** A7: HHI revenue concentration per customer over priority buckets. */
+  private def hhi(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val agged = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("entity_id"))
+      .agg(
+        sum(dec).cast("double").as("total"),
+        prios.zipWithIndex.map { case (p, i) =>
+          sum(when(col("o_orderpriority") === p, dec)).cast("double").as(s"b$i")
+        }: _*)
+    agged.select(col("entity_id"), col("total"),
+        Scoring.hhi(prios.indices.map(i => col(s"b$i")), col("total")).as("hhi"))
+      .orderBy("entity_id")
+  }
+
+  /** A8: multi-source agreement vote — >=2 values within max(1, 2%) of the
+    * best (`chat_acreage_bot.py:730-736`). */
+  private def vote(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    Tables.lineitem(s, dir)
+      .withColumn("best", max(col("l_extendedprice")).over(w))
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        count(when(abs(col("l_extendedprice") - col("best"))
+          <= greatest(lit(1.0), lit(0.02) * col("best")), 1)).as("n_close"))
+      .withColumn("high_confidence", col("n_close") >= 2)
+      .orderBy("l_orderkey")
+  }
+
+  /** Rollup distribution (A4/A10 extension surface): customers per
+    * region/nation with subtotal + grand-total rows. */
+  private def rollupCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"))
+      .orderBy("region", "nation")
+
+  /** O1: custom priority sort via rank map (CRITICAL<HIGH<... work order,
+    * `chat_acreage_bot.py:788-790`). */
+  private def prioritySort(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prio_rank",
+        when(col("o_orderpriority") === "1-URGENT", 1)
+          .when(col("o_orderpriority") === "2-HIGH", 2)
+          .when(col("o_orderpriority") === "3-MEDIUM", 3)
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4)
+          .otherwise(5))
+      .orderBy("prio_rank")
+
+  /** O3: top-k substring search (name contains q, first 8 by key). */
+  private def topkSearch(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(lower(col("c_name")).contains("12"))
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+      .limit(8)
+
+  /** O4: argmax per group with deterministic tiebreak (`idxmax` takes first
+    * occurrence, `..._ipeds_v5.py:411`). */
+  private def argmax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    Tables.supplier(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_nationkey")
+  }
+
+  /** U2: multi-year union with missing-column tolerance
+    * (`unionByName(allowMissingColumns)`), as the reference accumulates
+    * per-year files (`...990.py:632-639`). */
+  private def unionYears(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val y96 = o.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+        lit("y1996").as("source"))
+    val y97 = o.filter(year(col("o_orderdate")) === 1997)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("y1997").as("source"))
+    y96.unionByName(y97, allowMissingColumns = true)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(col("o_orderpriority")).as("n_with_priority"))
+      .orderBy("source")
+  }
+
+  /** P7/P8: truthy flag parse + compound risk predicate. */
+  private def flagCompound(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("flag_active",
+        when(upper(trim(col("o_orderstatus"))).isin("O", "P"), 1.0).otherwise(0.0))
+      .withColumn("is_high_risk",
+        col("flag_active") === 1.0 && col("o_totalprice") > 100000d &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_orderkey", "flag_active", "is_high_risk")
+      .orderBy("o_orderkey")
+
+  /** P9: null-footprint / likely-closed — no activity in the 2 most recent
+    * years (`_is_likely_closed`, `..._ipeds_v5.py:502-527`). */
+  private def nullFootprint(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val lastOrder = o.groupBy(col("o_custkey"))
+      .agg(max(year(col("o_orderdate"))).as("last_order_year"))
+    val maxy = o.agg(max(year(col("o_orderdate"))).as("maxy"))
+    Tables.customer(s, dir)
+      .join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(maxy))
+      .select(col("c_custkey"), col("last_order_year"),
+        (col("last_order_year").isNull || col("last_order_year") <= col("maxy") - 2)
+          .as("likely_closed"))
+      .orderBy("c_custkey")
+  }
+
+  /** F1/F2/F19: key normalization (strip leading zeros), name normalization
+    * (lower, non-alnum -> space, collapse), composite key build. */
+  private def normalizeKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("id_raw", regexp_extract(col("c_name"), "([0-9]+)", 1))
+      .withColumn("id_clean", regexp_replace(col("id_raw"), "^0+", ""))
+      .withColumn("name_norm",
+        trim(regexp_replace(regexp_replace(lower(col("c_name")), "[^a-z0-9]+", " "),
+          "\\s+", " ")))
+      .withColumn("composite_key",
+        concat_ws("|", col("name_norm"), col("c_mktsegment"),
+          col("c_nationkey").cast("string")))
+      .withColumn("id_matches_key",
+        col("id_clean") === col("c_custkey").cast("string"))
+      .select("c_custkey", "id_clean", "name_norm", "composite_key", "id_matches_key")
+      .orderBy("c_custkey")
+
+  /** F8/F16/F17: category rename map, keyword+regex classifier, priority
+    * binning (`append_priorities.py:27-102`). */
+  private def classify(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("detected_type",
+        when(col("c_name").rlike("(0|5)$"), "round_id")
+          .when(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), "industrial")
+          .when(col("c_mktsegment") === "BUILDING", "construction")
+          .otherwise("consumer"))
+      .withColumn("priority",
+        when(col("c_acctbal") >= 8000d, "CRITICAL")
+          .when(col("c_acctbal") >= 5000d, "HIGH")
+          .when(col("c_acctbal") >= 2000d, "MEDIUM")
+          .otherwise("LOW"))
+      .groupBy("detected_type", "priority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("detected_type", "priority")
+
+  /** F5/F11/F15: safe-divide ratio arithmetic — days-of-cover analog with
+    * clamp (`...990.py:826-835, 1079`). */
+  private def ratioArithmetic(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_rev"))
+    Tables.customer(s, dir)
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        Scoring.safeDiv(col("c_acctbal") * 365d, col("total_rev")).as("days_cover"),
+        Scoring.clampRatio(
+          Scoring.safeDiv(col("c_acctbal"), col("total_rev")), 0.10).as("bal_ratio_capped"))
+      .orderBy("c_custkey")
+  }
+
+  /** Update-if-better merge with changelog (CDC) — idempotent by design. */
+  private def mergeChangelog(s: SparkSession, dir: String): DataFrame = {
+    val master = Tables.customer(s, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("value"))
+    val updates = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / 100d)
+        .as("value"))
+    Merge.updateIfBetter(master, updates, "key", "value", (n, o) => n > o)
+      .select("key", "old_value", "new_value", "value", "action")
+      .orderBy("key")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subsidiary" -> subsidiary,
+    "q_fuzzy_match" -> fuzzyMatch,
+    "q_star_join" -> starJoin,
+    "q_asof_fallback" -> asofFallback,
+    "q_cond_counters" -> condCounters,
+    "q_hhi" -> hhi,
+    "q_vote" -> vote,
+    "q_rollup_counts" -> rollupCounts,
+    "q_priority_sort" -> prioritySort,
+    "q_topk_search" -> topkSearch,
+    "q_argmax" -> argmax,
+    "q_union_years" -> unionYears,
+    "q_flag_compound" -> flagCompound,
+    "q_null_footprint" -> nullFootprint,
+    "q_normalize_keys" -> normalizeKeys,
+    "q_classify" -> classify,
+    "q_ratio_arithmetic" -> ratioArithmetic,
+    "q_merge_changelog" -> mergeChangelog,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_subsidiary" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    row_number() OVER w AS rn,
+        |    first_value(c_custkey) OVER w AS parent_id,
+        |    first_value(c_acctbal) OVER w AS parent_metric
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC))
+        |SELECT c_custkey, c_nationkey, c_acctbal, parent_id, parent_metric,
+        |  rn = 1 AS is_parent,
+        |  (rn > 1 AND parent_metric IS NOT NULL AND abs(parent_metric) > 0
+        |   AND abs(c_acctbal - parent_metric) <= 0.01 * abs(parent_metric)) AS is_subsidiary
+        |FROM ranked ORDER BY c_custkey""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT s_suppkey, c_custkey, s_name, c_name,
+        |  CAST(levenshtein(lower(s_name), lower(c_name)) AS INTEGER) AS dist
+        |FROM supplier JOIN customer ON right(s_name, 4) = right(c_name, 4)
+        |WHERE levenshtein(lower(s_name), lower(c_name)) <= 6
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_asof_fallback" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    (o_totalprice >= 50000 AND o_orderdate <= TIMESTAMP '1998-12-31 00:00:00') AS was_usable,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY
+        |      CASE WHEN (o_totalprice >= 50000 AND o_orderdate <= TIMESTAMP '1998-12-31 00:00:00') THEN 0 ELSE 1 END ASC,
+        |      o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey AS entity_id, o_orderkey AS asof_orderkey,
+        |  o_totalprice AS asof_totalprice, was_usable
+        |FROM flagged WHERE rn = 1 ORDER BY entity_id""".stripMargin,
+
+    "q_cond_counters" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_fulfilled,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        |  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_high_value
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_hhi" ->
+      """WITH agged AS (
+        |  SELECT o_custkey AS entity_id,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS b0,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS b1,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS b2,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS b3,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS b4
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT entity_id, total,
+        |  CASE WHEN total IS NULL OR total <= 0 THEN NULL ELSE
+        |    (COALESCE(b0,0)/total)*(COALESCE(b0,0)/total) +
+        |    (COALESCE(b1,0)/total)*(COALESCE(b1,0)/total) +
+        |    (COALESCE(b2,0)/total)*(COALESCE(b2,0)/total) +
+        |    (COALESCE(b3,0)/total)*(COALESCE(b3,0)/total) +
+        |    (COALESCE(b4,0)/total)*(COALESCE(b4,0)/total) END AS hhi
+        |FROM agged ORDER BY entity_id""".stripMargin,
+
+    "q_vote" ->
+      """WITH wv AS (
+        |  SELECT l_orderkey, l_extendedprice,
+        |    max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS best
+        |  FROM lineitem)
+        |SELECT l_orderkey, COUNT(*) AS n_items,
+        |  COUNT(CASE WHEN abs(l_extendedprice - best) <= greatest(1.0, 0.02 * best) THEN 1 END) AS n_close,
+        |  COUNT(CASE WHEN abs(l_extendedprice - best) <= greatest(1.0, 0.02 * best) THEN 1 END) >= 2 AS high_confidence
+        |FROM wv GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_rollup_counts" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q_priority_sort" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        |    WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END AS prio_rank
+        |FROM orders GROUP BY o_orderpriority ORDER BY prio_rank""".stripMargin,
+
+    "q_topk_search" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE lower(c_name) LIKE '%12%'
+        |ORDER BY c_custkey LIMIT 8""".stripMargin,
+
+    "q_argmax" ->
+      """WITH ranked AS (
+        |  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |                       ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+        |  FROM supplier)
+        |SELECT s_nationkey, s_suppkey, s_name, s_acctbal FROM ranked
+        |WHERE rn = 1 ORDER BY s_nationkey""".stripMargin,
+
+    "q_union_years" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority, 'y1996' AS source
+        |  FROM orders WHERE year(o_orderdate) = 1996
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 'y1997' AS source
+        |  FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(o_orderpriority) AS n_with_priority
+        |FROM unioned GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_flag_compound" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN upper(trim(o_orderstatus)) IN ('O','P') THEN 1.0 ELSE 0.0 END AS DOUBLE) AS flag_active,
+        |  (upper(trim(o_orderstatus)) IN ('O','P')
+        |   AND o_totalprice > 100000
+        |   AND o_orderpriority IN ('1-URGENT','2-HIGH')) AS is_high_risk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_null_footprint" ->
+      """WITH last_orders AS (
+        |  SELECT o_custkey, CAST(max(year(o_orderdate)) AS INTEGER) AS last_order_year
+        |  FROM orders GROUP BY o_custkey),
+        |bounds AS (SELECT CAST(max(year(o_orderdate)) AS INTEGER) AS maxy FROM orders)
+        |SELECT c_custkey, last_order_year,
+        |  (last_order_year IS NULL OR last_order_year <= maxy - 2) AS likely_closed
+        |FROM customer
+        |LEFT JOIN last_orders ON c_custkey = o_custkey
+        |CROSS JOIN bounds
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_normalize_keys" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_extract(c_name, '([0-9]+)', 1), '^0+', '') AS id_clean,
+        |  trim(regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS name_norm,
+        |  concat_ws('|',
+        |    trim(regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')),
+        |    c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS composite_key,
+        |  regexp_replace(regexp_extract(c_name, '([0-9]+)', 1), '^0+', '') = CAST(c_custkey AS VARCHAR) AS id_matches_key
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_classify" ->
+      """SELECT
+        |  CASE WHEN regexp_matches(c_name, '(0|5)$') THEN 'round_id'
+        |       WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 'industrial'
+        |       WHEN c_mktsegment = 'BUILDING' THEN 'construction'
+        |       ELSE 'consumer' END AS detected_type,
+        |  CASE WHEN c_acctbal >= 8000 THEN 'CRITICAL'
+        |       WHEN c_acctbal >= 5000 THEN 'HIGH'
+        |       WHEN c_acctbal >= 2000 THEN 'MEDIUM'
+        |       ELSE 'LOW' END AS priority,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY 1, 2 ORDER BY detected_type, priority""".stripMargin,
+
+    "q_ratio_arithmetic" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+        |  FROM orders GROUP BY o_custkey),
+        |base AS (
+        |  SELECT c_custkey, c_acctbal, total_rev,
+        |    CASE WHEN total_rev IS NULL OR total_rev = 0 THEN NULL
+        |         ELSE c_acctbal / total_rev END AS bal_ratio
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey)
+        |SELECT c_custkey,
+        |  CASE WHEN total_rev IS NULL OR total_rev = 0 THEN NULL
+        |       ELSE (c_acctbal * 365) / total_rev END AS days_cover,
+        |  CASE WHEN bal_ratio IS NULL THEN NULL
+        |       ELSE least(1.0, bal_ratio / 0.10) END AS bal_ratio_capped
+        |FROM base ORDER BY c_custkey""".stripMargin,
+
+    "q_merge_changelog" ->
+      """WITH master AS (SELECT c_custkey AS key, c_acctbal AS value FROM customer),
+        |updates AS (
+        |  SELECT o_custkey AS key,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100 AS value
+        |  FROM orders GROUP BY o_custkey),
+        |merged AS (
+        |  SELECT m.key, m.value AS old_value, u.value AS new_value,
+        |    (u.value IS NOT NULL AND (m.value IS NULL OR u.value > m.value)) AS take_new
+        |  FROM master m LEFT JOIN updates u ON m.key = u.key)
+        |SELECT key, old_value, new_value,
+        |  CASE WHEN take_new THEN new_value ELSE old_value END AS value,
+        |  CASE WHEN take_new THEN 'updated' ELSE 'kept' END AS action
+        |FROM merged ORDER BY key""".stripMargin,
+  )
+}
