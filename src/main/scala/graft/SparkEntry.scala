@@ -15,6 +15,9 @@ object SparkEntry {
     CoreQueries,
     RelationalQueries,
     EventsQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,71 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted partition-wise.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * environment): it derives deterministic pseudo-features from the payload
+  * bytes (md5-based), so the Spark-side plumbing — binary schema, typed
+  * Dataset, mapPartitions batch shape, per-partition codec reuse — is real
+  * and testable, and the feature values stay oracle-reproducible.
+  *
+  * At scale: payloads dominate row size, so feature extraction runs before
+  * any wide shuffle, the codec (here the MessageDigest) is allocated once
+  * per partition (not per row), and outputs drop the payload column so
+  * downstream stages never shuffle raw media bytes.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
+
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      checksum: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Wrap a text table as fake media payloads (binary column + type tag). */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"))
+
+  /** STUB decoder: deterministic pseudo-decode of a payload. A real
+    * implementation would invoke an image/audio codec here; the partition
+    * iteration shape (one codec instance per partition, streaming rows)
+    * is exactly what the real thing needs. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5") // per-partition "codec"
+      it.map { r =>
+        val digest = md.digest(r.payload)
+        md.reset()
+        val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+        // ??? real decode goes here; stub derives dims from the checksum
+        val width = Integer.parseInt(hex.substring(0, 2), 16)
+        val height = Integer.parseInt(hex.substring(2, 4), 16)
+        MediaFeatures(
+          doc_id = r.doc_id,
+          media_type = r.media_type,
+          byte_len = r.payload.length.toLong,
+          checksum = hex,
+          width = width,
+          height = height,
+          n_frames = (r.payload.length % 7 + 1).toInt)
+      }
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  *  - Brute-force cosine top-k: the correctness baseline — broadcast the
+  *    (small) query set against the full corpus; one narrow pass, no
+  *    shuffle except the final per-query top-k.
+  *  - Random-hyperplane LSH buckets: the scale path — 100 TB of vectors
+  *    can't be cross-joined, so vectors hash to sign-pattern buckets and
+  *    only bucket-mates are compared. Hyperplanes are derived from md5, so
+  *    bucketing is deterministic and reproducible across engines/runs.
+  *
+  * All arithmetic is double (cast up from float32 first) and sequential
+  * left-to-right, keeping results bit-identical with the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Elementwise-double embedding with its L2 norm. */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k of `corpus` for each query vector. */
+  def cosineTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"),
+        col("rn").as("rank"))
+  }
+
+  /** Deterministic +-1 hyperplanes: sign of bit parity of md5(plane_dim). */
+  private[graft] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val h = md.digest(s"plane_${p}_$d".getBytes(StandardCharsets.UTF_8))
+      md.reset()
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id (`nPlanes` sign bits). */
+  def withLshBucket(emb: DataFrame, nPlanes: Int): DataFrame = {
+    val dim = 64
+    val ps = planes(nPlanes, dim)
+    val vCol = transform(col("embedding"), x => x.cast("double"))
+    val bucket = (0 until nPlanes).map { p =>
+      val proj = (0 until dim).map(d =>
+        element_at(col("v"), d + 1) * lit(ps(p)(d))).reduce(_ + _)
+      when(proj > 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.withColumn("v", vCol).withColumn("bucket", bucket)
+  }
+
+  /** Bucketed ANN near-dup pairs: compare only bucket-mates, verify with
+    * true cosine >= `threshold`. */
+  def lshNearDupPairs(emb: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {
+    val b = withNorm(withLshBucket(emb, nPlanes))
+    val a = b.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"), col("bucket"))
+    val c = b.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"), col("bucket"))
+    a.join(c, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "bucket", "cosine")
+  }
+}

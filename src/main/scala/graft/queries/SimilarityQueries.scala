@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Multimodal, Similarity}
+
+/** Similarity search over `embeddings` and multimodal feature extraction
+  * over binary payloads: brute-force cosine top-k (the correctness
+  * baseline), random-hyperplane LSH bucketed near-dup pairs (the scale
+  * path; rows-only check — the plane matrix is a Scala-side constant), and
+  * the partition-wise media decode stub.
+  */
+object SimilarityQueries extends QueryGroup {
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 5. */
+  private def topk(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 5, 5)
+      .orderBy("query_id", "rank")
+
+  /** LSH-bucketed ANN near-dup pairs (8 hyperplanes; cosine >= 0.35 —
+    * calibrated to the synthetic embeddings, whose max pairwise cosine is
+    * ~0.51). */
+  private def lsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.35)
+      .orderBy("id_a", "id_b")
+
+  /** Multimodal decode: binary payloads -> typed features via partition-wise
+    * stub codec (md5-derived, so fully oracle-checkable). */
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(s, Multimodal.asMedia(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> topk,
+    "q_sim_lsh" -> lsh,
+    "q_mm_features" -> mmFeatures,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+        |  FROM q CROSS JOIN n WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id AS neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_mm_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum,
+        |  CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS width,
+        |  CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 7 + 1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text analysis + extraction over `documents` (SURVEY.md §2.9 T1-T6 and
+  * the training-data text operators): token stats, quality scoring,
+  * n-gram language ID, context-window match scoring, regex status
+  * classification, and the notes-extraction suite.
+  */
+object TextQueries extends QueryGroup {
+
+  /** Token counting: whitespace tokens, distinct tokens, char density. */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        length(regexp_replace(col("text"), """\s+""", "")).as("chars_nospace"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(col("chars_nospace").cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/stopword/token-shape heuristics combined with
+    * dyadic weights (cross-engine exact). */
+  private def quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))))
+      .withColumn("stop_hits",
+        size(regexp_extract_all(col("text"), lit("""\b(the|a|and|of|to)\b"""), lit(0))))
+      .withColumn("chars_nospace",
+        length(regexp_replace(col("text"), """\s+""", "")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(col("stop_hits").cast("double") / col("n_tokens")))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(col("chars_nospace").cast("double") / col("n_tokens")))
+      .withColumn("quality_score",
+        lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100d) +
+          lit(0.25) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.25) * least(lit(1.0), col("avg_token_len") / 8d))
+      .select("doc_id", "n_tokens", "stop_hits", "stop_ratio",
+        "avg_token_len", "quality_score")
+      .orderBy("doc_id")
+
+  /** N-gram-heuristic language ID: stopword-hit votes per language with a
+    * deterministic argmax; compared against the labeled `lang`. */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val pats = Seq(
+      "en" -> """\b(the|a|and|is|of|to)\b""",
+      "de" -> """\b(der|die|das|und|ist)\b""",
+      "fr" -> """\b(le|la|les|et|est)\b""",
+      "es" -> """\b(el|los|las|es|y)\b""")
+    val base = pats.foldLeft(Tables.documents(s, dir)) { case (df, (l, p)) =>
+      df.withColumn(s"${l}_hits", size(regexp_extract_all(col("text"), lit(p), lit(0))))
+    }
+    base
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+          .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+      .withColumn("is_match", col("predicted_lang") === col("lang"))
+      .select("doc_id", "lang", "en_hits", "de_hits", "fr_hits", "es_hits",
+        "predicted_lang", "is_match")
+      .orderBy("doc_id")
+  }
+
+  /** T2: context-window match scoring — locate the keyword, take a +-40
+    * char window, score by good/bad keyword hits inside it (re-expressing
+    * `score_match`, `chat_acreage_bot.py:434-479`, without a UDF). */
+  private def contextScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), instr(col("text"), "spark").as("p"))
+      .withColumn("win", expr("substring(text, greatest(p - 40, 1), 80)"))
+      .withColumn("good", size(regexp_extract_all(col("win"), lit("fast|quick"), lit(0))))
+      .withColumn("bad", size(regexp_extract_all(col("win"), lit("slow|error"), lit(0))))
+      .select(col("doc_id"), col("good"), col("bad"),
+        when(col("p") === 0, lit(null))
+          .otherwise(lit(2.0) + lit(0.5) * col("good") - lit(0.75) * col("bad"))
+          .as("context_score"))
+      .orderBy("doc_id")
+
+  /** T3/T5/T6: regex status/keyword classification distribution. */
+  private def statusClassify(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("label",
+        when(col("text").rlike("error|fail"), "ERROR")
+          .when(col("text").rlike("slow"), "SLOW")
+          .when(col("text").rlike("fast"), "FAST")
+          .otherwise("NEUTRAL"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label")
+
+  /** T4: notes-extraction suite — regex pieces assembled into a bounded,
+    * pipe-joined notes column (`NotesExtractor`, `chat_acreage_bot.py:97-378`). */
+  private def notesExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("first_word", regexp_extract(col("text"), """^(\S+)""", 1))
+      .withColumn("kw", expr("nullif(regexp_extract(text, '(table|window|stream)', 1), '')"))
+      .withColumn("mentions_spark",
+        when(instr(col("text"), "spark") > 0, lit("mentions spark")))
+      .withColumn("notes",
+        substring(concat_ws(" | ", col("kw"), col("mentions_spark"), col("first_word")),
+          1, 120))
+      .select("doc_id", "first_word", "kw", "notes")
+      .orderBy("doc_id")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> tokens,
+    "q_text_quality" -> quality,
+    "q_text_langid" -> langId,
+    "q_context_score" -> contextScore,
+    "q_status_classify" -> statusClassify,
+    "q_notes_extract" -> notesExtract,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS INTEGER) AS n_distinct,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER) AS chars_nospace,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN NULL
+        |       ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS INTEGER) AS stop_hits,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER) AS chars_nospace
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens, stop_hits,
+        |    CASE WHEN n_tokens = 0 THEN NULL
+        |         ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stop_ratio,
+        |    CASE WHEN n_tokens = 0 THEN NULL
+        |         ELSE CAST(chars_nospace AS DOUBLE) / n_tokens END AS avg_token_len
+        |  FROM base)
+        |SELECT doc_id, n_tokens, stop_hits, stop_ratio, avg_token_len,
+        |  0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) +
+        |  0.25 * (1.0 - stop_ratio) +
+        |  0.25 * least(1.0, avg_token_len / 8) AS quality_score
+        |FROM ratios ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH hits AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|and|is|of|to)\b')) AS INTEGER) AS en_hits,
+        |    CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS INTEGER) AS de_hits,
+        |    CAST(len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS INTEGER) AS fr_hits,
+        |    CAST(len(regexp_extract_all(text, '\b(el|los|las|es|y)\b')) AS INTEGER) AS es_hits
+        |  FROM documents),
+        |pred AS (
+        |  SELECT *,
+        |    CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+        |         WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+        |         WHEN fr_hits >= es_hits THEN 'fr'
+        |         ELSE 'es' END AS predicted_lang
+        |  FROM hits)
+        |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits, predicted_lang,
+        |  predicted_lang = lang AS is_match
+        |FROM pred ORDER BY doc_id""".stripMargin,
+
+    "q_context_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, CAST(strpos(text, 'spark') AS INTEGER) AS p FROM documents),
+        |wins AS (
+        |  SELECT doc_id, p, substring(text, greatest(p - 40, 1), 80) AS win FROM base),
+        |scored AS (
+        |  SELECT doc_id, p,
+        |    CAST(len(regexp_extract_all(win, 'fast|quick')) AS INTEGER) AS good,
+        |    CAST(len(regexp_extract_all(win, 'slow|error')) AS INTEGER) AS bad
+        |  FROM wins)
+        |SELECT doc_id, good, bad,
+        |  CAST(CASE WHEN p = 0 THEN NULL
+        |       ELSE 2.0 + 0.5 * good - 0.75 * bad END AS DOUBLE) AS context_score
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_status_classify" ->
+      """SELECT CASE WHEN regexp_matches(text, 'error|fail') THEN 'ERROR'
+        |            WHEN regexp_matches(text, 'slow') THEN 'SLOW'
+        |            WHEN regexp_matches(text, 'fast') THEN 'FAST'
+        |            ELSE 'NEUTRAL' END AS label,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q_notes_extract" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_extract(text, '^(\S+)', 1) AS first_word,
+        |    nullif(regexp_extract(text, '(table|window|stream)', 1), '') AS kw,
+        |    CASE WHEN strpos(text, 'spark') > 0 THEN 'mentions spark' END AS mentions_spark
+        |  FROM documents)
+        |SELECT doc_id, first_word, kw,
+        |  substring(concat_ws(' | ', kw, mentions_spark, first_word), 1, 120) AS notes
+        |FROM base ORDER BY doc_id""".stripMargin,
+  )
+}

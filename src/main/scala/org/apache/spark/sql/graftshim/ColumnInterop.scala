@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved `Column` onto ColumnNode and made the Expression
+  * accessors `private[sql]`; this shim (compiled into the spark.sql
+  * namespace, the standard interop point for extension libraries) exposes
+  * the two conversions custom Catalyst expressions need. */
+object ColumnInterop {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash
+import graft.ops.{Dedup, Similarity}
+
+/** Unit-level checks for the dedup/similarity kernels. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("simhash: identical text -> identical hash; near text -> small hamming") {
+    val a = SimHash.computeString("the quick brown fox jumps over the lazy dog")
+    val b = SimHash.computeString("the quick brown fox jumps over the lazy dog")
+    val c = SimHash.computeString("the quick brown fox jumps over the lazy cat")
+    val d = SimHash.computeString("completely different words entirely here now")
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) < java.lang.Long.bitCount(a ^ d))
+  }
+
+  test("simhash expression equals driver-side computation") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), SimHash.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == SimHash.computeString("alpha beta gamma"))
+    assert(got(2L) == SimHash.computeString("delta epsilon zeta"))
+  }
+
+  test("shingles: word 3-grams, distinct, short docs yield none") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.toSet == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("jaccard pairs: identical docs have jaccard 1.0") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q r s t u"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(df), 0.9).collect()
+    assert(pairs.length == 1)
+    val r = pairs(0)
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0) < 1e-12)
+  }
+
+  test("minhash LSH finds the planted near-dup that brute force finds") {
+    val docs = Tables0.documents(spark, sf)
+    val sh = Dedup.shingles(docs)
+    val brute = Dedup.jaccardPairs(sh, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.withBands(Dedup.minhashSignatures(sh, 8), 8, 2)
+    val lsh = Dedup.verifyCandidates(Dedup.bandCandidates(banded, 4), sh, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high-similarity pairs should survive LSH banding (0.8^2 per band,
+    // 4 bands -> ~miss probability (1-0.64)^4 ~ 1.7%)
+    assert(brute.nonEmpty)
+    assert((brute -- lsh).size <= math.max(1, brute.size / 5),
+      s"LSH missed too many: ${(brute -- lsh).size} of ${brute.size}")
+  }
+
+  test("lsh planes are deterministic") {
+    val p1 = Similarity.planes(4, 8).map(_.toSeq).toSeq
+    val p2 = Similarity.planes(4, 8).map(_.toSeq).toSeq
+    assert(p1 == p2)
+    assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
+  private object Tables0 {
+    def documents(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.core.Tables.documents(s, dir)
+  }
+}
