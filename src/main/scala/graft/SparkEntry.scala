@@ -14,6 +14,8 @@ object SparkEntry {
   private def groups: Seq[QueryGroup] = Seq(
     CoreQueries,
     RelationalQueries,
+    PanelQueries,
+    EngineQueries,
     EventsQueries,
     TextQueries,
     DedupQueries,

@@ -95,14 +95,24 @@ object Scoring {
     when(c.isNull, lit(null))
       .otherwise(when(upper(trim(c)).isin("Y", "YES", "1", "TRUE"), 1.0).otherwise(0.0))
 
+  /** Sum of components where missing components count as 0, but ALL-null
+    * yields NULL — pandas `sum(skipna)` over an all-NaN slice is NaN, and
+    * an indicator with no source data must drop out of the renormalizing
+    * mean rather than score as 0. */
+  def sumIfAny(cols: Seq[Column]): Column =
+    when(coalesce(cols: _*).isNull, lit(null))
+      .otherwise(cols.map(c => coalesce(c, lit(0d))).reduce(_ + _))
+
   /** Herfindahl–Hirschman index over component revenue shares (A7):
-    * sum((comp_i/total)^2) with null/<=0 total guarded to NULL. */
+    * sum((comp_i/total)^2); NULL when total is null/<=0 or every component
+    * is null. */
   def hhi(components: Seq[Column], total: Column): Column = {
     val shares = components.map(c => {
       val s = when(c.isNull, 0d).otherwise(c) / total
       s * s
     })
-    when(total.isNull || total <= 0d, lit(null)).otherwise(shares.reduce(_ + _))
+    when(total.isNull || total <= 0d || coalesce(components: _*).isNull, lit(null))
+      .otherwise(shares.reduce(_ + _))
   }
 
   /** Annualized growth rate between two observations `gap` years apart (W2):

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Engine, Tables}
+import graft.core.Engine.{Domain, Floor, Indicator, ScoringConfig}
+import graft.ops.Panel
+
+/** The generic scoring engine ([[graft.core.Engine]]) exercised under the
+  * driver's oracle gate: a customer-distress config with two domains, a
+  * completeness gate, and a conditional revenue-collapse floor — the same
+  * kernel the Form990 model instantiates with 19 indicators.
+  */
+object EngineQueries extends QueryGroup {
+
+  private def customerConfig: ScoringConfig = ScoringConfig(
+    indicators = Seq(
+      Indicator("rev_trend", "trend", 0.5, 0.10, -0.30, col("revenue_cagr")),
+      Indicator("ord_trend", "trend", 0.5, 0.10, -0.50, col("orders_d_cagr")),
+      Indicator("balance", "balance", 1.0, 5000, -500, col("c_acctbal"))),
+    domains = Seq(Domain("trend", 0.5), Domain("balance", 0.5)),
+    minIndicators = 2,
+    floors = Seq(
+      Floor("revenue_collapse",
+        col("revenue_cagr").isNotNull && col("revenue_cagr") <= -0.5, lit(65d))))
+
+  private def engineScores(s: SparkSession, dir: String): DataFrame = {
+    val panel = Panel.withCagr(
+      Panel.withPrior(
+        Panel.customerYear(s, dir)
+          .withColumn("orders_d", col("n_orders").cast("double")),
+        Seq("revenue", "orders_d")),
+      Seq("revenue", "orders_d"))
+    val latest = Panel.latestPerEntity(panel)
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+        col("entity_id") === col("c_custkey"), "inner")
+    Engine.score(latest, customerConfig)
+      .select(
+        col("entity_id"), col("year"),
+        round(col("domain_trend"), 4).as("domain_trend"),
+        round(col("domain_balance"), 4).as("domain_balance"),
+        round(col("composite_score"), 4).as("composite_score"),
+        round(col("final_score"), 4).as("final_score"),
+        col("n_indicators"),
+        col("risk_category"))
+      .orderBy("entity_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_engine_scores" -> engineScores,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_engine_scores" ->
+      """WITH panel AS (
+        |  SELECT o_custkey AS entity_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT entity_id, year, revenue,
+        |    CAST(n_orders AS DOUBLE) AS orders_d,
+        |    lag(revenue) OVER w AS prior_revenue,
+        |    lag(CAST(n_orders AS DOUBLE)) OVER w AS prior_orders,
+        |    year - lag(year) OVER w AS gap,
+        |    row_number() OVER (PARTITION BY entity_id ORDER BY year DESC) AS rn
+        |  FROM panel WINDOW w AS (PARTITION BY entity_id ORDER BY year)),
+        |trended AS (
+        |  SELECT entity_id, year,
+        |    CASE WHEN revenue IS NULL OR prior_revenue IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR revenue <= 0 OR prior_revenue <= 0 THEN NULL
+        |         ELSE pow(revenue / prior_revenue, 1.0 / gap) - 1 END AS rev_cagr,
+        |    CASE WHEN orders_d IS NULL OR prior_orders IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR orders_d <= 0 OR prior_orders <= 0 THEN NULL
+        |         ELSE pow(orders_d / prior_orders, 1.0 / gap) - 1 END AS ord_cagr
+        |  FROM lagged WHERE rn = 1),
+        |inds AS (
+        |  SELECT t.entity_id, t.year, rev_cagr,
+        |    CASE WHEN rev_cagr IS NULL THEN NULL
+        |         WHEN rev_cagr >= 0.10 THEN 0.0
+        |         WHEN rev_cagr <= -0.30 THEN 1.0
+        |         ELSE (0.10 - rev_cagr) / 0.40 END AS i_rev,
+        |    CASE WHEN ord_cagr IS NULL THEN NULL
+        |         WHEN ord_cagr >= 0.10 THEN 0.0
+        |         WHEN ord_cagr <= -0.50 THEN 1.0
+        |         ELSE (0.10 - ord_cagr) / 0.60 END AS i_ord,
+        |    CASE WHEN c.c_acctbal IS NULL THEN NULL
+        |         WHEN c.c_acctbal >= 5000 THEN 0.0
+        |         WHEN c.c_acctbal <= -500 THEN 1.0
+        |         ELSE (5000 - c.c_acctbal) / 5500 END AS i_bal
+        |  FROM trended t JOIN customer c ON t.entity_id = c.c_custkey),
+        |doms AS (
+        |  SELECT entity_id, year, rev_cagr, i_rev, i_ord, i_bal,
+        |    CASE WHEN (CASE WHEN i_rev IS NOT NULL THEN 0.5 ELSE 0 END
+        |             + CASE WHEN i_ord IS NOT NULL THEN 0.5 ELSE 0 END) > 0
+        |      THEN (CASE WHEN i_rev IS NOT NULL THEN i_rev * 0.5 ELSE 0 END
+        |          + CASE WHEN i_ord IS NOT NULL THEN i_ord * 0.5 ELSE 0 END)
+        |         / (CASE WHEN i_rev IS NOT NULL THEN 0.5 ELSE 0 END
+        |          + CASE WHEN i_ord IS NOT NULL THEN 0.5 ELSE 0 END) * 100
+        |      ELSE NULL END AS dom_trend,
+        |    CASE WHEN i_bal IS NOT NULL THEN i_bal * 1.0 / 1.0 * 100 ELSE NULL END AS dom_balance
+        |  FROM inds),
+        |comp AS (
+        |  SELECT entity_id, year, rev_cagr, dom_trend, dom_balance,
+        |    (CASE WHEN i_rev IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN i_ord IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN i_bal IS NOT NULL THEN 1 ELSE 0 END) AS n_indicators,
+        |    CASE WHEN (CASE WHEN dom_trend IS NOT NULL THEN 0.5 ELSE 0 END
+        |             + CASE WHEN dom_balance IS NOT NULL THEN 0.5 ELSE 0 END) > 0
+        |      THEN (CASE WHEN dom_trend IS NOT NULL THEN dom_trend * 0.5 ELSE 0 END
+        |          + CASE WHEN dom_balance IS NOT NULL THEN dom_balance * 0.5 ELSE 0 END)
+        |         / (CASE WHEN dom_trend IS NOT NULL THEN 0.5 ELSE 0 END
+        |          + CASE WHEN dom_balance IS NOT NULL THEN 0.5 ELSE 0 END) * 1.0
+        |      ELSE NULL END AS raw_composite
+        |  FROM doms),
+        |gated AS (
+        |  SELECT entity_id, year, dom_trend, dom_balance, n_indicators,
+        |    CASE WHEN n_indicators >= 2 THEN raw_composite ELSE NULL END AS composite,
+        |    rev_cagr
+        |  FROM comp),
+        |floored AS (
+        |  SELECT entity_id, year, dom_trend, dom_balance, n_indicators, composite,
+        |    CASE WHEN rev_cagr IS NOT NULL AND rev_cagr <= -0.5 AND composite IS NOT NULL
+        |         THEN greatest(composite, 65.0) ELSE composite END AS final
+        |  FROM gated)
+        |SELECT entity_id, year,
+        |  round(dom_trend, 4) AS domain_trend,
+        |  round(dom_balance, 4) AS domain_balance,
+        |  round(composite, 4) AS composite_score,
+        |  round(final, 4) AS final_score,
+        |  n_indicators,
+        |  CASE WHEN final IS NULL THEN 'Unknown'
+        |       WHEN final < 20 THEN 'Healthy'
+        |       WHEN final < 40 THEN 'Watch'
+        |       WHEN final < 60 THEN 'Elevated'
+        |       WHEN final < 80 THEN 'High'
+        |       ELSE 'Severe' END AS risk_category
+        |FROM floored ORDER BY entity_id""".stripMargin,
+  )
+}

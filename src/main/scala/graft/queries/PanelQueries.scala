@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Scoring, Tables}
+
+/** Remaining panel/time-series windows from SURVEY.md §2.5: piecewise
+  * sign-crossing trend (W3), expense-vs-revenue growth gap (W4), first-year
+  * lookup (W5), k-year change with nearest-year fallback via a range frame
+  * (W6), and point-difference trend (W7).
+  */
+object PanelQueries extends QueryGroup {
+
+  private def custPanelSql =
+    """SELECT o_custkey AS entity_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) - 190000) AS DOUBLE) AS net_metric
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  private def custPanel(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("entity_id"),
+        year(col("o_orderdate")).as("year"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)") - 190000)
+          .cast("double").as("net_metric"))
+
+  private def w = Window.partitionBy("entity_id").orderBy("year")
+
+  /** W3: piecewise sign-crossing trend on a metric that can go negative. */
+  private def piecewise(s: SparkSession, dir: String): DataFrame =
+    custPanel(s, dir)
+      .withColumn("prior_net", lag(col("net_metric"), 1).over(w))
+      .withColumn("gap", col("year") - lag(col("year"), 1).over(w))
+      .select(col("entity_id"), col("year"), col("net_metric"), col("prior_net"),
+        round(Scoring.piecewiseTrend(col("net_metric"), col("prior_net"), col("gap")), 6)
+          .as("trend"))
+      .orderBy("entity_id", "year")
+
+  /** W4: growth gap — revenue CAGR minus tax-charge CAGR on the
+    * supplier×ship-year panel. */
+  private def growthGap(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(BigDecimal(1)).cast("decimal(18,2)")
+    val panel = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("entity_id"),
+        year(col("l_shipdate")).as("year"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (one - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_tax").cast("decimal(18,2)"))
+          .cast("double").as("tax_charge"))
+    panel
+      .withColumn("prior_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("prior_tax", lag(col("tax_charge"), 1).over(w))
+      .withColumn("gap", col("year") - lag(col("year"), 1).over(w))
+      .select(col("entity_id"), col("year"),
+        round(Scoring.cagr(col("revenue"), col("prior_revenue"), col("gap")), 6)
+          .as("rev_cagr"),
+        round(Scoring.cagr(col("tax_charge"), col("prior_tax"), col("gap")), 6)
+          .as("tax_cagr"),
+        round(Scoring.cagr(col("revenue"), col("prior_revenue"), col("gap")) -
+            Scoring.cagr(col("tax_charge"), col("prior_tax"), col("gap")), 6)
+          .as("growth_gap"))
+      .orderBy("entity_id", "year")
+  }
+
+  /** W5: first-year lookup over an unbounded-preceding frame + growth vs
+    * the first observation. */
+  private def firstYear(s: SparkSession, dir: String): DataFrame = {
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    custPanel(s, dir)
+      .withColumn("first_year", first(col("year")).over(frame))
+      .withColumn("first_revenue", first(col("revenue")).over(frame))
+      .select(col("entity_id"), col("year"), col("revenue"),
+        col("first_year"), col("first_revenue"),
+        Scoring.safeDiv(col("revenue") - col("first_revenue"), col("first_revenue"))
+          .as("growth_vs_first"))
+      .orderBy("entity_id", "year")
+  }
+
+  /** W6: k-year change with nearest-year-at-or-before fallback — a range
+    * frame bounded at 3 preceding years picks the most recent usable base
+    * (`..._ipeds_v5.py:883-909`). */
+  private def kyearChange(s: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy("entity_id").orderBy("year")
+      .rangeBetween(Window.unboundedPreceding, -3)
+    custPanel(s, dir)
+      .withColumn("base_year", last(col("year")).over(frame))
+      .withColumn("base_revenue", last(col("revenue")).over(frame))
+      .select(col("entity_id"), col("year"), col("revenue"),
+        col("base_year"), col("base_revenue"),
+        Scoring.safeDiv(col("revenue") - col("base_revenue"), col("base_revenue"))
+          .as("change_vs_base"))
+      .orderBy("entity_id", "year")
+  }
+
+  /** W7: point-difference trend — (curr - prior)/gap, not CAGR. */
+  private def pointDiff(s: SparkSession, dir: String): DataFrame =
+    custPanel(s, dir)
+      .withColumn("prior_orders", lag(col("n_orders"), 1).over(w))
+      .withColumn("gap", col("year") - lag(col("year"), 1).over(w))
+      .select(col("entity_id"), col("year"), col("n_orders"), col("prior_orders"),
+        when(col("prior_orders").isNull || col("gap").isNull || col("gap") <= 0, lit(null))
+          .otherwise((col("n_orders") - col("prior_orders")).cast("double") / col("gap"))
+          .as("orders_per_year_delta"))
+      .orderBy("entity_id", "year")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_piecewise_trend" -> piecewise,
+    "q_growth_gap" -> growthGap,
+    "q_first_year" -> firstYear,
+    "q_kyear_change" -> kyearChange,
+    "q_point_diff" -> pointDiff,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_piecewise_trend" ->
+      s"""WITH panel AS ($custPanelSql),
+         |lagged AS (
+         |  SELECT entity_id, year, net_metric,
+         |    lag(net_metric) OVER (PARTITION BY entity_id ORDER BY year) AS prior_net,
+         |    year - lag(year) OVER (PARTITION BY entity_id ORDER BY year) AS gap
+         |  FROM panel)
+         |SELECT entity_id, year, net_metric, prior_net,
+         |  round(CASE
+         |    WHEN net_metric IS NULL OR prior_net IS NULL THEN NULL
+         |    WHEN prior_net > 0 AND net_metric <= 0 THEN -0.30
+         |    WHEN prior_net <= 0 AND net_metric < prior_net THEN -0.20
+         |    WHEN prior_net <= 0 AND net_metric >= prior_net THEN 0.05
+         |    WHEN gap IS NULL OR gap <= 0 OR net_metric <= 0 OR prior_net <= 0 THEN NULL
+         |    ELSE pow(net_metric / prior_net, 1.0 / gap) - 1 END, 6) AS trend
+         |FROM lagged ORDER BY entity_id, year""".stripMargin,
+
+    "q_growth_gap" ->
+      """WITH panel AS (
+        |  SELECT l_suppkey AS entity_id, CAST(year(l_shipdate) AS INTEGER) AS year,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_charge
+        |  FROM lineitem GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT entity_id, year, revenue, tax_charge,
+        |    lag(revenue) OVER w AS prior_revenue,
+        |    lag(tax_charge) OVER w AS prior_tax,
+        |    year - lag(year) OVER w AS gap
+        |  FROM panel WINDOW w AS (PARTITION BY entity_id ORDER BY year)),
+        |trends AS (
+        |  SELECT entity_id, year,
+        |    CASE WHEN revenue IS NULL OR prior_revenue IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR revenue <= 0 OR prior_revenue <= 0 THEN NULL
+        |         ELSE pow(revenue / prior_revenue, 1.0 / gap) - 1 END AS rc,
+        |    CASE WHEN tax_charge IS NULL OR prior_tax IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR tax_charge <= 0 OR prior_tax <= 0 THEN NULL
+        |         ELSE pow(tax_charge / prior_tax, 1.0 / gap) - 1 END AS tc
+        |  FROM lagged)
+        |SELECT entity_id, year, round(rc, 6) AS rev_cagr, round(tc, 6) AS tax_cagr,
+        |  round(rc - tc, 6) AS growth_gap
+        |FROM trends ORDER BY entity_id, year""".stripMargin,
+
+    "q_first_year" ->
+      s"""WITH panel AS ($custPanelSql)
+         |SELECT entity_id, year, revenue,
+         |  first_value(year) OVER w AS first_year,
+         |  first_value(revenue) OVER w AS first_revenue,
+         |  CASE WHEN first_value(revenue) OVER w IS NULL
+         |         OR first_value(revenue) OVER w = 0 THEN NULL
+         |       ELSE (revenue - first_value(revenue) OVER w) / first_value(revenue) OVER w
+         |  END AS growth_vs_first
+         |FROM panel
+         |WINDOW w AS (PARTITION BY entity_id ORDER BY year
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY entity_id, year""".stripMargin,
+
+    "q_kyear_change" ->
+      s"""WITH panel AS ($custPanelSql)
+         |SELECT entity_id, year, revenue,
+         |  last_value(year) OVER w AS base_year,
+         |  last_value(revenue) OVER w AS base_revenue,
+         |  CASE WHEN last_value(revenue) OVER w IS NULL
+         |         OR last_value(revenue) OVER w = 0 THEN NULL
+         |       ELSE (revenue - last_value(revenue) OVER w) / last_value(revenue) OVER w
+         |  END AS change_vs_base
+         |FROM panel
+         |WINDOW w AS (PARTITION BY entity_id ORDER BY year
+         |             RANGE BETWEEN UNBOUNDED PRECEDING AND 3 PRECEDING)
+         |ORDER BY entity_id, year""".stripMargin,
+
+    "q_point_diff" ->
+      s"""WITH panel AS ($custPanelSql),
+         |lagged AS (
+         |  SELECT entity_id, year, n_orders,
+         |    lag(n_orders) OVER (PARTITION BY entity_id ORDER BY year) AS prior_orders,
+         |    year - lag(year) OVER (PARTITION BY entity_id ORDER BY year) AS gap
+         |  FROM panel)
+         |SELECT entity_id, year, n_orders, prior_orders,
+         |  CASE WHEN prior_orders IS NULL OR gap IS NULL OR gap <= 0 THEN NULL
+         |       ELSE CAST(n_orders - prior_orders AS DOUBLE) / gap END AS orders_per_year_delta
+         |FROM lagged ORDER BY entity_id, year""".stripMargin,
+  )
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The streaming slice (SURVEY.md §2.10): the reference's incremental
+  * semantics — append-only sink with checkpoint/resume by key
+  * (`chat_acreage_bot.py:793-837`) and idempotent only-update-if-better
+  * merge (`master_acreage_merge.py:121-142`) — mapped onto Structured
+  * Streaming:
+  *
+  *  - file source over the events parquet (schema locked up front, ns
+  *    timestamps read as longs then truncated to us);
+  *  - watermark + tumbling-window aggregation;
+  *  - `foreachBatch` upsert for the merge semantics (checkpointing makes
+  *    re-runs exactly-once at the batch level, replacing the reference's
+  *    resume-from-names-already-present scan).
+  */
+object EventStream {
+
+  /** Streaming events source (ts already truncated to microseconds). */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source requires a directory: stream the sf dir with
+    // a glob filter selecting only the events file
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums with a 1-hour watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Run a streaming aggregation to a memory sink, synchronously, and
+    * return the materialized result. */
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
+                  checkpoint: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** foreachBatch upsert: merge each micro-batch's per-user value maxima
+    * into an accumulating store, only updating when the new value is
+    * larger (the reference's only-update-if-better merge). The store is a
+    * parquet directory rewritten per batch — at scale this becomes a
+    * Delta/Iceberg MERGE, but the join+coalesce shape is identical. */
+  def runUpsert(spark: SparkSession, events: DataFrame, storePath: String,
+                checkpoint: String): Unit = {
+    val q = events
+      .groupBy(col("user_id"))
+      .agg(max(col("value")).as("value"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged =
+          if (new java.io.File(storePath).exists()) {
+            val master = spark.read.parquet(storePath)
+              .withColumnRenamed("value", "old_value")
+            master.join(batch.withColumnRenamed("value", "new_value"),
+                Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                when(col("new_value").isNotNull &&
+                    (col("old_value").isNull || col("new_value") > col("old_value")),
+                  col("new_value")).otherwise(col("old_value")).as("value"))
+          } else batch
+        merged.write.mode("overwrite").parquet(storePath + ".tmp")
+        val fs = new java.io.File(storePath)
+        if (fs.exists()) { scala.reflect.io.Directory(fs).deleteRecursively() }
+        new java.io.File(storePath + ".tmp").renameTo(fs)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.EventsQueries
+import graft.streaming.EventStream
+
+/** The streaming slice must agree with its batch equivalent: a tumbling
+  * windowed aggregation over the same events parquet, and an idempotent
+  * foreachBatch upsert. */
+class StreamingSpec extends SparkSuite {
+
+  test("streaming tumbling counts equal the batch tumbling query") {
+    val tmp = Files.createTempDirectory("graftstream").toFile.getAbsolutePath
+    val agg = EventStream.tumblingCounts(EventStream.source(spark, sf))
+    val got = EventStream.runToMemory(spark, agg, "tumbling_out", s"$tmp/ckpt")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val exp = EventsQueries.queries("q_events_tumbling")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == exp)
+  }
+
+  test("foreachBatch upsert is idempotent and only updates if better") {
+    val tmp = Files.createTempDirectory("graftupsert").toFile.getAbsolutePath
+    val store = s"$tmp/store"
+    EventStream.runUpsert(spark, EventStream.source(spark, sf), store, s"$tmp/c1")
+    val first = spark.read.parquet(store).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // re-run with a fresh checkpoint (same data): only-update-if-better
+    // must leave the store unchanged
+    EventStream.runUpsert(spark, EventStream.source(spark, sf), store, s"$tmp/c2")
+    val second = spark.read.parquet(store).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(first == second)
+    assert(first.nonEmpty)
+  }
+}
