@@ -41,7 +41,7 @@ object Dedup {
         concat_ws(" ", (0 until n).map(k => element_at(col("words"), col("i") + k)): _*))
       .select("doc_id", "shingle")
       .distinct()
-    maxShingleFreq match {
+    val pruned = maxShingleFreq match {
       case None => base
       case Some(f) =>
         // document-frequency pruning: stop-shingles explode the pair space
@@ -49,6 +49,10 @@ object Dedup {
           .select("shingle")
         base.join(keep, Seq("shingle"))
     }
+    // every consumer (sizes, pair join, signatures, verify) re-reads this
+    // frame several times in one plan; persisting the post-distinct result
+    // replaces 3-4 repeated scan+explode+shuffle subtrees with one
+    pruned.persist()
   }
 
   /** Exact pairwise Jaccard over a shingle equi-join; emits pairs with
@@ -76,13 +80,16 @@ object Dedup {
       (1 to k).map(j => min(md5(concat(lit(j.toString), col("shingle")))).as(s"h$j")).head,
       (1 to k).map(j => min(md5(concat(lit(j.toString), col("shingle")))).as(s"h$j")).tail: _*)
 
-  /** LSH band keys over a signature: band b = md5(h_{2b-1} || h_{2b}). */
+  /** LSH band keys over a signature: band b = md5(h_{2b-1} || h_{2b}).
+    * Persisted — [[bandCandidates]] self-joins this frame once per band,
+    * which would otherwise recompute the signature aggregation 2x per
+    * band. */
   def withBands(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     (1 to nBands).foldLeft(sig) { (df, b) =>
       val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand).map(j => col(s"h$j"))
       df.withColumn(s"band$b", md5(concat(cols: _*)))
-    }
+    }.persist()
   }
 
   /** Candidate pairs from any band collision (distinct). */
@@ -120,6 +127,7 @@ object Dedup {
       .withColumn("b2", shiftrightunsigned(col("sh"), 16).bitwiseAND(lit(0xffffL)))
       .withColumn("b3", shiftrightunsigned(col("sh"), 32).bitwiseAND(lit(0xffffL)))
       .withColumn("b4", shiftrightunsigned(col("sh"), 48).bitwiseAND(lit(0xffffL)))
+      .persist() // self-joined once per band below
     val cands = (1 to 4).map { b =>
       val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col(s"b$b").as("bk"))
       val c = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col(s"b$b").as("bk"))

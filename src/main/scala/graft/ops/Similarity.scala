@@ -59,14 +59,18 @@ object Similarity {
     }
   }
 
-  /** Random-hyperplane LSH bucket id (`nPlanes` sign bits). */
+  /** Random-hyperplane LSH bucket id (`nPlanes` sign bits). The plane
+    * matrix is a nested-array literal and each projection is an
+    * aggregate(zip_with) — a shallow expression tree, where the naive
+    * per-dimension element_at sum (nPlanes x 64 terms) made Catalyst
+    * analysis/codegen the dominant cost. */
   def withLshBucket(emb: DataFrame, nPlanes: Int): DataFrame = {
     val dim = 64
     val ps = planes(nPlanes, dim)
+    val planesLit = typedlit(ps.map(_.toSeq).toSeq)
     val vCol = transform(col("embedding"), x => x.cast("double"))
     val bucket = (0 until nPlanes).map { p =>
-      val proj = (0 until dim).map(d =>
-        element_at(col("v"), d + 1) * lit(ps(p)(d))).reduce(_ + _)
+      val proj = dot(col("v"), element_at(planesLit, p + 1))
       when(proj > 0d, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     emb.withColumn("v", vCol).withColumn("bucket", bucket)
