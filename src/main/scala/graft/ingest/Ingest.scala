@@ -70,10 +70,10 @@ object Ingest {
     regexp_replace(trim(c), "^0+", "")
 
   /** Numeric coercion, `pd.to_numeric(errors='coerce')` parity: invalid
-    * strings -> NULL (Spark's string->double cast already does this with
-    * ANSI off). */
+    * strings -> NULL. `try_cast`, because Spark 4 runs ANSI mode by default
+    * and a plain cast throws on malformed input. */
   def coerceNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+    cols.foldLeft(df)((d, c) => d.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)")))
 
   /** F4: filing year from YYYYMM tax period. */
   def yearFromTaxPeriod(c: Column): Column =

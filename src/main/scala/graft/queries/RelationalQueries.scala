@@ -280,7 +280,29 @@ object RelationalQueries extends QueryGroup {
       .orderBy("key")
   }
 
+  /** A5: descriptive stats (`describe()`), with stddev computed from exact
+    * decimal sums — sqrt((sumsq - sum^2/n)/(n-1)) over identical doubles is
+    * deterministic cross-engine, unlike streaming variance algorithms. */
+  private def describeStats(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("l_extendedprice").cast("decimal(18,2)")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec).cast("double").as("total"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"),
+        sum(dec * dec).cast("double").as("sumsq"))
+      .select(col("l_returnflag"), col("n"),
+        (col("total") / col("n")).as("mean"),
+        col("mn"), col("mx"),
+        sqrt((col("sumsq") - col("total") * col("total") / col("n")) / (col("n") - 1))
+          .as("stddev"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_describe_stats" -> describeStats,
     "q_subsidiary" -> subsidiary,
     "q_fuzzy_match" -> fuzzyMatch,
     "q_star_join" -> starJoin,
@@ -302,6 +324,18 @@ object RelationalQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_describe_stats" ->
+      """WITH agged AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sumsq
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, total / n AS mean, mn, mx,
+        |  sqrt((sumsq - total * total / n) / (n - 1)) AS stddev
+        |FROM agged ORDER BY l_returnflag""".stripMargin,
+
     "q_subsidiary" ->
       """WITH ranked AS (
         |  SELECT c_custkey, c_nationkey, c_acctbal,

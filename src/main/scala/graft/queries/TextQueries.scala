@@ -113,7 +113,32 @@ object TextQueries extends QueryGroup {
       .select("doc_id", "first_word", "kw", "notes")
       .orderBy("doc_id")
 
+  /** T1: multi-match regex extraction — one row per match via the explode
+    * generator (`regexp_extract_all` + `explode` is the built-in UDTF
+    * surface, SURVEY.md §2.11), with a bounds filter like the acreage
+    * extractor's 0.1-50,000 guard. */
+  private def regexExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0))).as("word"))
+      .filter(length(col("word")) <= 12)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("word")
+
+  /** S7: JSON-embedded export projection — the row payload the standalone
+    * map sink embeds (`master_standalone.py:143-197`); int/string fields
+    * only (double JSON formatting differs across engines). */
+  private def jsonExport(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        to_json(struct(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+          .as("payload"))
+      .orderBy("c_custkey")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regex_extract" -> regexExtract,
+    "q_json_export" -> jsonExport,
     "q_text_tokens" -> tokens,
     "q_text_quality" -> quality,
     "q_text_langid" -> langId,
@@ -123,6 +148,20 @@ object TextQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_regex_extract" ->
+      """WITH matches AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS word
+        |  FROM documents)
+        |SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM matches WHERE length(word) <= 12
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_json_export" ->
+      """SELECT c_custkey,
+        |  to_json(struct_pack(c_custkey := c_custkey, c_name := c_name,
+        |                      c_mktsegment := c_mktsegment)) AS payload
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.Ingest
+import graft.ingest.Ingest.FieldSpec
+
+/** Ingest-layer specs: the substring column resolver (S3), multi-year
+  * union (S2), CSV round-trip sink (S5), and key normalization. */
+class IngestSpec extends SparkSuite {
+
+  private lazy val dir = Files.createTempDirectory("graftingest").toFile.getAbsolutePath
+
+  test("resolver: substring match, exclusions, first-match-wins") {
+    // headers shaped like IPEDS year-prefixed labels (FIXTURES.md B4)
+    val cols = Seq(
+      "unitid",
+      "institution name (HD2024)",
+      "DRVEF2024.Total  enrollment",
+      "DRVEF2024.Full-time enrollment",
+      "DRVEF2024.Part-time enrollment",
+      "F2324_F2.Total assets",
+      "F2324_F1A.Total assets")
+    val specs = Seq(
+      FieldSpec("unitid", "unitid"),
+      FieldSpec("name", "institution name"),
+      // exclusion list keeps "Total enrollment" from matching Full/Part-time
+      FieldSpec("enrollment", "enrollment", exclude = Seq("full-time", "part-time")),
+      FieldSpec("ft_enrollment", "full-time enrollment"),
+      // first-match-wins: F2 (FASB) appears before F1A (GASB)
+      FieldSpec("total_assets", "total assets"))
+    val m = Ingest.resolve(cols, specs)
+    assert(m("unitid") == "unitid")
+    assert(m("name") == "institution name (HD2024)")
+    assert(m("enrollment") == "DRVEF2024.Total  enrollment")
+    assert(m("ft_enrollment") == "DRVEF2024.Full-time enrollment")
+    assert(m("total_assets") == "F2324_F2.Total assets")
+  }
+
+  test("resolver: missing fields come back as null columns") {
+    val p = s"$dir/wide.csv"
+    Files.writeString(java.nio.file.Paths.get(p),
+      "unitid,DRVEF2024.Total  enrollment\n100,5000\n200,")
+    val df = Ingest.selectResolved(Ingest.readCsv(spark, p), Seq(
+      FieldSpec("unitid", "unitid"),
+      FieldSpec("enrollment", "enrollment"),
+      FieldSpec("graduation_rate", "graduation rate")))
+    assert(df.columns.toSeq == Seq("unitid", "enrollment", "graduation_rate"))
+    val rows = df.orderBy("unitid").collect()
+    assert(rows(0).getString(1) == "5000")
+    assert(rows(0).isNullAt(2))     // unmatched spec -> null column
+    assert(rows(1).isNullAt(1))     // empty cell -> null
+  }
+
+  test("multi-year union tags provenance and tolerates schema drift") {
+    Files.writeString(java.nio.file.Paths.get(s"$dir/y1.csv"), "a,b\n1,x")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/y2.csv"), "a,c\n2,y")
+    val df = Ingest.loadYears(spark, Seq(2023 -> s"$dir/y1.csv", 2024 -> s"$dir/y2.csv"))
+    assert(df.columns.toSet == Set("a", "b", "c", "file_year"))
+    assert(df.count() == 2)
+    assert(df.filter("file_year = 2024 AND c = 'y'").count() == 1)
+  }
+
+  test("CSV sink round-trip (S5 overwrite semantics)") {
+    val out = s"$dir/sink"
+    val df = spark.range(3).toDF("id")
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    df.write.mode("overwrite").option("header", "true").csv(out) // idempotent
+    assert(spark.read.option("header", "true").csv(out).count() == 3)
+  }
+
+  test("key normalization strips leading zeros and whitespace") {
+    val df = spark.createDataFrame(Seq(Tuple1(" 0012345 "), Tuple1("000"), Tuple1("9")))
+      .toDF("k")
+    val got = df.select(Ingest.normalizeKey(org.apache.spark.sql.functions.col("k")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("12345", "", "9"))
+  }
+
+  test("numeric coercion: invalid strings become NULL (to_numeric coerce parity)") {
+    val df = spark.createDataFrame(Seq(("1.5", "a"), ("abc", "b"), ("", "c")))
+      .toDF("v", "k")
+    val got = Ingest.coerceNumeric(df, Seq("v")).orderBy("k").collect()
+    assert(got(0).getDouble(0) == 1.5)
+    assert(got(1).isNullAt(0))
+    assert(got(2).isNullAt(0))
+  }
+}
