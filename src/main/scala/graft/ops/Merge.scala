@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** J1/J2 wide integrate: merge a scores frame into the master table by
+    * key, overwriting the given columns where the update side has a value
+    * (coalesce(new, old)) — the relational rewrite of the reference's
+    * ~30-column `at[idx, col]` write-back loops (`...990.py:1353-1365`,
+    * `..._ipeds_v5.py:1493-1552`). Master keeps all its other columns;
+    * update columns absent from master are appended. */
+  def integrate(master: DataFrame, updates: DataFrame, key: String,
+                cols: Seq[String]): DataFrame = {
+    val upd = cols.foldLeft(updates.select((key +: cols).map(col): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"__u_$c")
+    }
+    val joined = master.join(upd, Seq(key), "left")
+    val merged = cols.foldLeft(joined) { (d, c) =>
+      if (master.columns.contains(c))
+        d.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+      else d.withColumnRenamed(s"__u_$c", c)
+    }
+    merged.drop(cols.filter(master.columns.contains).map(c => s"__u_$c"): _*)
+  }
+
   /** Merge `updates(key, value)` into `master(key, value)`, taking the new
     * value only when `better(new, old)` holds (or old is null). Returns the
     * merged frame with old/new/action columns (the changelog is the

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -49,10 +50,33 @@ object EventsQueries extends QueryGroup {
         unix_micros(max(col("ts"))).as("last_ts_us"))
       .orderBy("user_id")
 
+  /** Gap-based sessionization: a new session starts after >30 min of
+    * user inactivity; cumulative-sum of session starts numbers the
+    * sessions — one shuffle on user_id shared by both windows. */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"))
+      .withColumn("duration_s",
+        (col("end_us") - col("start_us")) / lit(1e6))
+      .orderBy("user_id", "session_idx")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> tumbling,
     "q_events_json" -> jsonExtract,
     "q_events_funnel" -> userFunnel,
+    "q_sessionize" -> sessionize,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -75,5 +99,25 @@ object EventsQueries extends QueryGroup {
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
         |  epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_idx
+        |  FROM flags)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_s
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

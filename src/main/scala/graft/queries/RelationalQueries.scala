@@ -301,7 +301,49 @@ object RelationalQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** J4 full shape: multi-pass name match — pass 1 exact on the normalized
+    * key, pass 2 blocked levenshtein for pass-1 misses, best match per
+    * record by match quality then distance (the reference's exact -> alias
+    * -> fuzzy cascade with tiebreaks, `master_acreage_merge.py:49-114`). */
+  private def multipassMatch(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .withColumn("s_digits", regexp_replace(regexp_extract(col("s_name"), "([0-9]+)", 1), "^0+", ""))
+      .withColumn("s_block", expr("right(s_name, 4)"))
+    val cust = Tables.customer(s, dir)
+      .withColumn("c_digits", regexp_replace(regexp_extract(col("c_name"), "([0-9]+)", 1), "^0+", ""))
+      .withColumn("c_block", expr("right(c_name, 4)"))
+    val pass1 = sup.join(cust, col("s_digits") === col("c_digits"))
+      .select(col("s_suppkey"), col("c_custkey"),
+        lit(1).as("match_quality"), lit(0).as("dist"))
+    val pass2 = sup.join(cust, col("s_block") === col("c_block"))
+      .withColumn("dist", levenshtein(lower(col("s_name")), lower(col("c_name"))))
+      .filter(col("dist") <= 6)
+      .select(col("s_suppkey"), col("c_custkey"), lit(2).as("match_quality"), col("dist"))
+    val ranked = pass1.unionByName(pass2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("s_suppkey")
+          .orderBy(col("match_quality").asc, col("dist").asc, col("c_custkey").asc)))
+      .filter(col("rn") === 1)
+      .select("s_suppkey", "c_custkey", "match_quality", "dist")
+    Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      .join(ranked, Seq("s_suppkey"), "left")
+      .orderBy("s_suppkey")
+  }
+
+  /** A5 extension: exact interpolated percentiles (same definition as
+    * DuckDB's quantile_cont). */
+  private def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
+      .orderBy("l_returnflag")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multipass_match" -> multipassMatch,
+    "q_percentiles" -> percentiles,
     "q_describe_stats" -> describeStats,
     "q_subsidiary" -> subsidiary,
     "q_fuzzy_match" -> fuzzyMatch,
@@ -324,6 +366,41 @@ object RelationalQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_multipass_match" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name,
+        |    regexp_replace(regexp_extract(s_name, '([0-9]+)', 1), '^0+', '') AS s_digits,
+        |    right(s_name, 4) AS s_block
+        |  FROM supplier),
+        |cust AS (
+        |  SELECT c_custkey, c_name,
+        |    regexp_replace(regexp_extract(c_name, '([0-9]+)', 1), '^0+', '') AS c_digits,
+        |    right(c_name, 4) AS c_block
+        |  FROM customer),
+        |pass1 AS (
+        |  SELECT s_suppkey, c_custkey, 1 AS match_quality, 0 AS dist
+        |  FROM sup JOIN cust ON s_digits = c_digits),
+        |pass2 AS (
+        |  SELECT s_suppkey, c_custkey, 2 AS match_quality,
+        |    CAST(levenshtein(lower(s_name), lower(c_name)) AS INTEGER) AS dist
+        |  FROM sup JOIN cust ON s_block = c_block
+        |  WHERE levenshtein(lower(s_name), lower(c_name)) <= 6),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY s_suppkey
+        |    ORDER BY match_quality ASC, dist ASC, c_custkey ASC) AS rn
+        |  FROM (SELECT * FROM pass1 UNION ALL SELECT * FROM pass2))
+        |SELECT s.s_suppkey, s.s_name, r.c_custkey, r.match_quality, r.dist
+        |FROM supplier s
+        |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON s.s_suppkey = r.s_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_describe_stats" ->
       """WITH agged AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

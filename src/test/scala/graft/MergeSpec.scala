@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.Merge
+
+/** Merge/integration semantics + the partitioned-write scale story. */
+class MergeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("integrate: coalesce(new, old) per column, appends new columns") {
+    val master = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("key", "score", "name")
+    val updates = Seq((1L, 11.0, "X"), (2L, Double.NaN, "Y"))
+      .toDF("key", "score", "category")
+      .withColumn("score", when(isnan(col("score")), lit(null)).otherwise(col("score")))
+    val got = Merge.integrate(master, updates, "key", Seq("score", "category"))
+      .orderBy("key").collect()
+    assert(got(0).getDouble(1) == 11.0)          // updated
+    assert(got(1).getDouble(1) == 20.0)          // null update -> keep old
+    assert(got(2).getDouble(1) == 30.0)          // no update row -> keep old
+    assert(got(0).getString(2) == "a")           // untouched master col
+    assert(got(0).getAs[String]("category") == "X")  // appended col
+    assert(got(2).isNullAt(got(2).fieldIndex("category")))
+  }
+
+  test("updateIfBetter is idempotent (second run changes nothing)") {
+    val master = Seq((1L, 10.0), (2L, 50.0)).toDF("key", "value")
+    val updates = Seq((1L, 30.0), (2L, 40.0)).toDF("key", "value")
+    val once = Merge.updateIfBetter(master, updates, "key", "value", (n, o) => n > o)
+      .select("key", "value")
+    val twice = Merge.updateIfBetter(once, updates, "key", "value", (n, o) => n > o)
+    assert(twice.filter(col("action") === "updated").count() == 0)
+    val vals = twice.orderBy("key").collect().map(_.getDouble(1)).toSeq
+    assert(vals == Seq(30.0, 50.0))
+  }
+
+  test("year-partitioned parquet writes enable partition pruning") {
+    val dir = Files.createTempDirectory("graftpart").toFile.getAbsolutePath
+    val panel = graft.ops.Panel.customerYear(spark, sf)
+    panel.write.mode("overwrite").partitionBy("year").parquet(s"$dir/panel")
+    val pruned = spark.read.parquet(s"$dir/panel").filter(col("year") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter must reach the scan (no full-table read)
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("year") , s"no partition pruning in:\n$plan")
+    assert(pruned.count() > 0)
+    // a pruned read touches exactly one partition directory
+    val years = new java.io.File(s"$dir/panel").listFiles()
+      .filter(_.getName.startsWith("year=")).map(_.getName).toSet
+    assert(years.size > 1 && years.contains("year=1996"))
+  }
+}
