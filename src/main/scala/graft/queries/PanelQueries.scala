@@ -111,7 +111,37 @@ object PanelQueries extends QueryGroup {
           .as("orders_per_year_delta"))
       .orderBy("entity_id", "year")
 
+  private val pivotYears = 1995 to 2001
+
+  /** Long panel -> per-year flat master columns (`revenue_2024` style,
+    * `..._ipeds_v5.py:700-706`): pivot with an explicit year list so the
+    * output schema is static. */
+  private def pivotWide(s: SparkSession, dir: String): DataFrame =
+    custPanel(s, dir)
+      .groupBy("entity_id")
+      .pivot("year", pivotYears.map(y => y: Any))
+      .agg(sum(col("revenue")))
+      .select(col("entity_id") +:
+        pivotYears.map(y => col(s"$y").as(s"revenue_$y")): _*)
+      .orderBy("entity_id")
+
+  /** Wide flat columns -> long panel (the ingest direction for the
+    * reference's year-suffixed master columns). */
+  private def unpivotLong(s: SparkSession, dir: String): DataFrame =
+    pivotWide(s, dir)
+      .unpivot(
+        Array(col("entity_id")),
+        pivotYears.map(y => col(s"revenue_$y")).toArray,
+        "year_label", "revenue")
+      .withColumn("year",
+        regexp_extract(col("year_label"), "([0-9]+)", 1).cast("int"))
+      .filter(col("revenue").isNotNull)
+      .select("entity_id", "year", "revenue")
+      .orderBy("entity_id", "year")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_wide" -> pivotWide,
+    "q_unpivot_long" -> unpivotLong,
     "q_piecewise_trend" -> piecewise,
     "q_growth_gap" -> growthGap,
     "q_first_year" -> firstYear,
@@ -119,7 +149,30 @@ object PanelQueries extends QueryGroup {
     "q_point_diff" -> pointDiff,
   )
 
+  private def pivotCasesSql = pivotYears.map(y =>
+    s"MAX(CASE WHEN year = $y THEN revenue END) AS revenue_$y").mkString(",\n  ")
+
   override def oracle: Map[String, String] = Map(
+    "q_pivot_wide" ->
+      s"""WITH panel AS ($custPanelSql)
+         |SELECT entity_id,
+         |  $pivotCasesSql
+         |FROM panel GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+
+    "q_unpivot_long" ->
+      s"""WITH panel AS ($custPanelSql),
+         |wide AS (
+         |  SELECT entity_id,
+         |    $pivotCasesSql
+         |  FROM panel GROUP BY entity_id),
+         |long AS (
+         |${pivotYears.map(y =>
+             s"  SELECT entity_id, $y AS year, revenue_$y AS revenue FROM wide")
+             .mkString("\n  UNION ALL\n")})
+         |SELECT entity_id, CAST(year AS INTEGER) AS year, revenue FROM long
+         |WHERE revenue IS NOT NULL
+         |ORDER BY entity_id, year""".stripMargin,
+
     "q_piecewise_trend" ->
       s"""WITH panel AS ($custPanelSql),
          |lagged AS (

@@ -24,6 +24,19 @@ class StreamingSpec extends SparkSuite {
     assert(got == exp)
   }
 
+  test("stateful sessionization matches the windowed batch sessionize query") {
+    val typed = graft.streaming.Sessionize
+      .sessionize(spark, graft.core.Tables.events(spark, sf), 1800L * 1000000L)
+      .collect()
+      .map(s => (s.user_id, s.start_us) -> (s.n_events, s.end_us)).toMap
+    val batch = graft.queries.EventsQueries.queries("q_sessionize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("start_us"))) ->
+        (r.getLong(r.fieldIndex("n_events")), r.getLong(r.fieldIndex("end_us")))).toMap
+    assert(typed.nonEmpty)
+    assert(typed == batch)
+  }
+
   test("foreachBatch upsert is idempotent and only updates if better") {
     val tmp = Files.createTempDirectory("graftupsert").toFile.getAbsolutePath
     val store = s"$tmp/store"
