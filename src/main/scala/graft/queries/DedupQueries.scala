@@ -46,9 +46,12 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup pairs (native Catalyst expression; rows-only check). */
+  /** SimHash near-dup pairs (native Catalyst expression; rows-only check).
+    * maxHamming=6 calibrated on the shared-vocabulary corpus: <=6 keeps
+    * tens of pairs (the planted near-dups) where <=16 admitted 159k
+    * vocabulary-induced collisions at sf0.1. */
   private def simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 16)
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
 
