@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Scoring, Tables}
-import graft.ops.{Merge, Subsidiary}
+import graft.ops.{Merge, Skew, Subsidiary}
 
 /** SURVEY.md §2 relational coverage: grouped self-comparison (J3), fuzzy
   * joins (J4/J8), star joins with broadcast dims (J6), as-of fallback (J7),
@@ -341,7 +341,20 @@ object RelationalQueries extends QueryGroup {
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
       .orderBy("l_returnflag")
 
+  /** Skew-safe salted aggregation: two-stage sum per returnflag (a
+    * low-cardinality, skew-prone key). The oracle is the PLAIN group-by —
+    * salting must be result-invariant. */
+  private def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    Skew.saltedAgg(li, col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)"), buckets = 16)
+      .select(col("key").as("l_returnflag"),
+        col("total").cast("double").as("total"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> saltedAgg,
     "q_multipass_match" -> multipassMatch,
     "q_percentiles" -> percentiles,
     "q_describe_stats" -> describeStats,
@@ -366,6 +379,12 @@ object RelationalQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_multipass_match" ->
       """WITH sup AS (
         |  SELECT s_suppkey, s_name,
