@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+  * Rabin-Karp rolling hashes over character k-grams, keeping the minimum
+  * hash in each sliding window of `w` consecutive k-grams (rightmost on
+  * ties). The selected set is a position-robust fingerprint: shared
+  * substrings of length >= w+k-1 are guaranteed to share a fingerprint,
+  * which makes overlap detection an equi-join on (fingerprint) — the
+  * plagiarism/near-dup primitive the reference's rolling-hash
+  * "document fingerprinting" capability calls for.
+  *
+  * Native Catalyst expression (generated code calls the static helper), no
+  * UDF serialization; output is array<long> for `explode` + join.
+  */
+object Winnow {
+  val K = 8   // k-gram length (chars)
+  val W = 16  // winnow window (k-grams)
+  private val B = 1000003L      // polynomial base
+  private val M = (1L << 61) - 1 // Mersenne modulus
+
+  def fingerprints(s: UTF8String): Array[Long] = fingerprintsString(s.toString)
+
+  def fingerprintsString(str: String): Array[Long] = {
+    val n = str.length
+    if (n < K) return Array.empty
+    val nGrams = n - K + 1
+    val hashes = new Array[Long](nGrams)
+    // first k-gram hash + rolling updates (mod-mul via Math.multiplyHigh-free
+    // path: values < 2^61, multiply in BigInt-free 128-bit via Math)
+    def mulMod(a: Long, b: Long): Long = {
+      // fold the 128-bit product mod 2^61-1: 2^64 = 8 (mod M), 2^61 = 1 (mod M)
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      ((lo & M) + (lo >>> 61) + (hi << 3)) % M
+    }
+    var h = 0L
+    var i = 0
+    while (i < K) { h = (mulMod(h, B) + str.charAt(i)) % M; i += 1 }
+    hashes(0) = h
+    // B^(K-1) mod M
+    var bk = 1L
+    i = 0
+    while (i < K - 1) { bk = mulMod(bk, B); i += 1 }
+    i = 1
+    while (i < nGrams) {
+      val out = str.charAt(i - 1)
+      h = (h - mulMod(out, bk)) % M
+      if (h < 0) h += M
+      h = (mulMod(h, B) + str.charAt(i + K - 1)) % M
+      hashes(i) = h
+      i += 1
+    }
+    if (nGrams <= W) {
+      var mn = hashes(0); var mi = 0; i = 1
+      while (i < nGrams) { if (hashes(i) <= mn) { mn = hashes(i); mi = i }; i += 1 }
+      return Array(hashes(mi))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastIdx = -1
+    i = 0
+    while (i + W <= nGrams) {
+      // min of window [i, i+W), rightmost on ties
+      var mn = hashes(i); var mi = i
+      var j = i + 1
+      while (j < i + W) { if (hashes(j) <= mn) { mn = hashes(j); mi = j }; j += 1 }
+      if (mi != lastIdx) { out += hashes(mi); lastIdx = mi }
+      i += 1
+    }
+    out.toArray
+  }
+
+  def winnow(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnInterop.column(
+      WinnowExpr(org.apache.spark.sql.graftshim.ColumnInterop.expression(c)))
+}
+
+case class WinnowExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Winnow.fingerprints(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.Winnow.fingerprints($c))")
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}

@@ -55,7 +55,32 @@ object DedupQueries extends QueryGroup {
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
 
+  /** Winnowing fingerprint overlap pairs (rolling-hash k-gram minima;
+    * rows-only check — the fingerprint algorithm lives in native code in
+    * both engines or neither). Docs sharing >= 5 selected fingerprints are
+    * overlap candidates; the guarantee is structural (common substrings of
+    * length >= W+K-1 share a fingerprint). */
+  private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnow(Dedup.normText(col("text")))).as("fp"))
+      .distinct()
+    // document-frequency pruning: a fingerprint shared by dozens of docs is
+    // vocabulary, not overlap, and quadratically explodes the self-join
+    val keep = raw.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+      .select("fp")
+    val fps = raw.join(keep, Seq("fp")).persist()
+    fps.select(col("doc_id").as("id_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 5)
+      .orderBy("id_a", "id_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_winnow" -> winnowPairs,
     "q_dedup_exact" -> exact,
     "q_dedup_jaccard" -> jaccard,
     "q_dedup_minhash" -> minhash,

@@ -11,13 +11,17 @@ import graft.core.Tables
   */
 object TextQueries extends QueryGroup {
 
-  /** Token counting: whitespace tokens, distinct tokens, char density. */
+  /** Token counting: whitespace tokens, BPE-ish subword pieces (letter
+    * runs / digit runs / single punctuation, the GPT-style pre-tokenizer
+    * shape), distinct tokens, char density. */
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("""[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"""), lit(0))).as("n_bpe_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
         length(regexp_replace(col("text"), """\s+""", "")).as("chars_nospace"))
       .withColumn("avg_token_len",
@@ -165,6 +169,7 @@ object TextQueries extends QueryGroup {
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
         |  CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS INTEGER) AS n_distinct,
         |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER) AS chars_nospace,
         |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN NULL

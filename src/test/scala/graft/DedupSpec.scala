@@ -57,6 +57,31 @@ class DedupSpec extends SparkSuite {
       s"LSH missed too many: ${(brute -- lsh).size} of ${brute.size}")
   }
 
+  test("winnow: deterministic; shared long substrings share fingerprints") {
+    import graft.functions.Winnow
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val a = Winnow.fingerprintsString(base)
+    assert(a.sameElements(Winnow.fingerprintsString(base)))
+    assert(a.nonEmpty)
+    // winnowing guarantee: a common substring of length >= W+K-1 (23 chars)
+    // yields at least one shared selected fingerprint
+    val other = "prefix text here " + base.substring(5, 45) + " totally different tail"
+    val b = Winnow.fingerprintsString(other)
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
+    // unrelated strings share nothing
+    val c = Winnow.fingerprintsString("zebra xylophone quartz vortex jungle mystery")
+    assert(a.toSet.intersect(c.toSet).isEmpty)
+  }
+
+  test("winnow expression matches driver-side computation") {
+    val df = Seq((1L, "some reasonably long text for fingerprint extraction here"))
+      .toDF("doc_id", "text")
+    val got = df.select(graft.functions.Winnow.winnow(col("text")).as("fps"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == graft.functions.Winnow
+      .fingerprintsString("some reasonably long text for fingerprint extraction here").toSeq)
+  }
+
   test("lsh planes are deterministic") {
     val p1 = Similarity.planes(4, 8).map(_.toSeq).toSeq
     val p2 = Similarity.planes(4, 8).map(_.toSeq).toSeq
