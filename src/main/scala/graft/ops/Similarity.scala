@@ -26,11 +26,13 @@ object Similarity {
   def withNorm(emb: DataFrame): DataFrame =
     emb
       .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Fused native dot product (see [[graft.functions.VectorOps]]) —
+    * sequential summation, bit-equal to the aggregate(zip_with) fold it
+    * replaces but without the intermediate array per row. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dotProduct(a, b)
 
   /** Brute-force cosine top-k of `corpus` for each query vector. */
   def cosineTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
