@@ -20,10 +20,33 @@ object SimilarityQueries extends QueryGroup {
 
   /** LSH-bucketed ANN near-dup pairs (8 hyperplanes; cosine >= 0.35 —
     * calibrated to the synthetic embeddings, whose max pairwise cosine is
-    * ~0.51). */
+    * ~0.51). Oracle-verified: the md5-derived plane matrix is inlined into
+    * the generated SQL, so DuckDB buckets identically. */
   private def lsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.35)
+      .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
       .orderBy("id_a", "id_b")
+
+  /** The SQL form of [[Similarity.planes]] — identical values by
+    * construction (same md5 derivation, rendered as list literals). */
+  private def lshOracleSql: String = {
+    val ps = Similarity.planes(8, 64)
+    val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
+      val lst = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, ${lst}::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n     + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |b AS (SELECT vec_id, v, nrm,
+       |  CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM n),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
+       |    round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cosine
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, bucket, cosine FROM pairs
+       |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Multimodal decode: binary payloads -> typed features via partition-wise
     * stub codec (md5-derived, so fully oracle-checkable). */
@@ -39,6 +62,8 @@ object SimilarityQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_sim_lsh" -> lshOracleSql,
+
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
