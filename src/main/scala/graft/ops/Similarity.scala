@@ -78,6 +78,89 @@ object Similarity {
     emb.withColumn("v", vCol).withColumn("bucket", bucket)
   }
 
+  /** IVF (inverted-file) ANN: deterministic k-means centroids (md5-seeded
+    * init, fixed Lloyd iterations — no RNG in the plan), vectors assigned
+    * to their nearest centroid's list, queries probe the `nProbe` nearest
+    * lists only. The scale path when hyperplane LSH recall is too low:
+    * list sizes are balanced by the data distribution and probe cost is
+    * centroids + probed lists, not the corpus.
+    *
+    * Centroids are computed once on the driver from a sample (here: the
+    * full set at test scale; at 100 TB a bounded `limit` sample) and
+    * broadcast as literals, so assignment is a narrow map. */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nCentroids: Int,
+              nProbe: Int, iterations: Int = 5): DataFrame = {
+    val n = withNorm(emb).persist()
+    val sample = n.select(col("vec_id"), col("v")).limit(4096).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty)
+    val dim = sample.head._2.length
+    // deterministic init: order sample by md5 of vec_id, take first k
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keyOf(id: Long): String = {
+      val h = md.digest(s"ivf_$id".getBytes(StandardCharsets.UTF_8))
+      md.reset(); h.map(b => f"${b & 0xff}%02x").mkString
+    }
+    var centroids = sample.sortBy(s => keyOf(s._1)).take(nCentroids).map(_._2)
+    def nearest(vec: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = vec(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Long](nCentroids)
+      sample.foreach { case (_, vec) =>
+        val c = nearest(vec, centroids)
+        var i = 0
+        while (i < dim) { sums(c)(i) += vec(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    val centroidsLit = typedlit(centroids.map(_.toSeq).toSeq)
+    // assignment: argmin over centroid distances (narrow map, no shuffle)
+    def assignExpr(vCol: Column): Column = {
+      val dists = (0 until nCentroids).map { c =>
+        val diff = zip_with(vCol, element_at(centroidsLit, c + 1), (x, y) => x - y)
+        struct(dot(diff, diff).as("d"), lit(c).as("c"))
+      }
+      array_min(array(dists: _*)).getField("c")
+    }
+    val assigned = n.withColumn("list_id", assignExpr(col("v"))).persist()
+    // queries probe the nProbe nearest centroid lists
+    val q = assigned.filter(isQuery)
+      .withColumn("probes", {
+        val dists = (0 until nCentroids).map { c =>
+          val diff = zip_with(col("v"), element_at(centroidsLit, c + 1), (x, y) => x - y)
+          struct(dot(diff, diff).as("d"), lit(c).as("c"))
+        }
+        slice(array_sort(array(dists: _*)), 1, nProbe)
+      })
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(col("probes").getField("c")).as("list_id"))
+    val pairs = q.join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"),
+        col("rn").as("rank"))
+  }
+
   /** Bucketed ANN near-dup pairs: compare only bucket-mates, verify with
     * true cosine >= `threshold`. */
   def lshNearDupPairs(emb: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {

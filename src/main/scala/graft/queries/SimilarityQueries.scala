@@ -55,9 +55,18 @@ object SimilarityQueries extends QueryGroup {
       .toDF()
       .orderBy("doc_id")
 
+  /** IVF ANN top-5 (8 centroids, probe 3) — rows-only check (centroids are
+    * an iterative driver-side computation); IvfSpec asserts recall against
+    * the brute-force baseline. */
+  private def ivf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 5,
+        k = 5, nCentroids = 8, nProbe = 3)
+      .orderBy("query_id", "rank")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> topk,
     "q_sim_lsh" -> lsh,
+    "q_sim_ivf" -> ivf,
     "q_mm_features" -> mmFeatures,
   )
 

@@ -82,6 +82,17 @@ class DedupSpec extends SparkSuite {
       .fingerprintsString("some reasonably long text for fingerprint extraction here").toSeq)
   }
 
+  test("ivf: high recall vs brute-force top-k at test scale") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 5, 5, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty && ivf.nonEmpty)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (probing 3/8 lists)")
+  }
+
   test("lsh planes are deterministic") {
     val p1 = Similarity.planes(4, 8).map(_.toSeq).toSeq
     val p2 = Similarity.planes(4, 8).map(_.toSeq).toSeq
