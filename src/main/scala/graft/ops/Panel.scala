@@ -27,7 +27,12 @@ object Panel {
     * ratio/trend math. */
   def customerYear(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    o.groupBy(
+    // hash-partition on the entity alone: HashPartitioning(entity)
+    // satisfies the (entity, year) aggregation's clustering AND the
+    // entity-keyed windows downstream, so the whole panel pipeline runs on
+    // one exchange instead of three (see PLANS.md)
+    o.repartition(col("o_custkey"))
+      .groupBy(
         col("o_custkey").as("entity_id"),
         year(col("o_orderdate")).as("year"))
       .agg(
