@@ -129,24 +129,22 @@ object Similarity {
       it += 1
     }
     val centroidsLit = typedlit(centroids.map(_.toSeq).toSeq)
-    // assignment: argmin over centroid distances (narrow map, no shuffle)
-    def assignExpr(vCol: Column): Column = {
-      val dists = (0 until nCentroids).map { c =>
-        val diff = zip_with(vCol, element_at(centroidsLit, c + 1), (x, y) => x - y)
-        struct(dot(diff, diff).as("d"), lit(c).as("c"))
+    // distance ranking via |v-c|^2 = |v|^2 - 2 v.c + |c|^2: |v|^2 is
+    // constant per row, so argmin needs only the fused dot product per
+    // centroid plus the precomputed |c|^2 scalar — no per-centroid diff
+    // arrays
+    val cNormSq = centroids.map(c => c.map(x => x * x).sum)
+    def distStructs(vCol: Column): Seq[Column] =
+      (0 until nCentroids).map { c =>
+        struct((lit(cNormSq(c)) - lit(2.0) * dot(vCol, element_at(centroidsLit, c + 1)))
+          .as("d"), lit(c).as("c"))
       }
-      array_min(array(dists: _*)).getField("c")
-    }
-    val assigned = n.withColumn("list_id", assignExpr(col("v"))).persist()
+    val assigned = n.withColumn("list_id",
+      array_min(array(distStructs(col("v")): _*)).getField("c")).persist()
     // queries probe the nProbe nearest centroid lists
     val q = assigned.filter(isQuery)
-      .withColumn("probes", {
-        val dists = (0 until nCentroids).map { c =>
-          val diff = zip_with(col("v"), element_at(centroidsLit, c + 1), (x, y) => x - y)
-          struct(dot(diff, diff).as("d"), lit(c).as("c"))
-        }
-        slice(array_sort(array(dists: _*)), 1, nProbe)
-      })
+      .withColumn("probes",
+        slice(array_sort(array(distStructs(col("v")): _*)), 1, nProbe))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), explode(col("probes").getField("c")).as("list_id"))
     val pairs = q.join(assigned, Seq("list_id"))
