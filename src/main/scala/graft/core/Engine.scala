@@ -66,7 +66,10 @@ object Engine {
       val base = Scoring.weightedRenormMean(
         members.map(i => col(indCol(i.name)) -> i.weight))
       val boosted = cfg.domainMultipliers.get(d.name) match {
-        case Some(mult) => least(lit(100.0), base * mult)
+        // guard before least(): it skips NULLs, which would turn an
+        // unscoreable domain into a hard 100
+        case Some(mult) =>
+          when(base.isNull, lit(null)).otherwise(least(lit(100.0), base * mult))
         case None => base
       }
       df.withColumn(domCol(d.name), boosted)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Engine, Tables}
+import graft.core.{Engine, Scoring, Tables}
 import graft.core.Engine.{Domain, Floor, Indicator, ScoringConfig}
 import graft.ops.Panel
 
@@ -46,11 +46,140 @@ object EngineQueries extends QueryGroup {
       .orderBy("entity_id")
   }
 
+  /** The v5-specific machinery under the oracle gate: a domain multiplier
+    * (cliff, F12) capped at 100, and a likely-closed-style null-out of the
+    * final score for inactive entities (customers whose last order is
+    * 2+ years before the dataset max). */
+  private def engineV5(s: SparkSession, dir: String): DataFrame = {
+    val panel = Panel.withCagr(
+      Panel.withPrior(
+        Panel.customerYear(s, dir)
+          .withColumn("orders_d", col("n_orders").cast("double")),
+        Seq("revenue", "orders_d")),
+      Seq("revenue", "orders_d"))
+    val latest = Panel.latestPerEntity(panel)
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+        col("entity_id") === col("c_custkey"), "inner")
+    val maxy = Tables.orders(s, dir).agg(max(year(col("o_orderdate"))).as("maxy"))
+    val withFlags = latest.crossJoin(broadcast(maxy))
+      .withColumn("inactive", col("year") <= col("maxy") - 2)
+    // cliff: small, shrinking customers get the trend domain amplified
+    val mult = lit(1.0) + lit(0.5) *
+      when(col("revenue") < 300000d && col("revenue_cagr").isNotNull &&
+        col("revenue_cagr") <= -0.10, 1.0).otherwise(0.0)
+    val cfg = customerConfig.copy(domainMultipliers = Map("trend" -> mult))
+    Engine.score(withFlags, cfg)
+      .withColumn("final_score",
+        when(col("inactive"), lit(null)).otherwise(col("final_score")))
+      .withColumn("risk_category",
+        when(col("inactive"), "Inactive")
+          .otherwise(Scoring.categorize(col("final_score"))))
+      .select(col("entity_id"), col("year"), col("inactive"),
+        round(col("domain_trend"), 4).as("domain_trend"),
+        round(col("final_score"), 4).as("final_score"),
+        col("risk_category"))
+      .orderBy("entity_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_engine_scores" -> engineScores,
+    "q_engine_v5" -> engineV5,
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_engine_v5" ->
+      """WITH panel AS (
+        |  SELECT o_custkey AS entity_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(max(year(o_orderdate)) AS INTEGER) AS maxy FROM orders),
+        |lagged AS (
+        |  SELECT entity_id, year, revenue,
+        |    CAST(n_orders AS DOUBLE) AS orders_d,
+        |    lag(revenue) OVER w AS prior_revenue,
+        |    lag(CAST(n_orders AS DOUBLE)) OVER w AS prior_orders,
+        |    year - lag(year) OVER w AS gap,
+        |    row_number() OVER (PARTITION BY entity_id ORDER BY year DESC) AS rn
+        |  FROM panel WINDOW w AS (PARTITION BY entity_id ORDER BY year)),
+        |trended AS (
+        |  SELECT entity_id, year, revenue,
+        |    CASE WHEN revenue IS NULL OR prior_revenue IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR revenue <= 0 OR prior_revenue <= 0 THEN NULL
+        |         ELSE pow(revenue / prior_revenue, 1.0 / gap) - 1 END AS rev_cagr,
+        |    CASE WHEN orders_d IS NULL OR prior_orders IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR orders_d <= 0 OR prior_orders <= 0 THEN NULL
+        |         ELSE pow(orders_d / prior_orders, 1.0 / gap) - 1 END AS ord_cagr
+        |  FROM lagged WHERE rn = 1),
+        |inds AS (
+        |  SELECT t.entity_id, t.year, t.revenue, rev_cagr,
+        |    (t.year <= b.maxy - 2) AS inactive,
+        |    CASE WHEN rev_cagr IS NULL THEN NULL
+        |         WHEN rev_cagr >= 0.10 THEN 0.0
+        |         WHEN rev_cagr <= -0.30 THEN 1.0
+        |         ELSE (0.10 - rev_cagr) / 0.40 END AS i_rev,
+        |    CASE WHEN ord_cagr IS NULL THEN NULL
+        |         WHEN ord_cagr >= 0.10 THEN 0.0
+        |         WHEN ord_cagr <= -0.50 THEN 1.0
+        |         ELSE (0.10 - ord_cagr) / 0.60 END AS i_ord,
+        |    CASE WHEN c.c_acctbal IS NULL THEN NULL
+        |         WHEN c.c_acctbal >= 5000 THEN 0.0
+        |         WHEN c.c_acctbal <= -500 THEN 1.0
+        |         ELSE (5000 - c.c_acctbal) / 5500 END AS i_bal
+        |  FROM trended t JOIN customer c ON t.entity_id = c.c_custkey
+        |  CROSS JOIN bounds b),
+        |doms AS (
+        |  SELECT entity_id, year, inactive, rev_cagr, i_rev, i_ord, i_bal,
+        |    CASE WHEN (CASE WHEN i_rev IS NOT NULL THEN 0.5 ELSE 0 END
+        |             + CASE WHEN i_ord IS NOT NULL THEN 0.5 ELSE 0 END) > 0
+        |      THEN least(100.0,
+        |        (CASE WHEN i_rev IS NOT NULL THEN i_rev * 0.5 ELSE 0 END
+        |       + CASE WHEN i_ord IS NOT NULL THEN i_ord * 0.5 ELSE 0 END)
+        |        / (CASE WHEN i_rev IS NOT NULL THEN 0.5 ELSE 0 END
+        |         + CASE WHEN i_ord IS NOT NULL THEN 0.5 ELSE 0 END) * 100
+        |        * CASE WHEN revenue < 300000 AND rev_cagr IS NOT NULL
+        |                AND rev_cagr <= -0.10 THEN 1.5 ELSE 1.0 END)
+        |      ELSE NULL END AS dom_trend,
+        |    CASE WHEN i_bal IS NOT NULL THEN i_bal * 1.0 / 1.0 * 100 ELSE NULL END AS dom_balance
+        |  FROM inds),
+        |comp AS (
+        |  SELECT entity_id, year, inactive, rev_cagr, dom_trend, dom_balance,
+        |    (CASE WHEN i_rev IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN i_ord IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN i_bal IS NOT NULL THEN 1 ELSE 0 END) AS n_indicators,
+        |    CASE WHEN (CASE WHEN dom_trend IS NOT NULL THEN 0.5 ELSE 0 END
+        |             + CASE WHEN dom_balance IS NOT NULL THEN 0.5 ELSE 0 END) > 0
+        |      THEN (CASE WHEN dom_trend IS NOT NULL THEN dom_trend * 0.5 ELSE 0 END
+        |          + CASE WHEN dom_balance IS NOT NULL THEN dom_balance * 0.5 ELSE 0 END)
+        |         / (CASE WHEN dom_trend IS NOT NULL THEN 0.5 ELSE 0 END
+        |          + CASE WHEN dom_balance IS NOT NULL THEN 0.5 ELSE 0 END) * 1.0
+        |      ELSE NULL END AS raw_composite
+        |  FROM doms),
+        |gated AS (
+        |  SELECT entity_id, year, inactive, rev_cagr, dom_trend,
+        |    CASE WHEN n_indicators >= 2 THEN raw_composite ELSE NULL END AS composite
+        |  FROM comp),
+        |floored AS (
+        |  SELECT entity_id, year, inactive, dom_trend,
+        |    CASE WHEN rev_cagr IS NOT NULL AND rev_cagr <= -0.5 AND composite IS NOT NULL
+        |         THEN greatest(composite, 65.0) ELSE composite END AS final
+        |  FROM gated),
+        |final AS (
+        |  SELECT entity_id, year, inactive, dom_trend,
+        |    CASE WHEN inactive THEN NULL ELSE final END AS final_score
+        |  FROM floored)
+        |SELECT entity_id, year, inactive,
+        |  round(dom_trend, 4) AS domain_trend,
+        |  round(final_score, 4) AS final_score,
+        |  CASE WHEN inactive THEN 'Inactive'
+        |       WHEN final_score IS NULL THEN 'Unknown'
+        |       WHEN final_score < 20 THEN 'Healthy'
+        |       WHEN final_score < 40 THEN 'Watch'
+        |       WHEN final_score < 60 THEN 'Elevated'
+        |       WHEN final_score < 80 THEN 'High'
+        |       ELSE 'Severe' END AS risk_category
+        |FROM final ORDER BY entity_id""".stripMargin,
+
     "q_engine_scores" ->
       """WITH panel AS (
         |  SELECT o_custkey AS entity_id, CAST(year(o_orderdate) AS INTEGER) AS year,

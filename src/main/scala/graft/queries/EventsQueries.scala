@@ -72,7 +72,19 @@ object EventsQueries extends QueryGroup {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Schema-bound JSON parsing (from_json with an explicit struct schema,
+    * vs. the path-extraction in q_events_json) -> typed numeric column. */
+  private def fromJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("parsed",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy((col("parsed.k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("parsed.k")).as("k_sum"))
+      .orderBy("k_mod")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_from_json" -> fromJson,
     "q_events_tumbling" -> tumbling,
     "q_events_json" -> jsonExtract,
     "q_events_funnel" -> userFunnel,
@@ -80,6 +92,12 @@ object EventsQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_events_from_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
     "q_events_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
         |  COUNT(*) AS n,

@@ -17,6 +17,16 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("no query output contains timestamp columns (parity rule)") {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sf).schema.fields
+        .filter(f => f.dataType == TimestampType || f.dataType == TimestampNTZType)
+      assert(bad.isEmpty,
+        s"$name outputs timestamp columns ${bad.map(_.name).toSeq} — emit epoch micros instead")
+    }
+  }
+
   test("every oracle key has a matching query") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
