@@ -296,7 +296,9 @@ object RelationalQueries extends QueryGroup {
       .select(col("l_returnflag"), col("n"),
         (col("total") / col("n")).as("mean"),
         col("mn"), col("mx"),
-        sqrt((col("sumsq") - col("total") * col("total") / col("n")) / (col("n") - 1))
+        // round: sumsq exceeds 53 bits, so its decimal->double cast can land
+        // on a representation tie that the engines break differently (1 ulp)
+        round(sqrt((col("sumsq") - col("total") * col("total") / col("n")) / (col("n") - 1)), 6)
           .as("stddev"))
       .orderBy("l_returnflag")
   }
@@ -429,7 +431,7 @@ object RelationalQueries extends QueryGroup {
         |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sumsq
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n, total / n AS mean, mn, mx,
-        |  sqrt((sumsq - total * total / n) / (n - 1)) AS stddev
+        |  round(sqrt((sumsq - total * total / n) / (n - 1)), 6) AS stddev
         |FROM agged ORDER BY l_returnflag""".stripMargin,
 
     "q_subsidiary" ->

@@ -33,6 +33,17 @@ class QueriesSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle keys without queries: $missing")
   }
 
+  test("query names are unique across groups (no silent Map overwrite)") {
+    val all = Seq(
+      queries.CoreQueries, queries.RelationalQueries, queries.PanelQueries,
+      queries.EngineQueries, queries.EventsQueries, queries.TextQueries,
+      queries.DedupQueries, queries.SimilarityQueries)
+    val names = all.flatMap(_.queries.keys)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+    assert(names.size == SparkEntry.queries.size)
+  }
+
   test("distress scores are bounded and categorized") {
     val rows = queries.CoreQueries.distressScores(spark, sf).collect()
     rows.foreach { r =>
