@@ -20,6 +20,7 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
+    CorpusQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

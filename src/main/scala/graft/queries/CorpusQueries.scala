@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Dedup
+
+/** The corpus-curation loop a training-data pipeline runs end to end:
+  * scrub/mask, quality-filter, and apply near-dup removal (keep the
+  * canonical member of each duplicate pair). */
+object CorpusQueries extends QueryGroup {
+
+  /** Masking/scrubbing: digits and bracketed payloads masked (the
+    * PII-scrub shape; applied to events.props and customer names where the
+    * corpus actually has digits). */
+  private def scrub(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("props_masked"),
+        regexp_replace(regexp_replace(col("props"), """\{[^}]*\}""", "<OBJ>"),
+          "[0-9]+", "<NUM>").as("props_objmasked"))
+      .orderBy("event_id")
+
+  /** Quality gate: language + token-count band + stopword-density cut;
+    * emits the keep decision per document plus corpus-level keep stats. */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))))
+      .withColumn("stop_hits",
+        size(regexp_extract_all(col("text"), lit("""\b(the|a|and|of|to)\b"""), lit(0))))
+      .withColumn("keep",
+        col("lang") === "en" && col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
+          col("stop_hits").cast("double") / col("n_tokens") <= 0.3)
+      .select("doc_id", "lang", "n_tokens", "stop_hits", "keep")
+      .orderBy("doc_id")
+
+  /** Apply near-dup removal: every doc that appears as the larger id of a
+    * >=0.8-Jaccard pair is dropped; canonical (smallest-id) members and
+    * uniques survive. */
+  private def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(Tables.documents(s, dir)), 0.8)
+    Tables.documents(s, dir)
+      .join(pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_scrub" -> scrub,
+    "q_corpus_filter" -> qualityFilter,
+    "q_dedup_apply" -> dedupApply,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_text_scrub" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_masked,
+        |  regexp_replace(regexp_replace(props, '\{[^}]*\}', '<OBJ>', 'g'),
+        |                 '[0-9]+', '<NUM>', 'g') AS props_objmasked
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_corpus_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS INTEGER) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens, stop_hits,
+        |  (lang = 'en' AND n_tokens >= 20 AND n_tokens <= 120
+        |   AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.3) AS keep
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_apply" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT DISTINCT id_b FROM pairs
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM dups)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
