@@ -36,6 +36,18 @@ class MergeSpec extends SparkSuite {
     assert(vals == Seq(30.0, 50.0))
   }
 
+  test("HTML report sink embeds the projected rows as JSON") {
+    val dir = Files.createTempDirectory("graftreport").toFile.getAbsolutePath
+    val df = core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey").limit(5)
+    graft.sinks.HtmlReport.write(df, s"$dir/report.html")
+    val html = Files.readString(java.nio.file.Paths.get(s"$dir/report.html"))
+    assert(html.contains("\"c_custkey\":1"))
+    assert(html.count(_ == '{') == 5)
+    assert(!html.contains(graft.sinks.HtmlReport.Placeholder))
+  }
+
   test("year-partitioned parquet writes enable partition pruning") {
     val dir = Files.createTempDirectory("graftpart").toFile.getAbsolutePath
     val panel = graft.ops.Panel.customerYear(spark, sf)
