@@ -37,6 +37,38 @@ class StreamingSpec extends SparkSuite {
     assert(typed == batch)
   }
 
+  test("watermark drops events later than the threshold (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, String)] // (epoch seconds, key)
+    val events = src.toDF().toDF("sec", "k")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val agg = events
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "30 seconds"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("w"), col("k"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: window [0,30) gets 2 events; watermark advances to 100-10=90
+      src.addData((5L, "a"), (25L, "a"), (100L, "a"))
+      q.processAllAvailable()
+      // batch 2: a late event for the already-finalized [0,30) window — must
+      // be DROPPED, and the finalized window emitted with n=2
+      src.addData((10L, "a"), (130L, "a"))
+      q.processAllAvailable()
+      // batch 3: push watermark far ahead so remaining windows finalize
+      src.addData((500L, "a"))
+      q.processAllAvailable()
+      val out = spark.table("late_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(out(0L) == 2, s"late event leaked into the finalized window: $out")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert is idempotent and only updates if better") {
     val tmp = Files.createTempDirectory("graftupsert").toFile.getAbsolutePath
     val store = s"$tmp/store"
