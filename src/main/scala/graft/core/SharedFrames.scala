@@ -1,0 +1,60 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of persisted DataFrames shared across queries in one session.
+  *
+  * Two problems, one mechanism:
+  *
+  *  - '''sharing''': several driver queries recompute the same expensive
+  *    intermediate (the shingle frame feeds `q_dedup_jaccard`,
+  *    `q_dedup_minhash` AND `q_dedup_apply`). [[cached]] builds it once per
+  *    (session, key) and returns the persisted frame to every caller, so
+  *    the explode+distinct+shuffle subtree runs once per run, not once per
+  *    query.
+  *  - '''hygiene''': a bare `persist()` with no matching `unpersist()` is a
+  *    slow leak in a long-lived 100 TB job (cached blocks pinned for the
+  *    session lifetime). Every persist in the library goes through this
+  *    registry; the runner (`Verify`/`Bench`/a user pipeline) calls
+  *    [[clear]] when the batch of queries is done.
+  *
+  * Keys embed the session identity so a cached frame from a stopped test
+  * session is never handed to a new one.
+  */
+object SharedFrames {
+
+  private val named = TrieMap.empty[String, DataFrame]
+  private val anonymous = new ConcurrentLinkedQueue[DataFrame]()
+
+  private def sessionKey(spark: SparkSession, key: String): String =
+    s"${System.identityHashCode(spark)}:$key"
+
+  /** Build-once persisted frame shared across queries under `key`. */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    named.getOrElseUpdate(sessionKey(spark, key), build.persist())
+
+  /** Persist a frame reused only within one query plan (e.g. a banded
+    * signature frame self-joined once per band), registering it for
+    * [[clear]] so it does not outlive the run. */
+  def register(df: DataFrame): DataFrame = {
+    anonymous.add(df)
+    df.persist()
+  }
+
+  /** Unpersist and forget every registered frame. Safe to call twice; a
+    * frame whose session has already stopped is skipped. */
+  def clear(): Unit = {
+    named.values.foreach(safeUnpersist)
+    named.clear()
+    var df = anonymous.poll()
+    while (df != null) { safeUnpersist(df); df = anonymous.poll() }
+  }
+
+  private def safeUnpersist(df: DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case _: Throwable => () }
+}

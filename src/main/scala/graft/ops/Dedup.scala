@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.SharedFrames
 import graft.functions.SimHash
 
 /** Deduplication operators for the training-data pipeline surface:
@@ -14,12 +14,19 @@ import graft.functions.SimHash
   *  - shingle joins shuffle on the shingle string — high cardinality, well
   *    distributed; document-frequency pruning (drop shingles appearing in
   *    > df_max docs) bounds worst-case skew and is standard for web-scale
-  *    near-dup; exposed via `maxShingleFreq`;
+  *    near-dup; exposed via `maxShingleFreq` and APPLIED by the live
+  *    queries (one Zipf-hot stop-shingle otherwise makes the self-join
+  *    quadratic in its document frequency);
   *  - MinHash/LSH replaces the quadratic pair space with band-bucket
   *    equi-joins: candidates ~ true-positive pairs + band collisions, then
   *    an exact Jaccard verify over candidates only;
   *  - everything is hash-portable (md5-based), so results are reproducible
-  *    across engines and runs — no JVM hashCode dependence.
+  *    across engines and runs — no JVM hashCode dependence;
+  *  - nothing here persists silently: frames reused across queries are
+  *    cached at the query layer via [[graft.core.SharedFrames.cached]],
+  *    frames self-joined within one plan via
+  *    [[graft.core.SharedFrames.register]] — both released by the runner's
+  *    `SharedFrames.clear()`.
   */
 object Dedup {
 
@@ -41,7 +48,7 @@ object Dedup {
         concat_ws(" ", (0 until n).map(k => element_at(col("words"), col("i") + k)): _*))
       .select("doc_id", "shingle")
       .distinct()
-    val pruned = maxShingleFreq match {
+    maxShingleFreq match {
       case None => base
       case Some(f) =>
         // document-frequency pruning: stop-shingles explode the pair space
@@ -49,10 +56,6 @@ object Dedup {
           .select("shingle")
         base.join(keep, Seq("shingle"))
     }
-    // every consumer (sizes, pair join, signatures, verify) re-reads this
-    // frame several times in one plan; persisting the post-distinct result
-    // replaces 3-4 repeated scan+explode+shuffle subtrees with one
-    pruned.persist()
   }
 
   /** Exact pairwise Jaccard over a shingle equi-join; emits pairs with
@@ -73,26 +76,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Portable MinHash signature: h_j = min over shingles of md5(j || shingle)
-    * (lexicographic min of the hex string == min of the 128-bit hash). */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.groupBy("doc_id").agg(
-      (1 to k).map(j => min(md5(concat(lit(j.toString), col("shingle")))).as(s"h$j")).head,
-      (1 to k).map(j => min(md5(concat(lit(j.toString), col("shingle")))).as(s"h$j")).tail: _*)
+  /** Portable MinHash signature from ONE md5 digest per shingle row:
+    * slot j = min over shingles of the 16-hex-char window of md5(shingle)
+    * starting at hex position 2j-1 (lexicographic min of the hex window ==
+    * min of its 64-bit value). The k windows overlap, so slots are
+    * correlated rather than independent — acceptable for candidate
+    * generation because the exact-Jaccard verify step makes the final
+    * answer exact either way, and it buys an 8x cut in digest work on the
+    * hottest stage of the pipeline. */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && 2 * (k - 1) + 16 <= 32,
+      s"k=$k slots must fit as 16-hex windows of one md5 digest (k <= 9)")
+    val withFp = sh.withColumn("fp", md5(col("shingle")))
+    val aggs = (1 to k).map(j =>
+      min(substring(col("fp"), 2 * (j - 1) + 1, 16)).as(s"h$j"))
+    withFp.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH band keys over a signature: band b = md5(h_{2b-1} || h_{2b}).
-    * Persisted — [[bandCandidates]] self-joins this frame once per band,
-    * which would otherwise recompute the signature aggregation 2x per
-    * band. */
+  /** LSH band keys over a signature: band b = md5(h_{2b-1} || h_{2b}). */
   def withBands(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     (1 to nBands).foldLeft(sig) { (df, b) =>
       val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand).map(j => col(s"h$j"))
       df.withColumn(s"band$b", md5(concat(cols: _*)))
-    }.persist()
+    }
   }
 
-  /** Candidate pairs from any band collision (distinct). */
+  /** Candidate pairs from any band collision (distinct). `banded` is
+    * self-joined once per band — callers persist it (via SharedFrames) so
+    * the signature aggregation isn't recomputed 2x per band. */
   def bandCandidates(banded: DataFrame, nBands: Int): DataFrame =
     (1 to nBands).map { b =>
       val a = banded.select(col("doc_id").as("id_a"), col(s"band$b").as("bk"))
@@ -122,12 +134,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val withSh = docs.select(col("doc_id"),
       SimHash.simhash(normText(col("text"))).as("sh"))
-    val banded = withSh
+    val banded = SharedFrames.register(withSh
       .withColumn("b1", col("sh").bitwiseAND(lit(0xffffL)))
       .withColumn("b2", shiftrightunsigned(col("sh"), 16).bitwiseAND(lit(0xffffL)))
       .withColumn("b3", shiftrightunsigned(col("sh"), 32).bitwiseAND(lit(0xffffL)))
-      .withColumn("b4", shiftrightunsigned(col("sh"), 48).bitwiseAND(lit(0xffffL)))
-      .persist() // self-joined once per band below
+      .withColumn("b4", shiftrightunsigned(col("sh"), 48).bitwiseAND(lit(0xffffL))))
     val cands = (1 to 4).map { b =>
       val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col(s"b$b").as("bk"))
       val c = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col(s"b$b").as("bk"))
@@ -137,5 +148,33 @@ object Dedup {
     cands
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 16-bit portable SimHash near-dup pairs: fingerprint = sign vector of
+    * per-bit vote counts over md5-derived 16-bit token hashes (see
+    * [[graft.functions.SimHash.compute16]] — every step is md5/bit-ops, so
+    * a SQL engine reproduces it exactly). Banding into the two 8-bit
+    * halves is exhaustive for hamming <= 1 (pigeonhole: one differing bit
+    * falls in one band, the other band matches), so the banded plan is
+    * result-identical to a brute-force self-join while staying an
+    * equi-join at scale. */
+  def simhash16Pairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 1,
+      "2x8-bit banding is exhaustive only for hamming <= 1")
+    val withSh = docs.select(col("doc_id"),
+      SimHash.simhash16(normText(col("text"))).as("sh16"))
+    val banded = SharedFrames.register(withSh
+      .withColumn("b1", col("sh16").bitwiseAND(lit(0xffL)))
+      .withColumn("b2", shiftrightunsigned(col("sh16"), 8)))
+    val cands = (1 to 2).map { b =>
+      val a = banded.select(col("doc_id").as("id_a"), col("sh16").as("sh_a"), col(s"b$b").as("bk"))
+      val c = banded.select(col("doc_id").as("id_b"), col("sh16").as("sh_b"), col(s"b$b").as("bk"))
+      a.join(c, Seq("bk")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 }
