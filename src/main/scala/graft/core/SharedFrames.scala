@@ -30,12 +30,27 @@ object SharedFrames {
   private val named = TrieMap.empty[String, DataFrame]
   private val anonymous = new ConcurrentLinkedQueue[DataFrame]()
 
+  // applicationId is unique per SparkContext; identityHashCode then only
+  // needs to separate sessions WITHIN one context, so cross-context hash
+  // collisions (the stale-session hazard) are impossible
   private def sessionKey(spark: SparkSession, key: String): String =
-    s"${System.identityHashCode(spark)}:$key"
+    s"${spark.sparkContext.applicationId}:${System.identityHashCode(spark)}:$key"
 
-  /** Build-once persisted frame shared across queries under `key`. */
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    named.getOrElseUpdate(sessionKey(spark, key), build.persist())
+  /** Build-once persisted frame shared across queries under `key`.
+    * Concurrency: losers of the `putIfAbsent` race unpersist their frame
+    * immediately, so no cache block leaks on concurrent first calls. */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = sessionKey(spark, key)
+    named.get(k) match {
+      case Some(df) => df
+      case None =>
+        val fresh = build.persist()
+        named.putIfAbsent(k, fresh) match {
+          case None         => fresh
+          case Some(winner) => safeUnpersist(fresh); winner
+        }
+    }
+  }
 
   /** Persist a frame reused only within one query plan (e.g. a banded
     * signature frame self-joined once per band), registering it for

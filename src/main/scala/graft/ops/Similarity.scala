@@ -90,18 +90,17 @@ object Similarity {
     * broadcast as literals, so assignment is a narrow map. */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nCentroids: Int,
               nProbe: Int, iterations: Int = 5): DataFrame = {
-    val n = withNorm(emb).persist()
-    val sample = n.select(col("vec_id"), col("v")).limit(4096).collect()
+    val n = graft.core.SharedFrames.register(withNorm(emb))
+    // bounded training sample, ordered by a hash key before the limit so
+    // the sampled set is identical across cluster partition layouts
+    val sample = n.select(col("vec_id"), col("v"))
+      .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
+      .limit(4096).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(sample.nonEmpty)
     val dim = sample.head._2.length
-    // deterministic init: order sample by md5 of vec_id, take first k
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def keyOf(id: Long): String = {
-      val h = md.digest(s"ivf_$id".getBytes(StandardCharsets.UTF_8))
-      md.reset(); h.map(b => f"${b & 0xff}%02x").mkString
-    }
-    var centroids = sample.sortBy(s => keyOf(s._1)).take(nCentroids).map(_._2)
+    // deterministic init: the sample is already in md5 order, take first k
+    var centroids = sample.take(nCentroids).map(_._2)
     def nearest(vec: Array[Double], cs: Array[Array[Double]]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < cs.length) {
@@ -128,6 +127,33 @@ object Similarity {
       }.toArray
       it += 1
     }
+    ivfSearch(n, isQuery, k, centroids, nProbe)
+  }
+
+  /** IVF with centroids = the `nCentroids` corpus vectors whose
+    * md5("ivf_" || vec_id) keys sort first — no Lloyd refinement, so the
+    * whole index (seed choice, assignment, probing) is a deterministic
+    * function of the data that a SQL engine reproduces exactly. This is
+    * the oracle-checkable twin of [[ivfTopK]] (whose k-means refinement
+    * gives better list balance but is an iterative driver-side
+    * computation); recall of both is asserted against the brute-force
+    * baseline in DedupSpec. */
+  def ivfSeededTopK(emb: DataFrame, isQuery: Column, k: Int, nCentroids: Int,
+                    nProbe: Int): DataFrame = {
+    val n = graft.core.SharedFrames.register(withNorm(emb))
+    val centroids = n.select(col("vec_id"), col("v"))
+      .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
+      .limit(nCentroids).collect()
+      .map(_.getSeq[Double](1).toArray)
+    ivfSearch(n, isQuery, k, centroids, nProbe)
+  }
+
+  /** Shared IVF search stage: assign every vector to its nearest centroid
+    * list, probe the `nProbe` nearest lists per query, exact cosine top-k
+    * within the probed lists. */
+  private def ivfSearch(n: DataFrame, isQuery: Column, k: Int,
+                        centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val nCentroids = centroids.length
     val centroidsLit = typedlit(centroids.map(_.toSeq).toSeq)
     // distance ranking via |v-c|^2 = |v|^2 - 2 v.c + |c|^2: |v|^2 is
     // constant per row, so argmin needs only the fused dot product per
@@ -139,8 +165,8 @@ object Similarity {
         struct((lit(cNormSq(c)) - lit(2.0) * dot(vCol, element_at(centroidsLit, c + 1)))
           .as("d"), lit(c).as("c"))
       }
-    val assigned = n.withColumn("list_id",
-      array_min(array(distStructs(col("v")): _*)).getField("c")).persist()
+    val assigned = graft.core.SharedFrames.register(n.withColumn("list_id",
+      array_min(array(distStructs(col("v")): _*)).getField("c")))
     // queries probe the nProbe nearest centroid lists
     val q = assigned.filter(isQuery)
       .withColumn("probes",

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.Dedup
 
 /** The corpus-curation loop a training-data pipeline runs end to end:
   * scrub/mask, quality-filter, and apply near-dup removal (keep the
@@ -37,9 +36,11 @@ object CorpusQueries extends QueryGroup {
 
   /** Apply near-dup removal: every doc that appears as the larger id of a
     * >=0.8-Jaccard pair is dropped; canonical (smallest-id) members and
-    * uniques survive. */
+    * uniques survive. The verified pair set is the SAME persisted frame
+    * `q_dedup_jaccard` lists ([[DedupQueries.sharedJaccardPairs]]), so the
+    * shingle+join pipeline runs once per session, not once per query. */
   private def dedupApply(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardPairs(Dedup.shingles(Tables.documents(s, dir)), 0.8)
+    val pairs = DedupQueries.sharedJaccardPairs(s, dir)
     Tables.documents(s, dir)
       .join(pairs.select(col("id_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
@@ -72,22 +73,25 @@ object CorpusQueries extends QueryGroup {
         |   AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.3) AS keep
         |FROM base ORDER BY doc_id""".stripMargin,
 
+    // same pruned-shingle preamble as the DedupQueries oracles (df <= 20)
     "q_dedup_apply" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
-        |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
-        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |dups AS (
-        |  SELECT DISTINCT id_b FROM pairs
-        |  JOIN sizes sa ON id_a = sa.doc_id
-        |  JOIN sizes sb ON id_b = sb.doc_id
-        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8)
-        |SELECT doc_id, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT id_b FROM dups)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
+         |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
+         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= ${DedupQueries.DfMax}),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT id_b FROM pairs
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM dups)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -3,22 +3,54 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{SharedFrames, Tables}
 import graft.ops.Dedup
 
 /** Deduplication over `documents`: exact (hash-groupBy), n-gram Jaccard
-  * (shingle equi-join), MinHash+LSH (band bucket-join + exact verify), and
-  * SimHash (native expression; banded hamming). The md5-based hashing keeps
-  * every variant portable to the DuckDB oracle except SimHash, whose 64-bit
-  * bit-vector fold is not reasonably SQL-expressible (rows-only check).
+  * (shingle equi-join), MinHash+LSH (band bucket-join + exact verify),
+  * portable 16-bit SimHash (native expression; banded hamming), and
+  * winnowing fingerprints. All variants are md5-/integer-arithmetic-based,
+  * so every query here is hash-checked against the DuckDB oracle.
+  *
+  * Scale notes:
+  *  - the shingle frame is document-frequency pruned (df <= [[DfMax]]):
+  *    a Zipf-hot stop-shingle makes the pair self-join quadratic in its
+  *    document frequency, the standard web-scale near-dup failure mode.
+  *    On the driver corpus df maxes out around 25, so DfMax=20 keeps every
+  *    planted >=0.8-Jaccard pair at sf0.1 while bounding worst-case skew.
+  *  - the pruned shingle frame and the verified Jaccard pair set are built
+  *    once per (session, sf-dir) via [[SharedFrames.cached]] and shared by
+  *    `q_dedup_jaccard`, `q_dedup_minhash` and `q_dedup_apply`; the runner
+  *    releases them with `SharedFrames.clear()`.
   */
 object DedupQueries extends QueryGroup {
 
+  /** Shingle document-frequency cap, mirrored in every oracle CTE. */
+  val DfMax = 20
+
+  /** Pruned shingle frame, built once per (session, dir). */
+  private[queries] def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"shingles:$dir") {
+      Dedup.shingles(Tables.documents(s, dir), maxShingleFreq = Some(DfMax))
+    }
+
+  /** Verified >=0.8-Jaccard pair set, built once per (session, dir) —
+    * shared by the pair-listing query and the corpus dedup-apply query. */
+  private[queries] def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"jacpairs:$dir") {
+      Dedup.jaccardPairs(sharedShingles(s, dir), 0.8)
+    }
+
+  /** Shared oracle preamble: shingles + df-prune + per-doc sizes. The
+    * `HAVING count(*) <= DfMax` CTE mirrors [[Dedup.shingles]]'s
+    * `maxShingleFreq` exactly. */
   private val shingleSqlPrefix =
-    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
-      |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
-      |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+       |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
+       |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
+       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $DfMax),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Exact dedup: md5 fingerprint of normalized text; canonical = min id. */
   private def exact(s: SparkSession, dir: String): DataFrame = {
@@ -31,45 +63,50 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  /** N-gram Jaccard near-dup pairs (threshold 0.8). */
+  /** N-gram Jaccard near-dup pairs (threshold 0.8, df-pruned shingles). */
   private def jaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Dedup.shingles(Tables.documents(s, dir)), 0.8)
+    sharedJaccardPairs(s, dir)
       .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
       .orderBy("id_a", "id_b")
 
-  /** MinHash (k=8) + LSH (4 bands of 2) candidates, exact-verified >= 0.7. */
+  /** MinHash (k=8 windows of one md5) + LSH (4 bands of 2), exact-verified
+    * >= 0.7 against the shared pruned shingle frame. */
   private def minhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, dir))
-    val banded = Dedup.withBands(Dedup.minhashSignatures(sh, 8), 8, 2)
+    val sh = sharedShingles(s, dir)
+    val banded = SharedFrames.register(
+      Dedup.withBands(Dedup.minhashSignatures(sh, 8), 8, 2))
     Dedup.verifyCandidates(Dedup.bandCandidates(banded, 4), sh, 0.7)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup pairs (native Catalyst expression; rows-only check).
-    * maxHamming=6 calibrated on the shared-vocabulary corpus: <=6 keeps
-    * tens of pairs (the planted near-dups) where <=16 admitted 159k
-    * vocabulary-induced collisions at sf0.1. */
+  /** Portable 16-bit SimHash candidate pairs at hamming <= 1. The 2x8-bit
+    * banded plan is result-identical to the oracle's brute-force self-join
+    * (pigeonhole: one differing bit falls in one band, the other band
+    * matches) while staying an equi-join at scale. This is the
+    * candidate-generation primitive — the 64-bit production variant
+    * ([[Dedup.simhashPairs]]) has finer resolution and is golden-tested in
+    * DedupSpec; this query pins the whole token-hash/vote/band pipeline to
+    * the SQL oracle bit-for-bit. */
   private def simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
-      .select("id_a", "id_b", "hamming")
+    Dedup.simhash16Pairs(Tables.documents(s, dir), maxHamming = 1)
+      .withColumn("hamming", col("hamming").cast("int"))
       .orderBy("id_a", "id_b")
 
-  /** Winnowing fingerprint overlap pairs (rolling-hash k-gram minima;
-    * rows-only check — the fingerprint algorithm lives in native code in
-    * both engines or neither). Docs sharing >= 5 selected fingerprints are
-    * overlap candidates; the guarantee is structural (common substrings of
-    * length >= W+K-1 share a fingerprint). */
+  /** Winnowing fingerprint overlap pairs (rolling-hash k-gram window
+    * minima, Schleimer/Wilkerson/Aiken). Docs sharing >= 5 selected
+    * fingerprints are overlap candidates; fingerprints with df > DfMax are
+    * vocabulary, not overlap, and are pruned before the self-join. The
+    * rolling hash is a polynomial mod 2^61-1 over char codes, which the
+    * oracle reproduces in HUGEINT arithmetic — fully hash-checked. */
   private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(graft.functions.Winnow.winnow(Dedup.normText(col("text")))).as("fp"))
       .distinct()
-    // document-frequency pruning: a fingerprint shared by dozens of docs is
-    // vocabulary, not overlap, and quadratically explodes the self-join
-    val keep = raw.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 20)
-      .select("fp")
-    val fps = raw.join(keep, Seq("fp")).persist()
+    val keep = raw.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfMax).select("fp")
+    val fps = SharedFrames.register(raw.join(keep, Seq("fp")))
     fps.select(col("doc_id").as("id_a"), col("fp"))
       .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
@@ -86,6 +123,17 @@ object DedupQueries extends QueryGroup {
     "q_dedup_minhash" -> minhash,
     "q_dedup_simhash" -> simhash,
   )
+
+  /** Winnow constants for the oracle: B^j mod M for the direct k-gram
+    * polynomial (equal to the Scala rolling evaluation mod M). */
+  private val WinnowM = (1L << 61) - 1
+  private val WinnowPows: Seq[Long] = {
+    val B = 1000003L
+    Iterator.iterate(java.math.BigInteger.ONE)(
+      _.multiply(java.math.BigInteger.valueOf(B))
+        .mod(java.math.BigInteger.valueOf(WinnowM)))
+      .map(_.longValueExact).take(8).toSeq
+  }
 
   override def oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -111,14 +159,16 @@ object DedupQueries extends QueryGroup {
          |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // sig slots mirror Dedup.minhashSignatures: slot j = min 16-hex-char
+    // window of ONE md5(shingle) starting at hex position 2j-1
     "q_dedup_minhash" ->
       s"""$shingleSqlPrefix,
          |sig AS (
          |  SELECT doc_id,
-         |    min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2,
-         |    min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4,
-         |    min(md5('5' || shingle)) AS h5, min(md5('6' || shingle)) AS h6,
-         |    min(md5('7' || shingle)) AS h7, min(md5('8' || shingle)) AS h8
+         |    min(substr(md5(shingle), 1, 16)) AS h1, min(substr(md5(shingle), 3, 16)) AS h2,
+         |    min(substr(md5(shingle), 5, 16)) AS h3, min(substr(md5(shingle), 7, 16)) AS h4,
+         |    min(substr(md5(shingle), 9, 16)) AS h5, min(substr(md5(shingle), 11, 16)) AS h6,
+         |    min(substr(md5(shingle), 13, 16)) AS h7, min(substr(md5(shingle), 15, 16)) AS h8
          |  FROM sh GROUP BY doc_id),
          |banded AS (
          |  SELECT doc_id, md5(h1 || h2) AS band1, md5(h3 || h4) AS band2,
@@ -150,5 +200,63 @@ object DedupQueries extends QueryGroup {
          |JOIN sizes sb ON m.id_b = sb.doc_id
          |WHERE CAST(m.common AS DOUBLE) / (sa.sz + sb.sz - m.common) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors SimHash.compute16: token hash = first 4 hex chars of
+    // md5(token); per-bit +-1 votes with multiplicity; bit b set iff
+    // vote(b) > 0. Brute-force hamming self-join == the 2x8-bit banded
+    // Spark plan for hamming <= 1 (pigeonhole).
+    "q_dedup_simhash" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+        |th AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) AS h
+        |  FROM toks WHERE w <> ''),
+        |votes AS (
+        |  SELECT doc_id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th, (SELECT unnest(generate_series(0, 15)) AS bit) b
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS sh16
+        |  FROM votes GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sh16, b.sh16)) AS INTEGER) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors Winnow (K=8, W=16): k-gram hash = polynomial in B=1000003
+    // over char codes mod 2^61-1 (HUGEINT keeps the 8-term sum exact);
+    // window minima via a 16-row window frame; short docs (ngrams <= 16)
+    // take the global min, which is the i=1 frame. Same df<=20 pruning and
+    // shared_fps >= 5 cut as the Spark query.
+    "q_dedup_winnow" -> {
+      val p = WinnowPows
+      s"""WITH norm AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         |g AS (SELECT doc_id, t, len(t) - 7 AS ngrams FROM norm WHERE len(t) >= 8),
+         |pos AS (SELECT doc_id, t, ngrams, unnest(generate_series(1, ngrams)) AS i FROM g),
+         |hx AS (SELECT doc_id, ngrams, i, CAST((
+         |    unicode(substr(t, i, 1))::HUGEINT * ${p(7)} +
+         |    unicode(substr(t, i+1, 1))::HUGEINT * ${p(6)} +
+         |    unicode(substr(t, i+2, 1))::HUGEINT * ${p(5)} +
+         |    unicode(substr(t, i+3, 1))::HUGEINT * ${p(4)} +
+         |    unicode(substr(t, i+4, 1))::HUGEINT * ${p(3)} +
+         |    unicode(substr(t, i+5, 1))::HUGEINT * ${p(2)} +
+         |    unicode(substr(t, i+6, 1))::HUGEINT * ${p(1)} +
+         |    unicode(substr(t, i+7, 1))::HUGEINT * ${p(0)}
+         |  ) % $WinnowM AS BIGINT) AS h
+         |  FROM pos),
+         |sel AS (SELECT doc_id, i, ngrams,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+         |  FROM hx),
+         |raw AS (SELECT DISTINCT doc_id, fp FROM sel WHERE i <= greatest(ngrams - 15, 1)),
+         |keep AS (SELECT fp FROM raw GROUP BY fp HAVING count(*) <= $DfMax),
+         |fps AS (SELECT raw.doc_id, raw.fp FROM raw JOIN keep USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
   )
 }

@@ -7,9 +7,11 @@ import graft.ops.{Multimodal, Similarity}
 
 /** Similarity search over `embeddings` and multimodal feature extraction
   * over binary payloads: brute-force cosine top-k (the correctness
-  * baseline), random-hyperplane LSH bucketed near-dup pairs (the scale
-  * path; rows-only check — the plane matrix is a Scala-side constant), and
-  * the partition-wise media decode stub.
+  * baseline), random-hyperplane LSH bucketed near-dup pairs, seeded IVF
+  * ANN (both scale paths), and the partition-wise media decode stub.
+  * Every query is oracle-verified — the LSH plane matrix is inlined into
+  * the generated SQL, and the IVF centroid seeding is recomputed by the
+  * SQL itself.
   */
 object SimilarityQueries extends QueryGroup {
 
@@ -55,11 +57,15 @@ object SimilarityQueries extends QueryGroup {
       .toDF()
       .orderBy("doc_id")
 
-  /** IVF ANN top-5 (8 centroids, probe 3) — rows-only check (centroids are
-    * an iterative driver-side computation); IvfSpec asserts recall against
-    * the brute-force baseline. */
+  /** IVF ANN top-5 (8 seeded centroids, probe 3). Oracle-verified: the
+    * centroids are the 8 corpus vectors whose md5("ivf_" || vec_id) keys
+    * sort first — a deterministic function of the data the SQL oracle
+    * recomputes itself, so seed choice, list assignment, probe order and
+    * final ranking are all pinned cross-engine. The k-means-refined
+    * [[Similarity.ivfTopK]] stays the production path (recall-tested in
+    * DedupSpec). */
   private def ivf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 5,
+    Similarity.ivfSeededTopK(Tables.embeddings(s, dir), col("vec_id") < 5,
         k = 5, nCentroids = 8, nProbe = 3)
       .orderBy("query_id", "rank")
 
@@ -72,6 +78,42 @@ object SimilarityQueries extends QueryGroup {
 
   override def oracle: Map[String, String] = Map(
     "q_sim_lsh" -> lshOracleSql,
+
+    // mirrors Similarity.ivfSeededTopK: centroid c = (rank in
+    // md5('ivf_'||vec_id) order) - 1; d(v,c) = |c|^2 - 2 v.c (|v|^2
+    // dropped — constant per row); assignment = argmin (d, then c);
+    // queries probe the 3 nearest lists; exact cosine top-5 within lists
+    "q_sim_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS c,
+        |         v AS cv
+        |  FROM n
+        |  QUALIFY row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR))) <= 8),
+        |dists AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cent.c,
+        |    list_dot_product(cent.cv, cent.cv) - 2 * list_dot_product(n.v, cent.cv) AS d
+        |  FROM n CROSS JOIN cent),
+        |lists AS (
+        |  SELECT vec_id, v, nrm, c AS list_id FROM dists
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, c AS list_id FROM dists
+        |  WHERE vec_id < 5
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) <= 3),
+        |pairs AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+        |  FROM probes JOIN lists USING (list_id)
+        |  WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id AS neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
