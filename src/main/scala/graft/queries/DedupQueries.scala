@@ -100,10 +100,13 @@ object DedupQueries extends QueryGroup {
     * rolling hash is a polynomial mod 2^61-1 over char codes, which the
     * oracle reproduces in HUGEINT arithmetic — fully hash-checked. */
   private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.documents(s, dir)
+    // register `raw` so the winnow expression (the expensive part — a
+    // rolling hash over every char of every doc) runs once, not once for
+    // the df-filter and again for the join
+    val raw = SharedFrames.register(Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(graft.functions.Winnow.winnow(Dedup.normText(col("text")))).as("fp"))
-      .distinct()
+      .distinct())
     val keep = raw.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfMax).select("fp")
     val fps = SharedFrames.register(raw.join(keep, Seq("fp")))
