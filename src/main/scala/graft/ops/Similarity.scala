@@ -188,7 +188,9 @@ object Similarity {
   /** Bucketed ANN near-dup pairs: compare only bucket-mates, verify with
     * true cosine >= `threshold`. */
   def lshNearDupPairs(emb: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {
-    val b = withNorm(withLshBucket(emb, nPlanes))
+    // registered: the frame is self-joined, so without a persist the
+    // nPlanes x 64-dim bucket projection would run twice
+    val b = graft.core.SharedFrames.register(withNorm(withLshBucket(emb, nPlanes)))
     val a = b.select(col("vec_id").as("id_a"), col("v").as("v_a"),
       col("nrm").as("n_a"), col("bucket"))
     val c = b.select(col("vec_id").as("id_b"), col("v").as("v_b"),

@@ -136,6 +136,32 @@ object RelationalQueries extends QueryGroup {
         col("n_customers"))
       .orderBy("region", "nation")
 
+  /** A10 extension: explicit GROUPING SETS — independent per-region and
+    * per-nation subtotals in one aggregation pass (one shuffle feeds the
+    * Expand, not one shuffle per grouping). */
+  private def groupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"))
+      .orderBy("region", "nation")
+
+  /** U3 extension: INTERSECT (distinct set semantics) — customers active
+    * in BOTH 1995 and 1996. Spark plans this as an aggregate + join on the
+    * key, so it shuffles once per side at scale. */
+  private def intersectKeys(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      .intersect(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   /** O1: custom priority sort via rank map (CRITICAL<HIGH<... work order,
     * `chat_acreage_bot.py:788-790`). */
   private def prioritySort(s: SparkSession, dir: String): DataFrame =
@@ -368,6 +394,8 @@ object RelationalQueries extends QueryGroup {
     "q_hhi" -> hhi,
     "q_vote" -> vote,
     "q_rollup_counts" -> rollupCounts,
+    "q_grouping_sets" -> groupingSets,
+    "q_intersect" -> intersectKeys,
     "q_priority_sort" -> prioritySort,
     "q_topk_search" -> topkSearch,
     "q_argmax" -> argmax,
@@ -524,6 +552,21 @@ object RelationalQueries extends QueryGroup {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name))
+        |ORDER BY region, nation""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_priority_sort" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
