@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductExpr, SimHash16Expr, SimHashExpr, WinnowExpr}
+
+/** SQL-surface registration for the library's native Catalyst expressions.
+  *
+  * Configure with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or pass to
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`), then:
+  *
+  * {{{
+  *   SELECT simhash(text), simhash16(text), winnow(text) FROM docs
+  *   SELECT dot_product(a.embedding_d, b.embedding_d) FROM ...
+  * }}}
+  *
+  * This is preference path (b)/(c) from SURVEY.md §7.3: the operators stay
+  * native codegen expressions (no UDF serialization), and SQL users get
+  * them without touching the Scala API. The expressions themselves live in
+  * [[graft.functions]]; this class only injects registry entries, so a
+  * session without the extension behaves identically.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def unary(name: String, usage: String, build: Expression => Expression)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == 1, s"$name expects exactly 1 argument")
+      build(args.head)
+    })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(unary("simhash",
+      "simhash(text) - 64-bit SimHash document fingerprint", SimHashExpr))
+    ext.injectFunction(unary("simhash16",
+      "simhash16(text) - portable 16-bit SimHash fingerprint", SimHash16Expr))
+    ext.injectFunction(unary("winnow",
+      "winnow(text) - winnowing k-gram fingerprint array", WinnowExpr))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - fused double-array dot product"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "dot_product expects exactly 2 arguments")
+        DotProductExpr(args.head, args(1))
+      }))
+  }
+}
+
+/** Convenience: FunctionRegistry entries for manual registration in an
+  * existing session (tests, notebooks) — the extension-config hook only
+  * applies at session construction. */
+object GraftExtensions {
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    def reg(name: String, usage: String, build: Seq[Expression] => Expression): Unit =
+      registry.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        build)
+    reg("simhash", "simhash(text) - 64-bit SimHash document fingerprint",
+      args => SimHashExpr(args.head))
+    reg("simhash16", "simhash16(text) - portable 16-bit SimHash fingerprint",
+      args => SimHash16Expr(args.head))
+    reg("winnow", "winnow(text) - winnowing k-gram fingerprint array",
+      args => WinnowExpr(args.head))
+    reg("dot_product", "dot_product(a, b) - fused double-array dot product",
+      args => DotProductExpr(args.head, args(1)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SimHash, Winnow}
+import graft.plans.GraftExtensions
+
+/** SQL-surface registration of the native expressions: after
+  * GraftExtensions.registerAll (or spark.sql.extensions at session build),
+  * simhash/simhash16/winnow/dot_product are callable from spark.sql and
+  * resolve to the SAME codegen expressions as the Scala API. */
+class ExtensionsSpec extends AnyFunSuite with SparkSuite {
+
+  test("registered SQL functions equal the Scala API / driver-side values") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content with its own vocabulary entirely")
+    ).toDF("id", "text")
+    df.createOrReplaceTempView("ext_docs")
+
+    val got = spark.sql(
+      """SELECT id, simhash(text) AS sh, simhash16(text) AS sh16, winnow(text) AS fps
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val text = df.filter(col("id") === r.getLong(0))
+        .select("text").as[String].head()
+      assert(r.getLong(1) == SimHash.computeString(text))
+      assert(r.getLong(2) == SimHash.compute16String(text))
+      assert(r.getSeq[Long](3) == Winnow.fingerprintsString(text).toSeq)
+    }
+
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(dp == 32.0)
+  }
+
+  test("a fresh session built with the extension class resolves the functions") {
+    // same SparkContext, new session with injected extensions (the static
+    // spark.sql.extensions conf only applies when the context is built, so
+    // an embedded test uses the programmatic hook — equivalent path)
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .create()
+    try {
+      val v = s2.sql("SELECT simhash16('alpha beta gamma') AS x")
+        .collect().head.getLong(0)
+      assert(v == SimHash.compute16String("alpha beta gamma"))
+    } finally s2.close()
+  }
+}
