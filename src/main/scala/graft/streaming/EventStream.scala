@@ -43,6 +43,19 @@ object EventStream {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: keep the first arrival of each key, dropping
+    * any duplicate that arrives within the watermark delay of it. State
+    * per key is bounded — it expires once the event-time watermark passes
+    * key_ts + delay, which is what makes this safe on an unbounded
+    * training-data ingest stream (the batch-side exact dedup over the
+    * full corpus is `q_dedup_exact`; this is its streaming complement for
+    * at-ingest duplicate suppression). */
+  def dedupWithinWatermark(events: DataFrame, delay: String,
+                           keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Run a streaming aggregation to a memory sink, synchronously, and
     * return the materialized result. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,

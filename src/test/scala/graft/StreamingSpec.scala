@@ -69,6 +69,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark suppresses dups until state expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long)] // (epoch seconds, event_id)
+    val events = src.toDF().toDF("sec", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val dd = EventStream.dedupWithinWatermark(events, "10 seconds")
+      .select("sec", "event_id")
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: id 1 twice (dup within delay -> one emission), id 2 once
+      src.addData((5L, 1L), (6L, 1L), (7L, 2L))
+      q.processAllAvailable()
+      // batch 2: id 1 again while state live -> dropped; id 3 advances the
+      // watermark to 100-10=90, expiring id 1's state (5+10 < 90)
+      src.addData((8L, 1L), (100L, 3L))
+      q.processAllAvailable()
+      // batch 3: id 1 after expiry -> a NEW first arrival, emitted again
+      src.addData((101L, 1L))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val perId = out.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(perId(1L) == 2, s"expected pre- and post-expiry emissions: ${out.toSeq}")
+      assert(perId(2L) == 1 && perId(3L) == 1, out.toSeq.toString)
+      assert(out.contains((5L, 1L)) && !out.contains((6L, 1L)) && !out.contains((8L, 1L)),
+        s"first arrival must win: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert is idempotent and only updates if better") {
     val tmp = Files.createTempDirectory("graftupsert").toFile.getAbsolutePath
     val store = s"$tmp/store"
