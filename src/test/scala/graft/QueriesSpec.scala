@@ -10,11 +10,19 @@ class QueriesSpec extends SparkSuite {
   }
 
   test("every query runs and returns rows at sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, sf)
-      val n = df.count()
-      assert(n > 0, s"$name returned 0 rows")
-    }
+    try {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val df = fn(spark, sf)
+        val n = df.count()
+        assert(n > 0, s"$name returned 0 rows")
+      }
+    } finally graft.core.SharedFrames.clear()
+  }
+
+  test("every query is oracle-gated (no rows-only checks)") {
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(missing.isEmpty,
+      s"queries without a DuckDB oracle (driver records a weaker rows-only check): $missing")
   }
 
   test("no query output contains timestamp columns (parity rule)") {
