@@ -52,6 +52,12 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
       val v = s2.sql("SELECT simhash16('alpha beta gamma') AS x")
         .collect().head.getLong(0)
       assert(v == SimHash.compute16String("alpha beta gamma"))
-    } finally s2.close()
+    } finally {
+      // do NOT stop s2 — it shares the suite-wide SparkContext, and
+      // close() would stop the context for every suite after this one;
+      // just restore the shared session as default/active
+      org.apache.spark.sql.SparkSession.setDefaultSession(SparkSuite.session)
+      org.apache.spark.sql.SparkSession.setActiveSession(SparkSuite.session)
+    }
   }
 }
