@@ -48,9 +48,28 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split: bucket = first 32 bits of
+    * md5("split_" || doc_id) mod 100 → 80/10/10. Hash-based (not sampled)
+    * so the assignment is stable under reruns, cluster layouts, and
+    * incremental corpus growth — the property a training pipeline needs so
+    * a doc never migrates between splits when data is added. Pure
+    * projection: rides the scan at any scale. */
+  private def split(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        (conv(substring(md5(concat(lit("split_"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_scrub" -> scrub,
     "q_corpus_filter" -> qualityFilter,
+    "q_corpus_split" -> split,
     "q_dedup_apply" -> dedupApply,
   )
 
@@ -72,6 +91,14 @@ object CorpusQueries extends QueryGroup {
         |  (lang = 'en' AND n_tokens >= 20 AND n_tokens <= 120
         |   AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.3) AS keep
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_split" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INTEGER) AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // same pruned-shingle preamble as the DedupQueries oracles (df <= 20)
     "q_dedup_apply" ->

@@ -140,7 +140,33 @@ object TextQueries extends QueryGroup {
           .as("payload"))
       .orderBy("c_custkey")
 
+  /** Repetition detection (the Gopher-style repeated-n-gram quality cut):
+    * fraction of a doc's word 3-grams that are repeats of an earlier
+    * 3-gram in the SAME doc. Computed as one narrow projection (shingle
+    * array built and deduped inside the row — no explode, no shuffle), so
+    * at 100 TB it rides the scan. */
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("grams",
+        when(size(col("words")) >= 3,
+          transform(sequence(lit(1), size(col("words")) - 2), i =>
+            concat_ws(" ", element_at(col("words"), i),
+              element_at(col("words"), i + 1), element_at(col("words"), i + 2))))
+          .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams")))
+      .withColumn("repetitive",
+        when(col("n_grams") > 0, col("rep_ratio") > 0.2))
+      .orderBy("doc_id")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> repetition,
     "q_regex_extract" -> regexExtract,
     "q_json_export" -> jsonExport,
     "q_text_tokens" -> tokens,
@@ -152,6 +178,25 @@ object TextQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // n_grams counts 3-grams WITH duplicates; docs under 3 words get
+    // (0, 0, NULL, NULL) via the left join
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
+        |g AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh FROM idx),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+        |               CAST(count(DISTINCT sh) AS INTEGER) AS n_distinct
+        |        FROM g GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_grams, 0) AS n_grams,
+        |  COALESCE(n_distinct, 0) AS n_distinct,
+        |  CASE WHEN COALESCE(n_grams, 0) > 0
+        |       THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams END AS rep_ratio,
+        |  CASE WHEN COALESCE(n_grams, 0) > 0
+        |       THEN (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > 0.2 END AS repetitive
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_regex_extract" ->
       """WITH matches AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS word
