@@ -66,10 +66,32 @@ object CorpusQueries extends QueryGroup {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Contamination check (eval-set hygiene): flag training docs whose
+    * winnow fingerprints overlap a registered benchmark set (modeled here
+    * as doc_id < 10). Directional semi-join shape — the benchmark
+    * fingerprint set is tiny and broadcasts, so the check costs one
+    * narrow pass over the corpus fingerprints regardless of corpus size.
+    * `n_shared` counts overlapping fingerprints (evidence strength);
+    * `contaminated` applies the same >= 5 cut as the winnow overlap
+    * query (shared substrings >= W+K-1 chars guarantee a shared
+    * fingerprint, so high counts mean long verbatim overlap, not shared
+    * vocabulary). */
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val fps = DedupQueries.sharedWinnowFps(s, dir)
+    val benchFps = fps.filter(col("doc_id") < 10).select("fp").distinct()
+    fps.filter(col("doc_id") >= 10)
+      .join(broadcast(benchFps), Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 5)
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_scrub" -> scrub,
     "q_corpus_filter" -> qualityFilter,
     "q_corpus_split" -> split,
+    "q_contamination" -> contamination,
     "q_dedup_apply" -> dedupApply,
   )
 
@@ -99,6 +121,17 @@ object CorpusQueries extends QueryGroup {
         |       WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // winnow preamble shared with q_dedup_winnow; fps per (doc_id, fp)
+    // are already distinct, so count(*) == count of shared fingerprints
+    "q_contamination" ->
+      s"""${DedupQueries.winnowSqlPrefix},
+         |ev AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 10)
+         |SELECT f.doc_id, count(*) AS n_shared, count(*) >= 5 AS contaminated
+         |FROM fps f JOIN ev USING (fp)
+         |WHERE f.doc_id >= 10
+         |GROUP BY f.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
 
     // same pruned-shingle preamble as the DedupQueries oracles (df <= 20)
     "q_dedup_apply" ->

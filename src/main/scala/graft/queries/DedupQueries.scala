@@ -41,6 +41,24 @@ object DedupQueries extends QueryGroup {
       Dedup.jaccardPairs(sharedShingles(s, dir), 0.8)
     }
 
+  /** df-pruned winnow fingerprint frame (doc_id, fp), built once per
+    * (session, dir) — the winnow expression (a rolling hash over every
+    * char of every doc) is the expensive part, shared by the overlap-pairs
+    * query and the contamination check. */
+  private[queries] def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"winnowfps:$dir") {
+      // raw is registered too: it feeds both the df-filter and the join,
+      // and without its own persist the winnow expression would evaluate
+      // twice while materializing this frame
+      val raw = SharedFrames.register(Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.Winnow.winnow(Dedup.normText(col("text")))).as("fp"))
+        .distinct())
+      val keep = raw.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfMax).select("fp")
+      raw.join(keep, Seq("fp"))
+    }
+
   /** Shared oracle preamble: shingles + df-prune + per-doc sizes. The
     * `HAVING count(*) <= DfMax` CTE mirrors [[Dedup.shingles]]'s
     * `maxShingleFreq` exactly. */
@@ -100,16 +118,7 @@ object DedupQueries extends QueryGroup {
     * rolling hash is a polynomial mod 2^61-1 over char codes, which the
     * oracle reproduces in HUGEINT arithmetic — fully hash-checked. */
   private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
-    // register `raw` so the winnow expression (the expensive part — a
-    // rolling hash over every char of every doc) runs once, not once for
-    // the df-filter and again for the join
-    val raw = SharedFrames.register(Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.Winnow.winnow(Dedup.normText(col("text")))).as("fp"))
-      .distinct())
-    val keep = raw.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfMax).select("fp")
-    val fps = SharedFrames.register(raw.join(keep, Seq("fp")))
+    val fps = sharedWinnowFps(s, dir)
     fps.select(col("doc_id").as("id_a"), col("fp"))
       .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
@@ -136,6 +145,36 @@ object DedupQueries extends QueryGroup {
       _.multiply(java.math.BigInteger.valueOf(B))
         .mod(java.math.BigInteger.valueOf(WinnowM)))
       .map(_.longValueExact).take(8).toSeq
+  }
+
+  /** Shared oracle preamble ending in the df-pruned `fps(doc_id, fp)` CTE
+    * — the SQL twin of [[sharedWinnowFps]]. K-gram hash = polynomial in
+    * B=1000003 over char codes mod 2^61-1 (HUGEINT keeps the 8-term sum
+    * exact); window minima via a 16-row frame; short docs (ngrams <= 16)
+    * take the global min, which is the i=1 frame. */
+  private[queries] val winnowSqlPrefix: String = {
+    val p = WinnowPows
+    s"""WITH norm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |g AS (SELECT doc_id, t, len(t) - 7 AS ngrams FROM norm WHERE len(t) >= 8),
+       |pos AS (SELECT doc_id, t, ngrams, unnest(generate_series(1, ngrams)) AS i FROM g),
+       |hx AS (SELECT doc_id, ngrams, i, CAST((
+       |    unicode(substr(t, i, 1))::HUGEINT * ${p(7)} +
+       |    unicode(substr(t, i+1, 1))::HUGEINT * ${p(6)} +
+       |    unicode(substr(t, i+2, 1))::HUGEINT * ${p(5)} +
+       |    unicode(substr(t, i+3, 1))::HUGEINT * ${p(4)} +
+       |    unicode(substr(t, i+4, 1))::HUGEINT * ${p(3)} +
+       |    unicode(substr(t, i+5, 1))::HUGEINT * ${p(2)} +
+       |    unicode(substr(t, i+6, 1))::HUGEINT * ${p(1)} +
+       |    unicode(substr(t, i+7, 1))::HUGEINT * ${p(0)}
+       |  ) % $WinnowM AS BIGINT) AS h
+       |  FROM pos),
+       |sel AS (SELECT doc_id, i, ngrams,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+       |  FROM hx),
+       |raw AS (SELECT DISTINCT doc_id, fp FROM sel WHERE i <= greatest(ngrams - 15, 1)),
+       |keep AS (SELECT fp FROM raw GROUP BY fp HAVING count(*) <= $DfMax),
+       |fps AS (SELECT raw.doc_id, raw.fp FROM raw JOIN keep USING (fp))""".stripMargin
   }
 
   override def oracle: Map[String, String] = Map(
@@ -228,38 +267,12 @@ object DedupQueries extends QueryGroup {
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // mirrors Winnow (K=8, W=16): k-gram hash = polynomial in B=1000003
-    // over char codes mod 2^61-1 (HUGEINT keeps the 8-term sum exact);
-    // window minima via a 16-row window frame; short docs (ngrams <= 16)
-    // take the global min, which is the i=1 frame. Same df<=20 pruning and
-    // shared_fps >= 5 cut as the Spark query.
-    "q_dedup_winnow" -> {
-      val p = WinnowPows
-      s"""WITH norm AS (
-         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
-         |g AS (SELECT doc_id, t, len(t) - 7 AS ngrams FROM norm WHERE len(t) >= 8),
-         |pos AS (SELECT doc_id, t, ngrams, unnest(generate_series(1, ngrams)) AS i FROM g),
-         |hx AS (SELECT doc_id, ngrams, i, CAST((
-         |    unicode(substr(t, i, 1))::HUGEINT * ${p(7)} +
-         |    unicode(substr(t, i+1, 1))::HUGEINT * ${p(6)} +
-         |    unicode(substr(t, i+2, 1))::HUGEINT * ${p(5)} +
-         |    unicode(substr(t, i+3, 1))::HUGEINT * ${p(4)} +
-         |    unicode(substr(t, i+4, 1))::HUGEINT * ${p(3)} +
-         |    unicode(substr(t, i+5, 1))::HUGEINT * ${p(2)} +
-         |    unicode(substr(t, i+6, 1))::HUGEINT * ${p(1)} +
-         |    unicode(substr(t, i+7, 1))::HUGEINT * ${p(0)}
-         |  ) % $WinnowM AS BIGINT) AS h
-         |  FROM pos),
-         |sel AS (SELECT doc_id, i, ngrams,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
-         |  FROM hx),
-         |raw AS (SELECT DISTINCT doc_id, fp FROM sel WHERE i <= greatest(ngrams - 15, 1)),
-         |keep AS (SELECT fp FROM raw GROUP BY fp HAVING count(*) <= $DfMax),
-         |fps AS (SELECT raw.doc_id, raw.fp FROM raw JOIN keep USING (fp))
+    // same df<=20 pruning and shared_fps >= 5 cut as the Spark query
+    "q_dedup_winnow" ->
+      s"""$winnowSqlPrefix
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
          |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }
