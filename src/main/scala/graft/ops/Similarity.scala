@@ -165,12 +165,15 @@ object Similarity {
         struct((lit(cNormSq(c)) - lit(2.0) * dot(vCol, element_at(centroidsLit, c + 1)))
           .as("d"), lit(c).as("c"))
       }
-    val assigned = graft.core.SharedFrames.register(n.withColumn("list_id",
-      array_min(array(distStructs(col("v")): _*)).getField("c")))
+    // ONE sorted distance array per row serves both the assignment
+    // (element 1 = argmin by (d, c)) and the query-side probe list
+    // (first nProbe) — half the codegen of building the struct array twice
+    val assigned = graft.core.SharedFrames.register(n
+      .withColumn("dists", array_sort(array(distStructs(col("v")): _*)))
+      .withColumn("list_id", element_at(col("dists"), 1).getField("c")))
     // queries probe the nProbe nearest centroid lists
     val q = assigned.filter(isQuery)
-      .withColumn("probes",
-        slice(array_sort(array(distStructs(col("v")): _*)), 1, nProbe))
+      .withColumn("probes", slice(col("dists"), 1, nProbe))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), explode(col("probes").getField("c")).as("list_id"))
     val pairs = q.join(assigned, Seq("list_id"))
