@@ -44,4 +44,39 @@ class LifecycleSpec extends SparkSuite {
       assert(direct(k)._2 == n)
     }
   }
+
+  test("AQE splits a skewed shuffle-join partition (skew=true in final plan)") {
+    // the other half of the skew story: saltedAgg handles skewed
+    // AGGREGATIONS; skewed JOINS are AQE's job — force tiny thresholds so
+    // the hot key triggers the split at test scale and prove it both ways
+    // (correct result AND OptimizeSkewedJoin marking the join)
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 75% of left rows share key 0 — one reducer partition gets ~3 MB
+      // while the others stay tiny
+      val left = spark.range(0, 200000).select(
+        when(col("id") < 150000, 0L).otherwise(col("id")).as("k"),
+        concat(lit("payload_"), col("id")).as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) so THIS frame's AdaptiveSparkPlan is the
+      // one that executes and finalizes
+      val n = joined.collect().length
+      // key 0 matches 150000 times; keys 150000..199999 have no dim row
+      assert(n == 150000, s"unexpected join cardinality $n")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot partition:\n${finalPlan.take(1500)}")
+    } finally olds.foreach { case (k, vo) =>
+      vo.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
