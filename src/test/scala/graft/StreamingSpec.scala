@@ -102,6 +102,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment join keeps unmatched rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Double)] // (c_custkey, value)
+    val events = src.toDF().toDF("c_custkey", "value")
+    // the at-ingest enrichment pattern: a static dim broadcast against the
+    // micro-batch, no stateful shuffle
+    val dim = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment")
+    val joined = events.join(broadcast(dim), Seq("c_custkey"), "left")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      src.addData((1L, 10.0), (2L, 20.0), (999999L, 5.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(out.size == 3)
+      assert(out(1L).isDefined && out(2L).isDefined, s"dim match missing: $out")
+      assert(out(999999L).isEmpty, "left join must keep unmatched stream rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert is idempotent and only updates if better") {
     val tmp = Files.createTempDirectory("graftupsert").toFile.getAbsolutePath
     val store = s"$tmp/store"
