@@ -122,13 +122,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact-Jaccard verification restricted to candidate pairs. */
+  /** Exact-Jaccard verification restricted to candidate pairs. The second
+    * shingle join keys on (id_b, shingle) — joining on id_b alone and
+    * post-filtering shingle equality would materialize a size_a x size_b
+    * intermediate per candidate pair, a quadratic-per-pair blowup at
+    * scale; keyed on both columns it probes the intersection directly. */
   def verifyCandidates(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = cands
       .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle").as("shingle_b")), Seq("id_b"))
-      .filter(col("shingle") === col("shingle_b"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
     common
