@@ -142,6 +142,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components of the near-dup pair graph: every doc that
+    * appears in a pair, labeled with the smallest doc_id reachable through
+    * pairs (the cluster id / canonical member). Pairs say "a duplicates
+    * b"; clusters are what dedup actually needs — a chain a~b, b~c must
+    * collapse to ONE kept document even though (a,c) was never directly
+    * verified.
+    *
+    * Algorithm: min-label propagation (each vertex repeatedly takes the
+    * min of its own and its neighbors' labels) — the standard distributed
+    * CC formulation; converges in <= graph-diameter rounds, and near-dup
+    * clusters have tiny diameters. Each round is one equi-join + one
+    * aggregation; `localCheckpoint` truncates the growing lineage so round
+    * N's plan does not replay rounds 1..N-1 (at cluster scale swap in a
+    * reliable checkpoint dir). The fixpoint (min reachable label) is
+    * unique, so the result is deterministic regardless of scheduling. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = SharedFrames.register(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy("src").agg(min(col("nlbl")).as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_lbl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
+        .filter(col("lbl") =!= col("prev")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** SimHash near-dup candidates: 4x16-bit bands of the 64-bit fingerprint
     * as bucket keys, hamming distance <= `maxHamming` verify. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {

@@ -128,12 +128,27 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup CLUSTERS: connected components over the >=0.8-Jaccard pair
+    * graph (min-label propagation; see [[Dedup.connectedComponents]]).
+    * Pairs alone under-delete: a~b, b~c must collapse to one kept doc even
+    * though (a,c) was never directly verified. cluster_id = smallest
+    * reachable doc_id = the canonical member. */
+  private def clusters(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(sharedJaccardPairs(s, dir))
+    val w = Window.partitionBy("cluster_id")
+    comp
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_winnow" -> winnowPairs,
     "q_dedup_exact" -> exact,
     "q_dedup_jaccard" -> jaccard,
     "q_dedup_minhash" -> minhash,
     "q_dedup_simhash" -> simhash,
+    "q_dedup_clusters" -> clusters,
   )
 
   /** Winnow constants for the oracle: B^j mod M for the direct k-gram
@@ -266,6 +281,34 @@ object DedupQueries extends QueryGroup {
         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure via recursive CTE == the min-label fixpoint the
+    // Spark side iterates to (both are "min reachable doc_id"); component
+    // sizes are tiny so the closure is bounded
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     // same df<=20 pruning and shared_fps >= 5 cut as the Spark query
     "q_dedup_winnow" ->

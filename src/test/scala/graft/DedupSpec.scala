@@ -82,6 +82,18 @@ class DedupSpec extends SparkSuite {
       .fingerprintsString("some reasonably long text for fingerprint extraction here").toSeq)
   }
 
+  test("connected components: chains collapse, min label wins, singleton-free") {
+    // 1-2, 2-3 chain -> one cluster rooted at 1 (even though (1,3) was
+    // never a direct pair); 5-6 separate; 8-9, 9-7 -> root 7 via the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+    graft.core.SharedFrames.clear()
+  }
+
   test("ivf: high recall vs brute-force top-k at test scale") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, 5)
