@@ -162,9 +162,18 @@ object Dedup {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // round 0 folds the first neighbor-min in (id, min(id, min nbr)) — one
+    // fewer propagation round than starting from lbl = id
+    var labels = edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
       .localCheckpoint()
+    // labels only ever decrease, so the label SUM strictly decreases until
+    // the fixpoint: convergence is one aggregate per round, not a
+    // join-and-compare of consecutive label frames
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).head().getLong(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -176,9 +185,9 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
-        .filter(col("lbl") =!= col("prev")).limit(1).count()
-      converged = changed == 0
+      val nextSum = lblSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }
