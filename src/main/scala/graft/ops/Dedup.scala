@@ -164,10 +164,12 @@ object Dedup {
         .distinct())
     // round 0 folds the first neighbor-min in (id, min(id, min nbr)) — one
     // fewer propagation round than starting from lbl = id
+    // localCheckpoint(eager = false): the convergence-sum action below
+    // materializes the checkpoint, so each round costs ONE job, not two
     var labels = edges.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
       .select(col("src").as("id"), col("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // labels only ever decrease, so the label SUM strictly decreases until
     // the fixpoint: convergence is one aggregate per round, not a
     // join-and-compare of consecutive label frames
@@ -184,7 +186,7 @@ object Dedup {
         .join(nbrMin.select(col("src").as("id"), col("nbr_lbl")), Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = lblSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
