@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Scoring, Tables}
@@ -30,6 +30,30 @@ object PanelQueries extends QueryGroup {
           .cast("double").as("net_metric"))
 
   private def w = Window.partitionBy("entity_id").orderBy("year")
+
+  /** F18: display formatting — $B/$M/$K money tiers and YoY trend arrows
+    * (the reference's client-side JS formatters, master_map2.html:470-476).
+    * Rendering goes through DECIMAL, never double→string (double
+    * formatting differs across engines; decimal formatting does not). */
+  private def displayFormat(s: SparkSession, dir: String): DataFrame = {
+    def tier(v: Column, div: Double, suffix: String): Column =
+      concat(lit("$"),
+        round(v / div, 1).cast("decimal(10,1)").cast("string"), lit(suffix))
+    custPanel(s, dir)
+      .withColumn("prev", lag(col("revenue"), 1).over(w))
+      .select(col("entity_id"), col("year"),
+        when(col("revenue") >= 1e9, tier(col("revenue"), 1e9, "B"))
+          .when(col("revenue") >= 1e6, tier(col("revenue"), 1e6, "M"))
+          .when(col("revenue") >= 1e3, tier(col("revenue"), 1e3, "K"))
+          .otherwise(concat(lit("$"),
+            round(col("revenue"), 0).cast("decimal(12,0)").cast("string")))
+          .as("revenue_disp"),
+        when(col("prev").isNull, lit("→"))
+          .when(col("revenue") > col("prev"), lit("▲"))
+          .when(col("revenue") < col("prev"), lit("▼"))
+          .otherwise(lit("→")).as("trend"))
+      .orderBy("entity_id", "year")
+  }
 
   /** W3: piecewise sign-crossing trend on a metric that can go negative. */
   private def piecewise(s: SparkSession, dir: String): DataFrame =
@@ -147,12 +171,30 @@ object PanelQueries extends QueryGroup {
     "q_first_year" -> firstYear,
     "q_kyear_change" -> kyearChange,
     "q_point_diff" -> pointDiff,
+    "q_display_format" -> displayFormat,
   )
 
   private def pivotCasesSql = pivotYears.map(y =>
     s"MAX(CASE WHEN year = $y THEN revenue END) AS revenue_$y").mkString(",\n  ")
 
   override def oracle: Map[String, String] = Map(
+    "q_display_format" ->
+      s"""WITH panel AS ($custPanelSql),
+         |lagged AS (
+         |  SELECT entity_id, year, revenue,
+         |    lag(revenue) OVER (PARTITION BY entity_id ORDER BY year) AS prev
+         |  FROM panel)
+         |SELECT entity_id, year,
+         |  CASE WHEN revenue >= 1000000000 THEN '$$' || CAST(CAST(round(revenue/1000000000, 1) AS DECIMAL(10,1)) AS VARCHAR) || 'B'
+         |       WHEN revenue >= 1000000 THEN '$$' || CAST(CAST(round(revenue/1000000, 1) AS DECIMAL(10,1)) AS VARCHAR) || 'M'
+         |       WHEN revenue >= 1000 THEN '$$' || CAST(CAST(round(revenue/1000, 1) AS DECIMAL(10,1)) AS VARCHAR) || 'K'
+         |       ELSE '$$' || CAST(CAST(round(revenue, 0) AS DECIMAL(12,0)) AS VARCHAR) END AS revenue_disp,
+         |  CASE WHEN prev IS NULL THEN '→'
+         |       WHEN revenue > prev THEN '▲'
+         |       WHEN revenue < prev THEN '▼'
+         |       ELSE '→' END AS trend
+         |FROM lagged ORDER BY entity_id, year""".stripMargin,
+
     "q_pivot_wide" ->
       s"""WITH panel AS ($custPanelSql)
          |SELECT entity_id,
