@@ -28,6 +28,23 @@ object Ingest {
       .option("encoding", "ISO-8859-1")
       .csv(path)
 
+  /** S8 (in-engine half): page-corpus source — one row per document with
+    * its name, modeling the reference's scraped-page stream
+    * (`chat_acreage_bot.py:537-630`) as (page_name, page_text). The
+    * network fetch itself stays outside the engine (external I/O); what
+    * the engine owns is everything downstream: the wholetext read, the
+    * filename provenance, and the regex extraction/classification queries
+    * that consume the text. Reads every file under `dir` as ONE row
+    * (wholetext), so page boundaries survive regardless of line
+    * structure. */
+  def pageSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .text(dir)
+      .withColumn("page_name",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .select(col("page_name"), col("value").as("page_text"))
+
   /** Exact rename-map standardization (P2). Missing raw columns are
     * tolerated and come back as typed NULL columns (indicator -> NaN in the
     * reference). */

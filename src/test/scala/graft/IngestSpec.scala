@@ -69,6 +69,23 @@ class IngestSpec extends SparkSuite {
     assert(spark.read.option("header", "true").csv(out).count() == 3)
   }
 
+  test("page source: one row per file with name provenance + regex extract") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graftpages")
+    Files.writeString(dir.resolve("alpha_college.txt"),
+      "Alpha College sits on a beautiful campus.\nThe campus spans 120 acres in total.")
+    Files.writeString(dir.resolve("beta_institute.txt"),
+      "Beta Institute: 45 acres of land,\nfounded 1901.")
+    val pages = Ingest.pageSource(spark, dir.toString)
+    val got = pages
+      .withColumn("acreage",
+        regexp_extract(col("page_text"), "([0-9]+) acres", 1).cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(got == Map("alpha_college.txt" -> 120, "beta_institute.txt" -> 45))
+    // wholetext: the multi-line page stayed one row
+    assert(pages.count() == 2)
+  }
+
   test("key normalization strips leading zeros and whitespace") {
     val df = spark.createDataFrame(Seq(Tuple1(" 0012345 "), Tuple1("000"), Tuple1("9")))
       .toDF("k")
