@@ -142,6 +142,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup detection: the pairs a NEW batch introduces —
+    * batch-vs-corpus plus batch-vs-batch — WITHOUT re-joining the existing
+    * corpus against itself. This is the production shape at scale: the
+    * corpus shingle frame is a persisted index that each arriving batch
+    * joins against, so per-batch cost is O(batch x collision rate), not
+    * O(corpus^2). Result == the full self-join restricted to pairs
+    * touching the batch (law-tested in DedupSpec and oracle-gated via
+    * `q_dedup_incremental`).
+    *
+    * `shOld`/`shNew` are (doc_id, shingle) frames (df-pruning should be
+    * applied upstream over the union so sizes agree with the full run);
+    * pair ids are oriented (least, greatest) to match the self-join's
+    * `id_a < id_b` convention. */
+  def incrementalJaccardPairs(shOld: DataFrame, shNew: DataFrame,
+                              threshold: Double): DataFrame = {
+    val all = shOld.unionByName(shNew)
+    val sizes = all.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val newNew = shNew.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(shNew.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+    val newOld = shOld.select(col("doc_id").as("id_o"), col("shingle"))
+      .join(shNew.select(col("doc_id").as("id_n"), col("shingle")), Seq("shingle"))
+      .select(least(col("id_o"), col("id_n")).as("id_a"),
+        greatest(col("id_o"), col("id_n")).as("id_b"), col("shingle"))
+    val common = newNew.select("id_a", "id_b", "shingle")
+      .unionByName(newOld)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components of the near-dup pair graph: every doc that
     * appears in a pair, labeled with the smallest doc_id reachable through
     * pairs (the cluster id / canonical member). Pairs say "a duplicates

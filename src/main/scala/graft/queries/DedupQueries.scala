@@ -142,7 +142,22 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup: docs with doc_id % 10 = 9 play the arriving batch;
+    * their near-dup pairs against the rest of the corpus (and each other)
+    * come from [[Dedup.incrementalJaccardPairs]] — batch-vs-index joins
+    * only, never corpus x corpus. The oracle computes the FULL pair set
+    * and restricts it to batch-touching pairs, which proves the
+    * incremental plan loses nothing. */
+  private def incremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingles(s, dir)
+    val isNew = col("doc_id") % 10 === 9
+    Dedup.incrementalJaccardPairs(sh.filter(!isNew), sh.filter(isNew), 0.8)
+      .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> incremental,
     "q_dedup_winnow" -> winnowPairs,
     "q_dedup_exact" -> exact,
     "q_dedup_jaccard" -> jaccard,
@@ -281,6 +296,23 @@ object DedupQueries extends QueryGroup {
         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full pair set restricted to batch-touching pairs == what the
+    // incremental batch-vs-index plan must produce
+    "q_dedup_incremental" ->
+      s"""$shingleSqlPrefix,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+         |  CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
+         |  AND (id_a % 10 = 9 OR id_b % 10 = 9)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // transitive closure via recursive CTE == the min-label fixpoint the
     // Spark side iterates to (both are "min reachable doc_id"); component

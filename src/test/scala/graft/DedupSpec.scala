@@ -82,6 +82,22 @@ class DedupSpec extends SparkSuite {
       .fingerprintsString("some reasonably long text for fingerprint extraction here").toSeq)
   }
 
+  test("incremental pairs == full pairs restricted to batch-touching (law)") {
+    val docs = core.Tables.documents(spark, sf)
+    val sh = Dedup.shingles(docs, maxShingleFreq = Some(20))
+    val isNew = col("doc_id") % 10 === 9
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b")),
+        r.getDouble(r.fieldIndex("jaccard")))
+    val incr = Dedup.incrementalJaccardPairs(sh.filter(!isNew), sh.filter(isNew), 0.8)
+      .collect().map(key).toSet
+    val full = Dedup.jaccardPairs(sh, 0.8)
+      .filter(col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
+      .collect().map(key).toSet
+    assert(incr == full, s"incremental lost or invented pairs: " +
+      s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
+  }
+
   test("connected components: chains collapse, min label wins, singleton-free") {
     // 1-2, 2-3 chain -> one cluster rooted at 1 (even though (1,3) was
     // never a direct pair); 5-6 separate; 8-9, 9-7 -> root 7 via the chain
