@@ -17,7 +17,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - DuckDB year() returns BIGINT -> always CAST(... AS INTEGER) to match
   *    Spark's IntegerType;
   *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
-  *    replace-all semantics.
+  *    replace-all semantics;
+  *  - portable hashing is md5-only (same hex both engines); integer slices
+  *    of digests via ('0x' || substr(md5(x), ...))::INT in DuckDB ==
+  *    conv(substring(md5(x), ...), 16, 10) in Spark;
+  *  - integer bit ops (>>, &, xor/^, bit_count, 1 << b) are exact and
+  *    identical cross-engine — fingerprint pipelines (SimHash) are built
+  *    ONLY from md5 + bit ops for this reason;
+  *  - custom hash arithmetic wider than 64 bits (the winnowing polynomial
+  *    mod 2^61-1) replays in DuckDB HUGEINT, which keeps multi-term
+  *    products exact where BIGINT would overflow;
+  *  - strings rendered from numbers go through DECIMAL, never
+  *    double->string (double formatting differs across engines; decimal
+  *    formatting does not) — see q_display_format;
+  *  - iterative fixpoints (connected components) are checked against a
+  *    closed-form SQL equivalent (recursive-CTE transitive closure): the
+  *    fixpoint must be unique so iteration count cannot affect results.
   */
 trait QueryGroup {
   def queries: Map[String, (SparkSession, String) => DataFrame]
