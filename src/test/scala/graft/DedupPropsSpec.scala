@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{SimHash, Winnow}
+
+/** Property-based laws for the dedup kernels — driver-side evaluation of
+  * the same static functions the Catalyst expressions call, so the laws
+  * cover exactly the code the cluster executes. */
+class DedupPropsSpec extends SparkSuite {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(60)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word: Gen[String] =
+    Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+  private val doc: Gen[List[String]] = Gen.choose(5, 40).flatMap(Gen.listOfN(_, word))
+
+  test("simhash16 is token-order independent (vote sums commute)") {
+    check(Prop.forAll(doc, Gen.long) { (words, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(words)
+      SimHash.compute16String(words.mkString(" ")) ==
+        SimHash.compute16String(shuffled.mkString(" "))
+    })
+  }
+
+  test("simhash/simhash16 of identical text are identical; empty text is 0") {
+    check(Prop.forAll(doc) { words =>
+      val t = words.mkString(" ")
+      SimHash.computeString(t) == SimHash.computeString(t) &&
+        SimHash.compute16String(t) == SimHash.compute16String(t)
+    })
+    assert(SimHash.computeString("") == 0L && SimHash.compute16String("") == 0L)
+  }
+
+  test("winnowing theorem: shared substring of length >= W+K-1 shares a fingerprint") {
+    // Schleimer/Wilkerson/Aiken guarantee: any match at least as long as
+    // the guarantee threshold t = W+K-1 is caught by at least one shared
+    // selected fingerprint
+    val tLen = Winnow.W + Winnow.K - 1
+    val chunk: Gen[String] =
+      Gen.choose(tLen, tLen + 20).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    check(Prop.forAll(chunk, chunk, chunk, chunk) { (shared, p1, p2, s2) =>
+      val a = p1 + shared + p2
+      val b = p2 + s2 + shared
+      val fa = Winnow.fingerprintsString(a).toSet
+      val fb = Winnow.fingerprintsString(b).toSet
+      fa.intersect(fb).nonEmpty
+    })
+  }
+
+  test("winnow is deterministic and position-robust (prefix shift keeps overlap)") {
+    check(Prop.forAll(doc, word) { (words, prefix) =>
+      val t = words.mkString(" ")
+      val shifted = prefix + " " + t
+      val f1 = Winnow.fingerprintsString(t).toSet
+      val f2 = Winnow.fingerprintsString(shifted).toSet
+      // the common suffix is the whole of t; if t is long enough to carry
+      // a guaranteed match, the shifted doc must share a fingerprint
+      f1 == Winnow.fingerprintsString(t).toSet &&
+        (t.length < Winnow.W + Winnow.K - 1 || f1.intersect(f2).nonEmpty)
+    })
+  }
+}
