@@ -42,6 +42,37 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("media_type"))
 
+  case class FrameFeature(
+      doc_id: Long,
+      frame_idx: Int,
+      frame_checksum: String,
+      brightness: Int)
+
+  /** Frame sampling for video-typed payloads: emit `n_frames` rows per
+    * video (uniform sampling is the real policy; the STUB codec derives a
+    * deterministic per-frame checksum/feature from md5(payload || idx)).
+    * The plumbing is the part that matters at scale: the explode happens
+    * AFTER feature extraction inside the partition — one codec per
+    * partition, payload bytes never duplicated per frame, and the output
+    * rows carry only features, so the per-frame fan-out (x n_frames rows)
+    * multiplies small rows, not media blobs. */
+  def sampleFrames(spark: SparkSession, media: DataFrame): Dataset[FrameFeature] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "video").as[MediaRecord].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5") // per-partition "codec"
+      it.flatMap { r =>
+        val n = (r.payload.length % 7 + 1).toInt
+        (0 until n).iterator.map { i =>
+          // ??? real frame decode goes here; stub hashes payload || idx
+          val digest = md.digest(r.payload ++ i.toString.getBytes(StandardCharsets.UTF_8))
+          md.reset()
+          val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+          FrameFeature(r.doc_id, i, hex, Integer.parseInt(hex.substring(0, 2), 16))
+        }
+      }
+    }
+  }
+
   /** STUB decoder: deterministic pseudo-decode of a payload. A real
     * implementation would invoke an image/audio codec here; the partition
     * iteration shape (one codec instance per partition, streaming rows)

@@ -69,11 +69,20 @@ object SimilarityQueries extends QueryGroup {
         k = 5, nCentroids = 8, nProbe = 3)
       .orderBy("query_id", "rank")
 
+  /** Frame sampling over video payloads: per-frame rows fan out AFTER
+    * partition-wise feature extraction, so media bytes are never
+    * duplicated per frame (see [[Multimodal.sampleFrames]]). */
+  private def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s, Multimodal.asMedia(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> topk,
     "q_sim_lsh" -> lsh,
     "q_sim_ivf" -> ivf,
     "q_mm_features" -> mmFeatures,
+    "q_mm_frames" -> mmFrames,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -130,6 +139,18 @@ object SimilarityQueries extends QueryGroup {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // videos = doc_id % 3 = 2 (asMedia's type tag); stub frame checksum =
+    // md5(payload || frame_idx digits), identical byte-wise in both engines
+    "q_mm_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) % 7 + 1 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, text, unnest(generate_series(0, n - 1)) AS frame_idx FROM v)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  md5(text || CAST(frame_idx AS VARCHAR)) AS frame_checksum,
+        |  CAST(('0x' || substr(md5(text || CAST(frame_idx AS VARCHAR)), 1, 2)) AS INTEGER) AS brightness
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_mm_features" ->
       """SELECT doc_id,
