@@ -134,7 +134,9 @@ object DedupQueries extends QueryGroup {
     * though (a,c) was never directly verified. cluster_id = smallest
     * reachable doc_id = the canonical member. */
   private def clusters(s: SparkSession, dir: String): DataFrame = {
-    val comp = Dedup.connectedComponents(sharedJaccardPairs(s, dir))
+    val comp = SharedFrames.cached(s, s"clusters:$dir") {
+      Dedup.connectedComponents(sharedJaccardPairs(s, dir))
+    }
     val w = Window.partitionBy("cluster_id")
     comp
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -156,7 +158,29 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Canonical selection per near-dup cluster: the kept representative is
+    * the highest-QUALITY member (longest text, doc_id tiebreak), not
+    * merely the smallest id — the policy real corpus curation uses. One
+    * row per cluster with the representative and member count. */
+  private def canonical(s: SparkSession, dir: String): DataFrame = {
+    val comp = SharedFrames.cached(s, s"clusters:$dir") {
+      Dedup.connectedComponents(sharedJaccardPairs(s, dir))
+    }
+    val sized = comp.join(
+      Tables.documents(s, dir).select("doc_id", "n_chars"), Seq("doc_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    sized
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("n_chars").as("rep_n_chars"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_canonical" -> canonical,
     "q_dedup_incremental" -> incremental,
     "q_dedup_winnow" -> winnowPairs,
     "q_dedup_exact" -> exact,
@@ -313,6 +337,37 @@ object DedupQueries extends QueryGroup {
          |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
          |  AND (id_a % 10 = 9 OR id_b % 10 = 9)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same recursive closure as q_dedup_clusters, then the quality pick
+    // (longest text, id tiebreak) per component
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sized AS (
+         |  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |                       ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |  FROM comp c JOIN documents d USING (doc_id))
+         |SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars, n_members
+         |FROM sized WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // transitive closure via recursive CTE == the min-label fixpoint the
     // Spark side iterates to (both are "min reachable doc_id"); component
