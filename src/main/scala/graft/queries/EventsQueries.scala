@@ -83,7 +83,22 @@ object EventsQueries extends QueryGroup {
         sum(col("parsed.k")).as("k_sum"))
       .orderBy("k_mod")
 
+  /** VARIANT path (Spark 4): parse_json -> open-schema semi-structured
+    * column, typed extraction with variant_get. Unlike from_json (closed
+    * struct schema) the variant carries the full document, so late-arriving
+    * fields survive ingestion — the semi-structured pattern for training
+    * metadata whose schema drifts. Extraction stays codegen-friendly. */
+  private def variantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .filter(col("k") >= 50)
+      .groupBy((col("k") % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy("k_mod")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_variant" -> variantExtract,
     "q_events_from_json" -> fromJson,
     "q_events_tumbling" -> tumbling,
     "q_events_json" -> jsonExtract,
@@ -92,6 +107,13 @@ object EventsQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_events_variant" ->
+      """WITH k AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT k % 7 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum
+        |FROM k WHERE k >= 50 GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
     "q_events_from_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  COUNT(*) AS n,
