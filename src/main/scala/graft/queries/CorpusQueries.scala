@@ -87,10 +87,31 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Corpus health report: keep counts/rates by language and by split in
+    * ONE grouping-sets aggregation pass (plus the grand total), the
+    * monitoring query a curation pipeline runs per batch. Rates divide two
+    * exact counts, so the doubles are identical cross-engine. */
+  private def stats(s: SparkSession, dir: String): DataFrame = {
+    val quality = qualityFilter(s, dir).select("doc_id", "lang", "keep")
+    val splits = split(s, dir).select("doc_id", "split")
+    quality.join(splits, Seq("doc_id"))
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("split")), Seq()),
+        col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("split"), lit("ALL")).as("split"),
+        col("n_docs"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_docs")).as("keep_rate"))
+      .orderBy("lang", "split")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_scrub" -> scrub,
     "q_corpus_filter" -> qualityFilter,
     "q_corpus_split" -> split,
+    "q_corpus_stats" -> stats,
     "q_contamination" -> contamination,
     "q_dedup_apply" -> dedupApply,
   )
@@ -121,6 +142,25 @@ object CorpusQueries extends QueryGroup {
         |       WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    (lang = 'en'
+        |     AND CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) BETWEEN 20 AND 120
+        |     AND CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS DOUBLE)
+        |         / len(regexp_extract_all(text, '\S+')) <= 0.3) AS keep,
+        |    CASE WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(split, 'ALL') AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+        |FROM q
+        |GROUP BY GROUPING SETS ((lang), (split), ())
+        |ORDER BY lang, split""".stripMargin,
 
     // winnow preamble shared with q_dedup_winnow; fps per (doc_id, fp)
     // are already distinct, so count(*) == count of shared fingerprints
