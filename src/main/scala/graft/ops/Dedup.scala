@@ -7,8 +7,9 @@ import graft.functions.SimHash
 
 /** Deduplication operators for the training-data pipeline surface:
   * exact (hash-groupBy), n-gram Jaccard (shingle equi-join), MinHash+LSH
-  * (band bucket-join + exact verify), and SimHash (native expression +
-  * banded hamming candidates).
+  * (band bucket-join + exact verify), SimHash (native expression + banded
+  * hamming candidates), incremental batch-vs-index detection, and
+  * connected-components clustering of the pair graph.
   *
   * Scale notes (the 100 TB design point):
   *  - shingle joins shuffle on the shingle string — high cardinality, well

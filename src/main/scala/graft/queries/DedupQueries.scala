@@ -8,9 +8,11 @@ import graft.ops.Dedup
 
 /** Deduplication over `documents`: exact (hash-groupBy), n-gram Jaccard
   * (shingle equi-join), MinHash+LSH (band bucket-join + exact verify),
-  * portable 16-bit SimHash (native expression; banded hamming), and
-  * winnowing fingerprints. All variants are md5-/integer-arithmetic-based,
-  * so every query here is hash-checked against the DuckDB oracle.
+  * portable 16-bit SimHash (native expression; banded hamming), winnowing
+  * fingerprints, incremental batch-vs-index pairs, connected-component
+  * clusters, and quality-canonical selection. All variants are
+  * md5-/integer-arithmetic-based, so every query here is hash-checked
+  * against the DuckDB oracle.
   *
   * Scale notes:
   *  - the shingle frame is document-frequency pruned (df <= [[DfMax]]):
