@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CorpusQueries, DedupQueries}
+
+/** Cross-query invariants of the corpus-curation flow — the properties a
+  * pipeline composing these stages actually relies on, beyond each query's
+  * own oracle match. */
+class CurationSpec extends SparkSuite {
+
+  test("after dedup-apply, no >=0.8 pair has BOTH members surviving") {
+    val survivors = CorpusQueries.queries("q_dedup_apply")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = DedupQueries.queries("q_dedup_jaccard")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(!(survivors(a) && survivors(b)),
+        s"near-dup pair ($a, $b) fully survived dedup-apply")
+    }
+    graft.core.SharedFrames.clear()
+  }
+
+  test("split is a partition with ~80/10/10 fractions and stable assignment") {
+    val rows = CorpusQueries.queries("q_corpus_split")(spark, sf).collect()
+    val n = rows.length.toDouble
+    val frac = rows.groupBy(_.getString(2)).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.05, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.05, frac.toString)
+    // stability: re-running yields the identical assignment (hash, not RNG)
+    val again = CorpusQueries.queries("q_corpus_split")(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
+
+  test("corpus stats grand total equals the corpus; subtotals sum to it") {
+    val stats = CorpusQueries.queries("q_corpus_stats")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = core.Tables.documents(spark, sf).count()
+    assert(stats(("ALL", "ALL")) == total)
+    val bySplit = stats.collect { case (("ALL", s), v) if s != "ALL" => v }.sum
+    val byLang = stats.collect { case ((l, "ALL"), v) if l != "ALL" => v }.sum
+    assert(bySplit == total && byLang == total,
+      s"subtotals $bySplit/$byLang vs $total")
+  }
+
+  test("cluster representative is always a member of its own cluster") {
+    val comp = DedupQueries.queries("q_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val members = comp.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val reps = DedupQueries.queries("q_dedup_canonical")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(reps.nonEmpty)
+    reps.foreach { case (cluster, rep) =>
+      assert(members(cluster).contains(rep),
+        s"representative $rep not a member of cluster $cluster")
+    }
+    graft.core.SharedFrames.clear()
+  }
+}
