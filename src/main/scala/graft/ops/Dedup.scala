@@ -210,8 +210,12 @@ object Dedup {
     // labels only ever decrease, so the label SUM strictly decreases until
     // the fixpoint: convergence is one aggregate per round, not a
     // join-and-compare of consecutive label frames
-    def lblSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).head().getLong(0)
+    // sum over an EMPTY frame yields a null cell — coalesce it so a
+    // pair-free corpus converges to an empty result instead of an NPE
+    def lblSum(df: DataFrame): Long = {
+      val cell = df.agg(sum(col("lbl"))).head().get(0)
+      if (cell == null) 0L else cell.asInstanceOf[Long]
+    }
     var prevSum = lblSum(labels)
     var converged = false
     var iter = 0

@@ -145,6 +145,7 @@ object Similarity {
       .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
       .limit(nCentroids).collect()
       .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "ivfSeededTopK: empty embedding corpus")
     ivfSearch(n, isQuery, k, centroids, nProbe)
   }
 

@@ -98,6 +98,12 @@ class DedupSpec extends SparkSuite {
       s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
   }
 
+  test("connected components of an empty pair frame is empty (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    graft.core.SharedFrames.clear()
+  }
+
   test("connected components: chains collapse, min label wins, singleton-free") {
     // 1-2, 2-3 chain -> one cluster rooted at 1 (even though (1,3) was
     // never a direct pair); 5-6 separate; 8-9, 9-7 -> root 7 via the chain
