@@ -31,13 +31,13 @@ object SimilarityQueries extends QueryGroup {
 
   /** The SQL form of [[Similarity.planes]] — identical values by
     * construction (same md5 derivation, rendered as list literals). */
-  private def lshOracleSql: String = {
+  private def lshPairsSqlPrefix: String = {
     val ps = Similarity.planes(8, 64)
     val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
       val lst = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(v, ${lst}::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("\n     + ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |b AS (SELECT vec_id, v, nrm,
        |  CAST($bucketExpr AS BIGINT) AS bucket
@@ -45,10 +45,32 @@ object SimilarityQueries extends QueryGroup {
        |pairs AS (
        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
        |    round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cosine
-       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)""".stripMargin
+  }
+
+  private def lshOracleSql: String =
+    s"""WITH $lshPairsSqlPrefix
        |SELECT id_a, id_b, bucket, cosine FROM pairs
        |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Same recursive closure as q_dedup_clusters, over the LSH cosine
+    * pair graph. */
+  private def simClustersOracleSql: String =
+    s"""WITH RECURSIVE $lshPairsSqlPrefix,
+       |jp AS (SELECT id_a, id_b FROM pairs WHERE cosine >= 0.35),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+       |          UNION SELECT id_b, id_a FROM jp),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+       |comp AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT vec_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  vec_id = cluster_id AS is_canonical
+       |FROM comp ORDER BY vec_id""".stripMargin
 
   /** Multimodal decode: binary payloads -> typed features via partition-wise
     * stub codec (md5-derived, so fully oracle-checkable). */
@@ -77,7 +99,23 @@ object SimilarityQueries extends QueryGroup {
       .toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** Semantic dedup clusters (the SemDeDup shape): connected components
+    * over the embedding-cosine near-dup graph — LSH-bucketed pair
+    * generation, then the same min-label propagation that clusters the
+    * lexical pair graph. cluster_id = smallest member vec_id. */
+  private def simClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.35)
+      .select(col("id_a"), col("id_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    graft.ops.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_clusters" -> simClusters,
     "q_sim_topk" -> topk,
     "q_sim_lsh" -> lsh,
     "q_sim_ivf" -> ivf,
@@ -87,6 +125,7 @@ object SimilarityQueries extends QueryGroup {
 
   override def oracle: Map[String, String] = Map(
     "q_sim_lsh" -> lshOracleSql,
+    "q_sim_clusters" -> simClustersOracleSql,
 
     // mirrors Similarity.ivfSeededTopK: centroid c = (rank in
     // md5('ivf_'||vec_id) order) - 1; d(v,c) = |c|^2 - 2 v.c (|v|^2
