@@ -11,27 +11,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // share one cached scan of each base table across all 64 queries —
+    // share one cached scan of each base table across all queries —
     // the per-query fixed cost is otherwise dominated by re-reading the
     // same parquet files
     graft.core.Tables.cacheScans = true
-    // untimed warmup: JVM/codegen/parquet-footer costs land here instead of
-    // inflating whichever query happens to run first; materialize the two
-    // hottest tables into the shared cache
     try {
-      graft.core.Tables.t(spark, sfDir, "lineitem").count()
-      graft.core.Tables.documents(spark, sfDir).count()
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // untimed warmup: JVM/codegen/parquet-footer costs land here instead
+      // of inflating whichever query happens to run first; materialize the
+      // two hottest tables into the shared cache
+      try {
+        graft.core.Tables.t(spark, sfDir, "lineitem").count()
+        graft.core.Tables.documents(spark, sfDir).count()
+      } catch { case _: Throwable => () }
+      // pre-materialize the cross-query shared frames (shingles, pair
+      // sets, parsed props, ...) with their build cost reported under
+      // "shared": per-query numbers then measure each query's MARGINAL
+      // cost instead of whichever consumer ran first paying a
+      // pipeline-wide build (r3's q_dedup_clusters carried ~12s of
+      // shared-frame build that belonged to the dedup pipeline)
+      val sharedTimes = SparkEntry.sharedFrames.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val results = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      def js(m: Map[String, Double]) =
+        m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = results.values.sum + sharedTimes.values.sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"shared":${js(sharedTimes)},"sf":"$sfDir"}""")
+    } finally {
+      graft.core.SharedFrames.clear()
+      graft.core.Tables.cacheScans = false
+      spark.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    graft.core.SharedFrames.clear()
-    spark.stop()
   }
 }

@@ -35,4 +35,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     groups.flatMap(_.oracle).toMap
+
+  /** Named shared-frame builders across all groups — the bench runner
+    * materializes these first and reports their build times separately. */
+  def sharedFrames: Map[String, (SparkSession, String) => DataFrame] =
+    groups.flatMap(_.shared).toMap
 }

@@ -136,9 +136,7 @@ object DedupQueries extends QueryGroup {
     * though (a,c) was never directly verified. cluster_id = smallest
     * reachable doc_id = the canonical member. */
   private def clusters(s: SparkSession, dir: String): DataFrame = {
-    val comp = SharedFrames.cached(s, s"clusters:$dir") {
-      Dedup.connectedComponents(sharedJaccardPairs(s, dir))
-    }
+    val comp = sharedClusters(s, dir)
     val w = Window.partitionBy("cluster_id")
     comp
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -165,9 +163,7 @@ object DedupQueries extends QueryGroup {
     * merely the smallest id — the policy real corpus curation uses. One
     * row per cluster with the representative and member count. */
   private def canonical(s: SparkSession, dir: String): DataFrame = {
-    val comp = SharedFrames.cached(s, s"clusters:$dir") {
-      Dedup.connectedComponents(sharedJaccardPairs(s, dir))
-    }
+    val comp = sharedClusters(s, dir)
     val sized = comp.join(
       Tables.documents(s, dir).select("doc_id", "n_chars"), Seq("doc_id"))
     val w = Window.partitionBy("cluster_id")
@@ -180,6 +176,20 @@ object DedupQueries extends QueryGroup {
         col("n_chars").as("rep_n_chars"), col("n_members"))
       .orderBy("cluster_id")
   }
+
+  /** Shared clusters frame (CC over the Jaccard pair graph), used by both
+    * q_dedup_clusters and q_dedup_canonical. */
+  private[queries] def sharedClusters(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"clusters:$dir") {
+      Dedup.connectedComponents(sharedJaccardPairs(s, dir))
+    }
+
+  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_shingles" -> sharedShingles,
+    "dedup_jaccard_pairs" -> sharedJaccardPairs,
+    "dedup_winnow_fps" -> sharedWinnowFps,
+    "dedup_clusters" -> sharedClusters,
+  )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_canonical" -> canonical,

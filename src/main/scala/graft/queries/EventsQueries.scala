@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{SharedFrames, Tables}
 
 /** Event-stream shaped queries (SURVEY.md §2.10): the batch equivalents of
   * the streaming slice — tumbling-window aggregation and semi-structured
@@ -27,10 +27,29 @@ object EventsQueries extends QueryGroup {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy("window_start_us", "event_type")
 
+  /** Props parsed ONCE per (session, dir), carrying all three
+    * semi-structured representations side by side: `k_str` (path
+    * extraction, get_json_object), `parsed` (closed-schema from_json
+    * struct) and `k_var` (open-schema VARIANT via try_parse_json +
+    * variant_get). One pass over the JSON feeds every props consumer —
+    * at corpus scale re-parsing the payload per query is the dominant
+    * cost, exactly like re-shingling is for the dedup family.
+    * try_parse_json (not parse_json) so malformed rows degrade to NULL,
+    * matching DuckDB's json_extract_string semantics on dirty data. */
+  private[queries] def sharedParsed(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"events:parsed:$dir") {
+      Tables.events(s, dir)
+        .withColumn("k_str", get_json_object(col("props"), "$.k"))
+        .withColumn("parsed",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .withColumn("k_var", expr("variant_get(try_parse_json(props), '$.k', 'int')"))
+        .drop("props")
+    }
+
   /** Semi-structured extraction: JSON props field -> grouped distribution. */
   private def jsonExtract(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k"))
+    sharedParsed(s, dir)
+      .select(col("k_str").as("k"), col("value"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
@@ -75,27 +94,28 @@ object EventsQueries extends QueryGroup {
   /** Schema-bound JSON parsing (from_json with an explicit struct schema,
     * vs. the path-extraction in q_events_json) -> typed numeric column. */
   private def fromJson(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("parsed",
-        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+    sharedParsed(s, dir)
       .groupBy((col("parsed.k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"),
         sum(col("parsed.k")).as("k_sum"))
       .orderBy("k_mod")
 
-  /** VARIANT path (Spark 4): parse_json -> open-schema semi-structured
+  /** VARIANT path (Spark 4): try_parse_json -> open-schema semi-structured
     * column, typed extraction with variant_get. Unlike from_json (closed
     * struct schema) the variant carries the full document, so late-arriving
     * fields survive ingestion — the semi-structured pattern for training
     * metadata whose schema drifts. Extraction stays codegen-friendly. */
   private def variantExtract(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("v", parse_json(col("props")))
-      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+    sharedParsed(s, dir)
+      .select(col("k_var").as("k"))
       .filter(col("k") >= 50)
       .groupBy((col("k") % 7).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
       .orderBy("k_mod")
+
+  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_parsed_props" -> sharedParsed,
+  )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_variant" -> variantExtract,

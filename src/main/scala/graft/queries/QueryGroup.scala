@@ -39,4 +39,10 @@ trait QueryGroup {
   /** DuckDB SQL per query key; omit keys that are not SQL-expressible
     * (driver falls back to a rows-only check). */
   def oracle: Map[String, String]
+  /** Named shared-frame builders ([[graft.core.SharedFrames.cached]]
+    * intermediates reused by several queries). The bench runner
+    * materializes these up front and reports their build times separately,
+    * so per-query numbers measure marginal cost — not whichever query
+    * happened to run first paying a pipeline-wide build. */
+  def shared: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{SharedFrames, Tables}
 import graft.ops.{Multimodal, Similarity}
 
 /** Similarity search over `embeddings` and multimodal feature extraction
@@ -20,12 +20,21 @@ object SimilarityQueries extends QueryGroup {
     Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 5, 5)
       .orderBy("query_id", "rank")
 
-  /** LSH-bucketed ANN near-dup pairs (8 hyperplanes; cosine >= 0.35 —
-    * calibrated to the synthetic embeddings, whose max pairwise cosine is
-    * ~0.51). Oracle-verified: the md5-derived plane matrix is inlined into
-    * the generated SQL, so DuckDB buckets identically. */
+  /** LSH near-dup pair frame (8 hyperplanes; cosine >= 0.35 — calibrated
+    * to the synthetic embeddings, whose max pairwise cosine is ~0.51),
+    * built once per (session, dir): the bucket-join + cosine-verify is the
+    * expensive subtree and feeds both the pair-listing query and the
+    * semantic-cluster query. */
+  private[queries] def sharedLshPairs(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"lshpairs:$dir") {
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.35)
+    }
+
+  /** LSH-bucketed ANN near-dup pairs. Oracle-verified: the md5-derived
+    * plane matrix is inlined into the generated SQL, so DuckDB buckets
+    * identically. */
   private def lsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.35)
+    sharedLshPairs(s, dir)
       .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
       .orderBy("id_a", "id_b")
 
@@ -104,8 +113,7 @@ object SimilarityQueries extends QueryGroup {
     * generation, then the same min-label propagation that clusters the
     * lexical pair graph. cluster_id = smallest member vec_id. */
   private def simClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.35)
-      .select(col("id_a"), col("id_b"))
+    val pairs = sharedLshPairs(s, dir).select(col("id_a"), col("id_b"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     graft.ops.Dedup.connectedComponents(pairs)
       .withColumnRenamed("doc_id", "vec_id")
@@ -113,6 +121,10 @@ object SimilarityQueries extends QueryGroup {
       .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
       .orderBy("vec_id")
   }
+
+  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_lsh_pairs" -> sharedLshPairs,
+  )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_clusters" -> simClusters,
