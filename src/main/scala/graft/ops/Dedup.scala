@@ -241,8 +241,16 @@ object Dedup {
   /** SimHash near-dup candidates: 4x16-bit bands of the 64-bit fingerprint
     * as bucket keys, hamming distance <= `maxHamming` verify. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val withSh = docs.select(col("doc_id"),
-      SimHash.simhash(normText(col("text"))).as("sh"))
+    require(maxHamming <= 3,
+      "4x16-bit banding is exhaustive only for hamming <= 3")
+    // token-less docs (empty/whitespace-only text) get fingerprint 0 and
+    // would all pair with each other at hamming 0 — meaningless matches a
+    // SQL replay also can't see (its token CTE drops such docs); exclude
+    // them up front
+    val withSh = docs
+      .filter(length(normText(col("text"))) > 0)
+      .select(col("doc_id"),
+        SimHash.simhash(normText(col("text"))).as("sh"))
     val banded = SharedFrames.register(withSh
       .withColumn("b1", col("sh").bitwiseAND(lit(0xffffL)))
       .withColumn("b2", shiftrightunsigned(col("sh"), 16).bitwiseAND(lit(0xffffL)))
@@ -270,8 +278,11 @@ object Dedup {
   def simhash16Pairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 1,
       "2x8-bit banding is exhaustive only for hamming <= 1")
-    val withSh = docs.select(col("doc_id"),
-      SimHash.simhash16(normText(col("text"))).as("sh16"))
+    // same empty-doc exclusion as simhashPairs (fingerprint-0 cross-pairs)
+    val withSh = docs
+      .filter(length(normText(col("text"))) > 0)
+      .select(col("doc_id"),
+        SimHash.simhash16(normText(col("text"))).as("sh16"))
     val banded = SharedFrames.register(withSh
       .withColumn("b1", col("sh16").bitwiseAND(lit(0xffL)))
       .withColumn("b2", shiftrightunsigned(col("sh16"), 8)))

@@ -113,6 +113,23 @@ object DedupQueries extends QueryGroup {
       .withColumn("hamming", col("hamming").cast("int"))
       .orderBy("id_a", "id_b")
 
+  /** PRODUCTION SimHash: the 64-bit fingerprint ([[graft.functions.SimHash]]
+    * native codegen expression) banded into 4x16-bit bucket keys, candidate
+    * pairs verified at hamming <= 3 — exhaustive by pigeonhole (three
+    * differing bits can dirty at most three of the four bands). Unlike the
+    * 16-bit portable variant above (256 buckets/band — saturates on large
+    * corpora), 65,536 buckets per band keep the bucket join selective at
+    * 100 TB. The oracle replays the full 64-bit pipeline: token hash =
+    * first 16 hex chars of md5(token) split into four 16-bit chunks,
+    * per-bit +-1 votes with multiplicity, sign-vector fingerprint, then a
+    * brute-force hamming self-join (equal to the banded plan for
+    * hamming <= 3). */
+  private def simhash64(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("int"))
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+
   /** Winnowing fingerprint overlap pairs (rolling-hash k-gram window
     * minima, Schleimer/Wilkerson/Aiken). Docs sharing >= 5 selected
     * fingerprints are overlap candidates; fingerprints with df > DfMax are
@@ -199,6 +216,7 @@ object DedupQueries extends QueryGroup {
     "q_dedup_jaccard" -> jaccard,
     "q_dedup_minhash" -> minhash,
     "q_dedup_simhash" -> simhash,
+    "q_dedup_simhash64" -> simhash64,
     "q_dedup_clusters" -> clusters,
   )
 
@@ -331,6 +349,48 @@ object DedupQueries extends QueryGroup {
         |    CAST(bit_count(xor(a.sh16, b.sh16)) AS INTEGER) AS hamming
         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors SimHash.compute (64-bit): token hash = first 16 hex chars of
+    // md5(token) = four 16-bit chunks c0..c3 (c0 = bits 63..48, hex chars
+    // 1-4; c3 = bits 15..0, hex chars 13-16); per-bit +-1 votes with token
+    // multiplicity; fingerprint kept as the four 16-bit band values b1..b4
+    // (b1 = bits 0-15) so hamming = sum of per-band bit_count(xor) without
+    // any 64-bit sign hazards. Brute-force self-join == the 4x16-bit
+    // banded Spark plan for hamming <= 3 (pigeonhole).
+    "q_dedup_simhash64" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+        |th AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) AS c0,
+        |    CAST(('0x' || substr(md5(w), 5, 4)) AS INTEGER) AS c1,
+        |    CAST(('0x' || substr(md5(w), 9, 4)) AS INTEGER) AS c2,
+        |    CAST(('0x' || substr(md5(w), 13, 4)) AS INTEGER) AS c3
+        |  FROM toks WHERE w <> ''),
+        |votes AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (
+        |      (CASE WHEN b.bit < 16 THEN c3
+        |            WHEN b.bit < 32 THEN c2
+        |            WHEN b.bit < 48 THEN c1
+        |            ELSE c0 END) >> (b.bit % 16)) & 1 = 1
+        |      THEN 1 ELSE -1 END) AS vote
+        |  FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 AND bit < 16 THEN 1 << bit ELSE 0 END) AS INTEGER) AS b1,
+        |    CAST(sum(CASE WHEN vote > 0 AND bit >= 16 AND bit < 32 THEN 1 << (bit - 16) ELSE 0 END) AS INTEGER) AS b2,
+        |    CAST(sum(CASE WHEN vote > 0 AND bit >= 32 AND bit < 48 THEN 1 << (bit - 32) ELSE 0 END) AS INTEGER) AS b3,
+        |    CAST(sum(CASE WHEN vote > 0 AND bit >= 48 THEN 1 << (bit - 48) ELSE 0 END) AS INTEGER) AS b4
+        |  FROM votes GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.b1, b.b1)) + bit_count(xor(a.b2, b.b2))
+        |       + bit_count(xor(a.b3, b.b3)) + bit_count(xor(a.b4, b.b4)) AS INTEGER) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     // full pair set restricted to batch-touching pairs == what the
