@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted partition-wise.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * environment): it derives deterministic pseudo-features from the payload
-  * bytes (md5-based), so the Spark-side plumbing — binary schema, typed
-  * Dataset, mapPartitions batch shape, per-partition codec reuse — is real
-  * and testable, and the feature values stay oracle-reproducible.
+  * Image dimension decode is REAL for PNG and JPEG (pure-JVM header
+  * parsing, see [[ImageHeaders]] — no codec dependency). Payloads in
+  * formats without a parser fall back to a deterministic md5-derived
+  * pseudo-decode, which keeps the feature values oracle-reproducible on
+  * the synthetic (text-byte) test corpus.
   *
   * At scale: payloads dominate row size, so feature extraction runs before
   * any wide shuffle, the codec (here the MessageDigest) is allocated once
@@ -73,10 +73,13 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder: deterministic pseudo-decode of a payload. A real
-    * implementation would invoke an image/audio codec here; the partition
-    * iteration shape (one codec instance per partition, streaming rows)
-    * is exactly what the real thing needs. */
+  /** Feature decoder. Dimensions come from a REAL header parse when the
+    * payload is PNG or JPEG ([[ImageHeaders.dims]]); other formats fall
+    * back to the deterministic md5-derived pseudo-decode (documented
+    * stand-in for codecs this environment lacks — audio/video). The
+    * partition iteration shape (one codec instance per partition,
+    * streaming rows, payload dropped from the output) is the production
+    * shape either way. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
@@ -85,9 +88,10 @@ object Multimodal {
         val digest = md.digest(r.payload)
         md.reset()
         val hex = digest.map(b => f"${b & 0xff}%02x").mkString
-        // ??? real decode goes here; stub derives dims from the checksum
-        val width = Integer.parseInt(hex.substring(0, 2), 16)
-        val height = Integer.parseInt(hex.substring(2, 4), 16)
+        val (width, height) = ImageHeaders.dims(r.payload).getOrElse(
+          // non-image payload: deterministic checksum-derived stand-in
+          (Integer.parseInt(hex.substring(0, 2), 16),
+            Integer.parseInt(hex.substring(2, 4), 16)))
         MediaFeatures(
           doc_id = r.doc_id,
           media_type = r.media_type,
@@ -99,4 +103,76 @@ object Multimodal {
       }
     }
   }
+}
+
+/** Pure-JVM image header decoding — dimension fields live at fixed or
+  * walkable offsets, so no codec library is needed to read them.
+  *
+  * Formats:
+  *  - PNG: 8-byte signature, then the IHDR chunk (the spec requires it
+  *    first): 4-byte big-endian length, ASCII "IHDR", 4-byte BE width,
+  *    4-byte BE height.
+  *  - JPEG: SOI marker FF D8, then a marker-segment walk (2-byte BE
+  *    lengths including themselves) to the first SOF frame header
+  *    (C0-CF minus C4/C8/CC), which carries precision(1), height(2 BE),
+  *    width(2 BE).
+  */
+object ImageHeaders {
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private val PngSig: Array[Int] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** (width, height) from a PNG IHDR, or None if not a (plausible) PNG. */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length < 24 ||
+        (0 until 8).exists(i => (b(i) & 0xff) != PngSig(i)) ||
+        b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      None
+    else {
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      if (w > 0 && h > 0) Some((w, h)) else None
+    }
+
+  /** (width, height) from the first JPEG SOF marker, or None. */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // lost marker sync
+      var j = i
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+      if (j >= b.length) return None
+      val marker = b(j) & 0xff
+      marker match {
+        case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          // SOF: len(2) precision(1) height(2) width(2)
+          if (j + 7 >= b.length) return None
+          val h = be16(b, j + 4)
+          val w = be16(b, j + 6)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        case 0xd9 | 0xda => return None // EOI / start of scan: no SOF seen
+        case m if (m >= 0xd0 && m <= 0xd7) || m == 0x01 =>
+          i = j + 1 // standalone marker, no length field
+        case _ =>
+          if (j + 2 >= b.length) return None
+          val len = be16(b, j + 1)
+          if (len < 2) return None
+          i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  /** First successful header parse across supported formats. */
+  def dims(b: Array[Byte]): Option[(Int, Int)] =
+    pngDims(b).orElse(jpegDims(b))
 }

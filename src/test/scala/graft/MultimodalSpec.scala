@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+import graft.ops.{ImageHeaders, Multimodal}
+
+/** Real image-header decode (PNG IHDR / JPEG SOF) on hand-built fixture
+  * bytes, plus the decodeFeatures fallback contract: parseable payloads
+  * get true dimensions, unknown formats keep the deterministic
+  * checksum-derived stand-in (what the oracle-gated q_mm_features pins on
+  * the text-byte corpus).
+  */
+class MultimodalSpec extends SparkSuite {
+
+  /** Minimal PNG: signature + IHDR (len 13, w x h, bit depth 8, color 2,
+    * compression/filter/interlace 0) + 4 dummy CRC bytes. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes(StandardCharsets.US_ASCII) ++
+      be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, 0) ++
+      Array[Byte](0, 0, 0, 0)
+  }
+
+  /** Minimal JPEG: SOI, APP0 (JFIF), DHT (must be SKIPPED by the walker),
+    * then SOF0 carrying the dimensions. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+      "JFIF".getBytes(StandardCharsets.US_ASCII) ++ Array.fill[Byte](10)(0)
+    val dht = Array[Byte](0xff.toByte, 0xc4.toByte) ++ be16(5) ++
+      Array[Byte](1, 2, 3)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array.fill[Byte](10)(1)
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dht ++ sof0
+  }
+
+  test("PNG IHDR dimensions parse from real header bytes") {
+    assert(ImageHeaders.pngDims(pngBytes(640, 480)) === Some((640, 480)))
+    assert(ImageHeaders.pngDims(pngBytes(1, 1)) === Some((1, 1)))
+    assert(ImageHeaders.pngDims(pngBytes(16384, 9999)) === Some((16384, 9999)))
+  }
+
+  test("JPEG SOF dimensions parse after walking APP0 and DHT segments") {
+    assert(ImageHeaders.jpegDims(jpegBytes(1920, 1080)) === Some((1920, 1080)))
+    assert(ImageHeaders.jpegDims(jpegBytes(2, 3)) === Some((2, 3)))
+  }
+
+  test("non-image and truncated payloads are rejected") {
+    assert(ImageHeaders.dims("plain text payload".getBytes) === None)
+    assert(ImageHeaders.dims(Array.emptyByteArray) === None)
+    assert(ImageHeaders.dims(pngBytes(640, 480).take(20)) === None) // cut IHDR
+    assert(ImageHeaders.pngDims(pngBytes(0, 480)) === None) // nonpositive dim
+    // JPEG whose stream hits start-of-scan with no SOF
+    val noSof = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xda.toByte, 0, 4, 0, 0)
+    assert(ImageHeaders.jpegDims(noSof) === None)
+  }
+
+  test("decodeFeatures: real dims for PNG/JPEG, checksum stand-in otherwise") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, pngBytes(800, 600), "image"),
+      (2L, jpegBytes(320, 240), "image"),
+      (3L, "not an image".getBytes(StandardCharsets.UTF_8), "audio"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.decodeFeatures(spark, rows)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert((out(1L).width, out(1L).height) === (800, 600))
+    assert((out(2L).width, out(2L).height) === (320, 240))
+    // unknown format: md5-derived stand-in == first two checksum bytes
+    val c = out(3L).checksum
+    assert(out(3L).width === Integer.parseInt(c.substring(0, 2), 16))
+    assert(out(3L).height === Integer.parseInt(c.substring(2, 4), 16))
+  }
+}
