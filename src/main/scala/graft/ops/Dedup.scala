@@ -188,53 +188,62 @@ object Dedup {
     *
     * Algorithm: min-label propagation (each vertex repeatedly takes the
     * min of its own and its neighbors' labels) — the standard distributed
-    * CC formulation; converges in <= graph-diameter rounds, and near-dup
-    * clusters have tiny diameters. Each round is one equi-join + one
-    * aggregation; `localCheckpoint` truncates the growing lineage so round
-    * N's plan does not replay rounds 1..N-1 (at cluster scale swap in a
-    * reliable checkpoint dir). The fixpoint (min reachable label) is
-    * unique, so the result is deterministic regardless of scheduling. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    * CC formulation; converges in <= graph-diameter rounds, so `maxIters`
+    * bounds the component diameter the call can handle (near-dup graphs
+    * are near-cliques, diameter ~1-2; raise it for long-chain graphs).
+    * Each round is one equi-join + one aggregation. Lineage is truncated
+    * every round so round N's plan does not replay rounds 1..N-1:
+    * `localCheckpoint` by default (blocks on executors — fast, but on a
+    * real cluster a lost executor kills the job mid-iteration), or a
+    * RELIABLE `checkpoint` when `reliable = true` (requires
+    * `spark.sparkContext.setCheckpointDir` on durable storage — the 100 TB
+    * configuration). The fixpoint (min reachable label) is unique, so the
+    * result is deterministic regardless of scheduling.
+    *
+    * Convergence is detected by COUNTING changed labels per round (zero =
+    * fixpoint) — a label-sum comparison would be cheaper to express but
+    * Spark's non-ANSI Long sum wraps silently, and at billions of vertices
+    * "sum unchanged" no longer implies "no label changed". */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+                          reliable: Boolean = false): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      // eager = false: the convergence-count action below materializes
+      // the checkpoint, so each round costs ONE job, not two
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     val edges = SharedFrames.register(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct())
     // round 0 folds the first neighbor-min in (id, min(id, min nbr)) — one
     // fewer propagation round than starting from lbl = id
-    // localCheckpoint(eager = false): the convergence-sum action below
-    // materializes the checkpoint, so each round costs ONE job, not two
-    var labels = edges.groupBy("src")
+    var labels = truncate(edges.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
-      .select(col("src").as("id"), col("lbl"))
-      .localCheckpoint(false)
-    // labels only ever decrease, so the label SUM strictly decreases until
-    // the fixpoint: convergence is one aggregate per round, not a
-    // join-and-compare of consecutive label frames
+      .select(col("src").as("id"), col("lbl")))
     // sum over an EMPTY frame yields a null cell — coalesce it so a
     // pair-free corpus converges to an empty result instead of an NPE
-    def lblSum(df: DataFrame): Long = {
-      val cell = df.agg(sum(col("lbl"))).head().get(0)
+    def changedCount(df: DataFrame): Long = {
+      val cell = df.agg(sum(col("chg"))).head().get(0)
       if (cell == null) 0L else cell.asInstanceOf[Long]
     }
-    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
         .groupBy("src").agg(min(col("nlbl")).as("nbr_lbl"))
-      val next = labels
+      val next = truncate(labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_lbl")), Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(false)
-      val nextSum = lblSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl"))
+            .cast("long").as("chg")))
+      converged = changedCount(next) == 0L
+      labels = next.select("id", "lbl")
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "component diameter exceeds maxIters; raise it for long-chain graphs")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -116,6 +116,32 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("connected components: long chain needs (and survives) many rounds") {
+    // a path graph 100-101-...-112 (diameter 12): the min label must walk
+    // the whole chain, so this actually exercises multi-round convergence
+    // — planted-dup graphs are near-cliques that converge in ~1 round
+    val chain = (100L until 112L).map(k => (k, k + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 13 && got.values.forall(_ == 100L))
+    // a maxIters below the diameter must fail loudly, not return partial
+    // clusters
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIters = 3).count()
+    }
+    graft.core.SharedFrames.clear()
+  }
+
+  test("connected components: reliable checkpoint mode gives the same result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val chain = (200L until 206L).map(k => (k, k + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, reliable = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 7 && got.values.forall(_ == 200L))
+    graft.core.SharedFrames.clear()
+  }
+
   test("ivf: high recall vs brute-force top-k at test scale") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, 5)
