@@ -89,7 +89,7 @@ object Similarity {
     * full set at test scale; at 100 TB a bounded `limit` sample) and
     * broadcast as literals, so assignment is a narrow map. */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nCentroids: Int,
-              nProbe: Int, iterations: Int = 5): DataFrame = {
+              nProbe: Int, iterations: Int = 5, listSalt: Int = 1): DataFrame = {
     val n = graft.core.SharedFrames.register(withNorm(emb))
     // bounded training sample, ordered by a hash key before the limit so
     // the sampled set is identical across cluster partition layouts
@@ -127,7 +127,7 @@ object Similarity {
       }.toArray
       it += 1
     }
-    ivfSearch(n, isQuery, k, centroids, nProbe)
+    ivfSearch(n, isQuery, k, centroids, nProbe, listSalt)
   }
 
   /** IVF with centroids = the `nCentroids` corpus vectors whose
@@ -139,21 +139,32 @@ object Similarity {
     * computation); recall of both is asserted against the brute-force
     * baseline in DedupSpec. */
   def ivfSeededTopK(emb: DataFrame, isQuery: Column, k: Int, nCentroids: Int,
-                    nProbe: Int): DataFrame = {
+                    nProbe: Int, listSalt: Int = 1): DataFrame = {
     val n = graft.core.SharedFrames.register(withNorm(emb))
     val centroids = n.select(col("vec_id"), col("v"))
       .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
       .limit(nCentroids).collect()
       .map(_.getSeq[Double](1).toArray)
     require(centroids.nonEmpty, "ivfSeededTopK: empty embedding corpus")
-    ivfSearch(n, isQuery, k, centroids, nProbe)
+    ivfSearch(n, isQuery, k, centroids, nProbe, listSalt)
   }
 
   /** Shared IVF search stage: assign every vector to its nearest centroid
     * list, probe the `nProbe` nearest lists per query, exact cosine top-k
-    * within the probed lists. */
+    * within the probed lists.
+    *
+    * `listSalt` > 1 is the hot-list skew defense: a centroid that captures
+    * a dense region turns the probe equi-join into one straggler task
+    * (AQE's skew split only rescues sort-merge joins). Salting splits
+    * every list into `listSalt` sub-lists — corpus rows get a
+    * deterministic salt from vec_id, query probe rows fan out across all
+    * salts — so the shuffle key cardinality is lists x salt and a hot list
+    * spreads over `listSalt` tasks. Results are identical by construction
+    * (every (query, corpus-vector) pair still meets exactly once). */
   private def ivfSearch(n: DataFrame, isQuery: Column, k: Int,
-                        centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+                        centroids: Array[Array[Double]], nProbe: Int,
+                        listSalt: Int = 1): DataFrame = {
+    require(listSalt >= 1, "listSalt must be >= 1")
     val nCentroids = centroids.length
     val centroidsLit = typedlit(centroids.map(_.toSeq).toSeq)
     // distance ranking via |v-c|^2 = |v|^2 - 2 v.c + |c|^2: |v|^2 is
@@ -169,15 +180,26 @@ object Similarity {
     // ONE sorted distance array per row serves both the assignment
     // (element 1 = argmin by (d, c)) and the query-side probe list
     // (first nProbe) — half the codegen of building the struct array twice
-    val assigned = graft.core.SharedFrames.register(n
+    val salted = listSalt > 1
+    val assigned0 = n
       .withColumn("dists", array_sort(array(distStructs(col("v")): _*)))
-      .withColumn("list_id", element_at(col("dists"), 1).getField("c")))
-    // queries probe the nProbe nearest centroid lists
-    val q = assigned.filter(isQuery)
+      .withColumn("list_id", element_at(col("dists"), 1).getField("c"))
+    val assigned = graft.core.SharedFrames.register(
+      if (salted)
+        assigned0.withColumn("salt", pmod(col("vec_id"), lit(listSalt)).cast("int"))
+      else assigned0)
+    // queries probe the nProbe nearest centroid lists; under salting they
+    // fan out over every salt so each (list, salt) shard is met exactly once
+    val q0 = assigned.filter(isQuery)
       .withColumn("probes", slice(col("dists"), 1, nProbe))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), explode(col("probes").getField("c")).as("list_id"))
-    val pairs = q.join(assigned, Seq("list_id"))
+    val q =
+      if (salted)
+        q0.withColumn("salt", explode(sequence(lit(0), lit(listSalt - 1))))
+      else q0
+    val joinKeys = if (salted) Seq("list_id", "salt") else Seq("list_id")
+    val pairs = q.join(assigned.drop("dists"), joinKeys)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))

@@ -153,6 +153,32 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low (probing 3/8 lists)")
   }
 
+  test("ivf: salted probe join spreads a hot list without changing results") {
+    // deliberately clustered corpus: every vector sits in one tight cone,
+    // so a single centroid list captures (almost) everything — the
+    // hot-list skew case where the unsalted probe join becomes one
+    // straggler task
+    val rows = (0L until 200L).map { i =>
+      val v = Array.fill(64)(1.0f)
+      v((i % 64).toInt) += 0.01f * (i % 7)
+      (i, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(salt: Int) =
+      Similarity.ivfSeededTopK(emb, col("vec_id") < 3, k = 5,
+        nCentroids = 4, nProbe = 2, listSalt = salt)
+    val unsalted = run(1)
+    val salted = run(8)
+    // the salted plan joins on the compound (list_id, salt) key — 8x the
+    // shuffle-key cardinality of the hot list
+    assert(salted.queryExecution.executedPlan.toString.contains("salt"))
+    assert(!unsalted.queryExecution.executedPlan.toString.contains("salt#"))
+    val a = unsalted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = salted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b && a.nonEmpty, "salting must not change the top-k result")
+    graft.core.SharedFrames.clear()
+  }
+
   test("lsh planes are deterministic") {
     val p1 = Similarity.planes(4, 8).map(_.toSeq).toSeq
     val p2 = Similarity.planes(4, 8).map(_.toSeq).toSeq
