@@ -75,16 +75,24 @@ object EventStream {
     * into an accumulating store, only updating when the new value is
     * larger (the reference's only-update-if-better merge). The store is a
     * parquet directory rewritten per batch — at scale this becomes a
-    * Delta/Iceberg MERGE, but the join+coalesce shape is identical. */
+    * Delta/Iceberg MERGE, but the join+coalesce shape is identical.
+    *
+    * Exactly-once EFFECT under crash/restart comes from the merge being
+    * idempotent, not from the store write being atomic with the
+    * checkpoint: if the process dies after the store swap but before the
+    * batch commits, the restarted query replays the batch and the
+    * only-update-if-better merge re-applies it harmlessly.
+    * `afterBatch` runs at exactly that vulnerable point (store swapped,
+    * batch not yet committed) so tests can inject the crash. */
   def runUpsert(spark: SparkSession, events: DataFrame, storePath: String,
-                checkpoint: String): Unit = {
+                checkpoint: String, afterBatch: Long => Unit = _ => ()): Unit = {
     val q = events
       .groupBy(col("user_id"))
       .agg(max(col("value")).as("value"))
       .writeStream
       .outputMode("complete")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val merged =
           if (new java.io.File(storePath).exists()) {
             val master = spark.read.parquet(storePath)
@@ -100,7 +108,7 @@ object EventStream {
         val fs = new java.io.File(storePath)
         if (fs.exists()) { scala.reflect.io.Directory(fs).deleteRecursively() }
         new java.io.File(storePath + ".tmp").renameTo(fs)
-        ()
+        afterBatch(batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()

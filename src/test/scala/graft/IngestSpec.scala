@@ -86,6 +86,48 @@ class IngestSpec extends SparkSuite {
     assert(pages.count() == 2)
   }
 
+  test("latin-1 CSV survives byte-exact through read, normalize and fuzzy match") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import org.apache.spark.sql.functions._
+    // é=0xE9, ü=0xFC, plus 0x96 (Windows-1252 en-dash byte): ISO-8859-1
+    // maps every byte b to codepoint U+00b, so the read must be the
+    // identity on bytes — the reference reads latin-1 the same way
+    // (engine_990.py:663) and a utf-8 misread would mangle all three
+    val names = Seq("Café Müller", "BetaInstitute", "Plain College")
+    val csv = ("id,name" +: names.zipWithIndex.map { case (n, i) => s"00${i + 1},$n" })
+      .mkString("", "\n", "\n")
+    val d = Files.createTempDirectory("graftlatin1")
+    Files.write(d.resolve("inst.csv"), csv.getBytes(ISO_8859_1))
+    val df = Ingest.readCsv(spark, d.resolve("inst.csv").toString)
+    val got = df.orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == names, "codepoints must be the latin-1 identity mapping")
+    // byte-exact round-trip: re-encoding what Spark read reproduces the
+    // original file bytes
+    assert(got.mkString("\n").getBytes(ISO_8859_1).toSeq ==
+      names.mkString("\n").getBytes(ISO_8859_1).toSeq)
+    // normalizeKey must not disturb the non-ASCII payload downstream
+    val keyed = df
+      .withColumn("k", Ingest.normalizeKey(col("id")))
+      .withColumn("name_norm",
+        trim(regexp_replace(regexp_replace(lower(col("name")), "[^a-z0-9]+", " "),
+          "\\s+", " ")))
+    val rows = keyed.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("k")).toSeq == Seq("1", "2", "3"))
+    // F2 name normalization: non-ASCII folds to a space separator, which
+    // is what makes the latin-1 and ASCII spellings fuzzy-joinable
+    assert(rows(0).getAs[String]("name_norm") == "caf m ller")
+    val ascii = spark.createDataFrame(Seq((1L, "cafe muller"))).toDF("rid", "ref_norm")
+      .withColumn("block", expr("left(ref_norm, 3)"))
+    val matched = keyed.withColumn("block", expr("left(name_norm, 3)"))
+      .join(ascii, Seq("block"))
+      .withColumn("dist", levenshtein(col("name_norm"), col("ref_norm")))
+      .filter(col("dist") <= 3)
+      .collect()
+    assert(matched.length == 1 &&
+      matched(0).getAs[String]("name_norm") == "caf m ller",
+      "blocked fuzzy match must land the latin-1 spelling on its ASCII twin")
+  }
+
   test("key normalization strips leading zeros and whitespace") {
     val df = spark.createDataFrame(Seq(Tuple1(" 0012345 "), Tuple1("000"), Tuple1("9")))
       .toDF("k")

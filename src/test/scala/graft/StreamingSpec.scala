@@ -127,6 +127,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("upsert recovers exactly-once after a crash between store write and commit") {
+    val tmp = Files.createTempDirectory("graftcrash").toFile.getAbsolutePath
+    val store = s"$tmp/store"
+    val ckpt = s"$tmp/ckpt" // ONE checkpoint across both runs = a restart
+    // run 1: dies at the worst point — store already swapped, batch not
+    // yet committed to the checkpoint
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.runUpsert(spark, EventStream.source(spark, sf), store, ckpt,
+        afterBatch = _ => throw new RuntimeException("injected crash"))
+    }
+    assert(crashed.getMessage.contains("injected crash"))
+    assert(new java.io.File(store).exists(), "crash happened after the store swap")
+    // run 2 (the restart): the uncommitted batch replays; the
+    // only-update-if-better merge must absorb the replay harmlessly
+    EventStream.runUpsert(spark, EventStream.source(spark, sf), store, ckpt)
+    val got = spark.read.parquet(store).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = graft.core.Tables.events(spark, sf)
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("value").as("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == exp, "restarted upsert must equal the batch result exactly once")
+  }
+
   test("foreachBatch upsert is idempotent and only updates if better") {
     val tmp = Files.createTempDirectory("graftupsert").toFile.getAbsolutePath
     val store = s"$tmp/store"
