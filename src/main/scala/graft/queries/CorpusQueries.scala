@@ -107,7 +107,43 @@ object CorpusQueries extends QueryGroup {
       .orderBy("lang", "split")
   }
 
+  /** The WHOLE curation flow as one oracle-pinned pipeline:
+    * scrub (digit masking) -> quality gate -> near-dup removal (shared
+    * verified pair frame) -> deterministic split -> per-split corpus
+    * stats. The pairwise queries above each pin one stage; this pins
+    * their composition, so a stage reordering or column drift between
+    * stages can't pass the gate. Shape at scale: narrow projections +
+    * one anti-join against the pair frame + one aggregation. */
+  private def curationE2E(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.sharedJaccardPairs(s, dir)
+    val gated = Tables.documents(s, dir)
+      .withColumn("text_s", regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text_s"), lit("""\S+"""), lit(0))))
+      .withColumn("stop_hits",
+        size(regexp_extract_all(col("text_s"), lit("""\b(the|a|and|of|to)\b"""), lit(0))))
+      .filter(col("lang") === "en" &&
+        col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
+        col("stop_hits").cast("double") / col("n_tokens") <= 0.3)
+    val deduped = gated.join(
+      pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    deduped
+      .withColumn("bucket",
+        (conv(substring(md5(concat(lit("split_"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy("split")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_e2e" -> curationE2E,
     "q_text_scrub" -> scrub,
     "q_corpus_filter" -> qualityFilter,
     "q_corpus_split" -> split,
@@ -117,6 +153,45 @@ object CorpusQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // scrub -> quality gate -> near-dup drop (same df<=20 pruned pair set
+    // as q_dedup_jaccard) -> hash split -> per-split totals
+    "q_curation_e2e" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
+         |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
+         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= ${DedupQueries.DfMax}),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT id_b FROM prs
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |gated AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(regexp_extract_all(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '\\S+')) AS INTEGER) AS n_tokens,
+         |    CAST(len(regexp_extract_all(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '\\b(the|a|and|of|to)\\b')) AS INTEGER) AS stop_hits
+         |  FROM documents WHERE lang = 'en'),
+         |kept AS (
+         |  SELECT doc_id, n_chars, n_tokens FROM gated
+         |  WHERE n_tokens BETWEEN 20 AND 120
+         |    AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.3
+         |    AND doc_id NOT IN (SELECT id_b FROM dups)),
+         |labeled AS (
+         |  SELECT doc_id, n_chars, n_tokens,
+         |    CASE WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM kept)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
+
     "q_text_scrub" ->
       """SELECT event_id,
         |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_masked,
