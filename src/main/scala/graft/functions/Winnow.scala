@@ -27,7 +27,12 @@ object Winnow {
   def fingerprints(s: UTF8String): Array[Long] = fingerprintsString(s.toString)
 
   def fingerprintsString(str: String): Array[Long] = {
-    val n = str.length
+    // iterate by CODEPOINT, not UTF-16 code unit: SQL engines index
+    // strings by codepoint (unicode()/len()), so a surrogate-pair char
+    // (emoji, rare CJK) would otherwise shift every k-gram hash and
+    // window count between engines. For BMP text the two are identical.
+    val cps = str.codePoints().toArray
+    val n = cps.length
     if (n < K) return Array.empty
     val nGrams = n - K + 1
     val hashes = new Array[Long](nGrams)
@@ -41,7 +46,7 @@ object Winnow {
     }
     var h = 0L
     var i = 0
-    while (i < K) { h = (mulMod(h, B) + str.charAt(i)) % M; i += 1 }
+    while (i < K) { h = (mulMod(h, B) + cps(i)) % M; i += 1 }
     hashes(0) = h
     // B^(K-1) mod M
     var bk = 1L
@@ -49,10 +54,10 @@ object Winnow {
     while (i < K - 1) { bk = mulMod(bk, B); i += 1 }
     i = 1
     while (i < nGrams) {
-      val out = str.charAt(i - 1)
+      val out = cps(i - 1)
       h = (h - mulMod(out, bk)) % M
       if (h < 0) h += M
-      h = (mulMod(h, B) + str.charAt(i + K - 1)) % M
+      h = (mulMod(h, B) + cps(i + K - 1)) % M
       hashes(i) = h
       i += 1
     }

@@ -73,6 +73,23 @@ class DedupSpec extends SparkSuite {
     assert(a.toSet.intersect(c.toSet).isEmpty)
   }
 
+  test("winnow hashes by codepoint (non-BMP parity with SQL unicode())") {
+    // surrogate-pair char: charAt-based iteration would see 11 units and
+    // hash the two surrogate halves; codepoint iteration (what DuckDB's
+    // unicode()/len() see) must see 10 codepoints
+    val s = "ab🦜cdefghi" // a b 🦜 c d e f g h i
+    val cps = s.codePoints().toArray.toSeq
+    assert(cps.length == 10 && s.length == 11)
+    // slow reference: polynomial k-gram hash over codepoints mod 2^61-1;
+    // 3 k-grams and nGrams <= W, so the output is the single global min
+    val M = BigInt((1L << 61) - 1)
+    val B = BigInt(1000003L)
+    def kgramHash(window: Seq[Int]): Long =
+      window.foldLeft(BigInt(0))((h, c) => (h * B + c) mod M).toLong
+    val expected = (0 to 2).map(i => kgramHash(cps.slice(i, i + 8))).min
+    assert(graft.functions.Winnow.fingerprintsString(s).toSeq == Seq(expected))
+  }
+
   test("winnow expression matches driver-side computation") {
     val df = Seq((1L, "some reasonably long text for fingerprint extraction here"))
       .toDF("doc_id", "text")
