@@ -210,14 +210,19 @@ object Dedup {
       // eager = false: the convergence-count action below materializes
       // the checkpoint, so each round costs ONE job, not two
       if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    // symmetric edges PLUS a self-loop per vertex: with (v, v) present,
+    // min over neighbor labels already includes v's own label, so each
+    // round is ONE join + ONE aggregation — the separate keep-own-label
+    // join that a no-self-loop formulation needs per round is folded away
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val edges = SharedFrames.register(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      sym.unionByName(
+        sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
         .distinct())
-    // round 0 folds the first neighbor-min in (id, min(id, min nbr)) — one
-    // fewer propagation round than starting from lbl = id
+    // round 0 folds the first neighbor-min in: lbl = min(id, min nbr)
     var labels = truncate(edges.groupBy("src")
-      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .agg(min(col("dst")).as("lbl"))
       .select(col("src").as("id"), col("lbl")))
     // sum over an EMPTY frame yields a null cell — coalesce it so a
     // pair-free corpus converges to an empty result instead of an NPE
@@ -228,15 +233,16 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-        .groupBy("src").agg(min(col("nlbl")).as("nbr_lbl"))
-      val next = truncate(labels
-        .join(nbrMin.select(col("src").as("id"), col("nbr_lbl")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl"))
-            .cast("long").as("chg")))
+      // the self-loop row carries each vertex's own label through the
+      // join, so min(lbl) is the next label and the own-label minimum
+      // (dst == src) detects change — one aggregation computes both
+      val next = truncate(edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy("src")
+        .agg(min(col("lbl")).as("nlbl"),
+          min(when(col("dst") === col("src"), col("lbl"))).as("own"))
+        .select(col("src").as("id"), col("nlbl").as("lbl"),
+          (col("nlbl") < col("own")).cast("long").as("chg")))
       converged = changedCount(next) == 0L
       labels = next.select("id", "lbl")
       iter += 1

@@ -28,33 +28,24 @@ object Probe {
         graft.core.Tables.t(spark, sfDir, "lineitem").count()
         graft.core.Tables.documents(spark, sfDir).count()
       }
-      val ev = time("events cache build (count)") {
-        val e = graft.core.Tables.events(spark, sfDir)
-        e.count(); e
+      val pairs = time("jaccard pairs build") {
+        val p = graft.SparkEntry.sharedFrames("dedup_jaccard_pairs")(spark, sfDir)
+        println("PROBE   pair rows = " + p.count())
+        p
       }
-      println("PROBE cached partitions = " + ev.rdd.getNumPartitions)
-      val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT")
-      time("from_json forced (agg sum)") {
-        graft.core.Tables.events(spark, sfDir)
-          .select(from_json(col("props"), schema).getField("k").as("k"))
-          .agg(sum("k")).collect()
+      time("cc on jaccard pairs") {
+        graft.ops.Dedup.connectedComponents(pairs).count()
       }
-      time("from_json forced again") {
-        graft.core.Tables.events(spark, sfDir)
-          .select(from_json(col("props"), schema).getField("k").as("k"))
-          .agg(sum("k")).collect()
+      time("cc again (same pairs)") {
+        graft.ops.Dedup.connectedComponents(pairs).count()
       }
-      time("q_events_from_json full first") {
-        graft.queries.EventsQueries.queries("q_events_from_json")(spark, sfDir).count()
+      val lsh = time("lsh pairs build") {
+        val p = graft.SparkEntry.sharedFrames("sim_lsh_pairs")(spark, sfDir)
+        println("PROBE   lsh pair rows = " + p.count())
+        p.select(col("id_a"), col("id_b"))
       }
-      time("q_events_from_json full second") {
-        graft.queries.EventsQueries.queries("q_events_from_json")(spark, sfDir).count()
-      }
-      time("q_events_variant full first") {
-        graft.queries.EventsQueries.queries("q_events_variant")(spark, sfDir).count()
-      }
-      time("q_events_json full first") {
-        graft.queries.EventsQueries.queries("q_events_json")(spark, sfDir).count()
+      time("cc on lsh pairs") {
+        graft.ops.Dedup.connectedComponents(lsh).count()
       }
     } finally {
       graft.core.SharedFrames.clear()
