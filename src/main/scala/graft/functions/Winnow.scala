@@ -66,15 +66,32 @@ object Winnow {
       while (i < nGrams) { if (hashes(i) <= mn) { mn = hashes(i); mi = i }; i += 1 }
       return Array(hashes(mi))
     }
+    // sliding-window minima via a monotonic deque: amortized O(1) per
+    // position instead of rescanning the W-gram window (O(n) total, was
+    // O(n*W) — this is the hot inner loop of the fingerprint build).
+    // Popping `>=` from the back makes the newest of equal values survive,
+    // which IS the rightmost-on-ties selection the windowed scan did.
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var lastIdx = -1
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < W) { // prime the first window [0, W)
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      j += 1
+    }
     i = 0
     while (i + W <= nGrams) {
-      // min of window [i, i+W), rightmost on ties
-      var mn = hashes(i); var mi = i
-      var j = i + 1
-      while (j < i + W) { if (hashes(j) <= mn) { mn = hashes(j); mi = j }; j += 1 }
+      while (deque(head) < i) head += 1 // evict out-of-window indices
+      val mi = deque(head)
       if (mi != lastIdx) { out += hashes(mi); lastIdx = mi }
+      val nj = i + W // admit the next window's new element
+      if (nj < nGrams) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(nj)) tail -= 1
+        deque(tail) = nj; tail += 1
+      }
       i += 1
     }
     out.toArray

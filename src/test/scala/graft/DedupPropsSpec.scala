@@ -55,6 +55,37 @@ class DedupPropsSpec extends SparkSuite {
     })
   }
 
+  test("winnow deque minima == brute-force windowed scan (incl. tie paths)") {
+    // reference implementation: the O(n*W) rescan with rightmost-on-ties
+    // selection the deque replaced; a tiny alphabet forces repeated
+    // k-grams, so equal-hash tie handling is actually exercised
+    def reference(s: String): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      if (n < Winnow.K) return Seq.empty
+      val M = BigInt((1L << 61) - 1)
+      val B = BigInt(1000003L)
+      val hashes = (0 to n - Winnow.K).map(i =>
+        (i until i + Winnow.K).foldLeft(BigInt(0))((h, j) => (h * B + cps(j)) mod M).toLong)
+      val nGrams = hashes.length
+      if (nGrams <= Winnow.W)
+        return Seq(hashes.zipWithIndex.minBy { case (h, i) => (h, -i) }._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var lastIdx = -1
+      for (i <- 0 to nGrams - Winnow.W) {
+        val (mn, mi) = (i until i + Winnow.W).map(j => (hashes(j), j))
+          .minBy { case (h, j) => (h, -j) }
+        if (mi != lastIdx) { out += mn; lastIdx = mi }
+      }
+      out.toSeq
+    }
+    val tinyAlphabetDoc: Gen[String] =
+      Gen.choose(0, 160).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', ' '))).map(_.mkString)
+    check(Prop.forAll(tinyAlphabetDoc) { s =>
+      Winnow.fingerprintsString(s).toSeq == reference(s)
+    })
+  }
+
   test("winnow is deterministic and position-robust (prefix shift keeps overlap)") {
     check(Prop.forAll(doc, word) { (words, prefix) =>
       val t = words.mkString(" ")
