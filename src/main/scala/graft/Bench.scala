@@ -39,9 +39,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-      def js(m: Map[String, Double]) =
+      def js(m: Iterable[(String, Double)]) =
         m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val total = results.values.sum + sharedTimes.values.sum
+      val total = results.values.sum + sharedTimes.map(_._2).sum
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"shared":${js(sharedTimes)},"sf":"$sfDir"}""")
     } finally {
       graft.core.SharedFrames.clear()

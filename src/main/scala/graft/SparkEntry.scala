@@ -37,7 +37,11 @@ object SparkEntry {
     groups.flatMap(_.oracle).toMap
 
   /** Named shared-frame builders across all groups — the bench runner
-    * materializes these first and reports their build times separately. */
-  def sharedFrames: Map[String, (SparkSession, String) => DataFrame] =
-    groups.flatMap(_.shared).toMap
+    * materializes these first and reports their build times separately.
+    * A Seq, not a Map: declaration order within each group is dependency
+    * order (shingles before pair sets before clusters), so each build
+    * time is attributable to its own stage rather than to whichever
+    * dependent frame happened to run first. */
+  def sharedFrames: Seq[(String, (SparkSession, String) => DataFrame)] =
+    groups.flatMap(_.shared.toSeq)
 }

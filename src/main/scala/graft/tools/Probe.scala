@@ -29,7 +29,7 @@ object Probe {
         graft.core.Tables.documents(spark, sfDir).count()
       }
       val pairs = time("jaccard pairs build") {
-        val p = graft.SparkEntry.sharedFrames("dedup_jaccard_pairs")(spark, sfDir)
+        val p = graft.SparkEntry.sharedFrames.toMap.apply("dedup_jaccard_pairs")(spark, sfDir)
         println("PROBE   pair rows = " + p.count())
         p
       }
@@ -40,7 +40,7 @@ object Probe {
         graft.ops.Dedup.connectedComponents(pairs).count()
       }
       val lsh = time("lsh pairs build") {
-        val p = graft.SparkEntry.sharedFrames("sim_lsh_pairs")(spark, sfDir)
+        val p = graft.SparkEntry.sharedFrames.toMap.apply("sim_lsh_pairs")(spark, sfDir)
         println("PROBE   lsh pair rows = " + p.count())
         p.select(col("id_a"), col("id_b"))
       }
