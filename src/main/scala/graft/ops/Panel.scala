@@ -62,6 +62,21 @@ object Panel {
         Scoring.cagr(col(m), col(s"prior_$m"), col("gap")))
     }
 
+  /** The customer CAGR panel (revenue + order-count priors and trends),
+    * built ONCE per (session, dir): the flagship distress query, both
+    * engine queries and the panel-trend query all consume this same
+    * aggregate-then-window subtree, so it goes through SharedFrames like
+    * the dedup pair frames do. One exchange on the entity key serves the
+    * aggregation and every window. */
+  def sharedCustCagrPanel(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(spark, s"custcagr:$dir") {
+      withCagr(
+        withPrior(customerYear(spark, dir)
+            .withColumn("orders_d", col("n_orders").cast("double")),
+          Seq("revenue", "orders_d")),
+        Seq("revenue", "orders_d"))
+    }
+
   /** W5: first-year value over an unbounded-preceding frame. */
   def withFirst(panel: DataFrame, metric: String): DataFrame =
     panel.withColumn(s"first_$metric",

@@ -83,11 +83,11 @@ object CoreQueries extends QueryGroup {
       .orderBy("c_custkey")
   }
 
-  /** W1/W2: entity×year panel with gap-aware lag and annualized CAGR. */
+  /** W1/W2: entity×year panel with gap-aware lag and annualized CAGR
+    * (the shared panel's extra order-trend columns are simply not
+    * selected; `gap` is metric-independent). */
   private def panelTrend(s: SparkSession, dir: String): DataFrame = {
-    val p = Panel.withCagr(
-      Panel.withPrior(Panel.customerYear(s, dir), Seq("revenue")),
-      Seq("revenue"))
+    val p = Panel.sharedCustCagrPanel(s, dir)
     p.select(
         col("entity_id"), col("year"), col("revenue"), col("n_orders"),
         col("prior_revenue"), col("gap"),
@@ -125,12 +125,7 @@ object CoreQueries extends QueryGroup {
     * gate (A3), risk categories (F7). Scored at the latest year per entity
     * (W8) like `score_entity` on the target-else-latest year. */
   private[graft] def distressScores(s: SparkSession, dir: String): DataFrame = {
-    val panel = Panel.withCagr(
-      Panel.withPrior(
-        Panel.customerYear(s, dir)
-          .withColumn("orders_d", col("n_orders").cast("double")),
-        Seq("revenue", "orders_d")),
-      Seq("revenue", "orders_d"))
+    val panel = Panel.sharedCustCagrPanel(s, dir)
     val latest = Panel.latestPerEntity(panel)
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_acctbal"))
@@ -155,6 +150,10 @@ object CoreQueries extends QueryGroup {
   }
 
   def entry(s: SparkSession, dir: String): DataFrame = distressScores(s, dir)
+
+  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cust_cagr_panel" -> ((s, dir) => Panel.sharedCustCagrPanel(s, dir)),
+  )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project" -> scanProject,

@@ -25,12 +25,7 @@ object EngineQueries extends QueryGroup {
         col("revenue_cagr").isNotNull && col("revenue_cagr") <= -0.5, lit(65d))))
 
   private def engineScores(s: SparkSession, dir: String): DataFrame = {
-    val panel = Panel.withCagr(
-      Panel.withPrior(
-        Panel.customerYear(s, dir)
-          .withColumn("orders_d", col("n_orders").cast("double")),
-        Seq("revenue", "orders_d")),
-      Seq("revenue", "orders_d"))
+    val panel = Panel.sharedCustCagrPanel(s, dir)
     val latest = Panel.latestPerEntity(panel)
       .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
         col("entity_id") === col("c_custkey"), "inner")
@@ -51,12 +46,7 @@ object EngineQueries extends QueryGroup {
     * final score for inactive entities (customers whose last order is
     * 2+ years before the dataset max). */
   private def engineV5(s: SparkSession, dir: String): DataFrame = {
-    val panel = Panel.withCagr(
-      Panel.withPrior(
-        Panel.customerYear(s, dir)
-          .withColumn("orders_d", col("n_orders").cast("double")),
-        Seq("revenue", "orders_d")),
-      Seq("revenue", "orders_d"))
+    val panel = Panel.sharedCustCagrPanel(s, dir)
     val latest = Panel.latestPerEntity(panel)
       .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
         col("entity_id") === col("c_custkey"), "inner")

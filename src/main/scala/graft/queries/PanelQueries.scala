@@ -19,15 +19,20 @@ object PanelQueries extends QueryGroup {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) - 190000) AS DOUBLE) AS net_metric
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** Built once per (session, dir): six window queries in this group
+    * consume the same customer×year aggregate, so it shares like the
+    * dedup pair frames do. */
   private def custPanel(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy(col("o_custkey").as("entity_id"),
-        year(col("o_orderdate")).as("year"))
-      .agg(
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
-        count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)") - 190000)
-          .cast("double").as("net_metric"))
+    graft.core.SharedFrames.cached(s, s"custpanel:$dir") {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("entity_id"),
+          year(col("o_orderdate")).as("year"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)") - 190000)
+            .cast("double").as("net_metric"))
+    }
 
   private def w = Window.partitionBy("entity_id").orderBy("year")
 
@@ -162,6 +167,10 @@ object PanelQueries extends QueryGroup {
       .filter(col("revenue").isNotNull)
       .select("entity_id", "year", "revenue")
       .orderBy("entity_id", "year")
+
+  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cust_panel" -> custPanel,
+  )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_wide" -> pivotWide,
