@@ -112,10 +112,17 @@ object SimilarityQueries extends QueryGroup {
     * over the embedding-cosine near-dup graph — LSH-bucketed pair
     * generation, then the same min-label propagation that clusters the
     * lexical pair graph. cluster_id = smallest member vec_id. */
+  /** CC label frame over the LSH pair graph, built once per (session,
+    * dir) — the iterative propagation is the expensive part. */
+  private[queries] def sharedSimClusters(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"simclusters:$dir") {
+      graft.ops.Dedup.connectedComponents(
+        sharedLshPairs(s, dir).select(col("id_a"), col("id_b")))
+    }
+
   private def simClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = sharedLshPairs(s, dir).select(col("id_a"), col("id_b"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    graft.ops.Dedup.connectedComponents(pairs)
+    sharedSimClusters(s, dir)
       .withColumnRenamed("doc_id", "vec_id")
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
@@ -124,6 +131,7 @@ object SimilarityQueries extends QueryGroup {
 
   override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_lsh_pairs" -> sharedLshPairs,
+    "sim_clusters" -> sharedSimClusters,
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
