@@ -52,6 +52,21 @@ class QueriesSpec extends SparkSuite {
     assert(names.size == SparkEntry.queries.size)
   }
 
+  test("shared frames actually share (same instance per session+dir)") {
+    // a typo'd cache key would silently rebuild the frame per consumer,
+    // losing the build-once design AND the bench's cost attribution;
+    // SharedFrames.cached returns the identical DataFrame on a hit
+    SparkEntry.sharedFrames.foreach { case (name, fn) =>
+      assert(fn(spark, sf) eq fn(spark, sf),
+        s"shared frame '$name' rebuilt on second call — cache key broken")
+    }
+    // shared names must not collide across groups
+    val names = SparkEntry.sharedFrames.map(_._1)
+    assert(names.distinct.size == names.size,
+      s"duplicate shared-frame names: ${names.diff(names.distinct)}")
+    graft.core.SharedFrames.clear()
+  }
+
   test("distress scores are bounded and categorized") {
     val rows = queries.CoreQueries.distressScores(spark, sf).collect()
     rows.foreach { r =>
