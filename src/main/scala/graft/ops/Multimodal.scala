@@ -33,6 +33,27 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
+  /** Real media ingestion: one row per file via Spark's `binaryFile`
+    * source — (path, modificationTime, length, content). This is how
+    * image/audio/video corpora actually enter the pipeline at scale;
+    * doc_id is a stable hash of the file path (collision-checked by the
+    * caller if ids must be dense), media_type from the extension, and
+    * the payload feeds the same [[decodeFeatures]] partition shape the
+    * synthetic corpus uses. The source prunes `content` when a query
+    * only selects metadata columns, so listings stay cheap. */
+  def readMedia(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        abs(xxhash64(col("path"))).as("doc_id"),
+        col("path"),
+        col("content").as("payload"),
+        when(lower(col("path")).rlike("\\.(png|jpe?g|gif|bmp|webp)$"), "image")
+          .when(lower(col("path")).rlike("\\.(wav|mp3|flac|ogg)$"), "audio")
+          .when(lower(col("path")).rlike("\\.(mp4|mkv|webm|avi)$"), "video")
+          .otherwise("binary").as("media_type"))
+
   /** Wrap a text table as fake media payloads (binary column + type tag). */
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(

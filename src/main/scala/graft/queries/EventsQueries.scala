@@ -91,6 +91,24 @@ object EventsQueries extends QueryGroup {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Built-in session_window aggregation (Spark 3.2+): sessions are
+    * [first_ts, last_ts + gap) intervals merged while events arrive
+    * within the gap; the batch twin of the stateful
+    * flatMapGroupsWithState sessionization in [[graft.streaming.Sessionize]]
+    * (which uses a strict > gap cut — session_window's interval merge
+    * makes an exactly-gap-separated event start a NEW session, which the
+    * oracle replays with >=). */
+  private def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_us")
+
   /** Schema-bound JSON parsing (from_json with an explicit struct schema,
     * vs. the path-extraction in q_events_json) -> typed numeric column. */
   private def fromJson(s: SparkSession, dir: String): DataFrame =
@@ -124,6 +142,7 @@ object EventsQueries extends QueryGroup {
     "q_events_json" -> jsonExtract,
     "q_events_funnel" -> userFunnel,
     "q_sessionize" -> sessionize,
+    "q_session_window" -> sessionWindow,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -159,6 +178,30 @@ object EventsQueries extends QueryGroup {
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
         |  epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // session_window parity: interval ends are exclusive, so an event
+    // arriving at EXACTLY prev_ts + gap starts a new session (>=, where
+    // q_sessionize's stateful cut uses >); end = last event + gap
+    "q_session_window" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |flags AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM gaps),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flags)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) + 1800 * 1000000 AS end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_sessionize" ->
       """WITH gaps AS (

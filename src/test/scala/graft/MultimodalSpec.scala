@@ -60,6 +60,31 @@ class MultimodalSpec extends SparkSuite {
     assert(ImageHeaders.jpegDims(noSof) === None)
   }
 
+  test("binaryFile media source feeds the decode with real files") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmedia")
+    java.nio.file.Files.write(dir.resolve("cover.png"), pngBytes(640, 480))
+    java.nio.file.Files.write(dir.resolve("photo.jpg"), jpegBytes(1024, 768))
+    java.nio.file.Files.write(dir.resolve("notes.txt"),
+      "not media".getBytes(StandardCharsets.UTF_8))
+    val media = Multimodal.readMedia(spark, dir.toString)
+    val types = media.collect()
+      .map(r => r.getAs[String]("path").split('/').last -> r.getAs[String]("media_type"))
+      .toMap
+    assert(types == Map("cover.png" -> "image", "photo.jpg" -> "image",
+      "notes.txt" -> "binary"))
+    val feats = Multimodal.decodeFeatures(spark, media)
+      .collect().map(f => f.checksum -> ((f.width, f.height))).toMap
+    // find by checksum (doc_id is a path hash): dims must be the REAL ones
+    val pngSum = java.security.MessageDigest.getInstance("MD5")
+      .digest(pngBytes(640, 480)).map(b => f"${b & 0xff}%02x").mkString
+    val jpgSum = java.security.MessageDigest.getInstance("MD5")
+      .digest(jpegBytes(1024, 768)).map(b => f"${b & 0xff}%02x").mkString
+    assert(feats(pngSum) == ((640, 480)))
+    assert(feats(jpgSum) == ((1024, 768)))
+    // metadata-only projection must not fail (content pruning path)
+    assert(media.select("path", "media_type").count() == 3)
+  }
+
   test("decodeFeatures: real dims for PNG/JPEG, checksum stand-in otherwise") {
     import spark.implicits._
     val rows = Seq(
