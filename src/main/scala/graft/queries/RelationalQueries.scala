@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Scoring, Tables}
-import graft.ops.{Merge, Skew, Subsidiary}
+import graft.ops.{Merge, RangeJoin, Skew, Subsidiary}
 
 /** SURVEY.md §2 relational coverage: grouped self-comparison (J3), fuzzy
   * joins (J4/J8), star joins with broadcast dims (J6), as-of fallback (J7),
@@ -381,7 +381,29 @@ object RelationalQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** Bucketized point-in-interval range join ([[graft.ops.RangeJoin]]):
+    * repeat purchases within 14 days (inclusive) of a customer's URGENT
+    * order. A bare BETWEEN join would plan as a nested-loop; bucketizing
+    * the date dimension (width 16 days ~ interval length) turns it into
+    * an equi-join on (bucket, custkey) + the exact range predicate. */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("d", unix_date(to_date(col("o_orderdate"))).cast("long"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("urgent_orderkey"),
+        col("d").as("start_d"), (col("d") + 14).as("end_d"))
+    val pts = o.select(col("o_custkey").as("custkey"), col("o_orderkey"), col("d"))
+    RangeJoin.pointInInterval(pts, "d", urgent, "start_d", "end_d",
+        bucketWidth = 16L, extraKeys = Seq("custkey"))
+      .filter(col("o_orderkey") =!= col("urgent_orderkey"))
+      .groupBy("urgent_orderkey")
+      .agg(count(lit(1)).as("n_follow"), min(col("d") - col("start_d")).as("min_lag_days"))
+      .orderBy("urgent_orderkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> rangeJoin,
     "q_salted_agg" -> saltedAgg,
     "q_multipass_match" -> multipassMatch,
     "q_percentiles" -> percentiles,
@@ -409,6 +431,24 @@ object RelationalQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // the oracle states the range join declaratively (DuckDB plans its
+    // own IEJoin); the Spark side must produce the identical match set
+    // through the bucketized equi-join
+    "q_range_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey AS urgent_orderkey, o_custkey, d AS start_d, d + 14 AS end_d
+        |  FROM o WHERE o_orderpriority = '1-URGENT')
+        |SELECT u.urgent_orderkey, COUNT(*) AS n_follow,
+        |  CAST(MIN(o.d - u.start_d) AS BIGINT) AS min_lag_days
+        |FROM u JOIN o ON o.o_custkey = u.o_custkey
+        |  AND o.d BETWEEN u.start_d AND u.end_d
+        |  AND o.o_orderkey <> u.urgent_orderkey
+        |GROUP BY 1 ORDER BY urgent_orderkey""".stripMargin,
+
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
