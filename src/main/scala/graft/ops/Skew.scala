@@ -28,4 +28,27 @@ object Skew {
       .groupBy("key")
       .agg(sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n"))
   }
+
+  /** Replicated-salt equi-join for a hot-keyed BIG side against a small
+    * (but not broadcastable) side: big rows get a deterministic salt in
+    * [0, factor), small rows replicate across ALL salts, and the join key
+    * becomes (key, salt) — a hot key's rows spread over `factor` reducers
+    * instead of one straggler. This is the defense when AQE's skew split
+    * can't apply (it only rewrites sort-merge joins, and only when the
+    * skew is visible in map output sizes — not after an upstream
+    * aggregation or for hash joins).
+    *
+    * Result == the plain equi-join on `keys` exactly: every (big, small)
+    * key match meets at exactly one salt value. Cost: the small side
+    * shuffles `factor` x its size — pick factor ~ the hot-key multiplicity
+    * over the average, not the partition count. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val bigSalted = big.withColumn("__salt",
+      pmod(hash(struct(big.columns.map(col): _*)), lit(factor)))
+    val smallRep = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    bigSalted.join(smallRep, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -45,6 +45,25 @@ class LifecycleSpec extends SparkSuite {
     }
   }
 
+  test("replicated-salt join equals the plain equi-join on skewed keys") {
+    // 90% of big rows share one hot key — the single-straggler shape
+    val big = spark.createDataFrame((1L to 2000L).map { i =>
+      (i, if (i % 10 == 0) s"k${i % 7}" else "HOT", i * 1.5)
+    }).toDF("row_id", "key", "v")
+    val small = spark.createDataFrame(
+      Seq(("HOT", 1L), ("k0", 2L), ("k3", 3L), ("absent", 4L)))
+      .toDF("key", "dim_id")
+    val plain = big.join(small, Seq("key"))
+      .select("row_id", "dim_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(big, small, Seq("key"), factor = 8)
+    val got = salted.select("row_id", "dim_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == plain && got.nonEmpty)
+    // the join key is compound (key, salt): the hot key spreads 8 ways
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+
   test("AQE splits a skewed shuffle-join partition (skew=true in final plan)") {
     // the other half of the skew story: saltedAgg handles skewed
     // AGGREGATIONS; skewed JOINS are AQE's job — force tiny thresholds so
