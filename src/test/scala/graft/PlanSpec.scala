@@ -34,6 +34,38 @@ class PlanSpec extends SparkSuite {
       s"dimension lookup fell back to a shuffle join:\n${plan.take(1200)}")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the 100 TB shape: fact SMJ-joined to a selectively-filtered side too
+    // big to broadcast — Spark injects a bloom filter from the filtered
+    // side into the fact scan (semi-join pushdown), cutting shuffle input.
+    // Thresholds are tuned for the tiny test tables; the guard is that
+    // the knob works and the result is unchanged, not the defaults.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def q = core.Tables.lineitem(spark, sf)
+        .join(core.Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(1500)}")
+      val n = q.collect().map(_.getLong(1)).sum
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val n2 = q.collect().map(_.getLong(1)).sum
+      assert(n == n2 && n > 0, "bloom pruning changed the result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
