@@ -111,6 +111,25 @@ object Ingest {
 
   /** S2: multi-file multi-year scan — per-year CSVs unioned with a
     * provenance column. */
+  /** Small-files compaction: rewrite a (possibly partitioned) parquet
+    * dataset with bounded file sizes. At corpus scale an incremental
+    * ingest accretes thousands of tiny files per partition, and every
+    * downstream scan pays the per-file open/footer cost; periodically
+    * rewriting with one shuffle on the partition columns (so each output
+    * partition is produced by as few tasks as the data needs) plus
+    * `maxRecordsPerFile` restores healthy file sizes. Overwrites
+    * `outDir`. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              partitionCols: Seq[String], maxRecordsPerFile: Long): Unit = {
+    val df = spark.read.parquet(inDir)
+    val writer =
+      (if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df.coalesce(1))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(outDir)
+  }
+
   def loadYears(spark: SparkSession, paths: Seq[(Int, String)]): DataFrame =
     paths.map { case (y, p) =>
       readCsv(spark, p).withColumn("file_year", lit(y))

@@ -23,6 +23,47 @@ class FormatsSpec extends SparkSuite {
     assert(back.collect().map(key).sorted.toSeq == in.collect().map(key).sorted.toSeq)
   }
 
+  test("parquet mergeSchema reads a column-drifted dataset (late columns null)") {
+    import org.apache.spark.sql.functions._
+    // batch 1 lacks the column batch 2 adds — the accretive-corpus shape
+    val dir = java.nio.file.Files.createTempDirectory("graftdrift").toString
+    spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "text")
+      .write.parquet(s"$dir/b=1")
+    spark.createDataFrame(Seq((3L, "c", 0.9))).toDF("id", "text", "quality")
+      .write.parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "text", "quality", "b"))
+    val byId = merged.collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        Option(r.get(r.fieldIndex("quality")))).toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty, "pre-drift rows must read null")
+    assert(byId(3L).contains(0.9))
+  }
+
+  test("compaction rewrites many small files into bounded large ones") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graftsmall").toString
+    val out = java.nio.file.Files.createTempDirectory("graftcompact").toString
+    // 40 tiny files across 2 partitions
+    spark.range(2000)
+      .withColumn("part", (col("id") % 2).cast("int"))
+      .repartition(20)
+      .write.mode("overwrite").partitionBy("part").parquet(in)
+    def parquetFiles(p: String) = {
+      val d = new java.io.File(p)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(d)
+    }
+    val before = parquetFiles(in).size
+    assert(before >= 20, s"fixture should be fragmented, got $before files")
+    graft.ingest.Ingest.compact(spark, in, out, Seq("part"), maxRecordsPerFile = 10000)
+    val after = parquetFiles(out).size
+    assert(after <= 2, s"expected one file per partition, got $after")
+    assert(spark.read.parquet(out).count() == 2000)
+  }
+
   test("JSON-lines sink/source round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graftjson").toFile.getAbsolutePath
     val in = sample
