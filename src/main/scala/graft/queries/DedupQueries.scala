@@ -124,19 +124,23 @@ object DedupQueries extends QueryGroup {
     * per-bit +-1 votes with multiplicity, sign-vector fingerprint, then a
     * brute-force hamming self-join (equal to the banded plan for
     * hamming <= 3). */
+  /** 64-bit SimHash pair frame, built once per (session, dir) — consumed
+    * by q_dedup_simhash64 and the ensemble query. */
+  private[queries] def sharedSimhash64Pairs(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"simhash64:$dir") {
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .select("id_a", "id_b", "hamming")
+    }
+
   private def simhash64(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
-      .withColumn("hamming", col("hamming").cast("int"))
-      .select("id_a", "id_b", "hamming")
+    sharedSimhash64Pairs(s, dir)
       .orderBy("id_a", "id_b")
 
-  /** Winnowing fingerprint overlap pairs (rolling-hash k-gram window
-    * minima, Schleimer/Wilkerson/Aiken). Docs sharing >= 5 selected
-    * fingerprints are overlap candidates; fingerprints with df > DfMax are
-    * vocabulary, not overlap, and are pruned before the self-join. The
-    * rolling hash is a polynomial mod 2^61-1 over char codes, which the
-    * oracle reproduces in HUGEINT arithmetic — fully hash-checked. */
-  private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Winnow overlap pair frame (shared_fps >= 5) — the aggregation over
+    * the shared fingerprint frame, reused by q_dedup_winnow and the
+    * ensemble query (cheap enough to not persist separately). */
+  private[queries] def winnowPairFrame(s: SparkSession, dir: String): DataFrame = {
     val fps = sharedWinnowFps(s, dir)
     fps.select(col("doc_id").as("id_a"), col("fp"))
       .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
@@ -144,8 +148,44 @@ object DedupQueries extends QueryGroup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 5)
+  }
+
+  /** ENSEMBLE near-dup detection: the full outer union of three
+    * independent detectors — shingle Jaccard (>= 0.8), 64-bit SimHash
+    * (hamming <= 3) and winnowing overlap (>= 5 shared fingerprints) —
+    * with per-method flags and an agreement count. Real curation runs
+    * several detectors and keys the drop decision on agreement (each
+    * method has blind spots: Jaccard misses short docs, SimHash misses
+    * partial overlap, winnowing misses paraphrase); this is the voting
+    * frame that decision reads. All three inputs are the session-shared
+    * pair frames, so the ensemble costs two outer joins. */
+  private def ensemble(s: SparkSession, dir: String): DataFrame = {
+    val jac = sharedJaccardPairs(s, dir)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_jaccard"))
+    val sim = sharedSimhash64Pairs(s, dir)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_simhash"))
+    val win = winnowPairFrame(s, dir)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_winnow"))
+    jac.join(sim, Seq("id_a", "id_b"), "full_outer")
+      .join(win, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("by_jaccard"), lit(false)).as("by_jaccard"),
+        coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
+        coalesce(col("by_winnow"), lit(false)).as("by_winnow"))
+      .withColumn("n_methods",
+        (col("by_jaccard").cast("int") + col("by_simhash").cast("int") +
+          col("by_winnow").cast("int")))
       .orderBy("id_a", "id_b")
   }
+
+  /** Winnowing fingerprint overlap pairs (rolling-hash k-gram window
+    * minima, Schleimer/Wilkerson/Aiken). Docs sharing >= 5 selected
+    * fingerprints are overlap candidates; fingerprints with df > DfMax are
+    * vocabulary, not overlap, and are pruned before the self-join. The
+    * rolling hash is a polynomial mod 2^61-1 over char codes, which the
+    * oracle reproduces in HUGEINT arithmetic — fully hash-checked. */
+  private def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairFrame(s, dir).orderBy("id_a", "id_b")
 
   /** Near-dup CLUSTERS: connected components over the >=0.8-Jaccard pair
     * graph (min-label propagation; see [[Dedup.connectedComponents]]).
@@ -208,6 +248,7 @@ object DedupQueries extends QueryGroup {
     "dedup_jaccard_pairs" -> sharedJaccardPairs,
     "dedup_clusters" -> sharedClusters,
     "dedup_winnow_fps" -> sharedWinnowFps,
+    "dedup_simhash64_pairs" -> sharedSimhash64Pairs,
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -219,6 +260,7 @@ object DedupQueries extends QueryGroup {
     "q_dedup_minhash" -> minhash,
     "q_dedup_simhash" -> simhash,
     "q_dedup_simhash64" -> simhash64,
+    "q_dedup_ensemble" -> ensemble,
     "q_dedup_clusters" -> clusters,
   )
 
@@ -394,6 +436,70 @@ object DedupQueries extends QueryGroup {
         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the three detector pipelines verbatim (shingle-Jaccard, winnow
+    // overlap with CTEs renamed to avoid the `keep` collision, 64-bit
+    // SimHash with s-prefixed CTEs), outer-merged with per-method flags
+    "q_dedup_ensemble" -> {
+      val winnowPart = winnowSqlPrefix.stripPrefix("WITH ").replace("keep", "wkeep")
+      s"""$shingleSqlPrefix,
+         |jp0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b, true AS by_jaccard FROM jp0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |$winnowPart,
+         |wp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, true AS by_winnow
+         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |snorm AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         |stoks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS ws FROM snorm),
+         |sth AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(ws), 1, 4)) AS INTEGER) AS c0,
+         |    CAST(('0x' || substr(md5(ws), 5, 4)) AS INTEGER) AS c1,
+         |    CAST(('0x' || substr(md5(ws), 9, 4)) AS INTEGER) AS c2,
+         |    CAST(('0x' || substr(md5(ws), 13, 4)) AS INTEGER) AS c3
+         |  FROM stoks WHERE ws <> ''),
+         |svotes AS (
+         |  SELECT doc_id, sb.bit,
+         |    sum(CASE WHEN (
+         |      (CASE WHEN sb.bit < 16 THEN c3
+         |            WHEN sb.bit < 32 THEN c2
+         |            WHEN sb.bit < 48 THEN c1
+         |            ELSE c0 END) >> (sb.bit % 16)) & 1 = 1
+         |      THEN 1 ELSE -1 END) AS vote
+         |  FROM sth, (SELECT unnest(generate_series(0, 63)) AS bit) sb
+         |  GROUP BY 1, 2),
+         |sfp AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN vote > 0 AND bit < 16 THEN 1 << bit ELSE 0 END) AS INTEGER) AS b1,
+         |    CAST(sum(CASE WHEN vote > 0 AND bit >= 16 AND bit < 32 THEN 1 << (bit - 16) ELSE 0 END) AS INTEGER) AS b2,
+         |    CAST(sum(CASE WHEN vote > 0 AND bit >= 32 AND bit < 48 THEN 1 << (bit - 32) ELSE 0 END) AS INTEGER) AS b3,
+         |    CAST(sum(CASE WHEN vote > 0 AND bit >= 48 THEN 1 << (bit - 48) ELSE 0 END) AS INTEGER) AS b4
+         |  FROM svotes GROUP BY 1),
+         |sp AS (
+         |  SELECT a.doc_id AS id_a, c.doc_id AS id_b, true AS by_simhash
+         |  FROM sfp a JOIN sfp c ON a.doc_id < c.doc_id
+         |  WHERE bit_count(xor(a.b1, c.b1)) + bit_count(xor(a.b2, c.b2))
+         |      + bit_count(xor(a.b3, c.b3)) + bit_count(xor(a.b4, c.b4)) <= 3),
+         |merged AS (
+         |  SELECT id_a, id_b,
+         |    COALESCE(by_jaccard, false) AS by_jaccard,
+         |    COALESCE(by_simhash, false) AS by_simhash,
+         |    COALESCE(by_winnow, false) AS by_winnow
+         |  FROM jp
+         |  FULL JOIN sp USING (id_a, id_b)
+         |  FULL JOIN wp USING (id_a, id_b))
+         |SELECT id_a, id_b, by_jaccard, by_simhash, by_winnow,
+         |  CAST(by_jaccard AS INT) + CAST(by_simhash AS INT) + CAST(by_winnow AS INT) AS n_methods
+         |FROM merged ORDER BY id_a, id_b""".stripMargin
+    },
 
     // full pair set restricted to batch-touching pairs == what the
     // incremental batch-vs-index plan must produce
