@@ -151,7 +151,7 @@ object CoreQueries extends QueryGroup {
 
   def entry(s: SparkSession, dir: String): DataFrame = distressScores(s, dir)
 
-  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+  override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cust_cagr_panel" -> ((s, dir) => Panel.sharedCustCagrPanel(s, dir)),
   )
 

@@ -243,7 +243,7 @@ object DedupQueries extends QueryGroup {
 
   // declaration order = dependency order (shingles -> pairs -> clusters);
   // the bench prewarms in this order so each build time is its own stage's
-  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+  override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dedup_shingles" -> sharedShingles,
     "dedup_jaccard_pairs" -> sharedJaccardPairs,
     "dedup_clusters" -> sharedClusters,

@@ -131,7 +131,7 @@ object EventsQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
       .orderBy("k_mod")
 
-  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+  override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "events_parsed_props" -> sharedParsed,
   )
 

@@ -168,7 +168,7 @@ object PanelQueries extends QueryGroup {
       .select("entity_id", "year", "revenue")
       .orderBy("entity_id", "year")
 
-  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+  override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cust_panel" -> custPanel,
   )
 

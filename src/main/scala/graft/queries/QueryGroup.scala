@@ -43,6 +43,9 @@ trait QueryGroup {
     * intermediates reused by several queries). The bench runner
     * materializes these up front and reports their build times separately,
     * so per-query numbers measure marginal cost — not whichever query
-    * happened to run first paying a pipeline-wide build. */
-  def shared: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+    * happened to run first paying a pipeline-wide build. A Seq (not a
+    * Map): declaration order is DEPENDENCY order, so each build time is
+    * attributable to its own stage — Scala Maps above 4 entries silently
+    * stop preserving insertion order. */
+  def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq.empty
 }

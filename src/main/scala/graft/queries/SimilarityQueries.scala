@@ -129,7 +129,7 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("vec_id")
   }
 
-  override def shared: Map[String, (SparkSession, String) => DataFrame] = Map(
+  override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim_lsh_pairs" -> sharedLshPairs,
     "sim_clusters" -> sharedSimClusters,
   )
