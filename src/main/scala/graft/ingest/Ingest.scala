@@ -122,10 +122,15 @@ object Ingest {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               partitionCols: Seq[String], maxRecordsPerFile: Long): Unit = {
     val df = spark.read.parquet(inDir)
-    val writer =
-      (if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df.coalesce(1))
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", maxRecordsPerFile)
+    // REBALANCE (AQE) merges undersized shuffle partitions and splits
+    // oversized ones to target size — unlike coalesce(n)/repartition(n)
+    // it needs no row-count guess and stays parallel at any data volume;
+    // maxRecordsPerFile bounds what one task writes per file on top
+    val balanced =
+      if (partitionCols.nonEmpty) df.hint("rebalance", partitionCols: _*)
+      else df.hint("rebalance")
+    val writer = balanced.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(outDir)
   }
