@@ -142,8 +142,32 @@ object CorpusQueries extends QueryGroup {
       .orderBy("split")
   }
 
+  /** Token-length histogram: fixed-width 20-token bins with counts and
+    * corpus share — the length-distribution monitor a curation pipeline
+    * watches per batch (a drifting length profile is the usual first
+    * symptom of an upstream extraction bug). One narrow pass + one
+    * aggregation; share divides two exact counts so the doubles are
+    * engine-identical. */
+  private def tokenHistogram(s: SparkSession, dir: String): DataFrame = {
+    val counted = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))))
+    // corpus total as a broadcast 1-row aggregate (never a partition-less
+    // window, never a driver-side count — the plan stays lazy/distributed)
+    val total = counted.agg(count(lit(1)).as("total"))
+    counted
+      .withColumn("bin_lo", (col("n_tokens") - (col("n_tokens") % 20)).cast("int"))
+      .groupBy("bin_lo")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n_docs").cast("double") / col("total").cast("double"))
+      .drop("total")
+      .orderBy("bin_lo")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_e2e" -> curationE2E,
+    "q_token_histogram" -> tokenHistogram,
     "q_text_scrub" -> scrub,
     "q_corpus_filter" -> qualityFilter,
     "q_corpus_split" -> split,
@@ -153,6 +177,17 @@ object CorpusQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_token_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(n_tokens - (n_tokens % 20) AS INTEGER) AS bin_lo, COUNT(*) AS n_docs
+        |  FROM t GROUP BY 1)
+        |SELECT bin_lo, n_docs,
+        |  CAST(n_docs AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS share
+        |FROM b ORDER BY bin_lo""".stripMargin,
+
     // scrub -> quality gate -> near-dup drop (same df<=20 pruned pair set
     // as q_dedup_jaccard) -> hash split -> per-split totals
     "q_curation_e2e" ->
