@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Sampling
+
+/** Training-data sampling and batching: deterministic corpus shuffle
+  * order, balanced stratified downsampling (data mixing), and the
+  * sequence-packing plan. All assignments are md5-derived functions of
+  * the data — stable under reruns, cluster layouts, and corpus growth —
+  * and every query avoids the single-reducer global-window cliff via the
+  * two-level rank in [[graft.ops.Sampling]]. */
+object SamplingQueries extends QueryGroup {
+
+  /** The SQL spelling of [[Sampling.rankedBy]]'s canonical order for one
+    * document: (16-bit md5 bucket, full md5 hex, doc_id). */
+  private def rankOrderSql: String =
+    "(CAST(('0x' || substr(md5('rank_' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) " +
+      s"% ${Sampling.RankBuckets}), md5('rank_' || CAST(doc_id AS VARCHAR)), doc_id"
+
+  /** Deterministic training shuffle order over the corpus: the position
+    * every doc gets when the corpus is shuffled for an epoch. Two-level
+    * rank (bucket-local row_number + broadcast bucket offsets) — never a
+    * partition-less window. */
+  private def shuffleOrder(s: SparkSession, dir: String): DataFrame =
+    Sampling.rankedBy(Tables.documents(s, dir), Seq.empty, "doc_id")
+      .select(col("doc_id"), col("samp_rank").as("pos"))
+      .orderBy("doc_id")
+
+  /** Balanced language mixture: every lang downsampled to the smallest
+    * lang's size by pseudo-random rank — the data-mixing step that stops
+    * a dominant language from swamping training batches. */
+  private def stratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, dir), Seq("lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("samp_rank"), col("keep"))
+      .orderBy("doc_id")
+
+  /** Sequence-packing plan: 128-token training sequences over 8 shards;
+    * one row per (doc, sequence) with the doc-relative token span. */
+  private def pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))))
+      .select("doc_id", "n_tokens")
+    Sampling.packPlan(docs, budget = 128, nShards = 8)
+      .orderBy("shard", "seq_id", "doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shuffle_order" -> shuffleOrder,
+    "q_stratified_sample" -> stratified,
+    "q_pack_plan" -> pack,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // the closed-form equivalent of the two-level rank: one global
+    // row_number over the canonical (bucket, hash, id) order
+    "q_shuffle_order" ->
+      s"""SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY $rankOrderSql) AS BIGINT) AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY $rankOrderSql) AS BIGINT) AS samp_rank
+         |  FROM documents),
+         |c AS (SELECT min(n) AS cap FROM (
+         |  SELECT count(*) AS n FROM documents GROUP BY lang))
+         |SELECT doc_id, lang, samp_rank, samp_rank <= cap AS keep
+         |FROM r CROSS JOIN c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(('0x' || substr(md5('pack_' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8 AS shard
+        |  FROM t WHERE n_tokens > 0),
+        |c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM s),
+        |x AS (SELECT shard, doc_id, tok_start, tok_start + n_tokens AS tok_end FROM c),
+        |e AS (
+        |  SELECT shard, doc_id, tok_start, tok_end,
+        |    unnest(generate_series(tok_start // 128, (tok_end - 1) // 128)) AS seq_id
+        |  FROM x)
+        |SELECT CAST(shard AS INTEGER) AS shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(tok_start, seq_id * 128) - tok_start AS BIGINT) AS tok_from,
+        |  CAST(least(tok_end, (seq_id + 1) * 128) - tok_start AS BIGINT) AS tok_to
+        |FROM e ORDER BY shard, seq_id, doc_id""".stripMargin,
+  )
+}

@@ -108,6 +108,35 @@ object SimilarityQueries extends QueryGroup {
       .toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** Symmetric int8 quantization of the embedding column (the compression
+    * step before shipping vectors to an ANN index): per-vector scale =
+    * amax/127, q_i = floor(v_i/scale + 0.5) — exact integer round-trip
+    * invariants (L1 and sum-of-squares of the codes) plus the
+    * reconstruction MSE. Pure projection over the scan; the arrays never
+    * leave the row, so this rides any scale. floor(x+0.5) (not round) is
+    * deliberate: both engines floor identically, while double round
+    * half-rules can differ. */
+  private def embedQuant(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qscale", col("amax") / lit(127.0d))
+      .withColumn("q", transform(col("v"), x =>
+        when(col("amax") > 0, floor(x / col("qscale") + lit(0.5d)).cast("long"))
+          .otherwise(lit(0L))))
+      .withColumn("q_l1", aggregate(col("q"), lit(0L), (a, x) => a + abs(x)))
+      .withColumn("q_sq", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .withColumn("sse", aggregate(
+        zip_with(col("v"), col("q"), (x, qi) =>
+          (x - qi.cast("double") * col("qscale")) *
+            (x - qi.cast("double") * col("qscale"))),
+        lit(0.0d), (a, e) => a + e))
+      .select(col("vec_id"),
+        round(col("qscale"), 6).as("qscale"),
+        col("q_l1"), col("q_sq"),
+        round(col("sse") / size(col("v")), 8).as("mse"))
+      .orderBy("vec_id")
+
   /** Semantic dedup clusters (the SemDeDup shape): connected components
     * over the embedding-cosine near-dup graph — LSH-bucketed pair
     * generation, then the same min-label propagation that clusters the
@@ -136,6 +165,7 @@ object SimilarityQueries extends QueryGroup {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_clusters" -> simClusters,
+    "q_embed_quant" -> embedQuant,
     "q_sim_topk" -> topk,
     "q_sim_lsh" -> lsh,
     "q_sim_ivf" -> ivf,
@@ -146,6 +176,27 @@ object SimilarityQueries extends QueryGroup {
   override def oracle: Map[String, String] = Map(
     "q_sim_lsh" -> lshOracleSql,
     "q_sim_clusters" -> simClustersOracleSql,
+
+    // mirrors embedQuant: same unrounded scale feeds the codes, exact
+    // integer invariants over the codes, error fold in array order
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |sc AS (SELECT vec_id, v, amax, amax / 127 AS qscale FROM m),
+        |q AS (SELECT vec_id, v, amax, qscale,
+        |  list_transform(v, x -> CASE WHEN amax > 0
+        |    THEN CAST(floor(x / qscale + 0.5) AS BIGINT) ELSE 0 END) AS qv
+        |  FROM sc),
+        |err AS (SELECT vec_id, qscale, qv,
+        |  list_transform(generate_series(1, len(v)),
+        |    i -> (v[i] - qv[i] * qscale) * (v[i] - qv[i] * qscale)) AS e2,
+        |  len(v) AS dim
+        |  FROM q)
+        |SELECT vec_id, round(qscale, 6) AS qscale,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sq,
+        |  round(list_sum(e2) / dim, 8) AS mse
+        |FROM err ORDER BY vec_id""".stripMargin,
 
     // mirrors Similarity.ivfSeededTopK: centroid c = (rank in
     // md5('ivf_'||vec_id) order) - 1; d(v,c) = |c|^2 - 2 v.c (|v|^2

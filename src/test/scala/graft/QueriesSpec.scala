@@ -45,7 +45,8 @@ class QueriesSpec extends SparkSuite {
     val all = Seq(
       queries.CoreQueries, queries.RelationalQueries, queries.PanelQueries,
       queries.EngineQueries, queries.EventsQueries, queries.TextQueries,
-      queries.DedupQueries, queries.SimilarityQueries, queries.CorpusQueries)
+      queries.DedupQueries, queries.SimilarityQueries, queries.CorpusQueries,
+      queries.SamplingQueries)
     val names = all.flatMap(_.queries.keys)
     val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")

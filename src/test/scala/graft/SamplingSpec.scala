@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Sampling
+import graft.queries.SamplingQueries
+
+/** Laws for the sampling/packing primitives beyond their oracle rows:
+  * the two-level rank must equal the naive global window it replaces,
+  * the stratified sample must hit exact per-stratum counts, and the
+  * pack plan must partition every token stream into exact-budget
+  * sequences. */
+class SamplingSpec extends SparkSuite {
+
+  test("two-level rank equals the single-window global row_number") {
+    val docs = Tables.documents(spark, sf)
+    val fast = Sampling.rankedBy(docs, Seq("lang"), "doc_id")
+      .select("doc_id", "samp_rank")
+    // the naive form: one window per stratum (the single-reducer shape
+    // rankedBy exists to avoid) over the same canonical order
+    val h = md5(concat(lit("rank_"), col("doc_id").cast("string")))
+    val bucket = pmod(conv(substring(h, 1, 4), 16, 10).cast("int"),
+      lit(Sampling.RankBuckets))
+    val naive = docs
+      .withColumn("b", bucket).withColumn("h", h)
+      .withColumn("naive_rank",
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(col("b"), col("h"), col("doc_id"))).cast("long"))
+      .select("doc_id", "naive_rank")
+    val diff = fast.join(naive, "doc_id")
+      .filter(col("samp_rank") =!= col("naive_rank")).count()
+    assert(diff == 0L)
+  }
+
+  test("stratified sample keeps exactly min-stratum-count docs per lang") {
+    val kept = SamplingQueries.queries("q_stratified_sample")(spark, sf)
+      .filter(col("keep"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val cap = sizes.min
+    assert(kept.nonEmpty && kept.values.forall(_ == cap), kept.toString)
+  }
+
+  test("shuffle order is a permutation of the corpus") {
+    val pos = SamplingQueries.queries("q_shuffle_order")(spark, sf)
+      .select("pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (1L to pos.length).toSeq)
+  }
+
+  test("pack plan partitions each doc and fills every non-final sequence") {
+    val plan = SamplingQueries.queries("q_pack_plan")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))))
+      .select("doc_id", "n_tokens")
+    // per doc: spans are disjoint, contiguous, and cover [0, n_tokens)
+    val perDoc = plan.groupBy("doc_id")
+      .agg(sum(col("tok_to") - col("tok_from")).as("covered"),
+        min("tok_from").as("lo"), max("tok_to").as("hi"))
+      .join(docs, "doc_id")
+    assert(perDoc.filter(col("covered") =!= col("n_tokens") ||
+      col("lo") =!= 0 || col("hi") =!= col("n_tokens")).count() == 0L)
+    // per (shard, seq): exactly 128 tokens except the last seq of a shard
+    val lastSeq = plan.groupBy("shard").agg(max("seq_id").as("last_seq"))
+    val bad = plan.groupBy("shard", "seq_id")
+      .agg(sum(col("tok_to") - col("tok_from")).as("fill"))
+      .join(lastSeq, "shard")
+      .filter(col("seq_id") =!= col("last_seq") && col("fill") =!= 128)
+    assert(bad.count() == 0L)
+    // no span exceeds the budget
+    assert(plan.filter(col("tok_to") - col("tok_from") > 128 ||
+      col("tok_from") < 0).count() == 0L)
+  }
+
+  test("quantization error is bounded by half a code step per dimension") {
+    val rows = graft.queries.SimilarityQueries
+      .queries("q_embed_quant")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(r.fieldIndex("qscale"))
+      val mse = r.getDouble(r.fieldIndex("mse"))
+      // per-dim error <= scale/2  =>  mse <= scale^2/4 (+ rounding slack)
+      assert(mse <= scale * scale / 4 + 1e-9, s"vec ${r.get(0)}: mse=$mse scale=$scale")
+    }
+  }
+}
