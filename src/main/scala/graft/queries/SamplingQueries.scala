@@ -47,13 +47,53 @@ object SamplingQueries extends QueryGroup {
       .orderBy("shard", "seq_id", "doc_id")
   }
 
+  /** Target-mixture plan: given the training mixture (en 1/2, every
+    * other lang 1/8 — dyadic on purpose: every product below is exact in
+    * doubles), compute the LARGEST corpus achievable without upsampling
+    * that matches it, and each language's quota + keep probability.
+    * M = min over langs of n_l / t_l; quota_l = floor(t_l · M). Two tiny
+    * aggregates (per-lang counts, 1-row min) — the plan costs one scan
+    * regardless of corpus size, and the quotas feed the same rank-based
+    * apply as the stratified sample. */
+  private def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    // 1/t_l as an exact integer (en: 2, others: 8) so max_total is integral
+    val shareInv = when(col("lang") === "en", lit(2L)).otherwise(lit(8L))
+    val withCeil = counts.withColumn("max_total", col("n_docs") * shareInv)
+    val m = withCeil.agg(min(col("max_total")).as("m"))
+    withCeil.crossJoin(broadcast(m))
+      .withColumn("target_share",
+        when(col("lang") === "en", lit(0.5d)).otherwise(lit(0.125d)))
+      .withColumn("quota",
+        floor(col("m").cast("double") * col("target_share")).cast("long"))
+      .withColumn("keep_prob",
+        col("quota").cast("double") / col("n_docs").cast("double"))
+      .select("lang", "n_docs", "target_share", "quota", "keep_prob")
+      .orderBy("lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_weights" -> mixWeights,
     "q_shuffle_order" -> shuffleOrder,
     "q_stratified_sample" -> stratified,
     "q_pack_plan" -> pack,
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_mix_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n_docs,
+        |    CAST(CASE WHEN lang = 'en' THEN 0.5 ELSE 0.125 END AS DOUBLE) AS target_share,
+        |    n_docs * (CASE WHEN lang = 'en' THEN 2 ELSE 8 END) AS max_total
+        |  FROM c),
+        |m AS (SELECT min(max_total) AS m FROM w)
+        |SELECT lang, n_docs, target_share,
+        |  CAST(floor(CAST(m AS DOUBLE) * target_share) AS BIGINT) AS quota,
+        |  CAST(floor(CAST(m AS DOUBLE) * target_share) AS BIGINT) / CAST(n_docs AS DOUBLE) AS keep_prob
+        |FROM w CROSS JOIN m ORDER BY lang""".stripMargin,
+
     // the closed-form equivalent of the two-level rank: one global
     // row_number over the canonical (bucket, hash, id) order
     "q_shuffle_order" ->

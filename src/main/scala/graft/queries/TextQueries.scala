@@ -165,7 +165,51 @@ object TextQueries extends QueryGroup {
         when(col("n_grams") > 0, col("rep_ratio") > 0.2))
       .orderBy("doc_id")
 
+  /** Percentile-threshold quality pruning: the corpus-relative keep rule
+    * ("drop the worst 30% by quality score") used when an absolute
+    * threshold would over- or under-prune a drifting corpus. The
+    * threshold is ONE exact interpolated percentile (same definition as
+    * DuckDB quantile_cont — the q_percentiles pairing) computed as a
+    * 1-row broadcast aggregate; the keep decision then rides the scan.
+    * At 100 TB the threshold would come from approx_percentile over a
+    * sample — same plan shape, documented trade. */
+  private def qualityPrune(s: SparkSession, dir: String): DataFrame = {
+    val scored = quality(s, dir).select("doc_id", "quality_score")
+    val thr = scored.agg(expr("percentile(quality_score, 0.3)").as("threshold"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"),
+        round(col("quality_score"), 6).as("quality_score"),
+        round(col("threshold"), 6).as("threshold"),
+        (col("quality_score") >= col("threshold")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Word-frequency rarity profile: per-doc mean/min GLOBAL token counts
+    * (rare vocabulary ⇒ low mean frequency — the unigram-LM quality
+    * signal without floating-point log sums, so the aggregation is exact
+    * integer arithmetic and engine-identical regardless of add order).
+    * Shape: token explode → one vocab aggregation (small — vocab, not
+    * corpus, cardinality) → equi-join back (AQE broadcasts the vocab
+    * side) → per-doc integer sums. */
+  private def wordRarity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tok_count"))
+    toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("tok_count").as("sum_freq"),
+        min("tok_count").as("min_freq"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "sum_freq", "min_freq", "mean_freq")
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_prune" -> qualityPrune,
+    "q_word_rarity" -> wordRarity,
     "q_text_repetition" -> repetition,
     "q_regex_extract" -> regexExtract,
     "q_json_export" -> jsonExport,
@@ -178,6 +222,44 @@ object TextQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // same score formula as q_text_quality; threshold = quantile_cont
+    // (the proven percentile() pairing) over the whole corpus
+    "q_quality_prune" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS INTEGER) AS stop_hits,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER) AS chars_nospace
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) +
+        |    0.25 * (1.0 - CASE WHEN n_tokens = 0 THEN NULL
+        |                       ELSE CAST(stop_hits AS DOUBLE) / n_tokens END) +
+        |    0.25 * least(1.0, CASE WHEN n_tokens = 0 THEN NULL
+        |                           ELSE CAST(chars_nospace AS DOUBLE) / n_tokens END / 8)
+        |      AS quality_score
+        |  FROM base),
+        |t AS (SELECT quantile_cont(quality_score, 0.3) AS threshold FROM scored)
+        |SELECT doc_id, round(quality_score, 6) AS quality_score,
+        |  round(threshold, 6) AS threshold,
+        |  quality_score >= threshold AS keep
+        |FROM scored CROSS JOIN t ORDER BY doc_id""".stripMargin,
+
+    // integer-only aggregation: sums of global token counts, no float
+    // accumulation anywhere before the final exact division
+    "q_word_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS tok_count FROM toks GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(tok_count) AS BIGINT) AS sum_freq,
+        |  CAST(min(tok_count) AS BIGINT) AS min_freq,
+        |  CAST(sum(tok_count) AS DOUBLE) / count(*) AS mean_freq
+        |FROM toks JOIN v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // n_grams counts 3-grams WITH duplicates; docs under 3 words get
     // (0, 0, NULL, NULL) via the left join
     "q_text_repetition" ->

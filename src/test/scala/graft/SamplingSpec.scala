@@ -77,6 +77,36 @@ class SamplingSpec extends SparkSuite {
       col("tok_from") < 0).count() == 0L)
   }
 
+  test("mix weights: no upsampling, and the smallest-headroom lang binds") {
+    val rows = SamplingQueries.queries("q_mix_weights")(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_docs"))
+      val quota = r.getLong(r.fieldIndex("quota"))
+      val p = r.getDouble(r.fieldIndex("keep_prob"))
+      assert(quota <= n, s"${r.get(0)}: quota $quota > available $n (upsampling)")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // M = min(n_l / t_l) means the binding stratum is kept whole
+    assert(rows.exists(r =>
+      r.getLong(r.fieldIndex("quota")) == r.getLong(r.fieldIndex("n_docs"))))
+    // realized mixture matches the target: quota_l / sum(quotas) ~ t_l
+    val total = rows.map(_.getLong(rows.head.fieldIndex("quota"))).sum.toDouble
+    rows.foreach { r =>
+      val share = r.getLong(r.fieldIndex("quota")) / total
+      val target = r.getDouble(r.fieldIndex("target_share"))
+      assert(math.abs(share - target) < 0.01, s"${r.get(0)}: $share vs $target")
+    }
+  }
+
+  test("quality prune keeps ~70% of the corpus") {
+    val rows = graft.queries.TextQueries.queries("q_quality_prune")(spark, sf)
+      .collect()
+    val kept = rows.count(_.getBoolean(rows.head.fieldIndex("keep")))
+    val frac = kept.toDouble / rows.length
+    assert(frac >= 0.65 && frac <= 0.75, s"keep fraction $frac")
+  }
+
   test("quantization error is bounded by half a code step per dimension") {
     val rows = graft.queries.SimilarityQueries
       .queries("q_embed_quant")(spark, sf).collect()
