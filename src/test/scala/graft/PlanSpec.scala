@@ -34,6 +34,16 @@ class PlanSpec extends SparkSuite {
       s"dimension lookup fell back to a shuffle join:\n${plan.take(1200)}")
   }
 
+  test("q_word_rarity: the vocab side joins as broadcast, not shuffle SMJ") {
+    // the vocab aggregate is vocab-cardinality (small by construction for
+    // natural language); if it ever plans as a SortMergeJoin the linear
+    // token->count lookup has silently become a full token re-shuffle
+    val plan = formatted("q_word_rarity")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocab lookup fell back to a shuffle join:\n${plan.take(1200)}")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // the 100 TB shape: fact SMJ-joined to a selectively-filtered side too
     // big to broadcast — Spark injects a bloom filter from the filtered
