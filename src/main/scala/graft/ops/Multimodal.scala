@@ -94,6 +94,53 @@ object Multimodal {
     }
   }
 
+  case class AudioFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      checksum: String,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_samples: Long,
+      duration_ms: Long)
+
+  /** Audio feature decoder: REAL header parse for WAV/RIFF payloads
+    * ([[AudioHeaders.wavInfo]] — sample rate / channels / bit depth /
+    * sample count straight from the fmt and data chunks, no codec
+    * dependency); other payloads get the deterministic md5-derived
+    * stand-in (sample_rate in 8000..47999 so the duration arithmetic
+    * never divides by zero), which is what the oracle-gated `q_mm_audio`
+    * pins on the text-byte corpus. Same partition shape as
+    * [[decodeFeatures]]: one digest per partition, payload dropped from
+    * the output. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "audio").as[MediaRecord].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5") // per-partition "codec"
+      it.map { r =>
+        val digest = md.digest(r.payload)
+        md.reset()
+        val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+        val (rate, channels, bits, nSamples) =
+          AudioHeaders.wavInfo(r.payload).getOrElse {
+            val pseudoRate = 8000 + Integer.parseInt(hex.substring(4, 8), 16) % 40000
+            val pseudoCh = Integer.parseInt(hex.substring(8, 9), 16) % 2 + 1
+            val pseudoBits = 8 * (Integer.parseInt(hex.substring(9, 10), 16) % 2 + 1)
+            (pseudoRate, pseudoCh, pseudoBits, r.payload.length.toLong)
+          }
+        AudioFeatures(
+          doc_id = r.doc_id,
+          byte_len = r.payload.length.toLong,
+          checksum = hex,
+          sample_rate = rate,
+          channels = channels,
+          bits_per_sample = bits,
+          n_samples = nSamples,
+          duration_ms = nSamples * 1000L / rate)
+      }
+    }
+  }
+
   /** Feature decoder. Dimensions come from a REAL header parse when the
     * payload is PNG or JPEG ([[ImageHeaders.dims]]); other formats fall
     * back to the deterministic md5-derived pseudo-decode (documented
@@ -196,4 +243,55 @@ object ImageHeaders {
   /** First successful header parse across supported formats. */
   def dims(b: Array[Byte]): Option[(Int, Int)] =
     pngDims(b).orElse(jpegDims(b))
+}
+
+/** Pure-JVM WAV (RIFF) header decoding: "RIFF" + size + "WAVE", then a
+  * chunk walk (4-byte id, 4-byte little-endian size, payload padded to
+  * even length). The "fmt " chunk carries format(2 LE), channels(2 LE),
+  * sample_rate(4 LE), byte_rate(4), block_align(2 LE),
+  * bits_per_sample(2 LE); the "data" chunk size divided by block_align
+  * gives the sample count. */
+object AudioHeaders {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** (sample_rate, channels, bits_per_sample, n_samples) from a WAV
+    * payload, or None if it isn't one (or the fmt/data chunks are
+    * missing/truncated/inconsistent). */
+  def wavInfo(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var rate = 0; var channels = 0; var bits = 0; var blockAlign = 0
+    var dataBytes = -1L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = tag(b, i)
+      val sz = le32(b, i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length && sz >= 16) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        // size may legitimately exceed what we were handed (truncated
+        // fetch); the header value is still the authoritative length
+        dataBytes = sz
+      }
+      // chunks pad to even offsets; clamp in Long so a huge/corrupt size
+      // can't overflow Int and loop forever
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      i = if (next > b.length) b.length else next.toInt
+    }
+    if (rate > 0 && channels > 0 && blockAlign > 0 && dataBytes >= 0)
+      Some((rate, channels, bits, dataBytes / blockAlign))
+    else None
+  }
 }

@@ -100,6 +100,15 @@ object SimilarityQueries extends QueryGroup {
         k = 5, nCentroids = 8, nProbe = 3)
       .orderBy("query_id", "rank")
 
+  /** Audio decode over audio-typed payloads: real WAV header parse where
+    * the bytes are RIFF, md5-derived stand-in otherwise (the text corpus
+    * is all stand-in — that is what the oracle replays; real-WAV parsing
+    * is pinned by MultimodalSpec fixture bytes). */
+  private def mmAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(s, Multimodal.asMedia(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
   /** Frame sampling over video payloads: per-frame rows fan out AFTER
     * partition-wise feature extraction, so media bytes are never
     * duplicated per frame (see [[Multimodal.sampleFrames]]). */
@@ -171,6 +180,7 @@ object SimilarityQueries extends QueryGroup {
     "q_sim_ivf" -> ivf,
     "q_mm_features" -> mmFeatures,
     "q_mm_frames" -> mmFrames,
+    "q_mm_audio" -> mmAudio,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -261,6 +271,27 @@ object SimilarityQueries extends QueryGroup {
         |  md5(text || CAST(frame_idx AS VARCHAR)) AS frame_checksum,
         |  CAST(('0x' || substr(md5(text || CAST(frame_idx AS VARCHAR)), 1, 2)) AS INTEGER) AS brightness
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // audio = doc_id % 3 = 1 (asMedia's type tag); text bytes are never
+    // RIFF, so every row takes the md5-derived stand-in the SQL replays:
+    // rate in 8000..47999 (division-safe), integer-floor duration
+    "q_mm_audio" ->
+      """WITH a AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT doc_id, byte_len, checksum,
+        |    8000 + CAST(('0x' || substr(checksum, 5, 4)) AS INTEGER) % 40000 AS sample_rate,
+        |    CAST(('0x' || substr(checksum, 9, 1)) AS INTEGER) % 2 + 1 AS channels,
+        |    8 * (CAST(('0x' || substr(checksum, 10, 1)) AS INTEGER) % 2 + 1) AS bits_per_sample
+        |  FROM a)
+        |SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len, checksum,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+        |  CAST(byte_len AS BIGINT) AS n_samples,
+        |  CAST(byte_len * 1000 // sample_rate AS BIGINT) AS duration_ms
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_mm_features" ->
       """SELECT doc_id,

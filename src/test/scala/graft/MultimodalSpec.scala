@@ -3,7 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.functions._
-import graft.ops.{ImageHeaders, Multimodal}
+import graft.ops.{AudioHeaders, ImageHeaders, Multimodal}
 
 /** Real image-header decode (PNG IHDR / JPEG SOF) on hand-built fixture
   * bytes, plus the decodeFeatures fallback contract: parseable payloads
@@ -37,6 +37,62 @@ class MultimodalSpec extends SparkSuite {
     val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++
       Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array.fill[Byte](10)(1)
     Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dht ++ sof0
+  }
+
+  /** Minimal WAV: RIFF/WAVE header, a LIST chunk (must be skipped), the
+    * fmt chunk, then a data chunk of `dataLen` zero bytes. */
+  private def wavBytes(rate: Int, channels: Int, bits: Int, dataLen: Int): Array[Byte] = {
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val blockAlign = channels * bits / 8
+    val list = "LIST".getBytes(StandardCharsets.US_ASCII) ++ le32(6) ++
+      "INFOab".getBytes(StandardCharsets.US_ASCII)
+    val fmt = "fmt ".getBytes(StandardCharsets.US_ASCII) ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(rate) ++ le32(rate * blockAlign) ++
+      le16(blockAlign) ++ le16(bits)
+    val data = "data".getBytes(StandardCharsets.US_ASCII) ++ le32(dataLen) ++
+      Array.fill[Byte](dataLen)(0)
+    val body = "WAVE".getBytes(StandardCharsets.US_ASCII) ++ list ++ fmt ++ data
+    "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le32(body.length) ++ body
+  }
+
+  test("WAV fmt/data chunks parse after skipping a LIST chunk") {
+    // 44100 Hz stereo 16-bit, 400 data bytes -> 100 frames
+    assert(AudioHeaders.wavInfo(wavBytes(44100, 2, 16, 400)) ===
+      Some((44100, 2, 16, 100L)))
+    assert(AudioHeaders.wavInfo(wavBytes(8000, 1, 8, 123)) ===
+      Some((8000, 1, 8, 123L)))
+  }
+
+  test("non-WAV and truncated payloads are rejected") {
+    assert(AudioHeaders.wavInfo("RIFFnot really a wav".getBytes) === None)
+    assert(AudioHeaders.wavInfo(Array.emptyByteArray) === None)
+    assert(AudioHeaders.wavInfo(wavBytes(44100, 2, 16, 400).take(40)) === None)
+    // fmt present but no data chunk: reject (no sample count)
+    val noData = wavBytes(44100, 2, 16, 0)
+    assert(AudioHeaders.wavInfo(noData.take(noData.length - 8)) === None)
+  }
+
+  test("decodeAudio: real WAV header values, md5 stand-in otherwise") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, wavBytes(22050, 1, 16, 2000), "audio"),
+      (2L, "definitely not riff".getBytes(StandardCharsets.UTF_8), "audio"),
+      (3L, wavBytes(48000, 2, 24, 600), "video")) // wrong type tag: excluded
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.decodeAudio(spark, rows)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L).sample_rate === 22050)
+    assert(out(1L).channels === 1)
+    assert(out(1L).bits_per_sample === 16)
+    assert(out(1L).n_samples === 1000L) // 2000 bytes / blockAlign 2
+    assert(out(1L).duration_ms === 1000L * 1000L / 22050L)
+    // fallback: rate derived from checksum slice, division-safe band
+    assert(out(2L).sample_rate >= 8000 && out(2L).sample_rate < 48000)
+    assert(out(2L).duration_ms ===
+      out(2L).n_samples * 1000L / out(2L).sample_rate)
   }
 
   test("PNG IHDR dimensions parse from real header bytes") {
