@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.installOptimizations(spark)
     // share one cached scan of each base table across all queries —
     // the per-query fixed cost is otherwise dominated by re-reading the
     // same parquet files

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, SimHash16Expr, SimHashExpr, WinnowExpr}
+import graft.functions.{DotProductExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, WinnowExpr}
 
 /** SQL-surface registration for the library's native Catalyst expressions.
   *
@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_product expects exactly 2 arguments")
         DotProductExpr(args.head, args(1))
       }))
+    ext.injectFunction(unary("token_count",
+      "token_count(text) - whitespace-token count (one byte pass, no array)",
+      TokenCountExpr))
+    // plan-level rewrite: size(regexp_extract_all(x, '\S+', 0)) -> token_count
+    ext.injectOptimizerRule(_ => TokenCountRewrite)
   }
 }
 
@@ -70,5 +75,17 @@ object GraftExtensions {
       args => WinnowExpr(args.head))
     reg("dot_product", "dot_product(a, b) - fused double-array dot product",
       args => DotProductExpr(args.head, args(1)))
+    reg("token_count", "token_count(text) - whitespace-token count",
+      args => TokenCountExpr(args.head))
+    installOptimizations(spark)
+  }
+
+  /** Install the plan rewrites on an EXISTING session (the extension-config
+    * hook only applies at construction): idempotent append to
+    * experimental.extraOptimizations. */
+  def installOptimizations(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(TokenCountRewrite))
+      spark.experimental.extraOptimizations = cur :+ TokenCountRewrite
   }
 }

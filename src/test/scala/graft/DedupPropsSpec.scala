@@ -22,6 +22,22 @@ class DedupPropsSpec extends SparkSuite {
     Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
   private val doc: Gen[List[String]] = Gen.choose(5, 40).flatMap(Gen.listOfN(_, word))
 
+  test("token_count equals size(regexp_extract_all(_, '\\S+')) on adversarial text") {
+    // chars chosen to stress the boundary: every Java-regex \s member
+    // (incl. \x0B where RE2 differs), non-\s unicode whitespace (NBSP —
+    // must COUNT as token bytes), multi-byte chars, emoji (non-BMP)
+    val tricky = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+      Gen.oneOf(" ", "é", "中", "😀"))).map(_.mkString)
+    val re = """\S+""".r
+    check(Prop.forAll(tricky) { s =>
+      graft.functions.TokenCount.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) ==
+        re.findAllIn(s).size
+    })
+  }
+
   test("simhash16 is token-order independent (vote sums commute)") {
     check(Prop.forAll(doc, Gen.long) { (words, seed) =>
       val shuffled = new scala.util.Random(seed).shuffle(words)

@@ -39,6 +39,29 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(dp == 32.0)
   }
 
+  test("token-count rewrite fires on the regex pattern and values agree") {
+    import spark.implicits._
+    // literal frames constant-fold to a LocalRelation, so the plan-shape
+    // assertions use the parquet-backed corpus where the Project survives
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("n"))
+    // SparkSuite installs the rewrite: the optimized plan must carry the
+    // native expression, not the regex + array materialization
+    val opt = docs.queryExecution.optimizedPlan.toString
+    assert(opt.contains("token_count"), opt)
+    assert(!opt.contains("regexp_extract_all"), opt)
+    // end-to-end values through the rewritten path
+    val lit5 = Seq("a b  c", "", "   ", "one", "\ttabs\tand\nnewlines\r\n x")
+      .toDF("text")
+      .select(size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("n"))
+    assert(lit5.as[Int].collect().toSeq == Seq(3, 0, 0, 1, 4))
+    // group != 0 or a different pattern must NOT be rewritten
+    val other = graft.core.Tables.documents(spark, sf)
+      .select(size(regexp_extract_all(col("text"), lit("""\w+"""), lit(0))).as("n"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("token_count"))
+  }
+
   test("a fresh session built with the extension class resolves the functions") {
     // same SparkContext, new session with injected extensions (the static
     // spark.sql.extensions conf only applies when the context is built, so

@@ -21,6 +21,7 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftExtensions.installOptimizations(s)
     s
   }
 }
