@@ -141,6 +141,44 @@ object Multimodal {
     }
   }
 
+  case class VideoFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      checksum: String,
+      timescale: Int,
+      duration_ticks: Long,
+      duration_ms: Long)
+
+  /** Video feature decoder: REAL container parse for MP4/ISO-BMFF
+    * payloads ([[VideoHeaders.mp4Info]] — movie timescale and duration
+    * straight from the moov/mvhd box, no codec dependency); other
+    * payloads get the md5-derived stand-in (timescale in 600..90599 —
+    * the conventional mvhd range — so the duration arithmetic never
+    * divides by zero), which is what the oracle-gated `q_mm_video` pins
+    * on the text-byte corpus. */
+  def decodeVideo(spark: SparkSession, media: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "video").as[MediaRecord].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5") // per-partition "codec"
+      it.map { r =>
+        val digest = md.digest(r.payload)
+        md.reset()
+        val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+        val (scale, ticks) = VideoHeaders.mp4Info(r.payload).getOrElse {
+          (600 + Integer.parseInt(hex.substring(4, 8), 16) % 90000,
+            r.payload.length.toLong)
+        }
+        VideoFeatures(
+          doc_id = r.doc_id,
+          byte_len = r.payload.length.toLong,
+          checksum = hex,
+          timescale = scale,
+          duration_ticks = ticks,
+          duration_ms = ticks * 1000L / scale)
+      }
+    }
+  }
+
   /** Feature decoder. Dimensions come from a REAL header parse when the
     * payload is PNG or JPEG ([[ImageHeaders.dims]]); other formats fall
     * back to the deterministic md5-derived pseudo-decode (documented
@@ -293,5 +331,63 @@ object AudioHeaders {
     if (rate > 0 && channels > 0 && blockAlign > 0 && dataBytes >= 0)
       Some((rate, channels, bits, dataBytes / blockAlign))
     else None
+  }
+}
+
+/** Pure-JVM MP4 (ISO base media) header decoding: top-level box walk
+  * ([size:4 BE][type:4 ASCII]; size 1 = 64-bit largesize follows, size 0
+  * = to end of file) to the `moov` box, then its children to `mvhd`
+  * (a FullBox: version+flags, then — v0 — ctime(4) mtime(4) timescale(4)
+  * duration(4), or — v1 — 8/8/4/8). */
+object VideoHeaders {
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk sibling boxes in [from, until) for `boxType`; returns the
+    * payload offset and end, or None. */
+  private def findBox(b: Array[Byte], from: Int, until: Int,
+                      boxType: String): Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= until) {
+      val size0 = be32(b, i)
+      val tpe = tag(b, i + 4)
+      val (payload, size) =
+        if (size0 == 1L && i + 16 <= until) (i + 16, be64(b, i + 8))
+        else if (size0 == 0L) (i + 8, (until - i).toLong)
+        else (i + 8, size0)
+      if (size < 8 || i.toLong + size > until) return None // corrupt size
+      if (tpe == boxType) return Some((payload, (i + size).toInt))
+      i = (i + size).toInt
+    }
+    None
+  }
+
+  /** (timescale, duration_ticks) from the moov/mvhd box, or None. */
+  def mp4Info(b: Array[Byte]): Option[(Int, Long)] = {
+    // sanity: a real MP4 starts with a box whose type is printable ASCII
+    // (conventionally ftyp); random text bytes fail the size walk below
+    for {
+      (moovStart, moovEnd) <- findBox(b, 0, b.length, "moov")
+      (mvhd, _) <- findBox(b, moovStart, moovEnd, "mvhd")
+      if mvhd + 4 <= b.length
+      version = b(mvhd) & 0xff
+      info <- version match {
+        case 0 if mvhd + 20 <= b.length =>
+          Some((be32(b, mvhd + 12).toInt, be32(b, mvhd + 16)))
+        case 1 if mvhd + 32 <= b.length =>
+          Some((be32(b, mvhd + 20).toInt, be64(b, mvhd + 24)))
+        case _ => None
+      }
+      if info._1 > 0 && info._2 >= 0
+    } yield info
   }
 }

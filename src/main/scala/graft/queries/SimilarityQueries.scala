@@ -109,6 +109,15 @@ object SimilarityQueries extends QueryGroup {
       .toDF()
       .orderBy("doc_id")
 
+  /** Video container decode over video-typed payloads: real MP4 mvhd
+    * parse where the bytes are ISO-BMFF, md5-derived stand-in otherwise
+    * (the text corpus is all stand-in — what the oracle replays; real
+    * MP4 parsing is pinned by MultimodalSpec fixture bytes). */
+  private def mmVideo(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideo(s, Multimodal.asMedia(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
   /** Frame sampling over video payloads: per-frame rows fan out AFTER
     * partition-wise feature extraction, so media bytes are never
     * duplicated per frame (see [[Multimodal.sampleFrames]]). */
@@ -181,6 +190,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_features" -> mmFeatures,
     "q_mm_frames" -> mmFrames,
     "q_mm_audio" -> mmAudio,
+    "q_mm_video" -> mmVideo,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -291,6 +301,23 @@ object SimilarityQueries extends QueryGroup {
         |  CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
         |  CAST(byte_len AS BIGINT) AS n_samples,
         |  CAST(byte_len * 1000 // sample_rate AS BIGINT) AS duration_ms
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // video = doc_id % 3 = 2; text bytes never walk as ISO-BMFF boxes, so
+    // every row takes the md5 stand-in: timescale in the conventional
+    // mvhd band 600..90599 (division-safe), ticks = byte length
+    "q_mm_video" ->
+      """WITH v AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, byte_len, checksum,
+        |    600 + CAST(('0x' || substr(checksum, 5, 4)) AS INTEGER) % 90000 AS timescale
+        |  FROM v)
+        |SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len, checksum,
+        |  CAST(timescale AS INTEGER) AS timescale,
+        |  CAST(byte_len AS BIGINT) AS duration_ticks,
+        |  CAST(byte_len * 1000 // timescale AS BIGINT) AS duration_ms
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_mm_features" ->

@@ -3,7 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioHeaders, ImageHeaders, Multimodal}
+import graft.ops.{AudioHeaders, ImageHeaders, Multimodal, VideoHeaders}
 
 /** Real image-header decode (PNG IHDR / JPEG SOF) on hand-built fixture
   * bytes, plus the decodeFeatures fallback contract: parseable payloads
@@ -55,6 +55,54 @@ class MultimodalSpec extends SparkSuite {
       Array.fill[Byte](dataLen)(0)
     val body = "WAVE".getBytes(StandardCharsets.US_ASCII) ++ list ++ fmt ++ data
     "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le32(body.length) ++ body
+  }
+
+  /** Minimal MP4: ftyp box, then moov containing a decoy udta box and the
+    * mvhd FullBox (v0 or v1) with the given timescale/duration. */
+  private def mp4Bytes(timescale: Int, duration: Long, v1: Boolean): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes(StandardCharsets.US_ASCII) ++ payload
+    val ftyp = box("ftyp", "isom0000".getBytes(StandardCharsets.US_ASCII))
+    val udta = box("udta", Array.fill[Byte](5)(7)) // decoy sibling to skip
+    val mvhdPayload =
+      if (v1) Array[Byte](1, 0, 0, 0) ++ be64(1L) ++ be64(2L) ++
+        be32(timescale) ++ be64(duration) ++ Array.fill[Byte](80)(0)
+      else Array[Byte](0, 0, 0, 0) ++ be32(1L) ++ be32(2L) ++
+        be32(timescale) ++ be32(duration) ++ Array.fill[Byte](80)(0)
+    ftyp ++ box("moov", udta ++ box("mvhd", mvhdPayload))
+  }
+
+  test("MP4 mvhd timescale/duration parse for v0 and v1 boxes") {
+    assert(VideoHeaders.mp4Info(mp4Bytes(90000, 2700000L, v1 = false)) ===
+      Some((90000, 2700000L)))
+    assert(VideoHeaders.mp4Info(mp4Bytes(600, 3600L, v1 = true)) ===
+      Some((600, 3600L)))
+  }
+
+  test("non-MP4 and truncated payloads are rejected by the box walk") {
+    assert(VideoHeaders.mp4Info("just some text bytes here".getBytes) === None)
+    assert(VideoHeaders.mp4Info(Array.emptyByteArray) === None)
+    val good = mp4Bytes(90000, 2700000L, v1 = false)
+    assert(VideoHeaders.mp4Info(good.take(good.length - 60)) === None) // cut mvhd
+  }
+
+  test("decodeVideo: real mvhd values, md5 stand-in otherwise") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, mp4Bytes(30000, 900000L, v1 = false), "video"),
+      (2L, "not an mp4 container".getBytes(StandardCharsets.UTF_8), "video"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.decodeVideo(spark, rows)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).timescale === 30000)
+    assert(out(1L).duration_ticks === 900000L)
+    assert(out(1L).duration_ms === 30000L) // 900000 ticks / 30000 Hz = 30s
+    assert(out(2L).timescale >= 600 && out(2L).timescale < 90600)
+    assert(out(2L).duration_ms ===
+      out(2L).duration_ticks * 1000L / out(2L).timescale)
   }
 
   test("WAV fmt/data chunks parse after skipping a LIST chunk") {
