@@ -207,7 +207,27 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-training merge candidates (the distributed core of a BPE
+    * step): count ADJACENT token pairs across the corpus and rank the
+    * top 20 with a deterministic tiebreak. Shape at scale: one narrow
+    * bigram explode (array transform, no self-join), one pair-count
+    * shuffle with map-side partial aggregation absorbing the Zipf head,
+    * and a TakeOrdered top-k — no global sort of the pair space. */
+  private def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .filter(size(col("w")) >= 2)
+    toks.select(explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+        concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> bpePairs,
     "q_quality_prune" -> qualityPrune,
     "q_word_rarity" -> wordRarity,
     "q_text_repetition" -> repetition,
@@ -222,6 +242,15 @@ object TextQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |w2 AS (SELECT words FROM w WHERE len(words) >= 2),
+        |idx AS (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i FROM w2),
+        |p AS (SELECT words[i] || ' ' || words[i+1] AS pair FROM idx)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     // same score formula as q_text_quality; threshold = quantile_cont
     // (the proven percentile() pairing) over the whole corpus
     "q_quality_prune" ->
