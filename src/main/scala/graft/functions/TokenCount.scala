@@ -52,7 +52,10 @@ object TokenCount {
       TokenCountExpr(org.apache.spark.sql.graftshim.ColumnInterop.expression(c)))
 }
 
-case class TokenCountExpr(child: Expression) extends UnaryExpression {
+// StringUnaryInputCast: non-string args are cast (or rejected) at ANALYSIS
+// time instead of failing inside generated code at runtime
+case class TokenCountExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftshim.StringUnaryInputCast {
   override def prettyName: String = "token_count"
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =

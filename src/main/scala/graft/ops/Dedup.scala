@@ -210,6 +210,33 @@ object Dedup {
       // eager = false: the convergence-count action below materializes
       // the checkpoint, so each round costs ONE job, not two
       if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    // Reliable-mode checkpoint hygiene: Spark never deletes superseded
+    // checkpoint data on its own (cleanCheckpoints defaults to false), so a
+    // long CC run would leak one full label-frame copy per round on durable
+    // storage. Track the rdd-* dirs THIS call creates (never touching other
+    // checkpoint users') and delete a round's dirs once a later round has
+    // materialized; only the final round's data — which the returned frame
+    // reads — survives the loop.
+    val sc = pairs.sparkSession.sparkContext
+    val cpRoot: Option[org.apache.hadoop.fs.Path] =
+      if (reliable) sc.getCheckpointDir.map(new org.apache.hadoop.fs.Path(_))
+      else None
+    def rddDirs(): Set[String] = cpRoot match {
+      case Some(p) =>
+        val fs = p.getFileSystem(sc.hadoopConfiguration)
+        if (fs.exists(p))
+          fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.startsWith("rdd-")).map(_.toString).toSet
+        else Set.empty
+      case None => Set.empty
+    }
+    def deleteDirs(dirs: Set[String]): Unit = cpRoot.foreach { p =>
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      dirs.foreach(d =>
+        try fs.delete(new org.apache.hadoop.fs.Path(d), true)
+        catch { case _: java.io.IOException => () })
+    }
+    var ourCpDirs = Set.empty[String]
     // symmetric edges PLUS a self-loop per vertex: with (v, v) present,
     // min over neighbor labels already includes v's own label, so each
     // round is ONE join + ONE aggregation — the separate keep-own-label
@@ -233,6 +260,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      val before = rddDirs()
       // the self-loop row carries each vertex's own label through the
       // join, so min(lbl) is the next label and the own-label minimum
       // (dst == src) detects change — one aggregation computes both
@@ -244,6 +272,12 @@ object Dedup {
         .select(col("src").as("id"), col("nlbl").as("lbl"),
           (col("nlbl") < col("own")).cast("long").as("chg")))
       converged = changedCount(next) == 0L
+      // `next` is now fully materialized on durable storage; every one of
+      // our checkpoints that predates this round is superseded — delete it
+      val after = rddDirs()
+      val obsolete = ourCpDirs.intersect(before)
+      ourCpDirs = ourCpDirs ++ (after -- before) -- obsolete
+      deleteDirs(obsolete)
       labels = next.select("id", "lbl")
       iter += 1
     }

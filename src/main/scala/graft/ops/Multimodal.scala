@@ -46,7 +46,10 @@ object Multimodal {
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        abs(xxhash64(col("path"))).as("doc_id"),
+        // sign-bit mask, NOT abs(): abs(Long.MinValue) wraps negative in
+        // non-ANSI mode, and downstream (media-type tagging, doc_id % 3
+        // conventions) assumes non-negative ids
+        xxhash64(col("path")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
         col("path"),
         col("content").as("payload"),
         when(lower(col("path")).rlike("\\.(png|jpe?g|gif|bmp|webp)$"), "image")

@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-stage salted sum/count of `dec` per `key`. The salt only needs to
-    * scatter rows of the same key; hashing the full row keeps it
-    * deterministic with no RNG in the plan. */
+    * scatter rows of the same key; hashing a row-unique id keeps it
+    * deterministic-in-plan with no RNG, and — unlike hashing the row's
+    * columns — spreads FULLY IDENTICAL duplicate rows (repeated log lines,
+    * the most common real skew shape) across buckets too, and never trips
+    * over un-hashable column types (MapType). The aggregate itself is
+    * salt-value-independent, so the result stays exact. */
   def saltedAgg(df: DataFrame, key: Column, dec: Column, buckets: Int): DataFrame = {
     val salted = df
-      .withColumn("__salt", pmod(hash(struct(df.columns.map(col): _*)), lit(buckets)))
+      .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(buckets)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(dec).as("partial_sum"), count(lit(1)).as("partial_n"))
     salted
@@ -45,8 +49,9 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  factor: Int): DataFrame = {
     require(factor >= 1, "factor must be >= 1")
+    // row-unique salt component: identical duplicate rows still scatter
     val bigSalted = big.withColumn("__salt",
-      pmod(hash(struct(big.columns.map(col): _*)), lit(factor)))
+      pmod(hash(monotonically_increasing_id()), lit(factor)))
     val smallRep = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     bigSalted.join(smallRep, keys :+ "__salt").drop("__salt")

@@ -280,7 +280,13 @@ object DedupQueries extends QueryGroup {
     * B=1000003 over char codes mod 2^61-1 (HUGEINT keeps the 8-term sum
     * exact); window minima via a 16-row frame; short docs (ngrams <= 16)
     * take the global min, which is the i=1 frame. */
-  private[queries] val winnowSqlPrefix: String = {
+  private[queries] val winnowSqlPrefix: String = winnowSqlPrefixWith("keep")
+
+  /** Same preamble with the df-prune CTE name parameterized: the ensemble
+    * oracle splices this after [[shingleSqlPrefix]], which already defines
+    * a `keep` CTE — the caller passes a non-colliding name instead of
+    * post-hoc string surgery on the SQL text. */
+  private[queries] def winnowSqlPrefixWith(keepCte: String): String = {
     val p = WinnowPows
     s"""WITH norm AS (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
@@ -301,8 +307,8 @@ object DedupQueries extends QueryGroup {
        |    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
        |  FROM hx),
        |raw AS (SELECT DISTINCT doc_id, fp FROM sel WHERE i <= greatest(ngrams - 15, 1)),
-       |keep AS (SELECT fp FROM raw GROUP BY fp HAVING count(*) <= $DfMax),
-       |fps AS (SELECT raw.doc_id, raw.fp FROM raw JOIN keep USING (fp))""".stripMargin
+       |$keepCte AS (SELECT fp FROM raw GROUP BY fp HAVING count(*) <= $DfMax),
+       |fps AS (SELECT raw.doc_id, raw.fp FROM raw JOIN $keepCte USING (fp))""".stripMargin
   }
 
   override def oracle: Map[String, String] = Map(
@@ -441,7 +447,7 @@ object DedupQueries extends QueryGroup {
     // overlap with CTEs renamed to avoid the `keep` collision, 64-bit
     // SimHash with s-prefixed CTEs), outer-merged with per-method flags
     "q_dedup_ensemble" -> {
-      val winnowPart = winnowSqlPrefix.stripPrefix("WITH ").replace("keep", "wkeep")
+      val winnowPart = winnowSqlPrefixWith("wkeep").stripPrefix("WITH ")
       s"""$shingleSqlPrefix,
          |jp0 AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
