@@ -72,11 +72,14 @@ object Multimodal {
       frame_checksum: String,
       brightness: Int)
 
-  /** Frame sampling for video-typed payloads: emit `n_frames` rows per
-    * video (uniform sampling is the real policy; the STUB codec derives a
-    * deterministic per-frame checksum/feature from md5(payload || idx)).
-    * The plumbing is the part that matters at scale: the explode happens
-    * AFTER feature extraction inside the partition — one codec per
+  /** Frame sampling for video-typed payloads: one row per frame. GIF
+    * payloads get a REAL frame walk ([[GifHeaders.gifInfo]] — one row per
+    * image descriptor, checksum/brightness over that frame's OWN data
+    * bytes); other formats fall back to the deterministic md5-derived
+    * stand-in (n = len%7+1 pseudo-frames hashed from payload || idx),
+    * which is what the oracle-gated `q_mm_frames` pins on the text-byte
+    * corpus. The plumbing is the part that matters at scale: the explode
+    * happens AFTER feature extraction inside the partition — one codec per
     * partition, payload bytes never duplicated per frame, and the output
     * rows carry only features, so the per-frame fan-out (x n_frames rows)
     * multiplies small rows, not media blobs. */
@@ -84,14 +87,61 @@ object Multimodal {
     import spark.implicits._
     media.filter(col("media_type") === "video").as[MediaRecord].mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5") // per-partition "codec"
+      def hexOf(bytes: Array[Byte]): String = {
+        val digest = md.digest(bytes)
+        md.reset()
+        digest.map(b => f"${b & 0xff}%02x").mkString
+      }
       it.flatMap { r =>
-        val n = (r.payload.length % 7 + 1).toInt
-        (0 until n).iterator.map { i =>
-          // ??? real frame decode goes here; stub hashes payload || idx
-          val digest = md.digest(r.payload ++ i.toString.getBytes(StandardCharsets.UTF_8))
-          md.reset()
-          val hex = digest.map(b => f"${b & 0xff}%02x").mkString
-          FrameFeature(r.doc_id, i, hex, Integer.parseInt(hex.substring(0, 2), 16))
+        GifHeaders.gifInfo(r.payload) match {
+          case Some(info) =>
+            // real path: each frame's checksum covers its own image data
+            // (LZW-min-code byte + data sub-blocks), not the whole payload
+            info.frames.iterator.zipWithIndex.map { case (f, i) =>
+              val hex = hexOf(java.util.Arrays.copyOfRange(
+                r.payload, f.dataStart, f.dataEnd))
+              FrameFeature(r.doc_id, i, hex, Integer.parseInt(hex.substring(0, 2), 16))
+            }
+          case None =>
+            val n = (r.payload.length % 7 + 1).toInt
+            (0 until n).iterator.map { i =>
+              val hex = hexOf(
+                r.payload ++ i.toString.getBytes(StandardCharsets.UTF_8))
+              FrameFeature(r.doc_id, i, hex, Integer.parseInt(hex.substring(0, 2), 16))
+            }
+        }
+      }
+    }
+  }
+
+  case class GifFrameMeta(
+      doc_id: Long,
+      frame_idx: Int,
+      n_frames: Int,
+      screen_w: Int,
+      screen_h: Int,
+      frame_left: Int,
+      frame_top: Int,
+      frame_w: Int,
+      frame_h: Int,
+      delay_cs: Int)
+
+  /** Real GIF frame-metadata decode: one row per image descriptor with the
+    * logical-screen dimensions, per-frame placement/size, and the
+    * preceding graphic-control delay. Non-GIF payloads are dropped (this
+    * is the typed decode surface; [[sampleFrames]] is the fall-back-aware
+    * one). Same partition shape as every decoder here: parse inside the
+    * partition, explode features only. */
+  def decodeGifFrames(spark: SparkSession, media: DataFrame): Dataset[GifFrameMeta] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        GifHeaders.gifInfo(r.payload).iterator.flatMap { info =>
+          info.frames.iterator.zipWithIndex.map { case (f, i) =>
+            GifFrameMeta(r.doc_id, i, info.frames.length,
+              info.width, info.height,
+              f.left, f.top, f.width, f.height, f.delayCs)
+          }
         }
       }
     }
@@ -374,7 +424,8 @@ object VideoHeaders {
     None
   }
 
-  /** (timescale, duration_ticks) from the moov/mvhd box, or None. */
+  /** (timescale, duration_ticks) from the moov/mvhd box, or None.
+    * See also [[GifHeaders]] for the GIF frame walk. */
   def mp4Info(b: Array[Byte]): Option[(Int, Long)] = {
     // sanity: a real MP4 starts with a box whose type is printable ASCII
     // (conventionally ftyp); random text bytes fail the size walk below
@@ -392,5 +443,143 @@ object VideoHeaders {
       }
       if info._1 > 0 && info._2 >= 0
     } yield info
+  }
+}
+
+/** Pure-JVM GIF (87a/89a) frame decoding: header + logical screen
+  * descriptor, then a block walk — extensions (0x21: label, then length-
+  * prefixed data sub-blocks to a 0 terminator; the 0xF9 graphic-control
+  * extension carries the next frame's delay in centiseconds), image
+  * descriptors (0x2C: left/top/width/height as LE16 + optional local
+  * color table, then the LZW-min-code byte and the image data sub-blocks),
+  * trailer (0x3B). All sizes are explicit, so frame count, per-frame
+  * geometry, delays, and each frame's own data byte-range fall out of the
+  * walk without touching the LZW bitstream. */
+object GifHeaders {
+
+  /** One image descriptor: geometry, the delay from the preceding
+    * graphic-control extension (0 if none), and the [start, end) byte
+    * range of this frame's image data (LZW-min-code byte + sub-blocks). */
+  case class GifFrame(left: Int, top: Int, width: Int, height: Int,
+                      delayCs: Int, dataStart: Int, dataEnd: Int)
+
+  /** Logical screen size + the frames in stream order. */
+  case class GifInfo(width: Int, height: Int, frames: Vector[GifFrame])
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Skip length-prefixed data sub-blocks starting at `i`; returns the
+    * offset just past the 0 terminator, or -1 on truncation. */
+  private def skipSubBlocks(b: Array[Byte], start: Int): Int = {
+    var i = start
+    while (i < b.length) {
+      val len = b(i) & 0xff
+      if (len == 0) return i + 1
+      i += 1 + len
+    }
+    -1
+  }
+
+  /** Full frame walk, or None if the payload is not a (plausible) GIF. */
+  def gifInfo(b: Array[Byte]): Option[GifInfo] = {
+    if (b.length < 13 ||
+        b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+        (b(4) != '7' && b(4) != '9') || b(5) != 'a')
+      return None
+    val screenW = le16(b, 6)
+    val screenH = le16(b, 8)
+    val packed = b(10) & 0xff
+    var i = 13
+    // global color table: 3 * 2^(N+1) bytes when the high flag bit is set
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 0x07) + 1))
+    var frames = Vector.empty[GifFrame]
+    var pendingDelay = 0
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x3b => // trailer
+          return Some(GifInfo(screenW, screenH, frames))
+        case 0x21 => // extension: label, then sub-blocks
+          if (i + 2 > b.length) return None
+          val label = b(i + 1) & 0xff
+          if (label == 0xf9 && i + 7 < b.length && (b(i + 2) & 0xff) == 4)
+            pendingDelay = le16(b, i + 4) // graphic control: delay LE16
+          i = skipSubBlocks(b, i + 2)
+          if (i < 0) return None
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val left = le16(b, i + 1)
+          val top = le16(b, i + 3)
+          val w = le16(b, i + 5)
+          val h = le16(b, i + 7)
+          val ipacked = b(i + 9) & 0xff
+          var j = i + 10
+          if ((ipacked & 0x80) != 0) j += 3 * (1 << ((ipacked & 0x07) + 1))
+          if (j >= b.length) return None
+          val dataStart = j // LZW-min-code byte + data sub-blocks
+          j = skipSubBlocks(b, j + 1)
+          if (j < 0) return None
+          frames :+= GifFrame(left, top, w, h, pendingDelay, dataStart, j)
+          pendingDelay = 0
+          i = j
+        case _ => return None // lost block sync: not a well-formed GIF
+      }
+    }
+    None // ran off the end without a trailer
+  }
+}
+
+/** Deterministic GIF fixture encoder — the ENCODING side of the
+  * `q_mm_gif` oracle gate. Writes a structurally varied, well-formed GIF
+  * whose every metadata field is a pure integer function of `docId`; the
+  * DuckDB oracle predicts those fields from the same formulas, so the row
+  * hash-matches only if [[GifHeaders.gifInfo]] walks real GIF bytes
+  * correctly (global/local color tables, comment extensions, graphic
+  * control, multi-sub-block image data are all exercised). Encoder and
+  * parser share no code — one writes structure, the other rediscovers it. */
+private[graft] object GifFixtures {
+
+  def frameCount(docId: Long): Int = (docId % 3).toInt + 1
+  def screenW(docId: Long): Int = (docId % 300).toInt + 20
+  def screenH(docId: Long): Int = (docId % 200).toInt + 20
+  def left(docId: Long, i: Int): Int = ((docId + 3 * i) % 10).toInt
+  def top(docId: Long, i: Int): Int = ((docId + 5 * i) % 8).toInt
+  def frameW(docId: Long, i: Int): Int = ((docId + 11 * i) % 64).toInt + 1
+  def frameH(docId: Long, i: Int): Int = ((docId + 7 * i) % 48).toInt + 1
+  def delayCs(docId: Long, i: Int): Int = ((docId + i) % 500).toInt
+
+  def synthGif(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    u16(screenW(docId)); u16(screenH(docId))
+    val gctN = (docId % 3).toInt // table of 2^(N+1) entries when present
+    val hasGct = docId % 2 == 0
+    u8(if (hasGct) 0x80 | gctN else 0x22) // packed (0x22: color-res bits only)
+    u8(0); u8(0) // background index, aspect
+    if (hasGct) (0 until 3 * (1 << (gctN + 1))).foreach(k => u8(k * 7))
+    if (docId % 5 == 0) { // comment extension in the stream
+      u8(0x21); u8(0xfe); u8(5)
+      out.write("graft".getBytes(StandardCharsets.US_ASCII)); u8(0)
+    }
+    (0 until frameCount(docId)).foreach { i =>
+      u8(0x21); u8(0xf9); u8(4); u8(0x04) // graphic control
+      u16(delayCs(docId, i)); u8(0); u8(0)
+      u8(0x2c) // image descriptor
+      u16(left(docId, i)); u16(top(docId, i))
+      u16(frameW(docId, i)); u16(frameH(docId, i))
+      val hasLct = i == 1 && docId % 4 == 0
+      u8(if (hasLct) 0x81 else 0x00) // local color table of 4 entries
+      if (hasLct) (0 until 12).foreach(k => u8(255 - k))
+      u8(2) // LZW minimum code size
+      // image data: two sub-blocks for even frames, one for odd — the
+      // walk must handle both shapes
+      val blocks = if (i % 2 == 0) Seq(3, 2) else Seq(4)
+      blocks.foreach { len => u8(len); (0 until len).foreach(k => u8(docId.toInt + k)) }
+      u8(0) // sub-block terminator
+    }
+    u8(0x3b) // trailer
+    out.toByteArray
   }
 }

@@ -126,6 +126,24 @@ object SimilarityQueries extends QueryGroup {
       .toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** REAL GIF frame decode under an oracle gate: every doc_id is encoded
+    * into a structurally varied well-formed GIF ([[graft.ops.GifFixtures]]
+    * — color tables, comment extensions, graphic-control delays, multi-
+    * sub-block image data, all pure integer functions of doc_id), then
+    * decoded back by the real block walk [[GifHeaders.gifInfo]]. The SQL
+    * oracle predicts the metadata from the same formulas WITHOUT parsing
+    * bytes, so a hash match proves the parser rediscovers exactly what the
+    * independent encoder wrote. */
+  private def mmGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.GifFixtures.synthGif(id), "image"))
+      .toDF()
+    Multimodal.decodeGifFrames(s, media).toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** Symmetric int8 quantization of the embedding column (the compression
     * step before shipping vectors to an ANN index): per-vector scale =
     * amax/127, q_i = floor(v_i/scale + 0.5) — exact integer round-trip
@@ -189,6 +207,7 @@ object SimilarityQueries extends QueryGroup {
     "q_sim_ivf" -> ivf,
     "q_mm_features" -> mmFeatures,
     "q_mm_frames" -> mmFrames,
+    "q_mm_gif" -> mmGif,
     "q_mm_audio" -> mmAudio,
     "q_mm_video" -> mmVideo,
   )
@@ -269,6 +288,25 @@ object SimilarityQueries extends QueryGroup {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // every doc becomes a synthetic GIF whose metadata is a pure integer
+    // function of doc_id (GifFixtures formulas, replayed here); the Spark
+    // side gets those values by PARSING the encoded bytes with the real
+    // block walk — agreement pins the decode path end to end
+    "q_mm_gif" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nf FROM documents),
+        |f AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS i FROM d)
+        |SELECT doc_id,
+        |  CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(doc_id % 300 + 20 AS INTEGER) AS screen_w,
+        |  CAST(doc_id % 200 + 20 AS INTEGER) AS screen_h,
+        |  CAST((doc_id + 3 * i) % 10 AS INTEGER) AS frame_left,
+        |  CAST((doc_id + 5 * i) % 8 AS INTEGER) AS frame_top,
+        |  CAST((doc_id + 11 * i) % 64 + 1 AS INTEGER) AS frame_w,
+        |  CAST((doc_id + 7 * i) % 48 + 1 AS INTEGER) AS frame_h,
+        |  CAST((doc_id + i) % 500 AS INTEGER) AS delay_cs
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // videos = doc_id % 3 = 2 (asMedia's type tag); stub frame checksum =
     // md5(payload || frame_idx digits), identical byte-wise in both engines
