@@ -85,46 +85,52 @@ object Similarity {
     * list sizes are balanced by the data distribution and probe cost is
     * centroids + probed lists, not the corpus.
     *
-    * Centroids are computed once on the driver from a sample (here: the
-    * full set at test scale; at 100 TB a bounded `limit` sample) and
-    * broadcast as literals, so assignment is a narrow map. */
+    * The Lloyd refinement is DISTRIBUTED: each iteration assigns every
+    * corpus vector to its nearest centroid with the fused-dot argmin (a
+    * narrow map over the persisted norm frame) and re-centers via
+    * posexplode -> groupBy(list, dimension) -> sum/count — map-side
+    * partial aggregation collapses each partition to at most
+    * nCentroids x dim partial rows, so the shuffle is tiny no matter the
+    * corpus size, and only the nCentroids x dim result ever reaches the
+    * driver. Sums accumulate in DECIMAL (exact, order-independent), so
+    * the trained centroids are bit-deterministic across partition layouts
+    * — no RNG, no float reduction order anywhere. Training runs over the
+    * FULL corpus, which is the 100 TB formulation (the former bounded
+    * 4096-sample driver loop trained on a sample only). */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nCentroids: Int,
               nProbe: Int, iterations: Int = 5, listSalt: Int = 1): DataFrame = {
     val n = graft.core.SharedFrames.register(withNorm(emb))
-    // bounded training sample, ordered by a hash key before the limit so
-    // the sampled set is identical across cluster partition layouts
-    val sample = n.select(col("vec_id"), col("v"))
+    // deterministic init: the nCentroids vectors whose md5 keys sort first
+    var centroids = n.select(col("vec_id"), col("v"))
       .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
-      .limit(4096).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(sample.nonEmpty)
-    val dim = sample.head._2.length
-    // deterministic init: the sample is already in md5 order, take first k
-    var centroids = sample.take(nCentroids).map(_._2)
-    def nearest(vec: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < dim) { val t = vec(i) - cs(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+      .limit(nCentroids).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "ivfTopK: empty embedding corpus")
+    val dim = centroids.head.length
     var it = 0
     while (it < iterations) {
-      val sums = Array.fill(nCentroids)(new Array[Double](dim))
-      val counts = new Array[Long](nCentroids)
-      sample.foreach { case (_, vec) =>
-        val c = nearest(vec, centroids)
-        var i = 0
-        while (i < dim) { sums(c)(i) += vec(i); i += 1 }
-        counts(c) += 1
+      val cs = centroids
+      val centroidsLit = typedlit(cs.map(_.toSeq).toSeq)
+      val cNormSq = cs.map(c => c.map(x => x * x).sum)
+      // argmin over |v-c|^2 = |v|^2 - 2 v.c + |c|^2 (|v|^2 constant per
+      // row): an O(k) fold keeping the smaller-d struct — ties keep the
+      // earlier (smaller-c) centroid because the fold is left-to-right
+      val best = (0 until cs.length).map { c =>
+        struct((lit(cNormSq(c)) - lit(2.0) * dot(col("v"), element_at(centroidsLit, c + 1)))
+          .as("d"), lit(c).as("c"))
+      }.reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+      val parts = n
+        .withColumn("list_id", best.getField("c"))
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos")
+        .agg(sum(col("x").cast("decimal(30,18)")).as("sx"), count(lit(1)).as("cnt"))
+        .collect() // bounded: nCentroids x dim rows
+      val next = cs.map(_.clone())
+      parts.foreach { r =>
+        val c = r.getInt(0); val pos = r.getInt(1)
+        next(c)(pos) = r.getDecimal(2).doubleValue() / r.getLong(3)
       }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }.toArray
+      centroids = next // lists with no members keep their old centroid
       it += 1
     }
     ivfSearch(n, isQuery, k, centroids, nProbe, listSalt)
