@@ -287,24 +287,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Banded 64-bit SimHash fingerprint index: (doc_id, sh, b1..b4). This
+    * is the frame a production pipeline PERSISTS as its corpus index —
+    * each arriving batch fingerprints itself and joins the index per band
+    * (see [[incrementalSimhashPairs]]); the full self-join detectors build
+    * it on the fly. Token-less docs (empty/whitespace-only text) get
+    * fingerprint 0 and would all pair with each other at hamming 0 —
+    * meaningless matches a SQL replay also can't see (its token CTE drops
+    * such docs); excluded up front. */
+  def simhashIndex(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(normText(col("text"))) > 0)
+      .select(col("doc_id"),
+        SimHash.simhash(normText(col("text"))).as("sh"))
+      .withColumn("b1", col("sh").bitwiseAND(lit(0xffffL)))
+      .withColumn("b2", shiftrightunsigned(col("sh"), 16).bitwiseAND(lit(0xffffL)))
+      .withColumn("b3", shiftrightunsigned(col("sh"), 32).bitwiseAND(lit(0xffffL)))
+      .withColumn("b4", shiftrightunsigned(col("sh"), 48).bitwiseAND(lit(0xffffL)))
+
   /** SimHash near-dup candidates: 4x16-bit bands of the 64-bit fingerprint
     * as bucket keys, hamming distance <= `maxHamming` verify. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "4x16-bit banding is exhaustive only for hamming <= 3")
-    // token-less docs (empty/whitespace-only text) get fingerprint 0 and
-    // would all pair with each other at hamming 0 — meaningless matches a
-    // SQL replay also can't see (its token CTE drops such docs); exclude
-    // them up front
-    val withSh = docs
-      .filter(length(normText(col("text"))) > 0)
-      .select(col("doc_id"),
-        SimHash.simhash(normText(col("text"))).as("sh"))
-    val banded = SharedFrames.register(withSh
-      .withColumn("b1", col("sh").bitwiseAND(lit(0xffffL)))
-      .withColumn("b2", shiftrightunsigned(col("sh"), 16).bitwiseAND(lit(0xffffL)))
-      .withColumn("b3", shiftrightunsigned(col("sh"), 32).bitwiseAND(lit(0xffffL)))
-      .withColumn("b4", shiftrightunsigned(col("sh"), 48).bitwiseAND(lit(0xffffL))))
+    val banded = SharedFrames.register(simhashIndex(docs))
     val cands = (1 to 4).map { b =>
       val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col(s"b$b").as("bk"))
       val c = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col(s"b$b").as("bk"))
@@ -314,6 +320,41 @@ object Dedup {
     cands
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental SimHash64 near-dup detection: the pairs a NEW batch
+    * introduces against a persisted banded fingerprint index
+    * ([[simhashIndex]]) — batch-vs-corpus plus batch-vs-batch per band,
+    * never corpus x corpus. The production shape at scale: per-batch cost
+    * is O(batch x band collision rate) against the index, and the result
+    * equals the full self-join restricted to batch-touching pairs
+    * (fingerprints are per-doc, so the restriction is exact — law-tested
+    * in DedupSpec, oracle-gated via `q_dedup_incr_simhash`). Pair ids are
+    * oriented (least, greatest) to match the self-join's `id_a < id_b`. */
+  def incrementalSimhashPairs(idxOld: DataFrame, idxNew: DataFrame,
+                              maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding is exhaustive only for hamming <= 3")
+    val cands = (1 to 4).map { b =>
+      val nn = idxNew.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col(s"b$b").as("bk"))
+        .join(idxNew.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col(s"b$b").as("bk")),
+          Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+      val no = idxOld.select(col("doc_id").as("id_o"), col("sh").as("sh_o"), col(s"b$b").as("bk"))
+        .join(idxNew.select(col("doc_id").as("id_n"), col("sh").as("sh_n"), col(s"b$b").as("bk")),
+          Seq("bk"))
+        .select(
+          least(col("id_o"), col("id_n")).as("id_a"),
+          greatest(col("id_o"), col("id_n")).as("id_b"),
+          when(col("id_o") < col("id_n"), col("sh_o")).otherwise(col("sh_n")).as("sh_a"),
+          when(col("id_o") < col("id_n"), col("sh_n")).otherwise(col("sh_o")).as("sh_b"))
+      nn.unionByName(no)
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** 16-bit portable SimHash near-dup pairs: fingerprint = sign vector of

@@ -215,6 +215,21 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental SimHash64: same batch split as q_dedup_incremental
+    * (doc_id % 10 = 9 plays the arriving batch), but against the PERSISTED
+    * banded fingerprint index — batch-vs-index band joins only. The oracle
+    * computes the FULL 64-bit pair set and restricts it to batch-touching
+    * pairs, proving the incremental plan loses nothing; this completes the
+    * incremental story for the production (64-bit) detector. */
+  private def incrSimhash(s: SparkSession, dir: String): DataFrame = {
+    val idx = SharedFrames.register(
+      Dedup.simhashIndex(Tables.documents(s, dir)))
+    val isNew = col("doc_id") % 10 === 9
+    Dedup.incrementalSimhashPairs(idx.filter(!isNew), idx.filter(isNew), 3)
+      .withColumn("hamming", col("hamming").cast("int"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Canonical selection per near-dup cluster: the kept representative is
     * the highest-QUALITY member (longest text, doc_id tiebreak), not
     * merely the smallest id — the policy real corpus curation uses. One
@@ -254,6 +269,7 @@ object DedupQueries extends QueryGroup {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_canonical" -> canonical,
     "q_dedup_incremental" -> incremental,
+    "q_dedup_incr_simhash" -> incrSimhash,
     "q_dedup_winnow" -> winnowPairs,
     "q_dedup_exact" -> exact,
     "q_dedup_jaccard" -> jaccard,
@@ -280,6 +296,42 @@ object DedupQueries extends QueryGroup {
     * B=1000003 over char codes mod 2^61-1 (HUGEINT keeps the 8-term sum
     * exact); window minima via a 16-row frame; short docs (ngrams <= 16)
     * take the global min, which is the i=1 frame. */
+  /** Shared oracle preamble ending in the brute-force 64-bit SimHash
+    * `pairs(id_a, id_b, hamming)` CTE — consumed by q_dedup_simhash64
+    * (full set) and q_dedup_incr_simhash (batch-restricted). */
+  private val simhash64SqlPrefix: String =
+    """WITH norm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+      |th AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) AS c0,
+      |    CAST(('0x' || substr(md5(w), 5, 4)) AS INTEGER) AS c1,
+      |    CAST(('0x' || substr(md5(w), 9, 4)) AS INTEGER) AS c2,
+      |    CAST(('0x' || substr(md5(w), 13, 4)) AS INTEGER) AS c3
+      |  FROM toks WHERE w <> ''),
+      |votes AS (
+      |  SELECT doc_id, b.bit,
+      |    sum(CASE WHEN (
+      |      (CASE WHEN b.bit < 16 THEN c3
+      |            WHEN b.bit < 32 THEN c2
+      |            WHEN b.bit < 48 THEN c1
+      |            ELSE c0 END) >> (b.bit % 16)) & 1 = 1
+      |      THEN 1 ELSE -1 END) AS vote
+      |  FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+      |  GROUP BY 1, 2),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 AND bit < 16 THEN 1 << bit ELSE 0 END) AS INTEGER) AS b1,
+      |    CAST(sum(CASE WHEN vote > 0 AND bit >= 16 AND bit < 32 THEN 1 << (bit - 16) ELSE 0 END) AS INTEGER) AS b2,
+      |    CAST(sum(CASE WHEN vote > 0 AND bit >= 32 AND bit < 48 THEN 1 << (bit - 32) ELSE 0 END) AS INTEGER) AS b3,
+      |    CAST(sum(CASE WHEN vote > 0 AND bit >= 48 THEN 1 << (bit - 48) ELSE 0 END) AS INTEGER) AS b4
+      |  FROM votes GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.b1, b.b1)) + bit_count(xor(a.b2, b.b2))
+      |       + bit_count(xor(a.b3, b.b3)) + bit_count(xor(a.b4, b.b4)) AS INTEGER) AS hamming
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)""".stripMargin
+
   private[queries] val winnowSqlPrefix: String = winnowSqlPrefixWith("keep")
 
   /** Same preamble with the df-prune CTE name parameterized: the ensemble
@@ -409,39 +461,18 @@ object DedupQueries extends QueryGroup {
     // any 64-bit sign hazards. Brute-force self-join == the 4x16-bit
     // banded Spark plan for hamming <= 3 (pigeonhole).
     "q_dedup_simhash64" ->
-      """WITH norm AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
-        |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
-        |th AS (SELECT doc_id,
-        |    CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) AS c0,
-        |    CAST(('0x' || substr(md5(w), 5, 4)) AS INTEGER) AS c1,
-        |    CAST(('0x' || substr(md5(w), 9, 4)) AS INTEGER) AS c2,
-        |    CAST(('0x' || substr(md5(w), 13, 4)) AS INTEGER) AS c3
-        |  FROM toks WHERE w <> ''),
-        |votes AS (
-        |  SELECT doc_id, b.bit,
-        |    sum(CASE WHEN (
-        |      (CASE WHEN b.bit < 16 THEN c3
-        |            WHEN b.bit < 32 THEN c2
-        |            WHEN b.bit < 48 THEN c1
-        |            ELSE c0 END) >> (b.bit % 16)) & 1 = 1
-        |      THEN 1 ELSE -1 END) AS vote
-        |  FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
-        |  GROUP BY 1, 2),
-        |fp AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN vote > 0 AND bit < 16 THEN 1 << bit ELSE 0 END) AS INTEGER) AS b1,
-        |    CAST(sum(CASE WHEN vote > 0 AND bit >= 16 AND bit < 32 THEN 1 << (bit - 16) ELSE 0 END) AS INTEGER) AS b2,
-        |    CAST(sum(CASE WHEN vote > 0 AND bit >= 32 AND bit < 48 THEN 1 << (bit - 32) ELSE 0 END) AS INTEGER) AS b3,
-        |    CAST(sum(CASE WHEN vote > 0 AND bit >= 48 THEN 1 << (bit - 48) ELSE 0 END) AS INTEGER) AS b4
-        |  FROM votes GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(bit_count(xor(a.b1, b.b1)) + bit_count(xor(a.b2, b.b2))
-        |       + bit_count(xor(a.b3, b.b3)) + bit_count(xor(a.b4, b.b4)) AS INTEGER) AS hamming
-        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""$simhash64SqlPrefix
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the FULL 64-bit pair set restricted to pairs touching the batch
+    // (doc_id % 10 = 9) — equality with the batch-vs-index incremental
+    // plan proves it loses nothing
+    "q_dedup_incr_simhash" ->
+      s"""$simhash64SqlPrefix
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 3 AND (id_a % 10 = 9 OR id_b % 10 = 9)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // the three detector pipelines verbatim (shingle-Jaccard, winnow
     // overlap with CTEs renamed to avoid the `keep` collision, 64-bit

@@ -115,6 +115,24 @@ class DedupSpec extends SparkSuite {
       s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
   }
 
+  test("incremental simhash == full simhash restricted to batch-touching (law)") {
+    val docs = core.Tables.documents(spark, sf)
+    val idx = Dedup.simhashIndex(docs)
+    val isNew = col("doc_id") % 10 === 9
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b")),
+        r.getAs[Number](r.fieldIndex("hamming")).longValue)
+    val incr = Dedup.incrementalSimhashPairs(idx.filter(!isNew), idx.filter(isNew), 3)
+      .collect().map(key).toSet
+    val full = Dedup.simhashPairs(docs, 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .filter(col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
+      .collect().map(key).toSet
+    assert(incr == full, s"incremental simhash lost or invented pairs: " +
+      s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
+    graft.core.SharedFrames.clear()
+  }
+
   test("connected components of an empty pair frame is empty (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
