@@ -131,6 +131,28 @@ object EventsQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
       .orderBy("k_mod")
 
+  /** Batch twin of the watermarked stream-stream interval join
+    * ([[graft.streaming.EventStream.intervalJoin]]): for every view, the
+    * clicks by the same user within 30 minutes after it. The join
+    * comparison runs on epoch-microsecond integers so both engines (and
+    * the streaming version) agree exactly; the equi-key is user_id, so at
+    * scale this is one co-partitioned shuffle with the interval predicate
+    * applied post-join, not a range join. */
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("view_ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_ts_us"))
+    views.join(clicks, Seq("user_id"))
+      .filter(col("click_ts_us") >= col("view_ts_us") &&
+        col("click_ts_us") <= col("view_ts_us") + lit(1800L * 1000000L))
+      .select("user_id", "view_id", "click_id", "view_ts_us", "click_ts_us")
+      .orderBy("view_id", "click_id")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "events_parsed_props" -> sharedParsed,
   )
@@ -143,6 +165,7 @@ object EventsQueries extends QueryGroup {
     "q_events_funnel" -> userFunnel,
     "q_sessionize" -> sessionize,
     "q_session_window" -> sessionWindow,
+    "q_stream_join" -> streamJoin,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -178,6 +201,18 @@ object EventsQueries extends QueryGroup {
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
         |  epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_ts_us
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, view_id, click_id, view_ts_us, click_ts_us
+        |FROM v JOIN c USING (user_id)
+        |WHERE click_ts_us BETWEEN view_ts_us AND view_ts_us + 1800 * 1000000
+        |ORDER BY view_id, click_id""".stripMargin,
 
     // session_window parity: interval ends are exclusive, so an event
     // arriving at EXACTLY prev_ts + gap starts a new session (>=, where

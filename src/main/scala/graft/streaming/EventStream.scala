@@ -56,6 +56,37 @@ object EventStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream interval join: for every view, the clicks
+    * by the same user within `[view_ts, view_ts + joinWindow]`. Both
+    * sides carry event-time watermarks and the join condition bounds
+    * click_ts relative to view_ts, so the state store can EVICT: a
+    * buffered view expires once the click-side watermark passes
+    * view_ts + joinWindow, a buffered click once the view-side watermark
+    * passes click_ts — bounded state on an unbounded stream, which is
+    * what makes a stream-stream join survive at ingest scale (an
+    * unconstrained join would buffer both streams forever). Output
+    * matches the batch twin `q_stream_join` exactly (asserted in
+    * StreamingSpec); timestamps are emitted as epoch-microsecond BIGINTs
+    * per the cross-engine convention. */
+  def intervalJoin(events: DataFrame, joinWindow: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_ts")).as("view_ts_us"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+  }
+
   /** Run a streaming aggregation to a memory sink, synchronously, and
     * return the materialized result. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,

@@ -37,6 +37,62 @@ class StreamingSpec extends SparkSuite {
     assert(typed == batch)
   }
 
+  test("stream-stream interval join equals the batch twin query") {
+    val tmp = Files.createTempDirectory("graftsj").toFile.getAbsolutePath
+    val joined = EventStream.intervalJoin(EventStream.source(spark, sf))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sj_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("view_id")), r.getLong(r.fieldIndex("click_id")),
+        r.getLong(r.fieldIndex("view_ts_us")), r.getLong(r.fieldIndex("click_ts_us")))
+    val got = spark.table("sj_out").collect().map(key).toSet
+    val exp = EventsQueries.queries("q_stream_join")(spark, sf).collect().map(key).toSet
+    assert(exp.nonEmpty)
+    assert(got == exp, s"stream join diverged: missing=${(exp -- got).take(3)} " +
+      s"extra=${(got -- exp).take(3)}")
+  }
+
+  test("stream-stream join state evicts buffered rows past the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (epoch sec, event_id, user, type) through the same intervalJoin shape
+    val src = MemoryStream[(Long, Long, Long, String)]
+    val events = src.toDF().toDF("sec", "event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val joined = EventStream.intervalJoin(events,
+      joinWindow = "30 seconds", watermark = "10 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sj_evict").start()
+    try {
+      // view at t=100; matching click at t=120 (inside the 30s window);
+      // times start away from epoch 0 — the initial watermark is 0 and an
+      // event AT exactly 0 falls on the late-filter boundary
+      src.addData((100L, 1L, 7L, "view"), (120L, 2L, 7L, "click"))
+      q.processAllAvailable()
+      // advance both watermarks far past 100+30+10: the view's state expires
+      src.addData((500L, 3L, 7L, "view"), (500L, 4L, 7L, "click"))
+      q.processAllAvailable()
+      // a click that WOULD match the expired view must not join
+      src.addData((125L, 5L, 7L, "click"))
+      q.processAllAvailable()
+      val pairs = spark.table("sj_evict").collect()
+        .map(r => (r.getLong(r.fieldIndex("view_id")),
+          r.getLong(r.fieldIndex("click_id")))).toSet
+      assert(pairs.contains((1L, 2L)), s"in-window pair missing: $pairs")
+      assert(pairs.contains((3L, 4L)), s"same-instant pair missing: $pairs")
+      assert(!pairs.contains((1L, 5L)),
+        s"join used state that should have been evicted: $pairs")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
