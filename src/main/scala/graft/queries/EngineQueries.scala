@@ -71,12 +71,204 @@ object EngineQueries extends QueryGroup {
       .orderBy("entity_id")
   }
 
+  /** The FULL scoring lifecycle as one composed query, replaying the
+    * reference's v5 pipeline shape (`..._ipeds_v5.py:1599-1647`): panel ->
+    * usable-year fallback (latest year with >= 2 orders, else latest —
+    * the target-else-latest selection) -> fill injection (negative
+    * balances treated as missing and filled from the nation-level average,
+    * the 990-fill analog) -> likely-closed gate (2+ years inactive) ->
+    * score with cliff multiplier and revenue-collapse floor -> integrate
+    * into the full customer master -> category distribution. Every stage
+    * already has its own oracle row; this row pins the COMPOSITION, so a
+    * drift in any stage's interface breaks a hash, not just a unit test.
+    * Distribution stats use count/min/max only (exact selections — no
+    * float accumulation ordering in the output). */
+  private def lifecycleE2E(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 1. panel (session-shared aggregate-then-window subtree)
+    val panel = Panel.sharedCustCagrPanel(s, dir)
+    // 2. usable-year fallback selection
+    val usable = col("n_orders") >= 2
+    val sel = Window.partitionBy("entity_id")
+      .orderBy(when(usable, 0).otherwise(1).asc, col("year").desc)
+    val selected = panel
+      .withColumn("was_usable", usable)
+      .withColumn("rn", row_number().over(sel))
+      .filter(col("rn") === 1).drop("rn")
+    // 3. fill injection from a coarser source (broadcast: 25 nations)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+    val nationFill = cust.filter(col("c_acctbal") >= 0)
+      .groupBy("c_nationkey")
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("nation_avg"))
+    val filled = selected
+      .join(cust, col("entity_id") === col("c_custkey"))
+      .join(broadcast(nationFill), Seq("c_nationkey"), "left")
+      .withColumn("fill_source",
+        when(col("c_acctbal") < 0, "nation").otherwise("master"))
+      .withColumn("c_acctbal",
+        when(col("c_acctbal") < 0, col("nation_avg")).otherwise(col("c_acctbal")))
+    // 4. likely-closed gate flags
+    val maxy = Tables.orders(s, dir).agg(max(year(col("o_orderdate"))).as("maxy"))
+    val withFlags = filled.crossJoin(broadcast(maxy))
+      .withColumn("inactive", col("year") <= col("maxy") - 2)
+    // 5. score with the v5 cliff + floor config
+    val mult = lit(1.0) + lit(0.5) *
+      when(col("revenue") < 300000d && col("revenue_cagr").isNotNull &&
+        col("revenue_cagr") <= -0.10, 1.0).otherwise(0.0)
+    val cfg = customerConfig.copy(domainMultipliers = Map("trend" -> mult))
+    val scored = Engine.score(withFlags, cfg)
+      .withColumn("final_score",
+        when(col("inactive"), lit(null)).otherwise(col("final_score")))
+      .withColumn("risk_category",
+        when(col("inactive"), "Inactive")
+          .otherwise(Scoring.categorize(col("final_score"))))
+      .select("entity_id", "final_score", "risk_category", "was_usable",
+        "fill_source")
+    // 6. integrate with the master: every customer survives, scored rows
+    //    carry their lifecycle columns
+    val master = Tables.customer(s, dir).select(col("c_custkey").as("entity_id"))
+    val integrated = graft.ops.Merge.integrate(master, scored, "entity_id",
+      Seq("final_score", "risk_category", "was_usable", "fill_source"))
+    // 7. category distribution (the reference's printed value_counts step)
+    integrated
+      .withColumn("risk_category", coalesce(col("risk_category"), lit("NoData")))
+      .groupBy("risk_category")
+      .agg(
+        count(lit(1)).as("n_entities"),
+        count(when(col("fill_source") === "nation", 1)).as("n_filled"),
+        count(when(!col("was_usable"), 1)).as("n_fallback"),
+        round(min(col("final_score")), 4).as("min_score"),
+        round(max(col("final_score")), 4).as("max_score"))
+      .orderBy("risk_category")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_engine_scores" -> engineScores,
     "q_engine_v5" -> engineV5,
+    "q_lifecycle_e2e" -> lifecycleE2E,
   )
 
   override def oracle: Map[String, String] = Map(
+    // the full lifecycle composition: panel -> usable-year fallback ->
+    // nation-average fill -> inactive gate -> cliff+floor scoring ->
+    // master integrate -> category distribution
+    "q_lifecycle_e2e" ->
+      """WITH panel AS (
+        |  SELECT o_custkey AS entity_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(max(year(o_orderdate)) AS INTEGER) AS maxy FROM orders),
+        |lagged AS (
+        |  SELECT entity_id, year, revenue, n_orders,
+        |    CAST(n_orders AS DOUBLE) AS orders_d,
+        |    lag(revenue) OVER w AS prior_revenue,
+        |    lag(CAST(n_orders AS DOUBLE)) OVER w AS prior_orders,
+        |    year - lag(year) OVER w AS gap
+        |  FROM panel WINDOW w AS (PARTITION BY entity_id ORDER BY year)),
+        |selected AS (
+        |  SELECT *, (n_orders >= 2) AS was_usable
+        |  FROM lagged
+        |  QUALIFY row_number() OVER (PARTITION BY entity_id
+        |    ORDER BY CASE WHEN n_orders >= 2 THEN 0 ELSE 1 END ASC, year DESC) = 1),
+        |trended AS (
+        |  SELECT entity_id, year, revenue, was_usable,
+        |    CASE WHEN revenue IS NULL OR prior_revenue IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR revenue <= 0 OR prior_revenue <= 0 THEN NULL
+        |         ELSE pow(revenue / prior_revenue, 1.0 / gap) - 1 END AS rev_cagr,
+        |    CASE WHEN orders_d IS NULL OR prior_orders IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR orders_d <= 0 OR prior_orders <= 0 THEN NULL
+        |         ELSE pow(orders_d / prior_orders, 1.0 / gap) - 1 END AS ord_cagr
+        |  FROM selected),
+        |nation_fill AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS nation_avg
+        |  FROM customer WHERE c_acctbal >= 0 GROUP BY 1),
+        |filled AS (
+        |  SELECT t.*, b.maxy,
+        |    CASE WHEN c.c_acctbal < 0 THEN 'nation' ELSE 'master' END AS fill_source,
+        |    CASE WHEN c.c_acctbal < 0 THEN nf.nation_avg ELSE c.c_acctbal END AS bal
+        |  FROM trended t
+        |  JOIN customer c ON t.entity_id = c.c_custkey
+        |  LEFT JOIN nation_fill nf ON c.c_nationkey = nf.c_nationkey
+        |  CROSS JOIN bounds b),
+        |inds AS (
+        |  SELECT entity_id, year, revenue, was_usable, fill_source, rev_cagr,
+        |    (year <= maxy - 2) AS inactive,
+        |    CASE WHEN rev_cagr IS NULL THEN NULL
+        |         WHEN rev_cagr >= 0.10 THEN 0.0
+        |         WHEN rev_cagr <= -0.30 THEN 1.0
+        |         ELSE (0.10 - rev_cagr) / 0.40 END AS i_rev,
+        |    CASE WHEN ord_cagr IS NULL THEN NULL
+        |         WHEN ord_cagr >= 0.10 THEN 0.0
+        |         WHEN ord_cagr <= -0.50 THEN 1.0
+        |         ELSE (0.10 - ord_cagr) / 0.60 END AS i_ord,
+        |    CASE WHEN bal IS NULL THEN NULL
+        |         WHEN bal >= 5000 THEN 0.0
+        |         WHEN bal <= -500 THEN 1.0
+        |         ELSE (5000 - bal) / 5500 END AS i_bal
+        |  FROM filled),
+        |doms AS (
+        |  SELECT entity_id, was_usable, fill_source, inactive, rev_cagr,
+        |    i_rev, i_ord, i_bal,
+        |    CASE WHEN (CASE WHEN i_rev IS NOT NULL THEN 0.5 ELSE 0 END
+        |             + CASE WHEN i_ord IS NOT NULL THEN 0.5 ELSE 0 END) > 0
+        |      THEN least(100.0,
+        |        (CASE WHEN i_rev IS NOT NULL THEN i_rev * 0.5 ELSE 0 END
+        |       + CASE WHEN i_ord IS NOT NULL THEN i_ord * 0.5 ELSE 0 END)
+        |        / (CASE WHEN i_rev IS NOT NULL THEN 0.5 ELSE 0 END
+        |         + CASE WHEN i_ord IS NOT NULL THEN 0.5 ELSE 0 END) * 100
+        |        * CASE WHEN revenue < 300000 AND rev_cagr IS NOT NULL
+        |                AND rev_cagr <= -0.10 THEN 1.5 ELSE 1.0 END)
+        |      ELSE NULL END AS dom_trend,
+        |    CASE WHEN i_bal IS NOT NULL THEN i_bal * 1.0 / 1.0 * 100 ELSE NULL END AS dom_balance
+        |  FROM inds),
+        |comp AS (
+        |  SELECT entity_id, was_usable, fill_source, inactive, rev_cagr, dom_trend,
+        |    (CASE WHEN i_rev IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN i_ord IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN i_bal IS NOT NULL THEN 1 ELSE 0 END) AS n_indicators,
+        |    CASE WHEN (CASE WHEN dom_trend IS NOT NULL THEN 0.5 ELSE 0 END
+        |             + CASE WHEN dom_balance IS NOT NULL THEN 0.5 ELSE 0 END) > 0
+        |      THEN (CASE WHEN dom_trend IS NOT NULL THEN dom_trend * 0.5 ELSE 0 END
+        |          + CASE WHEN dom_balance IS NOT NULL THEN dom_balance * 0.5 ELSE 0 END)
+        |         / (CASE WHEN dom_trend IS NOT NULL THEN 0.5 ELSE 0 END
+        |          + CASE WHEN dom_balance IS NOT NULL THEN 0.5 ELSE 0 END) * 1.0
+        |      ELSE NULL END AS raw_composite
+        |  FROM doms),
+        |floored AS (
+        |  SELECT entity_id, was_usable, fill_source, inactive,
+        |    CASE WHEN rev_cagr IS NOT NULL AND rev_cagr <= -0.5
+        |          AND composite IS NOT NULL
+        |         THEN greatest(composite, 65.0) ELSE composite END AS final
+        |  FROM (SELECT *,
+        |    CASE WHEN n_indicators >= 2 THEN raw_composite ELSE NULL END AS composite
+        |    FROM comp)),
+        |scored AS (
+        |  SELECT entity_id, was_usable, fill_source,
+        |    CASE WHEN inactive THEN NULL ELSE final END AS final_score,
+        |    CASE WHEN inactive THEN 'Inactive'
+        |         WHEN final IS NULL THEN 'Unknown'
+        |         WHEN final < 20 THEN 'Healthy'
+        |         WHEN final < 40 THEN 'Watch'
+        |         WHEN final < 60 THEN 'Elevated'
+        |         WHEN final < 80 THEN 'High'
+        |         ELSE 'Severe' END AS risk_category
+        |  FROM floored),
+        |integrated AS (
+        |  SELECT c.c_custkey AS entity_id, s.final_score, s.risk_category,
+        |    s.was_usable, s.fill_source
+        |  FROM customer c LEFT JOIN scored s ON c.c_custkey = s.entity_id)
+        |SELECT COALESCE(risk_category, 'NoData') AS risk_category,
+        |  COUNT(*) AS n_entities,
+        |  COUNT(CASE WHEN fill_source = 'nation' THEN 1 END) AS n_filled,
+        |  COUNT(CASE WHEN NOT was_usable THEN 1 END) AS n_fallback,
+        |  round(min(final_score), 4) AS min_score,
+        |  round(max(final_score), 4) AS max_score
+        |FROM integrated GROUP BY 1 ORDER BY risk_category""".stripMargin,
+
     "q_engine_v5" ->
       """WITH panel AS (
         |  SELECT o_custkey AS entity_id, CAST(year(o_orderdate) AS INTEGER) AS year,
