@@ -77,21 +77,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Portable MinHash signature from ONE md5 digest per shingle row:
-    * slot j = min over shingles of the 16-hex-char window of md5(shingle)
-    * starting at hex position 2j-1 (lexicographic min of the hex window ==
-    * min of its 64-bit value). The k windows overlap, so slots are
-    * correlated rather than independent — acceptable for candidate
-    * generation because the exact-Jaccard verify step makes the final
-    * answer exact either way, and it buys an 8x cut in digest work on the
-    * hottest stage of the pipeline. */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    require(k >= 1 && 2 * (k - 1) + 16 <= 32,
-      s"k=$k slots must fit as 16-hex windows of one md5 digest (k <= 9)")
-    val withFp = sh.withColumn("fp", md5(col("shingle")))
-    val aggs = (1 to k).map(j =>
-      min(substring(col("fp"), 2 * (j - 1) + 1, 16)).as(s"h$j"))
-    withFp.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  /** Portable MinHash signature, k slots per doc. Two hash families:
+    *
+    *  - `independent = true` (default): slot j = min over shingles of the
+    *    first 16 hex chars of `md5("mh<j>_" || shingle)` — k SALTED
+    *    digests, so the slots are independent hash functions and the LSH
+    *    band-collision probability follows the standard `1-(1-s^r)^b`
+    *    S-curve. This is the production family: recall does not sag on
+    *    corpora where correlated slots would collide (or miss) together.
+    *  - `independent = false`: the one-digest variant — slot j = the
+    *    16-hex-char window of md5(shingle) starting at hex position 2j-1
+    *    (lexicographic min of the hex window == min of its 64-bit value).
+    *    8x less digest work, but the overlapping windows make the slots
+    *    correlated; kept as an option for throughput-bound candidate
+    *    generation where the exact-Jaccard verify already guarantees the
+    *    final answer.
+    *
+    * DedupSpec proves the independent family's candidate recall >= the
+    * windowed family's on a planted near-dup corpus. */
+  def minhashSignatures(sh: DataFrame, k: Int,
+                        independent: Boolean = true): DataFrame = {
+    if (independent) {
+      val aggs = (1 to k).map(j =>
+        min(substring(md5(concat(lit(s"mh${j}_"), col("shingle"))), 1, 16)).as(s"h$j"))
+      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    } else {
+      require(k >= 1 && 2 * (k - 1) + 16 <= 32,
+        s"k=$k slots must fit as 16-hex windows of one md5 digest (k <= 9)")
+      val withFp = sh.withColumn("fp", md5(col("shingle")))
+      val aggs = (1 to k).map(j =>
+        min(substring(col("fp"), 2 * (j - 1) + 1, 16)).as(s"h$j"))
+      withFp.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
   }
 
   /** LSH band keys over a signature: band b = md5(h_{2b-1} || h_{2b}). */

@@ -387,16 +387,16 @@ object DedupQueries extends QueryGroup {
          |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // sig slots mirror Dedup.minhashSignatures: slot j = min 16-hex-char
-    // window of ONE md5(shingle) starting at hex position 2j-1
+    // sig slots mirror Dedup.minhashSignatures (independent family):
+    // slot j = min first-16-hex of md5('mh<j>_' || shingle)
     "q_dedup_minhash" ->
       s"""$shingleSqlPrefix,
          |sig AS (
          |  SELECT doc_id,
-         |    min(substr(md5(shingle), 1, 16)) AS h1, min(substr(md5(shingle), 3, 16)) AS h2,
-         |    min(substr(md5(shingle), 5, 16)) AS h3, min(substr(md5(shingle), 7, 16)) AS h4,
-         |    min(substr(md5(shingle), 9, 16)) AS h5, min(substr(md5(shingle), 11, 16)) AS h6,
-         |    min(substr(md5(shingle), 13, 16)) AS h7, min(substr(md5(shingle), 15, 16)) AS h8
+         |    min(substr(md5('mh1_' || shingle), 1, 16)) AS h1, min(substr(md5('mh2_' || shingle), 1, 16)) AS h2,
+         |    min(substr(md5('mh3_' || shingle), 1, 16)) AS h3, min(substr(md5('mh4_' || shingle), 1, 16)) AS h4,
+         |    min(substr(md5('mh5_' || shingle), 1, 16)) AS h5, min(substr(md5('mh6_' || shingle), 1, 16)) AS h6,
+         |    min(substr(md5('mh7_' || shingle), 1, 16)) AS h7, min(substr(md5('mh8_' || shingle), 1, 16)) AS h8
          |  FROM sh GROUP BY doc_id),
          |banded AS (
          |  SELECT doc_id, md5(h1 || h2) AS band1, md5(h3 || h4) AS band2,

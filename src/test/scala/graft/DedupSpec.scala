@@ -57,6 +57,37 @@ class DedupSpec extends SparkSuite {
       s"LSH missed too many: ${(brute -- lsh).size} of ${brute.size}")
   }
 
+  test("independent minhash slots: candidate recall >= windowed variant") {
+    // planted corpus: 40 base docs, each with a near-dup variant (one
+    // word changed out of ~20 -> shingle jaccard ~0.85); plus noise docs
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (0 until 40).flatMap { i =>
+      val base = words.split(' ').map(w => s"$w$i").mkString(" ")
+      val variant = base.replaceFirst(s"pi$i", s"pip$i")
+      Seq((i * 2L, base), (i * 2L + 1, variant))
+    } ++ (1000L until 1020L).map(j => (j, s"noise doc number $j " * 4))
+    val df = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingles(df)
+    val truth = Dedup.jaccardPairs(sh, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def candidates(independent: Boolean): Set[(Long, Long)] = {
+      val banded = Dedup.withBands(
+        Dedup.minhashSignatures(sh, 8, independent = independent), 8, 2)
+      Dedup.bandCandidates(banded, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val indep = candidates(independent = true)
+    val windowed = candidates(independent = false)
+    assert(truth.nonEmpty)
+    val recallIndep = (truth intersect indep).size.toDouble / truth.size
+    val recallWin = (truth intersect windowed).size.toDouble / truth.size
+    assert(recallIndep >= recallWin,
+      s"independent slots recalled $recallIndep < windowed $recallWin")
+    assert(recallIndep >= 0.8, s"independent recall too low: $recallIndep")
+    graft.core.SharedFrames.clear()
+  }
+
   test("winnow: deterministic; shared long substrings share fingerprints") {
     import graft.functions.Winnow
     val base = "the quick brown fox jumps over the lazy dog again and again today"
