@@ -76,6 +76,50 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_shuffle_order: data windows are bucket-partitioned; the only " +
+      "global pass runs over bucket summaries") {
+    // the two-level rank design: per-bucket ranks use hash-partitioned
+    // windows; ONE SinglePartition pass is allowed and it must be over the
+    // (bucket-count-sized) summary frame that joins back as a broadcast —
+    // a partition-less Window over the DATA would be the single-reducer
+    // cliff this design exists to avoid
+    val plan = formatted("q_shuffle_order")
+    val single = "SinglePartition".r.findAllIn(plan).size
+    assert(single <= 2, // tree line + detail line of ONE exchange node
+      s"more than one single-partition exchange:\n${plan.take(1500)}")
+    assert("hashpartitioning\\(rank_bucket".r.findAllIn(plan).size >= 2,
+      s"per-bucket windows lost their bucket partitioning:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket-summary side no longer joins back as a broadcast")
+  }
+
+  test("q_pack_plan: one hash exchange on the shard key, no global window") {
+    val plan = formatted("q_pack_plan")
+    assert(!plan.contains("SinglePartition"),
+      s"packing cumsum fell onto a single reducer:\n${plan.take(1500)}")
+    assert("hashpartitioning\\(shard".r.findAllIn(plan).size >= 1,
+      s"per-shard window lost its shard partitioning:\n${plan.take(1500)}")
+  }
+
+  test("q_range_join: bucketed point-in-interval join stays an equi-join") {
+    val plan = formatted("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degraded to a nested-loop join:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_dedup_simhash64: exactly 4 band equi-joins, no nested loop") {
+    val plan = formatted("q_dedup_simhash64")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"simhash banding degraded to an all-pairs join:\n${plan.take(1500)}")
+    // one hamming-verify join per band — each join node's detail section
+    // carries the bit_count condition exactly once
+    val verifies = "Join condition: .*bit_count".r.findAllIn(plan).size
+    assert(verifies == 4,
+      s"expected 4 band joins with a hamming verify, found $verifies")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
