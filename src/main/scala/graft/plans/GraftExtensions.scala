@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, WinnowExpr}
+import graft.functions.{DotProductExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, TopKAgg, WinnowExpr}
 
 /** SQL-surface registration for the library's native Catalyst expressions.
   *
@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("token_count",
       "token_count(text) - whitespace-token count (one byte pass, no array)",
       TokenCountExpr))
+    ext.injectFunction((FunctionIdentifier("top_k"),
+      info("top_k", "top_k(value, id, k) - bounded-heap per-group top-k " +
+        "aggregate (value desc, id asc), map-side combined"),
+      { args: Seq[Expression] => GraftExtensions.buildTopK(args) }))
     // plan-level rewrite: size(regexp_extract_all(x, '\S+', 0)) -> token_count
     ext.injectOptimizerRule(_ => TokenCountRewrite)
   }
@@ -77,7 +81,20 @@ object GraftExtensions {
       args => DotProductExpr(args.head, args(1)))
     reg("token_count", "token_count(text) - whitespace-token count",
       args => TokenCountExpr(args.head))
+    reg("top_k", "top_k(value, id, k) - bounded-heap per-group top-k aggregate",
+      buildTopK)
     installOptimizations(spark)
+  }
+
+  /** top_k(value, id, k): k must be a foldable integer literal. */
+  private[plans] def buildTopK(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "top_k expects exactly 3 arguments")
+    val k = args(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"top_k: k must be an integer literal, got $other")
+    }
+    TopKAgg(args.head, args(1), k)
   }
 
   /** Install the plan rewrites on an EXISTING session (the extension-config

@@ -184,6 +184,23 @@ object RelationalQueries extends QueryGroup {
       .orderBy("c_custkey")
       .limit(8)
 
+  /** O3/O5 at scale: per-group top-k via the custom bounded-heap AGGREGATE
+    * ([[graft.functions.TopKAgg]]) instead of a window sort — map-side
+    * partial aggregation moves at most k entries per group per partition,
+    * where `row_number() OVER (...)` shuffles and sorts every row. The
+    * oracle IS the window formulation, so the hash match proves the
+    * aggregate's ordering/tiebreak (value desc, id asc) equals it. */
+  private def topkAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(graft.functions.TopK.topK(col("c_acctbal"), col("c_custkey"), 3).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("c_mktsegment"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("entity_id"),
+        col("t.value").as("acctbal"))
+      .orderBy("c_mktsegment", "rank")
+
   /** O4: argmax per group with deterministic tiebreak (`idxmax` takes first
     * occurrence, `..._ipeds_v5.py:411`). */
   private def argmax(s: SparkSession, dir: String): DataFrame = {
@@ -420,6 +437,7 @@ object RelationalQueries extends QueryGroup {
     "q_intersect" -> intersectKeys,
     "q_priority_sort" -> prioritySort,
     "q_topk_search" -> topkSearch,
+    "q_topk_agg" -> topkAgg,
     "q_argmax" -> argmax,
     "q_union_years" -> unionYears,
     "q_flag_compound" -> flagCompound,
@@ -618,6 +636,18 @@ object RelationalQueries extends QueryGroup {
       """SELECT c_custkey, c_name FROM customer
         |WHERE lower(c_name) LIKE '%12%'
         |ORDER BY c_custkey LIMIT 8""".stripMargin,
+
+    // the window formulation IS the oracle for the bounded-heap aggregate
+    "q_topk_agg" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(rn AS INTEGER) AS rank,
+        |  c_custkey AS entity_id, c_acctbal AS acctbal
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY c_mktsegment, rank""".stripMargin,
 
     "q_argmax" ->
       """WITH ranked AS (

@@ -62,6 +62,44 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(!other.queryExecution.optimizedPlan.toString.contains("token_count"))
   }
 
+  test("top_k aggregate == window row_number formulation (law + tiebreak)") {
+    GraftExtensions.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted ties: equal values must break by id ASC
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 7.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0), ("b", 6L, 2.0), ("b", 7L, 2.0),
+      ("c", 8L, 9.0)).toDF("g", "id", "v")
+    val agg = df.groupBy("g")
+      .agg(graft.functions.TopK.topK(col("v"), col("id"), 2).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("id"), col("t.value").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val win = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select("g", "rank", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(agg == win, s"aggregate diverged from window: " +
+      s"missing=${win -- agg} extra=${agg -- win}")
+    // SQL registration path
+    val viaSql = df.createOrReplaceTempView("tk_in")
+    val n = spark.sql(
+      "SELECT g, top_k(v, id, 2) AS top FROM tk_in GROUP BY g").count()
+    assert(n == 3)
+    // the plan must be a partial-final object-hash aggregate, NOT a window
+    // sort — that's the scale story (k entries per group per partition
+    // move, not every row)
+    val plan = df.groupBy("g")
+      .agg(graft.functions.TopK.topK(col("v"), col("id"), 2).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_top_k"),
+      s"top_k did not plan as a partial object-hash aggregate:\n${plan.take(1200)}")
+  }
+
   test("a fresh session built with the extension class resolves the functions") {
     // same SparkContext, new session with injected extensions (the static
     // spark.sql.extensions conf only applies when the context is built, so
