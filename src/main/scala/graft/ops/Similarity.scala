@@ -217,6 +217,97 @@ object Similarity {
         col("rn").as("rank"))
   }
 
+  /** Product quantization (PQ): split each embedding into `m` contiguous
+    * subspaces and replace every subvector with the index of its nearest
+    * subspace centroid — the memory side of the IVF+PQ pairing (64 floats
+    * become `m` small codes; an ANN index over 100 TB of vectors holds
+    * codes + codebooks, not raw floats).
+    *
+    * Codebooks are SEEDED deterministically like [[ivfSeededTopK]]: the
+    * subspace-`j` codebook is the `k` subvectors of the vectors whose
+    * `md5("pq<j>_" || vec_id)` keys sort first — a pure function of the
+    * data that the SQL oracle recomputes, so code assignment and
+    * reconstruction error are pinned cross-engine. Assignment is a narrow
+    * map (per-subspace fused-dot argmin against literal codebooks); no
+    * shuffle anywhere.
+    *
+    * Returns (vec_id, code_1..code_m, sse) where sse is the exact
+    * reconstruction squared error: `|v|^2 + sum_j min_c (|c|^2 - 2 v_j.c)`
+    * — evaluated in that algebraic form so both engines fold identically. */
+  def pqCodes(emb: DataFrame, m: Int, k: Int, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    val n = graft.core.SharedFrames.register(withNorm(emb))
+    // one sorted-limit collect per subspace: k rows each, never the corpus
+    val codebooks: Seq[Array[Array[Double]]] = (1 to m).map { j =>
+      n.select(col("vec_id"), col("v"))
+        .orderBy(md5(concat(lit(s"pq${j}_"), col("vec_id").cast("string"))))
+        .limit(k).collect()
+        .map(_.getSeq[Double](1).slice((j - 1) * sub, j * sub).toArray)
+    }
+    require(codebooks.forall(_.length == k), "pqCodes: corpus smaller than k")
+    val withCodes = (1 to m).foldLeft(n) { (df, j) =>
+      val cb = codebooks(j - 1)
+      val cbLit = typedlit(cb.map(_.toSeq).toSeq)
+      val cNormSq = cb.map(c => c.map(x => x * x).sum)
+      val vSub = slice(col("v"), (j - 1) * sub + 1, sub)
+      // argmin over |v_j - c|^2 - |v_j|^2 = |c|^2 - 2 v_j.c; left fold
+      // keeps the smaller centroid index on ties
+      val best = (0 until k).map { c =>
+        struct((lit(cNormSq(c)) - lit(2.0) * dot(vSub, element_at(cbLit, c + 1)))
+          .as("d"), lit(c).as("c"))
+      }.reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+      df.withColumn(s"best_$j", best)
+    }
+    val sse = (1 to m).map(j => col(s"best_$j").getField("d"))
+      .foldLeft(dot(col("v"), col("v")))(_ + _)
+    withCodes.select(
+      col("vec_id") +:
+        (1 to m).map(j => col(s"best_$j").getField("c").as(s"code_$j")) :+
+        round(sse, 6).as("sse"): _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries keep their
+    * exact vectors, the corpus is represented ONLY by its codes, and the
+    * approximate distance is `sum_j (|c|^2 - 2 q_j.c)` for each coded
+    * subspace centroid — the search half of IVF+PQ (at 100 TB the probe
+    * scans codes, not floats; the per-query centroid terms are literal
+    * lookups, so the scan stays a narrow broadcast-join map with one
+    * final per-query top-k). Codebooks are re-derived with the same
+    * md5 seeding as [[pqCodes]], so the whole search is oracle-checkable. */
+  def pqTopK(emb: DataFrame, isQuery: Column, topK: Int, m: Int, k: Int,
+             dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    val codes = graft.core.SharedFrames.register(pqCodes(emb, m, k, dim))
+    val n = withNorm(emb)
+    val codebooks: Seq[Array[Array[Double]]] = (1 to m).map { j =>
+      n.select(col("vec_id"), col("v"))
+        .orderBy(md5(concat(lit(s"pq${j}_"), col("vec_id").cast("string"))))
+        .limit(k).collect()
+        .map(_.getSeq[Double](1).slice((j - 1) * sub, j * sub).toArray)
+    }
+    val q = n.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pairs = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+    val dist = (1 to m).map { j =>
+      val cb = codebooks(j - 1)
+      val cbLit = typedlit(cb.map(_.toSeq).toSeq)
+      val cNormSq = typedlit(cb.map(c => c.map(x => x * x).sum).toSeq)
+      val qSub = slice(col("qv"), (j - 1) * sub + 1, sub)
+      element_at(cNormSq, col(s"code_$j") + 1) -
+        lit(2.0) * dot(qSub, element_at(cbLit, col(s"code_$j") + 1))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    pairs.withColumn("adc_dist", round(dist, 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"), col("rn").as("rank"))
+  }
+
   /** Bucketed ANN near-dup pairs: compare only bucket-mates, verify with
     * true cosine >= `threshold`. */
   def lshNearDupPairs(emb: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {

@@ -199,9 +199,26 @@ object SimilarityQueries extends QueryGroup {
     "sim_clusters" -> sharedSimClusters,
   )
 
+  /** PQ codes + reconstruction error over the embedding corpus: 4
+    * subspaces x 4 centroids, md5-seeded codebooks the oracle recomputes
+    * (see [[Similarity.pqCodes]]). Pure projection — codebooks are
+    * literals, assignment never shuffles. */
+  private def embedPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(Tables.embeddings(s, dir), m = 4, k = 4)
+      .orderBy("vec_id")
+
+  /** ADC search over the PQ codes: queries vec_id < 5, top-5 by the
+    * code-table distance (see [[Similarity.pqTopK]]). */
+  private def simPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 5,
+        topK = 5, m = 4, k = 4)
+      .orderBy("query_id", "rank")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_clusters" -> simClusters,
     "q_embed_quant" -> embedQuant,
+    "q_embed_pq" -> embedPq,
+    "q_sim_pq" -> simPq,
     "q_sim_topk" -> topk,
     "q_sim_lsh" -> lsh,
     "q_sim_ivf" -> ivf,
@@ -212,9 +229,75 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_video" -> mmVideo,
   )
 
+  /** Shared PQ oracle preamble (after an `e(vec_id, v)` CTE): per
+    * subspace j, `cent<j>(c, cv)` = the md5-seeded codebook and
+    * `a<j>(vec_id, code_j, d_j)` = the argmin assignment — the SQL twin
+    * of [[Similarity.pqCodes]], consumed by q_embed_pq and q_sim_pq. */
+  private def pqSqlSubs: String = (1 to 4).map { j =>
+    val lo = (j - 1) * 16 + 1
+    val hi = j * 16
+    s"""cent$j AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY md5('pq${j}_' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS c,
+       |    v[$lo:$hi] AS cv
+       |  FROM e
+       |  QUALIFY row_number() OVER (ORDER BY md5('pq${j}_' || CAST(vec_id AS VARCHAR))) <= 4),
+       |a$j AS (
+       |  SELECT vec_id, c AS code_$j, d AS d$j FROM (
+       |    SELECT e.vec_id, cent$j.c,
+       |      list_dot_product(cent$j.cv, cent$j.cv)
+       |        - 2 * list_dot_product(e.v[$lo:$hi], cent$j.cv) AS d
+       |    FROM e CROSS JOIN cent$j)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1)""".stripMargin
+  }.mkString(",\n")
+
   override def oracle: Map[String, String] = Map(
     "q_sim_lsh" -> lshOracleSql,
     "q_sim_clusters" -> simClustersOracleSql,
+
+    // mirrors Similarity.pqCodes: per subspace j, codebook = the 4
+    // subvectors of the md5('pq<j>_'||vec_id)-first vectors; assignment =
+    // argmin (|c|^2 - 2 v_j.c, then c); sse = |v|^2 + sum_j d_j in
+    // left-fold order
+    "q_embed_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$pqSqlSubs
+         |SELECT e.vec_id, code_1, code_2, code_3, code_4,
+         |  round(list_dot_product(e.v, e.v) + d1 + d2 + d3 + d4, 6) AS sse
+         |FROM e JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+         |  JOIN a3 USING (vec_id) JOIN a4 USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
+
+    // ADC search: per-pair distance = sum_j (|c|^2 - 2 q_j.c) over the
+    // corpus vector's CODES (centroids joined by code), rank on the
+    // rounded distance with vec_id tiebreak — mirrors Similarity.pqTopK
+    "q_sim_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$pqSqlSubs,
+         |codes AS (
+         |  SELECT e.vec_id, code_1, code_2, code_3, code_4
+         |  FROM e JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+         |    JOIN a3 USING (vec_id) JOIN a4 USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT q.query_id, codes.vec_id,
+         |    round(
+         |      (list_dot_product(c1.cv, c1.cv) - 2 * list_dot_product(q.qv[1:16], c1.cv))
+         |    + (list_dot_product(c2.cv, c2.cv) - 2 * list_dot_product(q.qv[17:32], c2.cv))
+         |    + (list_dot_product(c3.cv, c3.cv) - 2 * list_dot_product(q.qv[33:48], c3.cv))
+         |    + (list_dot_product(c4.cv, c4.cv) - 2 * list_dot_product(q.qv[49:64], c4.cv)), 6) AS adc_dist
+         |  FROM q CROSS JOIN codes
+         |  JOIN cent1 c1 ON c1.c = codes.code_1
+         |  JOIN cent2 c2 ON c2.c = codes.code_2
+         |  JOIN cent3 c3 ON c3.c = codes.code_3
+         |  JOIN cent4 c4 ON c4.c = codes.code_4
+         |  WHERE codes.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id AS neighbor_id, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, adc_dist, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // mirrors embedQuant: same unrounded scale feeds the codes, exact
     // integer invariants over the codes, error fold in array order
