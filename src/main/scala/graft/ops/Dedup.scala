@@ -182,6 +182,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
     val newOld = shOld.select(col("doc_id").as("id_o"), col("shingle"))
       .join(shNew.select(col("doc_id").as("id_n"), col("shingle")), Seq("shingle"))
+      .filter(col("id_o") =!= col("id_n")) // no self-pairs on overlapping sets
       .select(least(col("id_o"), col("id_n")).as("id_a"),
         greatest(col("id_o"), col("id_n")).as("id_b"), col("shingle"))
     val common = newNew.select("id_a", "id_b", "shingle")
@@ -361,6 +362,9 @@ object Dedup {
       val no = idxOld.select(col("doc_id").as("id_o"), col("sh").as("sh_o"), col(s"b$b").as("bk"))
         .join(idxNew.select(col("doc_id").as("id_n"), col("sh").as("sh_n"), col(s"b$b").as("bk")),
           Seq("bk"))
+        // guard against overlapping id sets (a doc present in both index
+        // and batch must not emit a degenerate self-pair)
+        .filter(col("id_o") =!= col("id_n"))
         .select(
           least(col("id_o"), col("id_n")).as("id_a"),
           greatest(col("id_o"), col("id_n")).as("id_b"),

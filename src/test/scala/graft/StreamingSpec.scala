@@ -93,6 +93,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ingest near-dup suppression against a persisted simhash index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graftndd").toFile.getAbsolutePath
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "completely different content about distributed query engines and shuffles"
+    val c = "a third unrelated document concerning winnowing fingerprints and bands"
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    def run(): Unit = graft.streaming.NearDupStream.runIngestDedup(
+      spark, docs, s"$tmp/index", s"$tmp/kept", s"$tmp/ckpt")
+    // batch 1: 10 kept; 11 (identical to 10) suppressed intra-batch
+    // (larger id loses); 12 unique kept
+    src.addData((10L, a), (11L, a), (12L, b))
+    run()
+    // batch 2: 20 duplicates indexed 10 -> suppressed; 5 ALSO duplicates
+    // 10 but has a SMALLER id than the corpus doc — the corpus must still
+    // win (pair orientation edge); 21 unique kept; 22 dup of 21 in the
+    // same batch -> suppressed
+    src.addData((20L, a), (5L, a), (21L, c), (22L, c))
+    run()
+    val kept = spark.read.parquet(s"$tmp/kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L, 21L), s"wrong survivors: $kept")
+    // the index holds exactly the survivors' fingerprints
+    val idx = spark.read.parquet(s"$tmp/index")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idx == kept, s"index diverged from survivors: $idx")
+  }
+
   test("watermark drops events later than the threshold (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
