@@ -152,6 +152,26 @@ object RelationalQueries extends QueryGroup {
         col("n_customers"))
       .orderBy("region", "nation")
 
+  /** A10 extension: CUBE — all four groupings (both, per-region,
+    * per-nation, grand total) in ONE aggregation pass; like ROLLUP /
+    * GROUPING SETS this plans as a single shuffle feeding an Expand
+    * (rows are replicated per grouping map-side, combined partially),
+    * so the pass count is independent of the number of groupings.
+    * `grouping_id` disambiguates subtotal NULLs from data NULLs — the
+    * production-safe way to consume cube output. */
+  private def cubeCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("gid"), col("n_customers"))
+      .orderBy("gid", "region", "nation")
+
   /** U3 extension: INTERSECT (distinct set semantics) — customers active
     * in BOTH 1995 and 1996. Spark plans this as an aggregate + join on the
     * key, so it shuffles once per side at scale. */
@@ -434,6 +454,7 @@ object RelationalQueries extends QueryGroup {
     "q_vote" -> vote,
     "q_rollup_counts" -> rollupCounts,
     "q_grouping_sets" -> groupingSets,
+    "q_cube" -> cubeCounts,
     "q_intersect" -> intersectKeys,
     "q_priority_sort" -> prioritySort,
     "q_topk_search" -> topkSearch,
@@ -619,6 +640,16 @@ object RelationalQueries extends QueryGroup {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name), (n_name))
         |ORDER BY region, nation""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
+        |  COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY gid, region, nation""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

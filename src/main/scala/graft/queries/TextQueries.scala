@@ -226,7 +226,33 @@ object TextQueries extends QueryGroup {
       .limit(20)
   }
 
+  /** Sliding-window document chunking (context-window preprocessing for
+    * training/RAG): fixed 200-char chunks on a 150-char stride (50-char
+    * overlap), final partial chunk kept, one chunk minimum per doc.
+    * Shape at scale: pure projection + a bounded explode (≤ 1 + len/stride
+    * rows per doc) — no shuffle, rides the scan; chunk boundaries are
+    * pure functions of the row so the plan is identical at any corpus
+    * size. Codepoint-safe: Spark `substring`/`length` and DuckDB
+    * `substr`/`length` both index by codepoint. */
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+  private def textChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("last_k",
+        when(col("len") <= ChunkSize, lit(0))
+          .otherwise(ceil((col("len") - ChunkSize) / lit(ChunkStride.toDouble)).cast("int")))
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(sequence(lit(0), col("last_k"))).as("chunk_idx"))
+      .withColumn("chunk_start", col("chunk_idx") * ChunkStride + 1)
+      .withColumn("chunk_text",
+        expr(s"substring(text, chunk_start, $ChunkSize)"))
+      .select(col("doc_id"), col("len"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_text"), length(col("chunk_text")).as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
     "q_quality_prune" -> qualityPrune,
     "q_word_rarity" -> wordRarity,
@@ -242,6 +268,24 @@ object TextQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // generate_series yields BIGINT in DuckDB — cast the derived ints so the
+    // schema matches Spark's INT chunk_idx/chunk_start/len/chunk_len
+    "q_text_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, CAST(length(text) AS INTEGER) AS len FROM documents),
+        |k AS (
+        |  SELECT doc_id, text, len,
+        |    CASE WHEN len <= 200 THEN 0
+        |         ELSE CAST(ceil((len - 200) / 150.0) AS INTEGER) END AS last_k
+        |  FROM base),
+        |c AS (SELECT doc_id, text, len,
+        |        unnest(generate_series(0, last_k)) AS chunk_idx FROM k)
+        |SELECT doc_id, len, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  CAST(chunk_idx * 150 + 1 AS INTEGER) AS chunk_start,
+        |  substring(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200) AS chunk_text,
+        |  CAST(length(substring(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) AS INTEGER) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_bpe_pairs" ->
       """WITH w AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS words FROM documents),
