@@ -153,6 +153,20 @@ object EventsQueries extends QueryGroup {
       .orderBy("view_id", "click_id")
   }
 
+  /** Batch twin of the stream-static enrichment join
+    * ([[graft.streaming.EventStream.enrichBySegment]]): events enriched
+    * with the broadcast customer dim, revenue rolled up by market
+    * segment. */
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("segment")
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "events_parsed_props" -> sharedParsed,
   )
@@ -166,6 +180,7 @@ object EventsQueries extends QueryGroup {
     "q_sessionize" -> sessionize,
     "q_session_window" -> sessionWindow,
     "q_stream_join" -> streamJoin,
+    "q_stream_enrich" -> streamEnrich,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -213,6 +228,12 @@ object EventsQueries extends QueryGroup {
         |FROM v JOIN c USING (user_id)
         |WHERE click_ts_us BETWEEN view_ts_us AND view_ts_us + 1800 * 1000000
         |ORDER BY view_id, click_id""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
 
     // session_window parity: interval ends are exclusive, so an event
     // arriving at EXACTLY prev_ts + gap starts a new session (>=, where

@@ -87,6 +87,24 @@ object EventStream {
         unix_micros(col("click_ts")).as("click_ts_us"))
   }
 
+  /** Stream-static enrichment join: every micro-batch of the event stream
+    * joins the bounded customer dimension, then aggregates revenue by
+    * market segment. The static side is marked broadcast, so each
+    * micro-batch plans a BroadcastHashJoin against an executor-resident
+    * dim copy — no shuffle of the stream side and no join state store at
+    * all (unlike stream-stream, the static side is complete, so there is
+    * nothing to buffer or evict). This is the at-ingest version of the
+    * batch star join: at 100 TB/day the stream side stays partitioned by
+    * arrival and only the dim (MBs) moves. Batch twin: `q_stream_enrich`
+    * (asserted equal in StreamingSpec). */
+  def enrichBySegment(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
   /** Run a streaming aggregation to a memory sink, synchronously, and
     * return the materialized result. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,

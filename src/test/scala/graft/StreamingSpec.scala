@@ -37,6 +37,22 @@ class StreamingSpec extends SparkSuite {
     assert(typed == batch)
   }
 
+  test("stream-static enrichment join equals the batch twin query") {
+    val tmp = Files.createTempDirectory("graftse").toFile.getAbsolutePath
+    val agg = EventStream.enrichBySegment(
+      EventStream.source(spark, sf), graft.core.Tables.customer(spark, sf))
+    val got = EventStream.runToMemory(spark, agg, "enrich_out", s"$tmp/ckpt")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val exp = EventsQueries.queries("q_stream_enrich")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(exp.nonEmpty)
+    assert(got == exp)
+  }
+
   test("stream-stream interval join equals the batch twin query") {
     val tmp = Files.createTempDirectory("graftsj").toFile.getAbsolutePath
     val joined = EventStream.intervalJoin(EventStream.source(spark, sf))
