@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout for multi-dimensional file pruning.
+  *
+  * A 100 TB table can only be scanned selectively if file/row-group
+  * min-max statistics line up with the query predicates. Sorting by ONE
+  * column gives perfect pruning on that column and none on any other;
+  * interleaving the bits of two (rank-scaled) columns into a Z-value and
+  * range-partitioning on it gives every file a small bounding BOX in
+  * (x, y) space, so predicates on EITHER dimension — or both — prune.
+  * This is the layout technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`,
+  * built here from plain Spark primitives:
+  *
+  *   1. scale each dimension to a `bits`-bit integer domain using the
+  *      global min/max (a 1-row broadcast aggregate — no sort, no sample);
+  *   2. interleave bits with codegen'd shift/mask arithmetic (16 two-term
+  *      expressions, no UDF);
+  *   3. `repartitionByRange` on the Z-value (Spark's range partitioner
+  *      samples boundaries; each partition = one output file with a tight
+  *      Z-interval, hence a tight (x, y) box) + `sortWithinPartitions` so
+  *      row groups within a file are boxed too.
+  *
+  * The whole pipeline is deterministic integer math on the data — the
+  * DuckDB oracle replays it bit for bit (`q_zorder`), and LayoutSpec
+  * measures the pruning win directly: fraction of files whose box
+  * intersects a point/box query under Z layout vs a single-column sort.
+  *
+  * Reference analog: the reference keeps its CSV snapshots in arrival
+  * order (`chat_acreage_bot.py` append log), so every lookup is a full
+  * scan; this is the layout its 100 TB successor needs.
+  */
+object Layout {
+
+  /** Bits per dimension; the Z-value occupies 2*bits (32) bits. */
+  val ZBits = 16
+
+  /** Scale `c` from [lo, hi] onto the integer domain [0, 2^bits): exact
+    * integer arithmetic (no doubles), so engines agree bit for bit. */
+  private def scaleTo(c: Column, lo: Column, hi: Column, bits: Int): Column =
+    call_function("div",
+      (c.cast("long") - lo) * (1L << bits), hi - lo + lit(1L))
+
+  /** Interleave two `bits`-bit non-negative longs: x takes even bit
+    * positions, y odd. Terms have disjoint bits so `+` == bitwise-or —
+    * summed because the oracle replays this as a SUM over a bit index. */
+  def interleave(xb: Column, yb: Column, bits: Int = ZBits): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Add `xb`, `yb` (rank-scaled dims) and `zval` for (`xCol`, `yCol`).
+    * The min/max extremes are a broadcast 1-row cross join, same shape at
+    * any scale. */
+  def withZValue(df: DataFrame, xCol: String, yCol: String,
+                 bits: Int = ZBits): DataFrame = {
+    val ext = df.agg(
+      min(col(xCol).cast("long")).as("z_xmin"), max(col(xCol).cast("long")).as("z_xmax"),
+      min(col(yCol).cast("long")).as("z_ymin"), max(col(yCol).cast("long")).as("z_ymax"))
+    df.crossJoin(broadcast(ext))
+      .withColumn("xb", scaleTo(col(xCol), col("z_xmin"), col("z_xmax"), bits))
+      .withColumn("yb", scaleTo(col(yCol), col("z_ymin"), col("z_ymax"), bits))
+      .withColumn("zval", interleave(col("xb"), col("yb"), bits))
+      .drop("z_xmin", "z_xmax", "z_ymin", "z_ymax")
+  }
+
+  /** Static file assignment by Z-prefix: the top `filesLog2` bits of the
+    * Z-value. Unlike `repartitionByRange` (boundaries depend on sampling)
+    * this is a pure function of the row, so the oracle can replay it; the
+    * write path below uses range partitioning for even file sizes. */
+  def fileByPrefix(zval: Column, filesLog2: Int, bits: Int = ZBits): Column =
+    shiftright(zval, 2 * bits - filesLog2)
+
+  /** Per-file layout summary: row count and the (x, y) bounding box.
+    * `box area / domain area` summed over files IS the expected scan
+    * fraction for a uniformly-placed point query — the pruning metric. */
+  def layoutSummary(withZ: DataFrame, xCol: String, yCol: String,
+                    filesLog2: Int, bits: Int = ZBits): DataFrame =
+    withZ
+      .withColumn("file_id", fileByPrefix(col("zval"), filesLog2, bits))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol).cast("long")).as("x_min"), max(col(xCol).cast("long")).as("x_max"),
+        min(col(yCol).cast("long")).as("y_min"), max(col(yCol).cast("long")).as("y_max"))
+      .orderBy("file_id")
+
+  /** Physical Z-ordered write: range-partition on the Z-value (one file
+    * per partition, tight Z-interval each) and sort within partitions so
+    * parquet row-group min/max stats on BOTH source columns are tight.
+    * Readers then prune files AND row groups from footer stats alone. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+                    nFiles: Int, bits: Int = ZBits): Unit =
+    withZValue(df, xCol, yCol, bits)
+      .drop("xb", "yb")
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(path)
+}

@@ -73,7 +73,21 @@ object SamplingQueries extends QueryGroup {
       .orderBy("lang")
   }
 
+  /** Z-order layout audit: lineitem laid out on the (l_partkey,
+    * l_suppkey) Morton curve into 64 Z-prefix files, reporting each
+    * file's row count and (x, y) bounding box — the min/max stats a
+    * reader prunes with. The oracle replays the bit interleave as a SUM
+    * over a bit-index table; LayoutSpec quantifies the pruning win vs a
+    * single-column sort on the same data. */
+  private def zorder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.layoutSummary(
+      graft.ops.Layout.withZValue(
+        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", filesLog2 = 6)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> zorder,
     "q_mix_weights" -> mixWeights,
     "q_shuffle_order" -> shuffleOrder,
     "q_stratified_sample" -> stratified,
@@ -81,6 +95,28 @@ object SamplingQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // bit interleave replayed as a sum over a 16-row bit-index table;
+    // integer scaling with // matches Spark's div exactly
+    "q_zorder" ->
+      """WITH ext AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT) AS xmin, CAST(max(l_partkey) AS BIGINT) AS xmax,
+        |         CAST(min(l_suppkey) AS BIGINT) AS ymin, CAST(max(l_suppkey) AS BIGINT) AS ymax
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+        |    ((CAST(l_partkey AS BIGINT) - xmin) * 65536) // (xmax - xmin + 1) AS xb,
+        |    ((CAST(l_suppkey AS BIGINT) - ymin) * 65536) // (ymax - ymin + 1) AS yb,
+        |    row_number() OVER () AS rid
+        |  FROM lineitem CROSS JOIN ext),
+        |bits AS (SELECT unnest(generate_series(0, 15)) AS i),
+        |z AS (
+        |  SELECT rid, x, y,
+        |    CAST(sum((((xb >> i) & 1) << (2 * i)) + (((yb >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zval
+        |  FROM b CROSS JOIN bits GROUP BY rid, x, y)
+        |SELECT zval >> 26 AS file_id, COUNT(*) AS n_rows,
+        |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin,
+
     "q_mix_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |w AS (

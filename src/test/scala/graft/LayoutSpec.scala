@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Layout
+
+/** Z-order layout: the Morton-code expression must match a bit-twiddled
+  * reference, and the layout must deliver the multi-dimensional pruning
+  * it exists for — measured directly from the per-file bounding boxes. */
+class LayoutSpec extends SparkSuite {
+
+  private def mortonRef(x: Long, y: Long, bits: Int = 16): Long =
+    (0 until bits).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.sum
+
+  test("interleave matches the bit-twiddled Morton reference") {
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (12345L, 54321L), (40000L, 1L))
+    val got = pairs.toDF("x", "y")
+      .withColumn("z", Layout.interleave(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) === mortonRef(x, y), s"($x, $y)")
+    }
+  }
+
+  test("z layout prunes on the secondary dimension; single-column sort cannot") {
+    val li = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_suppkey"))
+    val filesLog2 = 6
+    val zFiles = Layout.layoutSummary(
+      Layout.withZValue(li, "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", filesLog2).collect()
+
+    // x-sorted layout into the same number of files (ntile over the sort)
+    val nFiles = 1 << filesLog2
+    val xFiles = li
+      .withColumn("file_id", ntile(nFiles).over(Window.orderBy("l_partkey")))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_suppkey").as("y_min"), max("l_suppkey").as("y_max"))
+      .collect()
+
+    // same data in both layouts
+    assert(zFiles.map(_.getAs[Long]("n_rows")).sum ===
+      xFiles.map(_.getAs[Long]("n_rows")).sum)
+
+    // a predicate on y alone (l_suppkey = 5): count files whose y-box
+    // intersects — the files a footer-stats reader must open
+    def hits(rows: Array[org.apache.spark.sql.Row]): Int =
+      rows.count(r => r.getAs[Long]("y_min") <= 5L && r.getAs[Long]("y_max") >= 5L)
+    val xHits = hits(xFiles.map(r => r)) // x-sort: every file spans all of y
+    val zHits = hits(zFiles)
+    assert(xHits === xFiles.length, "x-sorted files should all span y")
+    assert(zHits * 4 <= zFiles.length,
+      s"z layout should prune >=75% of files on a y predicate, hit $zHits/${zFiles.length}")
+  }
+
+  test("physical z-ordered write: file count, sortedness, and read-back fidelity") {
+    val tmp = Files.createTempDirectory("graftz").toFile.getAbsolutePath + "/zorder"
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    Layout.writeZOrdered(li, "l_partkey", "l_suppkey", tmp, nFiles = 8)
+
+    val files = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 8)
+
+    val back = spark.read.parquet(tmp)
+    assert(back.count() === li.count())
+    // every file's rows are z-sorted (row groups get tight min/max stats)
+    val unsorted = back
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag(col("zval"), 1).over(
+        Window.partitionBy("f").orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("zval"))
+      .count()
+    assert(unsorted === 0L)
+    // predicate read-back equals the same filter on the source
+    val got = back.filter(col("l_partkey") === 7 && col("l_suppkey") === 3)
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val exp = li.filter(col("l_partkey") === 7 && col("l_suppkey") === 3)
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(exp.nonEmpty)
+    assert(got === exp)
+  }
+}
