@@ -458,13 +458,17 @@ object VideoHeaders {
 object GifHeaders {
 
   /** One image descriptor: geometry, the delay from the preceding
-    * graphic-control extension (0 if none), and the [start, end) byte
-    * range of this frame's image data (LZW-min-code byte + sub-blocks). */
+    * graphic-control extension (0 if none), the [start, end) byte range
+    * of this frame's image data (LZW-min-code byte + sub-blocks), and the
+    * local color table position/entry-count (-1/0 when absent). */
   case class GifFrame(left: Int, top: Int, width: Int, height: Int,
-                      delayCs: Int, dataStart: Int, dataEnd: Int)
+                      delayCs: Int, dataStart: Int, dataEnd: Int,
+                      lctStart: Int = -1, lctSize: Int = 0)
 
-  /** Logical screen size + the frames in stream order. */
-  case class GifInfo(width: Int, height: Int, frames: Vector[GifFrame])
+  /** Logical screen size + the frames in stream order, with the global
+    * color table position/entry-count (-1/0 when absent). */
+  case class GifInfo(width: Int, height: Int, frames: Vector[GifFrame],
+                     gctStart: Int = -1, gctSize: Int = 0)
 
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -492,13 +496,15 @@ object GifHeaders {
     val packed = b(10) & 0xff
     var i = 13
     // global color table: 3 * 2^(N+1) bytes when the high flag bit is set
-    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 0x07) + 1))
+    val gctSize = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    val gctStart = if (gctSize > 0) i else -1
+    i += 3 * gctSize
     var frames = Vector.empty[GifFrame]
     var pendingDelay = 0
     while (i < b.length) {
       (b(i) & 0xff) match {
         case 0x3b => // trailer
-          return Some(GifInfo(screenW, screenH, frames))
+          return Some(GifInfo(screenW, screenH, frames, gctStart, gctSize))
         case 0x21 => // extension: label, then sub-blocks
           if (i + 2 > b.length) return None
           val label = b(i + 1) & 0xff
@@ -514,12 +520,15 @@ object GifHeaders {
           val h = le16(b, i + 7)
           val ipacked = b(i + 9) & 0xff
           var j = i + 10
-          if ((ipacked & 0x80) != 0) j += 3 * (1 << ((ipacked & 0x07) + 1))
+          val lctSize = if ((ipacked & 0x80) != 0) 1 << ((ipacked & 0x07) + 1) else 0
+          val lctStart = if (lctSize > 0) j else -1
+          j += 3 * lctSize
           if (j >= b.length) return None
           val dataStart = j // LZW-min-code byte + data sub-blocks
           j = skipSubBlocks(b, j + 1)
           if (j < 0) return None
-          frames :+= GifFrame(left, top, w, h, pendingDelay, dataStart, j)
+          frames :+= GifFrame(left, top, w, h, pendingDelay, dataStart, j,
+            lctStart, lctSize)
           pendingDelay = 0
           i = j
         case _ => return None // lost block sync: not a well-formed GIF
@@ -580,6 +589,123 @@ private[graft] object GifFixtures {
       u8(0) // sub-block terminator
     }
     u8(0x3b) // trailer
+    out.toByteArray
+  }
+}
+
+/** Deterministic PIXEL-level GIF fixture encoder: a 4-color image whose
+  * every pixel is a pure integer function of `docId`, compressed with an
+  * independent GIF-LZW implementation (variable code width, clear/end
+  * codes, 12-bit cap — shares no code with [[GifLzw]], which is what
+  * makes the `q_mm_phash` oracle a real gate on the decode chain).
+  *
+  * Image sizes and pattern depend only on `docId % 7` (the "base"), so
+  * same-base docs are pixel-identical up to the palette offset
+  * (`docId % 40`, which shifts all lumas equally and thus cannot change
+  * a dHash comparison) — giving the near-dup detector planted clusters.
+  * Docs with `docId % 29 == 0` get the diagonal perturbed by one palette
+  * step: a genuine near-duplicate at small hamming distance. */
+private[graft] object GifPixelFixtures {
+
+  def base(docId: Long): Int = (docId % 7).toInt
+  def width(docId: Long): Int = 9 * (base(docId) % 3 + 2) // 18 | 27 | 36
+  def height(docId: Long): Int = 8 * (base(docId) % 4 + 2) // 16..40
+  def palOffset(docId: Long): Int = (docId % 40).toInt
+  def perturbed(docId: Long): Boolean = docId % 29 == 0
+  def nFrames(docId: Long): Int = (docId % 2).toInt + 1
+
+  /** Palette index of pixel (x, y) in frame `frame`: a base-scaled
+    * bilinear-ish pattern mod 4 (the multiplier advances per frame), with
+    * the diagonal bumped one step on perturbed docs. */
+  def pixel(docId: Long, frame: Int, x: Int, y: Int): Int = {
+    val p = ((base(docId) + frame) % 7 + 1) * (3 * x + 7 * y + x * y + 1) +
+      (if (perturbed(docId) && x == y) 1 else 0)
+    p % 4
+  }
+
+  /** Achromatic palette entry value for index k (0..3). */
+  def palValue(docId: Long, k: Int): Int = 40 * k + palOffset(docId)
+
+  def synthPixelGif(docId: Long): Array[Byte] = {
+    val w = width(docId)
+    val h = height(docId)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    u16(w); u16(h)
+    u8(0x80 | 0x01) // global color table, 4 entries
+    u8(0); u8(0)
+    (0 until 4).foreach { k =>
+      val v = palValue(docId, k); u8(v); u8(v); u8(v)
+    }
+    (0 until nFrames(docId)).foreach { fr =>
+      u8(0x2c) // image descriptor: full-frame, no LCT
+      u16(0); u16(0); u16(w); u16(h); u8(0x00)
+      u8(2) // LZW minimum code size (4-color)
+      val indices = new Array[Byte](w * h)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { indices(i) = pixel(docId, fr, x, y).toByte; i += 1; x += 1 }
+        y += 1
+      }
+      val lzw = compress(indices, minCodeSize = 2)
+      // sub-block the compressed stream at <=255 bytes
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        u8(n); out.write(lzw, off, n); off += n
+      }
+      u8(0) // terminator
+    }
+    u8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Standard GIF-LZW compressor: dict of (prefixCode, byte) -> code,
+    * emitted codes packed LSB-first at the current width; width bumps
+    * when the next free code reaches 2^width, dict resets via a clear
+    * code at 4096. */
+  private[graft] def compress(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L // bit accumulator
+    var nbits = 0
+    var width = minCodeSize + 1
+    def put(code: Int): Unit = {
+      cur |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; nbits -= 8 }
+    }
+    var dict = Map.empty[(Int, Byte), Int]
+    var nextCode = end + 1
+    def reset(): Unit = { dict = Map.empty; nextCode = end + 1; width = minCodeSize + 1 }
+    put(clear)
+    var prev = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val c = data(i)
+      dict.get((prev, c)) match {
+        case Some(code) => prev = code
+        case None =>
+          put(prev)
+          if (nextCode >= 4096) { put(clear); reset() }
+          else {
+            // width bump AFTER the emit at the old width (decoder mirrors)
+            if (nextCode >= (1 << width) && width < 12) width += 1
+            dict += ((prev, c) -> nextCode)
+            nextCode += 1
+          }
+          prev = c & 0xff
+      }
+      i += 1
+    }
+    put(prev)
+    put(end)
+    if (nbits > 0) out.write((cur & 0xff).toInt)
     out.toByteArray
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{SharedFrames, Tables}
-import graft.ops.{Multimodal, Similarity}
+import graft.ops.{ImageHash, Multimodal, Similarity}
 
 /** Similarity search over `embeddings` and multimodal feature extraction
   * over binary payloads: brute-force cosine top-k (the correctness
@@ -144,6 +144,47 @@ object SimilarityQueries extends QueryGroup {
     Multimodal.decodeGifFrames(s, media).toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** Pixel-level fixture corpus: every doc_id encoded as a 4-color GIF
+    * with REAL LZW-compressed pixels ([[graft.ops.GifPixelFixtures]] —
+    * an independent compressor; the decode side shares no code). */
+  private def pixelGifMedia(s: SparkSession, dir: String,
+                            limit: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    limit.fold(ids)(n => ids.filter(col("doc_id") < n)).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.GifPixelFixtures.synthPixelGif(id), "image"))
+      .toDF()
+  }
+
+  /** REAL pixel decode under an oracle gate: LZW-decompress frame 0,
+    * map the palette to integer luma, box-downscale to the 9x8 dHash
+    * grid, emit the 64 comparison bits as four 16-bit bands. The SQL
+    * oracle recomputes every pixel, cell sum, and bit from the fixture
+    * formulas WITHOUT touching bytes — a hash match proves the
+    * independent encode -> LZW decode -> downscale -> hash chain. */
+  private def mmPhash(s: SparkSession, dir: String): DataFrame =
+    ImageHash.phash(s, pixelGifMedia(s, dir)).toDF().orderBy("doc_id")
+
+  /** Image near-dup pairs over the perceptual hashes: banded equi-join
+    * candidates (4 x 16-bit bands — hamming <= 3 recall is EXACT by
+    * pigeonhole, same invariant as the SimHash64 text detector), then
+    * the full 64-bit hamming verify. Restricted to doc_id < 120 to keep
+    * the oracle's brute-force twin bounded; the Spark side never goes
+    * all-pairs at any corpus size. */
+  private def mmPhashDup(s: SparkSession, dir: String): DataFrame =
+    ImageHash.phashPairs(
+        ImageHash.phash(s, pixelGifMedia(s, dir, Some(120L))).toDF(),
+        maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** Frame sampling with REAL pixel decode: every frame of every
+    * (1-or-2-frame) fixture GIF is LZW-decoded and summarized by exact
+    * luma sum — the animated-media version of the phash gate. */
+  private def mmFramePx(s: SparkSession, dir: String): DataFrame =
+    ImageHash.frameLumas(s, pixelGifMedia(s, dir)).toDF()
+      .orderBy("doc_id", "frame_idx")
+
   /** Symmetric int8 quantization of the embedding column (the compression
     * step before shipping vectors to an ANN index): per-vector scale =
     * amax/127, q_i = floor(v_i/scale + 0.5) — exact integer round-trip
@@ -225,9 +266,54 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_features" -> mmFeatures,
     "q_mm_frames" -> mmFrames,
     "q_mm_gif" -> mmGif,
+    "q_mm_phash" -> mmPhash,
+    "q_mm_phash_dup" -> mmPhashDup,
+    "q_mm_frame_px" -> mmFramePx,
     "q_mm_audio" -> mmAudio,
     "q_mm_video" -> mmVideo,
   )
+
+  /** Shared phash oracle preamble: replays the ENTIRE pixel pipeline of
+    * [[graft.ops.GifPixelFixtures]] + [[graft.ops.ImageHash]] from the
+    * fixture formulas — per-pixel luma, 9x8 floor-div cell sums, the 64
+    * cross-multiplied comparison bits, and the four 16-bit bands — ending
+    * in a `ph(doc_id, w, h, gray_sum, p0..p3)` CTE. `docFilter` bounds
+    * the doc set (e.g. "WHERE doc_id < 120" for the pair twin). */
+  private def phashSqlPrefix(docFilter: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % 7 AS base, doc_id % 40 AS poff,
+       |    9 * ((doc_id % 7) % 3 + 2) AS w, 8 * ((doc_id % 7) % 4 + 2) AS h,
+       |    CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END AS pert
+       |  FROM documents $docFilter),
+       |xs AS (SELECT unnest(generate_series(0, 35)) AS x),
+       |ys AS (SELECT unnest(generate_series(0, 39)) AS y),
+       |pix AS (
+       |  SELECT doc_id, w, h, x, y,
+       |    40 * ((CAST(base + 1 AS BIGINT) * (3 * x + 7 * y + x * y + 1)
+       |           + CASE WHEN pert = 1 AND x = y THEN 1 ELSE 0 END) % 4) + poff AS g
+       |  FROM d CROSS JOIN xs CROSS JOIN ys
+       |  WHERE x < w AND y < h),
+       |cells AS (
+       |  SELECT doc_id, (y * 8) // h AS r, (x * 9) // w AS c,
+       |    CAST(sum(g) AS BIGINT) AS cs, COUNT(*) AS cn
+       |  FROM pix GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT a.doc_id, a.r * 8 + a.c AS idx,
+       |    CASE WHEN a.cs * b.cn < b.cs * a.cn THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+       |  WHERE a.c < 8),
+       |bands AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p0,
+       |    CAST(sum(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p1,
+       |    CAST(sum(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p2,
+       |    CAST(sum(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p3
+       |  FROM bits GROUP BY doc_id),
+       |gs AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS gray_sum FROM pix GROUP BY doc_id),
+       |ph AS (
+       |  SELECT d.doc_id, w, h, gray_sum, p0, p1, p2, p3
+       |  FROM d JOIN gs USING (doc_id) JOIN bands USING (doc_id))""".stripMargin
 
   /** Shared PQ oracle preamble (after an `e(vec_id, v)` CTE): per
     * subspace j, `cent<j>(c, cv)` = the md5-seeded codebook and
@@ -390,6 +476,50 @@ object SimilarityQueries extends QueryGroup {
         |  CAST((doc_id + 7 * i) % 48 + 1 AS INTEGER) AS frame_h,
         |  CAST((doc_id + i) % 500 AS INTEGER) AS delay_cs
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the whole pixel pipeline (LZW decode -> palette luma -> 9x8 cells
+    // -> dHash bands) replayed from the fixture formulas without parsing
+    // a single byte — agreement pins the codec chain end to end
+    "q_mm_phash" ->
+      s"""${phashSqlPrefix("")}
+         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(w * h AS BIGINT) AS n_pixels, gray_sum, p0, p1, p2, p3
+         |FROM ph ORDER BY doc_id""".stripMargin,
+
+    // brute-force pair twin of the banded join: at hamming <= 3 with 4
+    // bands the banded candidate set is provably complete (pigeonhole),
+    // so brute force and the banded join agree exactly
+    "q_mm_phash_dup" ->
+      s"""${phashSqlPrefix("WHERE doc_id < 120")}
+         |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1))
+         |      + bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // per-frame pixel decode: the multiplier advances per frame, so each
+    // frame's exact luma sum is an independent probe of the LZW stream
+    "q_mm_frame_px" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 7 AS base, doc_id % 40 AS poff,
+        |    9 * ((doc_id % 7) % 3 + 2) AS w, 8 * ((doc_id % 7) % 4 + 2) AS h,
+        |    doc_id % 2 + 1 AS nf,
+        |    CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END AS pert
+        |  FROM documents),
+        |fr AS (SELECT d.*, unnest(generate_series(0, nf - 1)) AS f FROM d),
+        |xs AS (SELECT unnest(generate_series(0, 35)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 39)) AS y),
+        |pix AS (
+        |  SELECT doc_id, f, w, h,
+        |    40 * ((CAST((base + f) % 7 + 1 AS BIGINT) * (3 * x + 7 * y + x * y + 1)
+        |           + CASE WHEN pert = 1 AND x = y THEN 1 ELSE 0 END) % 4) + poff AS g
+        |  FROM fr CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(g) AS BIGINT) AS gray_sum
+        |FROM pix GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // videos = doc_id % 3 = 2 (asMedia's type tag); stub frame checksum =
     // md5(payload || frame_idx digits), identical byte-wise in both engines

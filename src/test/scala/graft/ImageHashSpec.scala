@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GifLzw, GifPixelFixtures, ImageHash}
+
+/** Pixel-level GIF decode + perceptual hash: the LZW decoder must invert
+  * the independent fixture compressor byte-for-byte (including dictionary
+  * growth, width bumps, and the 4096 reset), decoded pixels must match
+  * the fixture formulas, and the banded near-dup join must find the
+  * planted same-base clusters. */
+class ImageHashSpec extends SparkSuite {
+
+  test("LZW round-trip: high-entropy stream forces width growth and dict reset") {
+    val rnd = new java.util.Random(42)
+    val n = 60000
+    val indices = Array.fill[Byte](n)((rnd.nextInt(4)).toByte)
+    val packed = GifPixelFixtures.compress(indices, minCodeSize = 2)
+    // high-entropy 4-symbol data compresses poorly: dict must have grown
+    // past the 8-bit boundary for this size, exercising width bumps
+    val decoded = GifLzw.decode(packed, minCodeSize = 2, maxPixels = n)
+    assert(decoded.isDefined)
+    assert(decoded.get.toSeq === indices.toSeq)
+  }
+
+  test("LZW round-trip: runs and repeats (KwKwK path)") {
+    // aaaa... triggers the code==nextCode special case immediately
+    for (pattern <- Seq(
+        Array.fill[Byte](500)(1),
+        Array.tabulate[Byte](1000)(i => (i % 2).toByte),
+        (Array.fill[Byte](3)(0) ++ Array.fill[Byte](7)(3)) ++
+          Array.tabulate[Byte](300)(i => (i % 4).toByte))) {
+      val packed = GifPixelFixtures.compress(pattern, minCodeSize = 2)
+      val decoded = GifLzw.decode(packed, 2, pattern.length)
+      assert(decoded.isDefined && decoded.get.toSeq === pattern.toSeq)
+    }
+  }
+
+  test("decoded fixture pixels match the generator formulas exactly") {
+    // encoder and decoder share no code: this is the codec gate
+    for (docId <- Seq(0L, 1L, 3L, 6L, 7L, 29L, 58L, 116L, 499L)) {
+      val img = ImageHash.decodeFirstFrame(
+        GifPixelFixtures.synthPixelGif(docId))
+      assert(img.isDefined, s"doc $docId failed to decode")
+      val g = img.get
+      assert(g.width === GifPixelFixtures.width(docId))
+      assert(g.height === GifPixelFixtures.height(docId))
+      var mismatches = 0
+      for (y <- 0 until g.height; x <- 0 until g.width) {
+        val expected = GifPixelFixtures.palValue(
+          docId, GifPixelFixtures.pixel(docId, 0, x, y))
+        if (g.gray(y * g.width + x) != expected) mismatches += 1
+      }
+      assert(mismatches === 0, s"doc $docId: $mismatches pixel mismatches")
+    }
+  }
+
+  test("second frame decodes with the advanced multiplier") {
+    val docId = 3L // odd -> 2 frames
+    val b = GifPixelFixtures.synthPixelGif(docId)
+    val info = graft.ops.GifHeaders.gifInfo(b).get
+    assert(info.frames.length === GifPixelFixtures.nFrames(docId))
+    val f1 = ImageHash.decodeFrame(b, info, info.frames(1)).get
+    val expect = GifPixelFixtures.palValue(
+      docId, GifPixelFixtures.pixel(docId, 1, 5, 4))
+    assert(f1.gray(4 * f1.width + 5) === expect)
+  }
+
+  test("dhash: left-dark right-bright image sets every row's comparison bits") {
+    val w = 18; val h = 16
+    val gray = Array.tabulate(w * h)(i => if (i % w < w / 2) 10 else 200)
+    val (p0, p1, p2, p3) = ImageHash.dhash(ImageHash.GrayImage(w, h, gray))
+    // cells 0..3 equal (dark), cell 4 mixed, 5..8 equal (bright): bits
+    // where the right cell is brighter are exactly c=3 (dark<mixed) and
+    // c=4 (mixed<bright) in every row r: idx = 8r+3 and 8r+4
+    val expectBits = (0 until 8).flatMap(r => Seq(r * 8 + 3, r * 8 + 4)).toSet
+    val got = (0 until 64).filter { idx =>
+      val band = Seq(p0, p1, p2, p3)(idx / 16)
+      (band & (1 << (idx % 16))) != 0
+    }.toSet
+    assert(got === expectBits)
+  }
+
+  test("banded near-dup join finds planted same-base clusters") {
+    import spark.implicits._
+    val media = (0L until 60L).toDF("doc_id").as[Long]
+      .map(id => graft.ops.Multimodal.MediaRecord(
+        id, GifPixelFixtures.synthPixelGif(id), "image"))
+      .toDF()
+    val ph = ImageHash.phash(spark, media).toDF()
+    val pairs = ImageHash.phashPairs(ph, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same base, both unperturbed -> identical image pattern -> hamming 0
+    assert(pairs.contains((1L, 8L)))
+    assert(pairs.contains((2L, 9L)))
+    // different base -> different geometry/pattern; 3 and 10 share base 3
+    assert(pairs.contains((3L, 10L)))
+    assert(!pairs.contains((1L, 2L)))
+    // every same-base unperturbed pair must be present (hamming 0)
+    val unperturbed = (0L until 60L).filterNot(GifPixelFixtures.perturbed)
+    for (a <- unperturbed; b <- unperturbed if a < b &&
+        GifPixelFixtures.base(a) == GifPixelFixtures.base(b)) {
+      assert(pairs.contains((a, b)), s"missing identical pair ($a, $b)")
+    }
+  }
+}
