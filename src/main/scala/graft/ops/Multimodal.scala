@@ -336,6 +336,48 @@ object ImageHeaders {
     pngDims(b).orElse(jpegDims(b))
 }
 
+/** Deterministic WAV fixture encoder — the encoding side of the
+  * `q_mm_audio_fp` oracle gate (mirror of [[GifPixelFixtures]] for
+  * audio). Every 16-bit PCM sample is a pure integer function of
+  * `docId`, so the DuckDB oracle predicts window energies and the
+  * fingerprint without reading a byte; [[AudioHash.pcmSamples]] shares
+  * no code with this writer. Same-`abase` docs are sample-identical
+  * (planted near-dup clusters); docs with `docId % 31 == 0` get a
+  * click every 50 samples (a genuine near-duplicate). */
+private[graft] object AudioFixtures {
+
+  def abase(docId: Long): Int = (docId % 5).toInt
+  def nSamples(docId: Long): Int = 2048 + abase(docId) * 512
+  def sampleRate(docId: Long): Int = 8000 + abase(docId) * 1000
+  def clicky(docId: Long): Boolean = docId % 31 == 0
+
+  /** Sample t: a base-scaled quadratic-residue waveform in [-1000, 1000],
+    * plus a +200 click on every 50th sample for clicky docs. */
+  def sample(docId: Long, t: Int): Int = {
+    val v = ((abase(docId) + 1) * ((t.toLong * t + 3L * t) % 977) % 2001 - 1000).toInt
+    v + (if (clicky(docId) && t % 50 == 0) 200 else 0)
+  }
+
+  def synthWav(docId: Long): Array[Byte] = {
+    val n = nSamples(docId)
+    val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
+    def tag4(s: String): Unit = out.write(s.getBytes(StandardCharsets.US_ASCII))
+    val rate = sampleRate(docId)
+    tag4("RIFF"); u32(36L + 2L * n); tag4("WAVE")
+    tag4("fmt "); u32(16)
+    u16(1); u16(1) // PCM, mono
+    u32(rate); u32(rate * 2L) // byte rate
+    u16(2); u16(16) // block align, bits
+    tag4("data"); u32(2L * n)
+    var t = 0
+    while (t < n) { u16(sample(docId, t)); t += 1 }
+    out.toByteArray
+  }
+}
+
 /** Pure-JVM WAV (RIFF) header decoding: "RIFF" + size + "WAVE", then a
   * chunk walk (4-byte id, 4-byte little-endian size, payload padded to
   * even length). The "fmt " chunk carries format(2 LE), channels(2 LE),

@@ -185,6 +185,36 @@ object SimilarityQueries extends QueryGroup {
     ImageHash.frameLumas(s, pixelGifMedia(s, dir)).toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** PCM fixture corpus: every doc_id encoded as a 16-bit mono WAV whose
+    * samples follow [[graft.ops.AudioFixtures]]' integer formulas. */
+  private def wavMedia(s: SparkSession, dir: String,
+                       limit: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    limit.fold(ids)(n => ids.filter(col("doc_id") < n)).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.AudioFixtures.synthWav(id), "audio"))
+      .toDF()
+  }
+
+  /** REAL PCM decode under an oracle gate: 16-bit LE samples decoded
+    * from the independently-encoded WAV, 65-window exact abs-sum
+    * energies, 64 adjacent comparisons as 4x16-bit bands — the audio
+    * mirror of `q_mm_phash`. */
+  private def mmAudioFp(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AudioHash.fingerprint(s, wavMedia(s, dir)).toDF()
+      .orderBy("doc_id")
+
+  /** Audio near-dup pairs: the SAME banded pair generator as image
+    * dHash ([[ImageHash.phashPairs]]) over the audio fingerprints —
+    * hamming <= 3 recall exact by pigeonhole; brute-force oracle twin
+    * over doc_id < 120. */
+  private def mmAudioDup(s: SparkSession, dir: String): DataFrame =
+    ImageHash.phashPairs(
+        graft.ops.AudioHash.fingerprint(s, wavMedia(s, dir, Some(120L))).toDF(),
+        maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
   /** Symmetric int8 quantization of the embedding column (the compression
     * step before shipping vectors to an ANN index): per-vector scale =
     * amax/127, q_i = floor(v_i/scale + 0.5) — exact integer round-trip
@@ -270,6 +300,8 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_phash_dup" -> mmPhashDup,
     "q_mm_frame_px" -> mmFramePx,
     "q_mm_audio" -> mmAudio,
+    "q_mm_audio_fp" -> mmAudioFp,
+    "q_mm_audio_dup" -> mmAudioDup,
     "q_mm_video" -> mmVideo,
   )
 
@@ -314,6 +346,42 @@ object SimilarityQueries extends QueryGroup {
        |ph AS (
        |  SELECT d.doc_id, w, h, gray_sum, p0, p1, p2, p3
        |  FROM d JOIN gs USING (doc_id) JOIN bands USING (doc_id))""".stripMargin
+
+  /** Shared audio-fingerprint oracle preamble: replays sample synthesis
+    * ([[graft.ops.AudioFixtures]] formulas) -> 65-window abs-sum energies
+    * -> 64 comparison bits -> 4x16-bit bands, ending in an
+    * `af(doc_id, n, abs_sum, p0..p3)` CTE. */
+  private def audioFpSqlPrefix(docFilter: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % 5 AS abase,
+       |    2048 + (doc_id % 5) * 512 AS n,
+       |    CASE WHEN doc_id % 31 = 0 THEN 1 ELSE 0 END AS clicky
+       |  FROM documents $docFilter),
+       |ts AS (SELECT unnest(generate_series(0, 5119)) AS t),
+       |smp AS (
+       |  SELECT doc_id, n, t, (t * 65) // n AS w,
+       |    CAST((abase + 1) * ((t * t + 3 * t) % 977) % 2001 - 1000
+       |      + CASE WHEN clicky = 1 AND t % 50 = 0 THEN 200 ELSE 0 END AS BIGINT) AS s
+       |  FROM d CROSS JOIN ts WHERE t < n),
+       |wins AS (
+       |  SELECT doc_id, w, CAST(sum(abs(s)) AS BIGINT) AS e, COUNT(*) AS c
+       |  FROM smp GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT a.doc_id, a.w AS idx,
+       |    CASE WHEN a.e * b.c < b.e * a.c THEN 1 ELSE 0 END AS bit
+       |  FROM wins a JOIN wins b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |  WHERE a.w < 64),
+       |bands AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p0,
+       |    CAST(sum(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p1,
+       |    CAST(sum(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p2,
+       |    CAST(sum(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p3
+       |  FROM bits GROUP BY doc_id),
+       |asum AS (SELECT doc_id, CAST(sum(abs(s)) AS BIGINT) AS abs_sum FROM smp GROUP BY doc_id),
+       |af AS (
+       |  SELECT d.doc_id, n, abs_sum, p0, p1, p2, p3
+       |  FROM d JOIN asum USING (doc_id) JOIN bands USING (doc_id))""".stripMargin
 
   /** Shared PQ oracle preamble (after an `e(vec_id, v)` CTE): per
     * subspace j, `cent<j>(c, cv)` = the md5-seeded codebook and
@@ -532,6 +600,24 @@ object SimilarityQueries extends QueryGroup {
         |  md5(text || CAST(frame_idx AS VARCHAR)) AS frame_checksum,
         |  CAST(('0x' || substr(md5(text || CAST(frame_idx AS VARCHAR)), 1, 2)) AS INTEGER) AS brightness
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the whole PCM pipeline (LE sample decode -> 65-window energies ->
+    // fingerprint bands) replayed from the fixture formulas
+    "q_mm_audio_fp" ->
+      s"""${audioFpSqlPrefix("")}
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, abs_sum, p0, p1, p2, p3
+         |FROM af ORDER BY doc_id""".stripMargin,
+
+    // brute-force pair twin: complete at hamming <= 3 (pigeonhole over
+    // the 4 bands), so it agrees exactly with the banded join
+    "q_mm_audio_dup" ->
+      s"""${audioFpSqlPrefix("WHERE doc_id < 120")}
+         |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1))
+         |      + bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) AS hamming
+         |  FROM af a JOIN af b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     // audio = doc_id % 3 = 1 (asMedia's type tag); text bytes are never
     // RIFF, so every row takes the md5-derived stand-in the SQL replays:
