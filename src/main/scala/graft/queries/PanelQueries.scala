@@ -168,6 +168,35 @@ object PanelQueries extends QueryGroup {
       .select("entity_id", "year", "revenue")
       .orderBy("entity_id", "year")
 
+  /** SCD2 validity intervals via gaps-and-islands: classify each
+    * customer-year into a revenue tier, then collapse CONSECUTIVE-year
+    * runs of the same tier into [from_year, to_year] validity rows — a
+    * year gap or a tier change starts a new island (new-island flag =
+    * lag compare, island id = running sum of flags). This is how a
+    * change log becomes a slowly-changing-dimension history table; one
+    * exchange on entity_id serves both windows AND the island rollup.
+    * Tier thresholds compare cent-exact DECIMAL-summed revenue, so the
+    * classification is engine-identical. */
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    val tier = when(col("revenue") >= 400000d, "high")
+      .when(col("revenue") >= 250000d, "mid")
+      .otherwise("low")
+    custPanel(s, dir)
+      .select(col("entity_id"), col("year"), tier.as("tier"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .withColumn("prev_year", lag(col("year"), 1).over(w))
+      .withColumn("new_island",
+        when(col("prev_tier").isNull || col("prev_tier") =!= col("tier") ||
+          col("year") =!= col("prev_year") + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("int"))
+      .groupBy("entity_id", "island", "tier")
+      .agg(min(col("year")).as("from_year"), max(col("year")).as("to_year"),
+        count(lit(1)).as("n_years"))
+      .orderBy("entity_id", "from_year")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cust_panel" -> custPanel,
   )
@@ -181,12 +210,41 @@ object PanelQueries extends QueryGroup {
     "q_kyear_change" -> kyearChange,
     "q_point_diff" -> pointDiff,
     "q_display_format" -> displayFormat,
+    "q_scd2" -> scd2,
   )
 
   private def pivotCasesSql = pivotYears.map(y =>
     s"MAX(CASE WHEN year = $y THEN revenue END) AS revenue_$y").mkString(",\n  ")
 
   override def oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      s"""WITH p AS ($custPanelSql),
+         |t AS (
+         |  SELECT entity_id, year,
+         |    CASE WHEN revenue >= 400000 THEN 'high'
+         |         WHEN revenue >= 250000 THEN 'mid'
+         |         ELSE 'low' END AS tier
+         |  FROM p),
+         |l AS (
+         |  SELECT entity_id, year, tier,
+         |    lag(tier) OVER w AS prev_tier, lag(year) OVER w AS prev_year
+         |  FROM t WINDOW w AS (PARTITION BY entity_id ORDER BY year)),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_tier IS NULL OR prev_tier <> tier
+         |                   OR year <> prev_year + 1 THEN 1 ELSE 0 END AS ni
+         |  FROM l),
+         |i AS (
+         |  SELECT entity_id, year, tier,
+         |    CAST(SUM(ni) OVER (PARTITION BY entity_id ORDER BY year
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS island
+         |  FROM f)
+         |SELECT entity_id, island, tier,
+         |  CAST(min(year) AS INTEGER) AS from_year,
+         |  CAST(max(year) AS INTEGER) AS to_year,
+         |  COUNT(*) AS n_years
+         |FROM i GROUP BY entity_id, island, tier
+         |ORDER BY entity_id, from_year""".stripMargin,
+
     "q_display_format" ->
       s"""WITH panel AS ($custPanelSql),
          |lagged AS (
