@@ -167,6 +167,43 @@ object EventsQueries extends QueryGroup {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy("segment")
 
+  /** Event-time AS-OF join: every click matched to the LATEST view by
+    * the same user at-or-before the click. Implemented with the
+    * union-tag + carry-forward pattern — tag views 0 / clicks 1, one
+    * window over (user, ts, tag) carries the last non-null view forward,
+    * then keep click rows. ONE shuffle on user_id, no range join, no
+    * per-key loop; at 100 TB this beats a (user, view x click) pair join
+    * because each event row is touched exactly once. Views are deduped
+    * to one per (user, ts) (max event_id) so the at-the-same-instant
+    * match is deterministic in both engines; the oracle is DuckDB's
+    * NATIVE `ASOF LEFT JOIN` — agreement proves the window encoding
+    * implements real as-of semantics, unmatched clicks carry NULLs. */
+  private def asofEvent(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .agg(max(col("event_id")).as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("click_id"))
+    val tagged = views
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        col("view_id"), lit(null).cast("long").as("click_id"))
+      .unionByName(clicks
+        .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+          lit(null).cast("long").as("view_id"), col("click_id")))
+    val cw = Window.partitionBy("user_id").orderBy(col("ts_us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("m_view_id", last(col("view_id"), ignoreNulls = true).over(cw))
+      .withColumn("m_view_ts",
+        last(when(col("view_id").isNotNull, col("ts_us")), ignoreNulls = true).over(cw))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("click_id"), col("ts_us").as("click_ts_us"),
+        col("m_view_id").as("view_id"), col("m_view_ts").as("view_ts_us"))
+      .orderBy("user_id", "click_id")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "events_parsed_props" -> sharedParsed,
   )
@@ -181,6 +218,7 @@ object EventsQueries extends QueryGroup {
     "q_session_window" -> sessionWindow,
     "q_stream_join" -> streamJoin,
     "q_stream_enrich" -> streamEnrich,
+    "q_asof_event" -> asofEvent,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -228,6 +266,21 @@ object EventsQueries extends QueryGroup {
         |FROM v JOIN c USING (user_id)
         |WHERE click_ts_us BETWEEN view_ts_us AND view_ts_us + 1800 * 1000000
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // DuckDB's NATIVE asof join is the oracle for the union+window
+    // encoding — the inequality in the ON clause is the as-of condition
+    "q_asof_event" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_ts_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id AS user_id, c.click_id, c.click_ts_us,
+        |  v.view_id, v.ts_us AS view_ts_us
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.click_ts_us >= v.ts_us
+        |ORDER BY c.user_id, click_id""".stripMargin,
 
     "q_stream_enrich" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS n_events,

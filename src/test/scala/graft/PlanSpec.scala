@@ -120,6 +120,18 @@ class PlanSpec extends SparkSuite {
       s"expected 4 band joins with a hamming verify, found $verifies")
   }
 
+  test("fingerprint near-dup pair joins (image + audio) never plan a nested loop") {
+    for (q <- Seq("q_mm_phash_dup", "q_mm_audio_dup")) {
+      val plan = formatted(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q banding degraded to an all-pairs join:\n${plan.take(1500)}")
+      // candidates come from the stacked band explode, joined on the
+      // (band_idx, band_val) equi-key
+      assert(plan.contains("Generate"), s"$q lost the band explode")
+    }
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
