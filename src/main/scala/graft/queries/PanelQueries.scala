@@ -197,6 +197,24 @@ object PanelQueries extends QueryGroup {
       .orderBy("entity_id", "from_year")
   }
 
+  /** Ranking-window suite over the per-year revenue distribution:
+    * percent_rank / cume_dist / ntile(4) / dense_rank in one window.
+    * The order key (revenue, entity_id) is UNIQUE — ntile assigns by row
+    * position, so a tie-broken total order is what makes the quartile
+    * deterministic and engine-identical. Partitioned by year: the window
+    * parallelism is the year count x nothing-global, and percent_rank's
+    * (rank-1)/(n-1) is exact small-integer division in doubles. */
+  private def rankSuite(s: SparkSession, dir: String): DataFrame = {
+    val yw = Window.partitionBy("year").orderBy(col("revenue"), col("entity_id"))
+    custPanel(s, dir)
+      .select(col("entity_id"), col("year"), col("revenue"))
+      .withColumn("pr", percent_rank().over(yw))
+      .withColumn("cd", cume_dist().over(yw))
+      .withColumn("quartile", ntile(4).over(yw))
+      .withColumn("rnk", dense_rank().over(yw))
+      .orderBy("year", "entity_id")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cust_panel" -> custPanel,
   )
@@ -211,12 +229,24 @@ object PanelQueries extends QueryGroup {
     "q_point_diff" -> pointDiff,
     "q_display_format" -> displayFormat,
     "q_scd2" -> scd2,
+    "q_rank_suite" -> rankSuite,
   )
 
   private def pivotCasesSql = pivotYears.map(y =>
     s"MAX(CASE WHEN year = $y THEN revenue END) AS revenue_$y").mkString(",\n  ")
 
   override def oracle: Map[String, String] = Map(
+    "q_rank_suite" ->
+      s"""WITH p AS ($custPanelSql)
+         |SELECT entity_id, year, revenue,
+         |  percent_rank() OVER w AS pr,
+         |  cume_dist() OVER w AS cd,
+         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         |  CAST(dense_rank() OVER w AS INTEGER) AS rnk
+         |FROM p
+         |WINDOW w AS (PARTITION BY year ORDER BY revenue, entity_id)
+         |ORDER BY year, entity_id""".stripMargin,
+
     "q_scd2" ->
       s"""WITH p AS ($custPanelSql),
          |t AS (

@@ -215,6 +215,27 @@ object SimilarityQueries extends QueryGroup {
         maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  /** Cross-modal near-dup ensemble: the image-dHash and audio-energy
+    * pair sets (both banded, hamming <= 3) full-outer merged with a
+    * modality-agreement count — the multimodal mirror of the lexical
+    * `q_dedup_ensemble`. A pair flagged in BOTH modalities is the
+    * highest-confidence duplicate; single-modality pairs localize WHICH
+    * channel matches. Inputs are the same banded joins, so the ensemble
+    * costs one outer join over two bounded pair sets. */
+  private def mmEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val img = ImageHash.phashPairs(
+        ImageHash.phash(s, pixelGifMedia(s, dir, Some(120L))).toDF(), 3)
+      .withColumnRenamed("hamming", "img_hamming")
+    val aud = ImageHash.phashPairs(
+        graft.ops.AudioHash.fingerprint(s, wavMedia(s, dir, Some(120L))).toDF(), 3)
+      .withColumnRenamed("hamming", "aud_hamming")
+    img.join(aud, Seq("doc_a", "doc_b"), "full_outer")
+      .withColumn("n_modalities",
+        when(col("img_hamming").isNotNull, 1).otherwise(0) +
+          when(col("aud_hamming").isNotNull, 1).otherwise(0))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Symmetric int8 quantization of the embedding column (the compression
     * step before shipping vectors to an ANN index): per-vector scale =
     * amax/127, q_i = floor(v_i/scale + 0.5) — exact integer round-trip
@@ -302,6 +323,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_audio" -> mmAudio,
     "q_mm_audio_fp" -> mmAudioFp,
     "q_mm_audio_dup" -> mmAudioDup,
+    "q_mm_ensemble" -> mmEnsemble,
     "q_mm_video" -> mmVideo,
   )
 
@@ -310,78 +332,81 @@ object SimilarityQueries extends QueryGroup {
     * fixture formulas — per-pixel luma, 9x8 floor-div cell sums, the 64
     * cross-multiplied comparison bits, and the four 16-bit bands — ending
     * in a `ph(doc_id, w, h, gray_sum, p0..p3)` CTE. `docFilter` bounds
-    * the doc set (e.g. "WHERE doc_id < 120" for the pair twin). */
-  private def phashSqlPrefix(docFilter: String): String =
-    s"""WITH d AS (
+    * the doc set (e.g. "WHERE doc_id < 120" for the pair twin); `n`
+    * prefixes every CTE name so two preambles can share one WITH clause
+    * (parameterized names, never post-hoc string surgery). */
+  private def phashSqlPrefix(docFilter: String, n: String = ""): String =
+    s"""${n}d AS (
        |  SELECT doc_id, doc_id % 7 AS base, doc_id % 40 AS poff,
        |    9 * ((doc_id % 7) % 3 + 2) AS w, 8 * ((doc_id % 7) % 4 + 2) AS h,
        |    CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END AS pert
        |  FROM documents $docFilter),
-       |xs AS (SELECT unnest(generate_series(0, 35)) AS x),
-       |ys AS (SELECT unnest(generate_series(0, 39)) AS y),
-       |pix AS (
+       |${n}xs AS (SELECT unnest(generate_series(0, 35)) AS x),
+       |${n}ys AS (SELECT unnest(generate_series(0, 39)) AS y),
+       |${n}pix AS (
        |  SELECT doc_id, w, h, x, y,
        |    40 * ((CAST(base + 1 AS BIGINT) * (3 * x + 7 * y + x * y + 1)
        |           + CASE WHEN pert = 1 AND x = y THEN 1 ELSE 0 END) % 4) + poff AS g
-       |  FROM d CROSS JOIN xs CROSS JOIN ys
+       |  FROM ${n}d CROSS JOIN ${n}xs CROSS JOIN ${n}ys
        |  WHERE x < w AND y < h),
-       |cells AS (
+       |${n}cells AS (
        |  SELECT doc_id, (y * 8) // h AS r, (x * 9) // w AS c,
        |    CAST(sum(g) AS BIGINT) AS cs, COUNT(*) AS cn
-       |  FROM pix GROUP BY 1, 2, 3),
-       |bits AS (
+       |  FROM ${n}pix GROUP BY 1, 2, 3),
+       |${n}bits AS (
        |  SELECT a.doc_id, a.r * 8 + a.c AS idx,
        |    CASE WHEN a.cs * b.cn < b.cs * a.cn THEN 1 ELSE 0 END AS bit
-       |  FROM cells a JOIN cells b
+       |  FROM ${n}cells a JOIN ${n}cells b
        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
        |  WHERE a.c < 8),
-       |bands AS (
+       |${n}bands AS (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p0,
        |    CAST(sum(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p1,
        |    CAST(sum(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p2,
        |    CAST(sum(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p3
-       |  FROM bits GROUP BY doc_id),
-       |gs AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS gray_sum FROM pix GROUP BY doc_id),
-       |ph AS (
-       |  SELECT d.doc_id, w, h, gray_sum, p0, p1, p2, p3
-       |  FROM d JOIN gs USING (doc_id) JOIN bands USING (doc_id))""".stripMargin
+       |  FROM ${n}bits GROUP BY doc_id),
+       |${n}gs AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS gray_sum FROM ${n}pix GROUP BY doc_id),
+       |${n}ph AS (
+       |  SELECT ${n}d.doc_id, w, h, gray_sum, p0, p1, p2, p3
+       |  FROM ${n}d JOIN ${n}gs USING (doc_id) JOIN ${n}bands USING (doc_id))""".stripMargin
 
   /** Shared audio-fingerprint oracle preamble: replays sample synthesis
     * ([[graft.ops.AudioFixtures]] formulas) -> 65-window abs-sum energies
     * -> 64 comparison bits -> 4x16-bit bands, ending in an
-    * `af(doc_id, n, abs_sum, p0..p3)` CTE. */
-  private def audioFpSqlPrefix(docFilter: String): String =
-    s"""WITH d AS (
+    * `af(doc_id, n, abs_sum, p0..p3)` CTE. `n` prefixes every CTE name
+    * (shared-WITH composition, as in [[phashSqlPrefix]]). */
+  private def audioFpSqlPrefix(docFilter: String, n: String = ""): String =
+    s"""${n}d AS (
        |  SELECT doc_id, doc_id % 5 AS abase,
        |    2048 + (doc_id % 5) * 512 AS n,
        |    CASE WHEN doc_id % 31 = 0 THEN 1 ELSE 0 END AS clicky
        |  FROM documents $docFilter),
-       |ts AS (SELECT unnest(generate_series(0, 5119)) AS t),
-       |smp AS (
+       |${n}ts AS (SELECT unnest(generate_series(0, 5119)) AS t),
+       |${n}smp AS (
        |  SELECT doc_id, n, t, (t * 65) // n AS w,
        |    CAST((abase + 1) * ((t * t + 3 * t) % 977) % 2001 - 1000
        |      + CASE WHEN clicky = 1 AND t % 50 = 0 THEN 200 ELSE 0 END AS BIGINT) AS s
-       |  FROM d CROSS JOIN ts WHERE t < n),
-       |wins AS (
+       |  FROM ${n}d CROSS JOIN ${n}ts WHERE t < n),
+       |${n}wins AS (
        |  SELECT doc_id, w, CAST(sum(abs(s)) AS BIGINT) AS e, COUNT(*) AS c
-       |  FROM smp GROUP BY 1, 2),
-       |bits AS (
+       |  FROM ${n}smp GROUP BY 1, 2),
+       |${n}bits AS (
        |  SELECT a.doc_id, a.w AS idx,
        |    CASE WHEN a.e * b.c < b.e * a.c THEN 1 ELSE 0 END AS bit
-       |  FROM wins a JOIN wins b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |  FROM ${n}wins a JOIN ${n}wins b ON a.doc_id = b.doc_id AND b.w = a.w + 1
        |  WHERE a.w < 64),
-       |bands AS (
+       |${n}bands AS (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p0,
        |    CAST(sum(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p1,
        |    CAST(sum(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p2,
        |    CAST(sum(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p3
-       |  FROM bits GROUP BY doc_id),
-       |asum AS (SELECT doc_id, CAST(sum(abs(s)) AS BIGINT) AS abs_sum FROM smp GROUP BY doc_id),
-       |af AS (
-       |  SELECT d.doc_id, n, abs_sum, p0, p1, p2, p3
-       |  FROM d JOIN asum USING (doc_id) JOIN bands USING (doc_id))""".stripMargin
+       |  FROM ${n}bits GROUP BY doc_id),
+       |${n}asum AS (SELECT doc_id, CAST(sum(abs(s)) AS BIGINT) AS abs_sum FROM ${n}smp GROUP BY doc_id),
+       |${n}af AS (
+       |  SELECT ${n}d.doc_id, n, abs_sum, p0, p1, p2, p3
+       |  FROM ${n}d JOIN ${n}asum USING (doc_id) JOIN ${n}bands USING (doc_id))""".stripMargin
 
   /** Shared PQ oracle preamble (after an `e(vec_id, v)` CTE): per
     * subspace j, `cent<j>(c, cv)` = the md5-seeded codebook and
@@ -549,7 +574,7 @@ object SimilarityQueries extends QueryGroup {
     // -> dHash bands) replayed from the fixture formulas without parsing
     // a single byte — agreement pins the codec chain end to end
     "q_mm_phash" ->
-      s"""${phashSqlPrefix("")}
+      s"""WITH ${phashSqlPrefix("")}
          |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
          |  CAST(w * h AS BIGINT) AS n_pixels, gray_sum, p0, p1, p2, p3
          |FROM ph ORDER BY doc_id""".stripMargin,
@@ -558,7 +583,7 @@ object SimilarityQueries extends QueryGroup {
     // bands the banded candidate set is provably complete (pigeonhole),
     // so brute force and the banded join agree exactly
     "q_mm_phash_dup" ->
-      s"""${phashSqlPrefix("WHERE doc_id < 120")}
+      s"""WITH ${phashSqlPrefix("WHERE doc_id < 120")}
          |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1))
@@ -604,20 +629,48 @@ object SimilarityQueries extends QueryGroup {
     // the whole PCM pipeline (LE sample decode -> 65-window energies ->
     // fingerprint bands) replayed from the fixture formulas
     "q_mm_audio_fp" ->
-      s"""${audioFpSqlPrefix("")}
+      s"""WITH ${audioFpSqlPrefix("")}
          |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, abs_sum, p0, p1, p2, p3
          |FROM af ORDER BY doc_id""".stripMargin,
 
     // brute-force pair twin: complete at hamming <= 3 (pigeonhole over
     // the 4 bands), so it agrees exactly with the banded join
     "q_mm_audio_dup" ->
-      s"""${audioFpSqlPrefix("WHERE doc_id < 120")}
+      s"""WITH ${audioFpSqlPrefix("WHERE doc_id < 120")}
          |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1))
          |      + bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) AS hamming
          |  FROM af a JOIN af b ON a.doc_id < b.doc_id)
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // both fingerprint preambles share one WITH via parameterized CTE
+    // prefixes (i/a); pair sets brute-forced (complete at hamming <= 3)
+    // then full-outer merged exactly like the Spark side
+    "q_mm_ensemble" ->
+      s"""WITH ${phashSqlPrefix("WHERE doc_id < 120", "i")},
+         |${audioFpSqlPrefix("WHERE doc_id < 120", "a")},
+         |ip AS (
+         |  SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS img_hamming FROM (
+         |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |      bit_count(xor(x.p0, y.p0)) + bit_count(xor(x.p1, y.p1))
+         |        + bit_count(xor(x.p2, y.p2)) + bit_count(xor(x.p3, y.p3)) AS hamming
+         |    FROM iph x JOIN iph y ON x.doc_id < y.doc_id)
+         |  WHERE hamming <= 3),
+         |ap AS (
+         |  SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS aud_hamming FROM (
+         |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |      bit_count(xor(x.p0, y.p0)) + bit_count(xor(x.p1, y.p1))
+         |        + bit_count(xor(x.p2, y.p2)) + bit_count(xor(x.p3, y.p3)) AS hamming
+         |    FROM aaf x JOIN aaf y ON x.doc_id < y.doc_id)
+         |  WHERE hamming <= 3)
+         |SELECT COALESCE(ip.doc_a, ap.doc_a) AS doc_a,
+         |  COALESCE(ip.doc_b, ap.doc_b) AS doc_b,
+         |  img_hamming, aud_hamming,
+         |  CAST((CASE WHEN img_hamming IS NOT NULL THEN 1 ELSE 0 END)
+         |     + (CASE WHEN aud_hamming IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_modalities
+         |FROM ip FULL JOIN ap ON ip.doc_a = ap.doc_a AND ip.doc_b = ap.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // audio = doc_id % 3 = 1 (asMedia's type tag); text bytes are never
     // RIFF, so every row takes the md5-derived stand-in the SQL replays:
