@@ -161,6 +161,44 @@ object ImageHash {
     }
   }
 
+  /** Incremental fingerprint near-dup: the pairs a NEW batch introduces
+    * against a persisted fingerprint index — batch-vs-index plus
+    * batch-vs-batch per band, never index x index (the [[graft.ops.Dedup
+    * .incrementalSimhashPairs]] shape for the image/audio detectors; any
+    * frame with doc_id + p0..p3 works). Per-batch cost is
+    * O(batch x band collision rate); the result equals the full banded
+    * join restricted to batch-touching pairs (fingerprints are per-doc,
+    * so the restriction is exact — law-tested in ImageHashSpec,
+    * oracle-gated via `q_mm_phash_incr`). */
+  def incrementalPhashPairs(fpOld: DataFrame, fpNew: DataFrame,
+                            maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding is exhaustive only for hamming <= 3")
+    val bs = Seq("p0", "p1", "p2", "p3")
+    def tagged(df: DataFrame, tag: String, b: String): DataFrame =
+      df.select(col("doc_id").as(s"${tag}_id") +:
+        bs.map(c => col(c).as(s"${tag}_$c")) :+ col(b).as("bk"): _*)
+    val perBand = bs.map { b =>
+      val newNew = tagged(fpNew, "x", b).join(tagged(fpNew, "y", b), Seq("bk"))
+        .filter(col("x_id") < col("y_id"))
+      // guard against overlapping id sets (a doc present in both index
+      // and batch must not pair with itself)
+      val oldNew = tagged(fpOld, "x", b).join(tagged(fpNew, "y", b), Seq("bk"))
+        .filter(col("x_id") =!= col("y_id"))
+      newNew.unionByName(oldNew)
+    }.reduce(_ unionByName _)
+    val ham = bs.map(c =>
+      bit_count(col(s"x_$c").bitwiseXOR(col(s"y_$c"))).cast("int"))
+      .reduce(_ + _)
+    perBand
+      .select(
+        least(col("x_id"), col("y_id")).as("doc_a"),
+        greatest(col("x_id"), col("y_id")).as("doc_b"),
+        ham.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-duplicate image pairs from the phash frame: candidates share at
     * least one of the 4 bands (stacked (band_idx, band_value) equi-join —
     * one shuffle, the SimHash64 shape), then the exact hamming distance

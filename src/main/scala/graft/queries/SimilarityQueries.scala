@@ -215,6 +215,20 @@ object SimilarityQueries extends QueryGroup {
         maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  /** Incremental image near-dup: docs >= 100 arrive as a new batch
+    * against the persisted fingerprint index of docs < 100 —
+    * batch-vs-index + batch-vs-batch banded joins only. The oracle is
+    * the FULL brute-force pair set restricted to batch-touching pairs
+    * (exact restriction, since fingerprints are per-doc). */
+  private def mmPhashIncr(s: SparkSession, dir: String): DataFrame = {
+    val fpAll = ImageHash.phash(s, pixelGifMedia(s, dir, Some(120L))).toDF()
+    ImageHash.incrementalPhashPairs(
+        fpAll.filter(col("doc_id") < 100),
+        fpAll.filter(col("doc_id") >= 100),
+        maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-modal near-dup ensemble: the image-dHash and audio-energy
     * pair sets (both banded, hamming <= 3) full-outer merged with a
     * modality-agreement count — the multimodal mirror of the lexical
@@ -324,6 +338,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_audio_fp" -> mmAudioFp,
     "q_mm_audio_dup" -> mmAudioDup,
     "q_mm_ensemble" -> mmEnsemble,
+    "q_mm_phash_incr" -> mmPhashIncr,
     "q_mm_video" -> mmVideo,
   )
 
@@ -643,6 +658,18 @@ object SimilarityQueries extends QueryGroup {
          |      + bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) AS hamming
          |  FROM af a JOIN af b ON a.doc_id < b.doc_id)
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // full brute-force pair set restricted to pairs touching the new
+    // batch (doc_id >= 100) — what the incremental banded join must equal
+    "q_mm_phash_incr" ->
+      s"""WITH ${phashSqlPrefix("WHERE doc_id < 120")}
+         |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    bit_count(xor(x.p0, y.p0)) + bit_count(xor(x.p1, y.p1))
+         |      + bit_count(xor(x.p2, y.p2)) + bit_count(xor(x.p3, y.p3)) AS hamming
+         |  FROM ph x JOIN ph y ON x.doc_id < y.doc_id)
+         |WHERE hamming <= 3 AND (doc_a >= 100 OR doc_b >= 100)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // both fingerprint preambles share one WITH via parameterized CTE
     // prefixes (i/a); pair sets brute-forced (complete at hamming <= 3)

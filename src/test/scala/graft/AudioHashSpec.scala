@@ -45,6 +45,14 @@ class AudioHashSpec extends SparkSuite {
     assert(Seq(q0, q1, q2, q3).forall(_ === 0))
   }
 
+  test("fingerprint is invariant under uniform gain") {
+    val s = Array.tabulate(1000)(t => ((t * t + 3 * t) % 977) - 488)
+    val Some((e1, b1)) = AudioHash.energyBands(s)
+    val Some((e3, b3)) = AudioHash.energyBands(s.map(_ * 3))
+    assert(b1 === b3) // comparisons scale together
+    assert(e3 === 3 * e1) // energies do not
+  }
+
   test("banded near-dup join finds planted same-base audio clusters") {
     import spark.implicits._
     val media = (0L until 60L).toDF("doc_id").as[Long]

@@ -81,6 +81,31 @@ class ImageHashSpec extends SparkSuite {
     assert(got === expectBits)
   }
 
+  test("dhash is invariant under a uniform brightness shift") {
+    val w = 27; val h = 24
+    val gray = Array.tabulate(w * h)(i => (i * 7) % 200)
+    val img = ImageHash.GrayImage(w, h, gray)
+    val shifted = ImageHash.GrayImage(w, h, gray.map(_ + 40))
+    assert(ImageHash.dhash(img) === ImageHash.dhash(shifted))
+  }
+
+  test("incremental banded pairs equal the full join restricted to batch-touching pairs") {
+    import spark.implicits._
+    val media = (0L until 80L).toDF("doc_id").as[Long]
+      .map(id => graft.ops.Multimodal.MediaRecord(
+        id, GifPixelFixtures.synthPixelGif(id), "image"))
+      .toDF()
+    val fp = ImageHash.phash(spark, media).toDF()
+    val incr = ImageHash.incrementalPhashPairs(
+        fp.filter(col("doc_id") < 60), fp.filter(col("doc_id") >= 60), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = ImageHash.phashPairs(fp, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(t => t._1 >= 60 || t._2 >= 60).toSet
+    assert(incr.nonEmpty)
+    assert(incr === full)
+  }
+
   test("banded near-dup join finds planted same-base clusters") {
     import spark.implicits._
     val media = (0L until 60L).toDF("doc_id").as[Long]
