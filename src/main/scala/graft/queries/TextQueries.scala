@@ -251,7 +251,28 @@ object TextQueries extends QueryGroup {
         col("chunk_text"), length(col("chunk_text")).as("chunk_len"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Delimiter-pattern record splitting: one text field holding many
+    * concatenated records, split on a regex delimiter and exploded WITH
+    * position — sentence segmentation is this exact shape with
+    * `[.!?]+\s+` as the delimiter (the synthetic corpus has no
+    * punctuation, so the delimiter here is a frequent token; the
+    * machinery is identical). No lookbehind — DuckDB's RE2 has none, so
+    * the delimiter is CONSUMED and both engines drop it identically,
+    * leftmost-first. Part indices are 1-based over ALL split parts with
+    * empties filtered after indexing, so indices are stable regardless
+    * of empty-part positions. Pure projection + bounded explode. */
+  private def textSplitRecords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), """\s+stream\s+""")).as(Seq("pos", "record")))
+      .withColumn("part_idx", (col("pos") + 1).cast("int"))
+      .filter(length(col("record")) > 0)
+      .select(col("doc_id"), col("part_idx"), col("record"),
+        length(col("record")).as("n_chars"))
+      .orderBy("doc_id", "part_idx")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_split" -> textSplitRecords,
     "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
     "q_quality_prune" -> qualityPrune,
@@ -268,6 +289,18 @@ object TextQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_text_split" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+stream\s+') AS arr
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        |  FROM parts)
+        |SELECT doc_id, CAST(i AS INTEGER) AS part_idx, arr[i] AS record,
+        |  CAST(length(arr[i]) AS INTEGER) AS n_chars
+        |FROM idx WHERE length(arr[i]) > 0
+        |ORDER BY doc_id, part_idx""".stripMargin,
+
     // generate_series yields BIGINT in DuckDB — cast the derived ints so the
     // schema matches Spark's INT chunk_idx/chunk_start/len/chunk_len
     "q_text_chunks" ->
