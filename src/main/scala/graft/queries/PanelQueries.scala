@@ -215,6 +215,23 @@ object PanelQueries extends QueryGroup {
       .orderBy("year", "entity_id")
   }
 
+  /** Rolling 3-year mean + running total per entity. The windowed sums
+    * go through DECIMAL(18,2) (cent-exact) and only the final division
+    * is double — double accumulation ORDER inside a window frame is the
+    * classic cross-engine divergence, and decimal sums make it moot.
+    * Same single entity exchange as every panel window. */
+  private def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("revenue").cast("decimal(18,2)")
+    val w3 = w.rowsBetween(-2, 0)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
+    custPanel(s, dir)
+      .select(col("entity_id"), col("year"), col("revenue"))
+      .withColumn("rev_ma3",
+        sum(dec).over(w3).cast("double") / count(lit(1)).over(w3))
+      .withColumn("rev_cum", sum(dec).over(wAll).cast("double"))
+      .orderBy("entity_id", "year")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cust_panel" -> custPanel,
   )
@@ -230,12 +247,27 @@ object PanelQueries extends QueryGroup {
     "q_display_format" -> displayFormat,
     "q_scd2" -> scd2,
     "q_rank_suite" -> rankSuite,
+    "q_moving_avg" -> movingAvg,
   )
 
   private def pivotCasesSql = pivotYears.map(y =>
     s"MAX(CASE WHEN year = $y THEN revenue END) AS revenue_$y").mkString(",\n  ")
 
   override def oracle: Map[String, String] = Map(
+    "q_moving_avg" ->
+      s"""WITH p AS ($custPanelSql)
+         |SELECT entity_id, year, revenue,
+         |  CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+         |    / COUNT(*) OVER w3 AS rev_ma3,
+         |  CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER wa AS DOUBLE) AS rev_cum
+         |FROM p
+         |WINDOW
+         |  w3 AS (PARTITION BY entity_id ORDER BY year
+         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         |  wa AS (PARTITION BY entity_id ORDER BY year
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY entity_id, year""".stripMargin,
+
     "q_rank_suite" ->
       s"""WITH p AS ($custPanelSql)
          |SELECT entity_id, year, revenue,
