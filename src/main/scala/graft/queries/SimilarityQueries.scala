@@ -229,6 +229,18 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental audio near-dup: same split as `q_mm_phash_incr`, same
+    * generic banded core ([[ImageHash.incrementalPhashPairs]] works on
+    * ANY doc_id + p0..p3 frame) over the audio fingerprints. */
+  private def mmAudioIncr(s: SparkSession, dir: String): DataFrame = {
+    val fpAll = graft.ops.AudioHash.fingerprint(s, wavMedia(s, dir, Some(120L))).toDF()
+    ImageHash.incrementalPhashPairs(
+        fpAll.filter(col("doc_id") < 100),
+        fpAll.filter(col("doc_id") >= 100),
+        maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-modal near-dup ensemble: the image-dHash and audio-energy
     * pair sets (both banded, hamming <= 3) full-outer merged with a
     * modality-agreement count — the multimodal mirror of the lexical
@@ -339,6 +351,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_audio_dup" -> mmAudioDup,
     "q_mm_ensemble" -> mmEnsemble,
     "q_mm_phash_incr" -> mmPhashIncr,
+    "q_mm_audio_incr" -> mmAudioIncr,
     "q_mm_video" -> mmVideo,
   )
 
@@ -668,6 +681,16 @@ object SimilarityQueries extends QueryGroup {
          |    bit_count(xor(x.p0, y.p0)) + bit_count(xor(x.p1, y.p1))
          |      + bit_count(xor(x.p2, y.p2)) + bit_count(xor(x.p3, y.p3)) AS hamming
          |  FROM ph x JOIN ph y ON x.doc_id < y.doc_id)
+         |WHERE hamming <= 3 AND (doc_a >= 100 OR doc_b >= 100)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_mm_audio_incr" ->
+      s"""WITH ${audioFpSqlPrefix("WHERE doc_id < 120")}
+         |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    bit_count(xor(x.p0, y.p0)) + bit_count(xor(x.p1, y.p1))
+         |      + bit_count(xor(x.p2, y.p2)) + bit_count(xor(x.p3, y.p3)) AS hamming
+         |  FROM af x JOIN af y ON x.doc_id < y.doc_id)
          |WHERE hamming <= 3 AND (doc_a >= 100 OR doc_b >= 100)
          |ORDER BY doc_a, doc_b""".stripMargin,
 

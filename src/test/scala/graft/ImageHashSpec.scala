@@ -23,6 +23,18 @@ class ImageHashSpec extends SparkSuite {
     assert(decoded.get.toSeq === indices.toSeq)
   }
 
+  test("LZW round-trip across code sizes 2..8 (wider palettes)") {
+    val rnd = new java.util.Random(7)
+    for (minCode <- 2 to 8) {
+      val alphabet = 1 << minCode
+      val data = Array.fill[Byte](8000)(rnd.nextInt(alphabet).toByte)
+      val packed = GifPixelFixtures.compress(data, minCode)
+      val decoded = GifLzw.decode(packed, minCode, data.length)
+      assert(decoded.isDefined, s"minCode $minCode failed to decode")
+      assert(decoded.get.toSeq === data.toSeq, s"minCode $minCode diverged")
+    }
+  }
+
   test("LZW round-trip: runs and repeats (KwKwK path)") {
     // aaaa... triggers the code==nextCode special case immediately
     for (pattern <- Seq(
