@@ -59,7 +59,21 @@ object ImageHash {
     else {
       val minCode = b(f.dataStart) & 0xff
       val data = GifLzw.deSubBlock(b, f.dataStart + 1, f.dataEnd)
-      GifLzw.decode(data, minCode, f.width * f.height).map { idx =>
+      GifLzw.decode(data, minCode, f.width * f.height).map { raw =>
+        // interlaced frames store rows in the GIF 8/8/4/2 pass order —
+        // map stored row s back to its display row
+        val idx =
+          if (!f.interlaced) raw
+          else {
+            val out = new Array[Byte](raw.length)
+            var s = 0
+            for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                 y <- start until f.height by step) {
+              System.arraycopy(raw, s * f.width, out, y * f.width, f.width)
+              s += 1
+            }
+            out
+          }
         val gray = new Array[Int](f.width * f.height)
         var i = 0
         while (i < gray.length) {

@@ -501,11 +501,13 @@ object GifHeaders {
 
   /** One image descriptor: geometry, the delay from the preceding
     * graphic-control extension (0 if none), the [start, end) byte range
-    * of this frame's image data (LZW-min-code byte + sub-blocks), and the
-    * local color table position/entry-count (-1/0 when absent). */
+    * of this frame's image data (LZW-min-code byte + sub-blocks), the
+    * local color table position/entry-count (-1/0 when absent), and the
+    * interlace flag (rows stored in 8/8/4/2 pass order when set). */
   case class GifFrame(left: Int, top: Int, width: Int, height: Int,
                       delayCs: Int, dataStart: Int, dataEnd: Int,
-                      lctStart: Int = -1, lctSize: Int = 0)
+                      lctStart: Int = -1, lctSize: Int = 0,
+                      interlaced: Boolean = false)
 
   /** Logical screen size + the frames in stream order, with the global
     * color table position/entry-count (-1/0 when absent). */
@@ -570,7 +572,7 @@ object GifHeaders {
           j = skipSubBlocks(b, j + 1)
           if (j < 0) return None
           frames :+= GifFrame(left, top, w, h, pendingDelay, dataStart, j,
-            lctStart, lctSize)
+            lctStart, lctSize, (ipacked & 0x40) != 0)
           pendingDelay = 0
           i = j
         case _ => return None // lost block sync: not a well-formed GIF
@@ -655,6 +657,11 @@ private[graft] object GifPixelFixtures {
   def palOffset(docId: Long): Int = (docId % 40).toInt
   def perturbed(docId: Long): Boolean = docId % 29 == 0
   def nFrames(docId: Long): Int = (docId % 2).toInt + 1
+  /** Every 11th doc is written INTERLACED (rows in GIF 8/8/4/2 pass
+    * order + the 0x40 descriptor flag). The pixel FORMULA describes the
+    * displayed image either way, so the unchanged oracle only matches if
+    * the decoder really de-interlaces. */
+  def interlaced(docId: Long): Boolean = docId % 11 == 0
 
   /** Palette index of pixel (x, y) in frame `frame`: a base-scaled
     * bilinear-ish pattern mod 4 (the multiplier advances per frame), with
@@ -683,15 +690,20 @@ private[graft] object GifPixelFixtures {
     }
     (0 until nFrames(docId)).foreach { fr =>
       u8(0x2c) // image descriptor: full-frame, no LCT
-      u16(0); u16(0); u16(w); u16(h); u8(0x00)
+      u16(0); u16(0); u16(w); u16(h)
+      u8(if (interlaced(docId)) 0x40 else 0x00)
       u8(2) // LZW minimum code size (4-color)
+      // row emission order: display order, or the 8/8/4/2 interlace passes
+      val rowOrder: Seq[Int] =
+        if (!interlaced(docId)) 0 until h
+        else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap {
+          case (start, step) => start until h by step
+        }
       val indices = new Array[Byte](w * h)
       var i = 0
-      var y = 0
-      while (y < h) {
+      rowOrder.foreach { y =>
         var x = 0
         while (x < w) { indices(i) = pixel(docId, fr, x, y).toByte; i += 1; x += 1 }
-        y += 1
       }
       val lzw = compress(indices, minCodeSize = 2)
       // sub-block the compressed stream at <=255 bytes

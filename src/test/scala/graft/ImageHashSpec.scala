@@ -50,7 +50,8 @@ class ImageHashSpec extends SparkSuite {
 
   test("decoded fixture pixels match the generator formulas exactly") {
     // encoder and decoder share no code: this is the codec gate
-    for (docId <- Seq(0L, 1L, 3L, 6L, 7L, 29L, 58L, 116L, 499L)) {
+    // (0, 11, 22 are written INTERLACED — formula match proves de-interlacing)
+    for (docId <- Seq(0L, 1L, 3L, 6L, 7L, 11L, 22L, 29L, 58L, 116L, 499L)) {
       val img = ImageHash.decodeFirstFrame(
         GifPixelFixtures.synthPixelGif(docId))
       assert(img.isDefined, s"doc $docId failed to decode")
