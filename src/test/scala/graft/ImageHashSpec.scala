@@ -48,6 +48,27 @@ class ImageHashSpec extends SparkSuite {
     }
   }
 
+  test("malformed payloads decode to None, never throw") {
+    val rnd = new java.util.Random(3)
+    val garbage = Array.fill[Byte](500)(rnd.nextInt(256).toByte)
+    assert(ImageHash.decodeFirstFrame(garbage).isEmpty)
+    // well-formed container, corrupt LZW stream: flip bytes inside the
+    // image data of a valid fixture
+    val b = GifPixelFixtures.synthPixelGif(1L)
+    val info = graft.ops.GifHeaders.gifInfo(b).get
+    val broken = b.clone()
+    val f = info.frames.head
+    var i = f.dataStart + 2
+    while (i < f.dataEnd - 1) { broken(i) = (broken(i) ^ 0x5a).toByte; i += 3 }
+    // must not throw; None or a (wrong) decode are both acceptable here —
+    // the gate for CORRECT decode is the formula test below
+    ImageHash.decodeFirstFrame(broken)
+    // truncated payload
+    assert(ImageHash.decodeFirstFrame(b.take(20)).isEmpty)
+    // truncated LZW data via an early sub-block terminator
+    assert(GifLzw.decode(Array[Byte](0x04, 0x02), 2, 1000).isEmpty)
+  }
+
   test("decoded fixture pixels match the generator formulas exactly") {
     // encoder and decoder share no code: this is the codec gate
     // (0, 11, 22 are written INTERLACED — formula match proves de-interlacing)

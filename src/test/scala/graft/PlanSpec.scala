@@ -132,6 +132,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("hot-path queries stay inside whole-stage codegen") {
+    // the scan -> filter -> project pipeline must fuse into generated
+    // code; a non-codegen Expression in the hot path would break the
+    // span and show as interpreted row-at-a-time execution
+    // AQE's pre-execution plan hides codegen stages — materialize first,
+    // then inspect the executed plan
+    for (q <- Seq("q_scan_project", "q_flag_compound", "q_engine_scores",
+        "q_dedup_simhash64")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize THIS df's adaptive plan (count() plans anew)
+      val plan = df.queryExecution.executedPlan.toString
+      // codegen stages print as "*(n) Operator" in the executed plan
+      assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+        s"$q lost whole-stage codegen:\n${plan.take(900)}")
+    }
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
