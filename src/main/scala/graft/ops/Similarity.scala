@@ -308,6 +308,68 @@ object Similarity {
         col("adc_dist"), col("rn").as("rank"))
   }
 
+  /** IVF + PQ composed search — the production ANN shape at 100 TB: the
+    * IVF assignment restricts each query to its `nProbe` probed lists
+    * (candidate count ~ corpus * nProbe / nCentroids, not the corpus) and
+    * the ADC distance ranks candidates from their PQ CODES only — the
+    * probe join never touches corpus floats, so the index that serves it
+    * holds codes + two small codebook families. Both halves use the
+    * md5-seeded, oracle-checkable variants ([[ivfSeededTopK]] seeding +
+    * [[pqCodes]] codebooks), so the COMPOSITION is pinned cross-engine
+    * end to end (`q_sim_ivf_pq`). */
+  def ivfPqTopK(emb: DataFrame, isQuery: Column, topK: Int, nCentroids: Int,
+                nProbe: Int, m: Int, k: Int, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    val n = graft.core.SharedFrames.register(withNorm(emb))
+    val centroids = n.select(col("vec_id"), col("v"))
+      .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
+      .limit(nCentroids).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "ivfPqTopK: empty embedding corpus")
+    val centroidsLit = typedlit(centroids.map(_.toSeq).toSeq)
+    val cNormSq = centroids.map(c => c.map(x => x * x).sum)
+    val distStructs = (0 until centroids.length).map { c =>
+      struct((lit(cNormSq(c)) - lit(2.0) * dot(col("v"), element_at(centroidsLit, c + 1)))
+        .as("d"), lit(c).as("c"))
+    }
+    val assigned = graft.core.SharedFrames.register(n
+      .withColumn("dists", array_sort(array(distStructs: _*)))
+      .withColumn("list_id", element_at(col("dists"), 1).getField("c")))
+    // corpus side: list assignment + codes, no floats
+    val codes = graft.core.SharedFrames.register(pqCodes(emb, m, k, dim))
+    val corpus = assigned.select(col("vec_id"), col("list_id"))
+      .join(codes.drop("sse"), Seq("vec_id"))
+    val q = assigned.filter(isQuery)
+      .withColumn("probes", slice(col("dists"), 1, nProbe))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("probes").getField("c")).as("list_id"))
+    // ADC over the probed candidates (same codebook seeding as pqCodes)
+    val codebooks: Seq[Array[Array[Double]]] = (1 to m).map { j =>
+      n.select(col("vec_id"), col("v"))
+        .orderBy(md5(concat(lit(s"pq${j}_"), col("vec_id").cast("string"))))
+        .limit(k).collect()
+        .map(_.getSeq[Double](1).slice((j - 1) * sub, j * sub).toArray)
+    }
+    val dist = (1 to m).map { j =>
+      val cb = codebooks(j - 1)
+      val cbLit = typedlit(cb.map(_.toSeq).toSeq)
+      val cn = typedlit(cb.map(c => c.map(x => x * x).sum).toSeq)
+      val qSub = slice(col("qv"), (j - 1) * sub + 1, sub)
+      element_at(cn, col(s"code_$j") + 1) -
+        lit(2.0) * dot(qSub, element_at(cbLit, col(s"code_$j") + 1))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    q.join(corpus, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", round(dist, 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"), col("rn").as("rank"))
+  }
+
   /** Bucketed ANN near-dup pairs: compare only bucket-mates, verify with
     * true cosine >= `threshold`. */
   def lshNearDupPairs(emb: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {

@@ -332,11 +332,20 @@ object SimilarityQueries extends QueryGroup {
         topK = 5, m = 4, k = 4)
       .orderBy("query_id", "rank")
 
+  /** The composed IVF+PQ search: probe 3 of 8 IVF lists, rank
+    * candidates by ADC over their PQ codes only — the full production
+    * ANN pipeline in one oracle-pinned query. */
+  private def simIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") < 5,
+        topK = 5, nCentroids = 8, nProbe = 3, m = 4, k = 4)
+      .orderBy("query_id", "rank")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_clusters" -> simClusters,
     "q_embed_quant" -> embedQuant,
     "q_embed_pq" -> embedPq,
     "q_sim_pq" -> simPq,
+    "q_sim_ivf_pq" -> simIvfPq,
     "q_sim_topk" -> topk,
     "q_sim_lsh" -> lsh,
     "q_sim_ivf" -> ivf,
@@ -498,6 +507,59 @@ object SimilarityQueries extends QueryGroup {
          |  JOIN cent3 c3 ON c3.c = codes.code_3
          |  JOIN cent4 c4 ON c4.c = codes.code_4
          |  WHERE codes.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id AS neighbor_id, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, adc_dist, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the COMPOSED pipeline: IVF seeding/assignment/probing (q_sim_ivf's
+    // CTEs) restricts candidates, ADC over PQ codes (q_sim_pq's CTEs)
+    // ranks them — the oracle replays both halves in one query
+    "q_sim_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS c,
+         |         v AS cv
+         |  FROM n
+         |  QUALIFY row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR))) <= 8),
+         |dists AS (
+         |  SELECT n.vec_id, n.v, cent.c,
+         |    list_dot_product(cent.cv, cent.cv) - 2 * list_dot_product(n.v, cent.cv) AS d
+         |  FROM n CROSS JOIN cent),
+         |lists AS (
+         |  SELECT vec_id, c AS list_id FROM dists
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, c AS list_id FROM dists
+         |  WHERE vec_id < 5
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) <= 3),
+         |$pqSqlSubs,
+         |codes AS (
+         |  SELECT e.vec_id, code_1, code_2, code_3, code_4
+         |  FROM e JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+         |    JOIN a3 USING (vec_id) JOIN a4 USING (vec_id)),
+         |cand AS (
+         |  SELECT probes.query_id, probes.qv,
+         |    codes.vec_id, code_1, code_2, code_3, code_4
+         |  FROM probes JOIN lists USING (list_id)
+         |  JOIN codes ON codes.vec_id = lists.vec_id
+         |  WHERE lists.vec_id <> probes.query_id),
+         |pairs AS (
+         |  SELECT query_id, vec_id,
+         |    round(
+         |      (list_dot_product(c1.cv, c1.cv) - 2 * list_dot_product(qv[1:16], c1.cv))
+         |    + (list_dot_product(c2.cv, c2.cv) - 2 * list_dot_product(qv[17:32], c2.cv))
+         |    + (list_dot_product(c3.cv, c3.cv) - 2 * list_dot_product(qv[33:48], c3.cv))
+         |    + (list_dot_product(c4.cv, c4.cv) - 2 * list_dot_product(qv[49:64], c4.cv)), 6) AS adc_dist
+         |  FROM cand
+         |  JOIN cent1 c1 ON c1.c = cand.code_1
+         |  JOIN cent2 c2 ON c2.c = cand.code_2
+         |  JOIN cent3 c3 ON c3.c = cand.code_3
+         |  JOIN cent4 c4 ON c4.c = cand.code_4),
          |ranked AS (
          |  SELECT query_id, vec_id AS neighbor_id, adc_dist,
          |    CAST(row_number() OVER (PARTITION BY query_id
