@@ -219,6 +219,25 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low (probing 3/8 lists)")
   }
 
+  test("ivf+pq: probing retains most of the full-ADC top-k") {
+    // the composition property: IVF probing restricts the CANDIDATES the
+    // ADC ranker sees, so the right yardstick is full-corpus ADC
+    // (pqTopK), not cosine brute force — the 4x4 codebooks are only 8
+    // bits/vector, so ADC-vs-cosine divergence is the quantizer's
+    // documented cost (q_sim_pq pins it), not the composition's
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val fullAdc = Similarity.pqTopK(emb, col("vec_id") < 5, topK = 5,
+        m = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = Similarity.ivfPqTopK(emb, col("vec_id") < 5, topK = 5,
+        nCentroids = 8, nProbe = 3, m = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullAdc.nonEmpty && composed.nonEmpty)
+    val retained = fullAdc.intersect(composed).size.toDouble / fullAdc.size
+    assert(retained >= 0.5,
+      s"probing 3/8 lists retained only $retained of the full-ADC top-k")
+  }
+
   test("ivf: salted probe join spreads a hot list without changing results") {
     // deliberately clustered corpus: every vector sits in one tight cone,
     // so a single centroid list captures (almost) everything — the
