@@ -220,6 +220,8 @@ object ImageHash {
     * the only pair generator; a hash collision within a band is the
     * candidate budget, never n^2. */
   def phashPairs(phash: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding is exhaustive only for hamming <= 3")
     val bands = Seq("p0", "p1", "p2", "p3")
     val stacked = phash.select(
       col("doc_id"), col("p0"), col("p1"), col("p2"), col("p3"),
@@ -323,11 +325,10 @@ object GifLzw {
       } else {
         var firstByte: Byte = 0
         if (code < nextCode) {
-          if (code == end || code == clear) return None
           firstByte = emit(code)
         } else if (code == nextCode) {
           // KwKwK: prev's expansion + its own first byte
-          val f = firstOf(code = prev, clear, prefix, suffix)
+          val f = firstOf(prev, clear, prefix)
           stackEmit(prev, f, clear, prefix, suffix, out)
           firstByte = f
         } else return None
@@ -343,8 +344,7 @@ object GifLzw {
     Some(out.toByteArray)
   }
 
-  private def firstOf(code: Int, clear: Int, prefix: Array[Int],
-                      suffix: Array[Byte]): Byte = {
+  private def firstOf(code: Int, clear: Int, prefix: Array[Int]): Byte = {
     var c = code
     while (c >= clear) c = prefix(c)
     c.toByte

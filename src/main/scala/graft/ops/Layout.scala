@@ -54,7 +54,8 @@ object Layout {
 
   /** Add `xb`, `yb` (rank-scaled dims) and `zval` for (`xCol`, `yCol`).
     * The min/max extremes are a broadcast 1-row cross join, same shape at
-    * any scale. */
+    * any scale. Rows with a NULL dimension get a NULL zval — filter or
+    * impute them before the layout write (a null key has no box). */
   def withZValue(df: DataFrame, xCol: String, yCol: String,
                  bits: Int = ZBits): DataFrame = {
     val ext = df.agg(
