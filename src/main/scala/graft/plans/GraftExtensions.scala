@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, TopKAgg, WinnowExpr}
+import graft.functions.{CharsNospaceExpr, CharsNospaceRewrite, DotProductExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, TopKAgg, WinnowExpr}
 
 /** SQL-surface registration for the library's native Catalyst expressions.
   *
@@ -56,8 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("top_k", "top_k(value, id, k) - bounded-heap per-group top-k " +
         "aggregate (value desc, id asc), map-side combined"),
       { args: Seq[Expression] => GraftExtensions.buildTopK(args) }))
-    // plan-level rewrite: size(regexp_extract_all(x, '\S+', 0)) -> token_count
+    ext.injectFunction(unary("chars_nospace",
+      "chars_nospace(text) - non-whitespace codepoint count (one byte pass)",
+      CharsNospaceExpr))
+    // plan-level rewrites: size(regexp_extract_all(x, '\S+', 0)) ->
+    // token_count; length(regexp_replace(x, '\s+', '')) -> chars_nospace
     ext.injectOptimizerRule(_ => TokenCountRewrite)
+    ext.injectOptimizerRule(_ => CharsNospaceRewrite)
   }
 }
 
@@ -81,6 +86,8 @@ object GraftExtensions {
       args => DotProductExpr(args.head, args(1)))
     reg("token_count", "token_count(text) - whitespace-token count",
       args => TokenCountExpr(args.head))
+    reg("chars_nospace", "chars_nospace(text) - non-whitespace codepoint count",
+      args => CharsNospaceExpr(args.head))
     reg("top_k", "top_k(value, id, k) - bounded-heap per-group top-k aggregate",
       buildTopK)
     installOptimizations(spark)
@@ -101,8 +108,10 @@ object GraftExtensions {
     * hook only applies at construction): idempotent append to
     * experimental.extraOptimizations. */
   def installOptimizations(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val want = Seq(TokenCountRewrite, CharsNospaceRewrite)
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(TokenCountRewrite))
-      spark.experimental.extraOptimizations = cur :+ TokenCountRewrite
+    val missing = want.filterNot(cur.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ missing
   }
 }

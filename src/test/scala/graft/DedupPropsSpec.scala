@@ -38,6 +38,24 @@ class DedupPropsSpec extends SparkSuite {
     })
   }
 
+  test("chars_nospace equals length(regexp_replace(_, '\\s+', '')) on adversarial text") {
+    val tricky = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+      Gen.oneOf(" ", "é", "中", "😀"))).map(_.mkString)
+    check(Prop.forAll(tricky) { s =>
+      // reference: strip Java-regex \s, count CODEPOINTS (what both
+      // Spark length(UTF8String) and DuckDB length() count)
+      val stripped = s.replaceAll("""\s+""", "")
+      graft.functions.CharsNospace.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(stripped)) ==
+        stripped.codePointCount(0, stripped.length) &&
+      graft.functions.CharsNospace.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) ==
+        stripped.codePointCount(0, stripped.length)
+    })
+  }
+
   test("simhash16 is token-order independent (vote sums commute)") {
     check(Prop.forAll(doc, Gen.long) { (words, seed) =>
       val shuffled = new scala.util.Random(seed).shuffle(words)

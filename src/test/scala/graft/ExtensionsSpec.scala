@@ -62,6 +62,26 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(!other.queryExecution.optimizedPlan.toString.contains("token_count"))
   }
 
+  test("chars-nospace rewrite fires on the regex pattern and values agree") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), """\s+""", "")).as("n"))
+    val opt = docs.queryExecution.optimizedPlan.toString
+    assert(opt.contains("chars_nospace"), opt)
+    assert(!opt.contains("regexp_replace"), opt)
+    // end-to-end values through the rewritten path (incl. multi-byte and
+    // non-BMP codepoints, each counting ONCE like length() does)
+    val lit5 = Seq("a b  c", "", "   ", "héllo 中文", "x\ty😀")
+      .toDF("text")
+      .select(length(regexp_replace(col("text"), """\s+""", "")).as("n"))
+    assert(lit5.as[Int].collect().toSeq == Seq(3, 0, 0, 7, 3))
+    // a non-empty replacement must NOT be rewritten
+    val other = graft.core.Tables.documents(spark, sf)
+      .select(length(regexp_replace(col("text"), """\s+""", " ")).as("n"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("chars_nospace"))
+  }
+
   test("top_k aggregate == window row_number formulation (law + tiebreak)") {
     GraftExtensions.registerAll(spark)
     import org.apache.spark.sql.functions._
