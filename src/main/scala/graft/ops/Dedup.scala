@@ -408,4 +408,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** TF-IDF weighted cosine pair similarity over a (doc_id, feature) frame
+    * — the weighted counterpart of [[jaccardPairs]] (which treats every
+    * shared feature equally, this one down-weights common features).
+    * Feature weight is rational idf `1/df`; the classic `ln(N/df)` is
+    * deliberately NOT used because `ln` is libm-dependent and would break
+    * bit-parity with a SQL oracle, while `1/df` keeps the whole similarity
+    * inside exact integer arithmetic: with `L = lcm(1..dfMax)` each
+    * squared weight is the exact integer `(L/df)^2` (the `1/L^2` common
+    * factor cancels in the cosine ratio), norms and dot products are
+    * DECIMAL(38,0) sums — order-independent and engine-identical — and
+    * only the final `dot / sqrt(na*nb)` runs in IEEE double.
+    *
+    * Scale shape: identical to the Jaccard pipeline — one inverted-index
+    * equi-join on the feature, viable only because the caller feeds a
+    * df-pruned feature frame (`df <= dfMax`); a stop-feature would make
+    * the self-join quadratic, which is exactly what the pruning bounds.
+    * Reference analog: `fuzzy match against master` name-token overlap
+    * scoring (chat_acreage_bot.py:1329–1395), generalized to weighted
+    * lexical features. */
+  def tfidfCosinePairs(feats: DataFrame, dfMax: Int, threshold: Double,
+                       featureCol: String = "shingle"): DataFrame = {
+    // lcm(1..dfMax) so every L/df is an exact integer
+    val L: Long = (1 to dfMax).foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val dfs = feats.groupBy(featureCol).agg(count(lit(1)).as("df"))
+    val wsh = feats.join(dfs, Seq(featureCol))
+      .withColumn("w2",
+        ((lit(L).cast("long") / col("df")).cast("long") *
+          (lit(L).cast("long") / col("df")).cast("long")).cast("decimal(38,0)"))
+      .select(col("doc_id"), col(featureCol).as("feat"), col("w2"))
+    val norms = wsh.groupBy("doc_id").agg(sum("w2").as("s2"))
+    val a = wsh.select(col("doc_id").as("id_a"), col("feat"), col("w2"))
+    val b = wsh.select(col("doc_id").as("id_b"), col("feat"))
+    val dots = a.join(b, Seq("feat"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum("w2").as("s_ab"), count(lit(1)).as("n_common"))
+    dots
+      .join(norms.select(col("doc_id").as("id_a"), col("s2").as("na")), Seq("id_a"))
+      .join(norms.select(col("doc_id").as("id_b"), col("s2").as("nb")), Seq("id_b"))
+      .withColumn("cosine",
+        col("s_ab").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 }

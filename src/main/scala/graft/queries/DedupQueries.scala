@@ -278,7 +278,18 @@ object DedupQueries extends QueryGroup {
     "q_dedup_simhash64" -> simhash64,
     "q_dedup_ensemble" -> ensemble,
     "q_dedup_clusters" -> clusters,
+    "q_tfidf_pairs" -> tfidf,
   )
+
+  /** TF-IDF weighted cosine pairs over the shared df-pruned shingle frame
+    * — the weighted complement of `q_dedup_jaccard` (shared rare shingles
+    * count for more than shared common ones). See
+    * [[Dedup.tfidfCosinePairs]] for why idf is the rational 1/df rather
+    * than ln(N/df): the whole similarity stays in exact integer
+    * arithmetic, which is what lets DuckDB replay it bit-for-bit. */
+  private def tfidf(s: SparkSession, dir: String): DataFrame =
+    Dedup.tfidfCosinePairs(sharedShingles(s, dir), DfMax, 0.5)
+      .orderBy("id_a", "id_b")
 
   /** Winnow constants for the oracle: B^j mod M for the direct k-gram
     * polynomial (equal to the Scala rolling evaluation mod M). */
@@ -373,6 +384,26 @@ object DedupQueries extends QueryGroup {
         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
         |FROM fps ORDER BY doc_id""".stripMargin,
 
+    // L = lcm(1..DfMax) = 232792560: every (L/df)^2 is an exact integer,
+    // HUGEINT sums mirror Spark's DECIMAL(38,0) sums bit-for-bit, and only
+    // the final cosine ratio runs in (deterministic) IEEE double
+    "q_tfidf_pairs" ->
+      s"""$shingleSqlPrefix,
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |wsh AS (SELECT sh.doc_id, sh.shingle,
+         |  CAST(232792560 // df AS HUGEINT) * CAST(232792560 // df AS HUGEINT) AS w2
+         |  FROM sh JOIN dfs USING (shingle)),
+         |norms AS (SELECT doc_id, sum(w2) AS s2 FROM wsh GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    sum(a.w2) AS s_ab, count(*) AS n_common
+         |  FROM wsh a JOIN wsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common,
+         |  round(CAST(s_ab AS DOUBLE) / sqrt(CAST(na.s2 AS DOUBLE) * CAST(nb.s2 AS DOUBLE)), 6) AS cosine
+         |FROM dots JOIN norms na ON dots.id_a = na.doc_id
+         |          JOIN norms nb ON dots.id_b = nb.doc_id
+         |WHERE CAST(s_ab AS DOUBLE) / sqrt(CAST(na.s2 AS DOUBLE) * CAST(nb.s2 AS DOUBLE)) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_jaccard" ->
       s"""$shingleSqlPrefix,
          |pairs AS (

@@ -42,6 +42,45 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("jaccard") - 1.0) < 1e-12)
   }
 
+  test("tfidf cosine: identical docs 1.0; rare-feature overlap outranks common") {
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),        // identical -> cosine 1
+      (3L, "a b c q r"), (4L, "a b c s t"),        // overlap only on the stop-ish "a b c"
+      (5L, "u v w x y"), (6L, "u v w x z")).toDF("doc_id", "text")
+    val pairs = Dedup.tfidfCosinePairs(Dedup.shingles(df), dfMax = 20, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9)
+    // all cosines in [0, 1]
+    assert(pairs.values.forall(c => c >= 0.0 && c <= 1.0 + 1e-9))
+    // (5,6) share rare shingles "u v w"/"v w x" (df=2); (3,4) share "a b c"
+    // which four docs carry (df=4) -> idf weighting must rank (5,6) higher
+    assert(pairs((5L, 6L)) > pairs((3L, 4L)))
+    // unweighted jaccard sees both pairs as the same 1-of-5... sanity that
+    // the weighting (not the raw overlap count) produced the gap
+    assert(pairs((3L, 4L)) > 0.0)
+  }
+
+  test("tfidf cosine matches a driver-side brute-force computation (unigram law)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma zeta"),
+      (3L, "alpha omega psi chi"), (4L, "beta omega psi phi"))
+    val feats = docs.flatMap { case (id, t) => t.split(' ').distinct.map(id -> _) }
+    val df = feats.toDF("doc_id", "shingle")
+    val got = Dedup.tfidfCosinePairs(df, dfMax = 20, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val dfCount = feats.groupBy(_._2).map { case (f, xs) => f -> xs.size }
+    def w(f: String): Double = 1.0 / dfCount(f)
+    val sets = docs.map { case (id, t) => id -> t.split(' ').distinct.toSet }.toMap
+    for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+    } {
+      val dot = (sa & sb).toSeq.map(f => w(f) * w(f)).sum
+      val exp = dot / math.sqrt(sa.toSeq.map(f => w(f) * w(f)).sum *
+        sb.toSeq.map(f => w(f) * w(f)).sum)
+      assert(math.abs(got((ia, ib)) - exp) < 1e-6, s"pair ($ia,$ib)")
+    }
+  }
+
   test("minhash LSH finds the planted near-dup that brute force finds") {
     val docs = Tables0.documents(spark, sf)
     val sh = Dedup.shingles(docs)
