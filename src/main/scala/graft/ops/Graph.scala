@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge frames. Companion to the
+  * connected-components fixpoint in [[Dedup.connectedComponents]]: CC
+  * answers "which docs form one duplicate group", PageRank answers
+  * "which doc is the most central member" — a centrality-based canonical
+  * pick for near-dup clusters (the quality-ranked pick in
+  * `q_dedup_canonical` is attribute-based; this one is structure-based).
+  *
+  * Reference analog: subsidiary/parent selection keeps the highest-degree
+  * record of a matched group (`..._ipeds_v5.py:1050–1082` keeps the
+  * largest-footprint row); PageRank generalizes "largest footprint" to
+  * transitive link structure.
+  */
+object Graph {
+
+  /** Fixed-point PageRank on an undirected edge list.
+    *
+    * All arithmetic is INTEGER: total mass `scale` (1e15) splits into
+    * per-node ranks; one round is
+    * `r'(v) = (scale*(100-damp)) div (100*n) + (damp * sum_u r(u) div deg(u)) div 100`
+    * with `div` the flooring integer division. Floating-point PageRank
+    * sums contributions in partition order — nondeterministic on a
+    * cluster; the integer form is order-independent (addition is
+    * associative) and replays bit-for-bit in any SQL engine (the floor
+    * losses are part of the definition, bounded by 1 unit per edge per
+    * round). Undirected degree >= 1 for every node, so there is no
+    * dangling-mass term.
+    *
+    * Scale shape: `edges` (src,dst,deg) is built once (one groupBy + one
+    * join) and re-partitioned on src; each round is one equi-join of the
+    * current rank frame against it plus one dst-key aggregation — the
+    * same two-shuffle round as the CC loop, with the same per-round
+    * lineage truncation so plan size stays O(1) in the iteration count.
+    *
+    * @param pairs undirected pair frame with BIGINT columns `id_a`,`id_b`
+    * @return (doc_id, deg, pr_scaled) — pr_scaled sums to ~scale
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 5, damp: Int = 85,
+               scale: Long = 1000000000000000L): DataFrame = {
+    require(iters >= 1 && damp >= 0 && damp <= 100)
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
+    val undirected = fwd.unionByName(rev).distinct()
+    val degs = undirected.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg_src), partitioned by src: every per-round join reuses
+    // this partitioning instead of re-shuffling the edge list
+    val edges = undirected.join(degs, Seq("src"))
+      .repartition(col("src")).persist()
+    val n = edges.select(countDistinct("src")).head().getLong(0)
+    val base = (scale * (100 - damp)) / (100 * n)
+    var ranks = degs.select(col("src").as("doc_id"),
+      lit(scale / n).as("pr_scaled"))
+    for (_ <- 1 to iters) {
+      val next = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .withColumn("share", expr("pr_scaled div deg"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum("share").as("in_mass"))
+        .select(col("doc_id"),
+          (lit(base) + expr(s"($damp * in_mass) div 100")).as("pr_scaled"))
+      // truncate lineage so the logical plan stays O(1) across rounds
+      ranks = next.localCheckpoint(false)
+    }
+    ranks.join(degs.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("deg"), col("pr_scaled"))
+  }
+}

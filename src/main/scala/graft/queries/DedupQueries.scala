@@ -279,7 +279,32 @@ object DedupQueries extends QueryGroup {
     "q_dedup_ensemble" -> ensemble,
     "q_dedup_clusters" -> clusters,
     "q_tfidf_pairs" -> tfidf,
+    "q_pagerank" -> pagerank,
   )
+
+  /** Structure-based centrality over the verified near-dup pair graph —
+    * the companion of `q_dedup_clusters` (CC says which docs form a
+    * group; PageRank says which member is most central). Fixed-point
+    * integer iteration (see [[graft.ops.Graph.pageRank]]) so five rounds
+    * replay exactly as five unrolled SQL stages. */
+  private def pagerank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRank(sharedJaccardPairs(s, dir), iters = PrIters)
+      .orderBy("doc_id")
+
+  private val PrIters = 5
+
+  /** Unrolled fixed-point PageRank rounds r1..r`n` over CTEs `edges` /
+    * `degs` / `nn` (mirrors Graph.pageRank's integer recurrence). */
+  private def prRoundsSql(n: Int): String =
+    (1 to n).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS doc_id,
+         |    (1000000000000000 * 15) // (100 * (SELECT n FROM nn))
+         |      + (85 * sum(r.pr // d.deg)) // 100 AS pr
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.doc_id
+         |               JOIN degs d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
 
   /** TF-IDF weighted cosine pairs over the shared df-pruned shingle frame
     * — the weighted complement of `q_dedup_jaccard` (shared rare shingles
@@ -644,6 +669,31 @@ object DedupQueries extends QueryGroup {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  doc_id = cluster_id AS is_canonical
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // integer-mass PageRank: every round is exact integer arithmetic
+    // (BIGINT // floors exactly like Spark's div), so 5 unrolled stages
+    // reproduce the iterative Spark loop bit-for-bit
+    "q_pagerank" ->
+      s"""$shingleSqlPrefix,
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |degs AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM degs),
+         |r0 AS (SELECT src AS doc_id,
+         |       1000000000000000 // (SELECT n FROM nn) AS pr FROM degs),
+         |${prRoundsSql(PrIters)}
+         |SELECT p.doc_id, d.deg, p.pr AS pr_scaled
+         |FROM r$PrIters p JOIN degs d ON p.doc_id = d.src
+         |ORDER BY p.doc_id""".stripMargin,
 
     // same df<=20 pruning and shared_fps >= 5 cut as the Spark query
     "q_dedup_winnow" ->

@@ -207,6 +207,53 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model likelihood scoring — the perplexity-filter
+    * shape web-corpus quality pipelines use (train n-gram counts on the
+    * corpus, score each document by how probable its own bigrams are).
+    * Laplace-smoothed: P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V).
+    *
+    * Scored in FIXED POINT, not floating point: each probability becomes
+    * the exact integer floor(1e12*(c12+1)/(c1+V)) and the per-doc mean is
+    * an exact integer sum over an exact count — order-independent under
+    * any partitioning (a cluster sums doubles in nondeterministic order;
+    * LM filters usually tolerate that, an oracle hash-gate doesn't).
+    * log-free on purpose: mean probability ranks like mean log-prob for
+    * thresholding and keeps libm out of the pipeline. Fluency buckets
+    * compare the integer sum against integer-scaled thresholds (0.032 /
+    * 0.036 mean probability), so bucketing is exact too.
+    *
+    * Plan shape at scale: one narrow bigram explode (no self-join), two
+    * count aggregations over the bigram space (map-side partials absorb
+    * the Zipf head), two equi-joins back — c12/c1 are vocab-bounded, so
+    * broadcastable on natural-language vocabularies — one scalar V
+    * broadcast, one final doc-key aggregation. */
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+    val toks = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+    val vocab = toks.agg(countDistinct("tok").as("v"))
+    val bi = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_scaled", expr("(1000000000000L * (n12 + 1)) div (n1 + v)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_scaled").as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ps").cast("double") / col("n_bigrams") / lit(1e12), 6)
+          .as("lm_score"),
+        when(col("ps") >= lit(36000000000L) * col("n_bigrams"), "high")
+          .when(col("ps") >= lit(32000000000L) * col("n_bigrams"), "mid")
+          .otherwise("low").as("lm_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer-training merge candidates (the distributed core of a BPE
     * step): count ADJACENT token pairs across the corpus and rank the
     * top 20 with a deterministic tiebreak. Shape at scale: one narrow
@@ -275,6 +322,7 @@ object TextQueries extends QueryGroup {
     "q_text_split" -> textSplitRecords,
     "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
+    "q_lm_score" -> lmScore,
     "q_quality_prune" -> qualityPrune,
     "q_word_rarity" -> wordRarity,
     "q_text_repetition" -> repetition,
@@ -289,6 +337,27 @@ object TextQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // fixed-point LM scoring: integer // keeps every term exact, the HUGEINT
+    // sum mirrors Spark's long sum, and bucketing compares integer-scaled
+    // thresholds -- no float enters until the displayed score
+    "q_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS tok FROM w),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM tok),
+        |bi AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+        |       FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w)),
+        |c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+        |terms AS (SELECT bi.doc_id,
+        |    (1000000000000 * (n12 + 1)) // (n1 + (SELECT v FROM vocab)) AS p_scaled
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_scaled) AS ps FROM terms GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(ps AS DOUBLE) / n_bigrams / 1000000000000.0, 6) AS lm_score,
+        |  CASE WHEN ps >= 36000000000 * n_bigrams THEN 'high'
+        |       WHEN ps >= 32000000000 * n_bigrams THEN 'mid'
+        |       ELSE 'low' END AS lm_bucket
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_text_split" ->
       """WITH parts AS (
         |  SELECT doc_id, string_split_regex(text, '\s+stream\s+') AS arr

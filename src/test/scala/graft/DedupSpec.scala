@@ -247,6 +247,35 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("pagerank: hub outranks leaves; integer recurrence matches driver replay") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L))
+    val got = graft.ops.Graph.pageRank(pairs.toDF("id_a", "id_b"), iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // exact driver replay of the integer recurrence
+    val und = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val nodes = und.map(_._1).distinct.sorted
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val in = und.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    val scale = 1000000000000000L
+    val n = nodes.size.toLong
+    val base = scale * 15 / (100 * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 5)
+      r = nodes.map(v => v ->
+        (base + 85 * in(v).map(u => r(u) / deg(u)).sum / 100)).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(v => assert(got(v) == (deg(v), r(v)), s"node $v"))
+
+    // structure: the hub is the most central; symmetric leaves tie
+    assert(got(0L)._2 > got(1L)._2)
+    assert(got(1L)._2 == got(2L)._2 && got(2L)._2 == got(3L)._2)
+    assert(got(10L)._2 == got(11L)._2)
+    // mass conservation up to bounded floor loss (1 unit per div per round)
+    val total = got.values.map(_._2).sum
+    assert(total <= scale && total > scale - 1000L)
+  }
+
   test("ivf: high recall vs brute-force top-k at test scale") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, 5)
