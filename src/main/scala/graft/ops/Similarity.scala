@@ -370,6 +370,106 @@ object Similarity {
         col("adc_dist"), col("rn").as("rank"))
   }
 
+  /** Scale for exact integer embedding arithmetic: float32 values in
+    * (-2, 2) with magnitude >= 2^-20 are exact multiples of 2^-44 (a
+    * 24-bit mantissa reaches at most 23 bits below the leading bit), so
+    * x * 2^44 is an exact integer every engine agrees on. */
+  val IntScaleBits = 44
+  val IntScale: Long = 1L << IntScaleBits
+
+  /** (vec_id, pos, xs) with xs = the exact integer x * 2^44. */
+  private def scaledElems(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))))
+      .select(col("vec_id"), col("pos"),
+        (col("col") * lit(IntScale.toDouble)).cast("long").as("xs"))
+
+  /** Upper-triangle integer covariance numerators:
+    * c(i,j) = n*sum(xi*xj) - sum(xi)*sum(xj) = n^2 * 2^88 * cov(i,j),
+    * EXACT (every term is integer arithmetic in DECIMAL(38,0), which a
+    * SQL engine mirrors in HUGEINT). Column `n` is carried alongside.
+    *
+    * Distributed Gram shape: explode to elements, self-join WITHIN each
+    * vector (d^2/2 rows per vector, the actual multiply-add work), one
+    * (i,j)-key aggregation whose map-side partials collapse every
+    * partition to at most d^2/2 rows — the classic X^T X pattern where
+    * only the d x d result ever crosses the shuffle. */
+  def covarianceNumerators(emb: DataFrame): DataFrame = {
+    val ex = graft.core.SharedFrames.register(scaledElems(emb))
+    val nn = ex.agg(countDistinct("vec_id").as("n"))
+    // DECIMAL accumulation: a long sum would overflow past ~10^6 vectors
+    val si = ex.groupBy("pos")
+      .agg(sum(col("xs").cast("decimal(19,0)")).as("s"))
+    val sij = ex.select(col("vec_id"), col("pos").as("i"), col("xs").as("xa"))
+      .join(ex.select(col("vec_id"), col("pos").as("j"), col("xs").as("xb")),
+        Seq("vec_id"))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("xa").cast("decimal(19,0)") * col("xb").cast("decimal(19,0)"))
+        .as("sij"))
+    sij
+      .join(si.select(col("pos").as("i"), col("s").as("si")), Seq("i"))
+      .join(si.select(col("pos").as("j"), col("s").as("sj")), Seq("j"))
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"),
+        (col("n") * col("sij") - col("si") * col("sj")).as("c"),
+        col("n"))
+  }
+
+  /** Covariance matrix (upper triangle) as deterministic doubles: the
+    * exact integer numerator divided by n^2 * 2^88 — every double op is
+    * correctly-rounded IEEE on identical inputs, so no rounding fudge is
+    * needed for oracle parity. */
+  def covarianceMatrix(emb: DataFrame): DataFrame =
+    covarianceNumerators(emb)
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("n") * col("n")).cast("double") /
+          lit(math.pow(2, 2 * IntScaleBits))).as("cov"))
+
+  /** First principal component by FIXED-POINT power iteration — float
+    * matvecs sum in partition order (nondeterministic on a cluster);
+    * this one is exact integer arithmetic end to end, so `iters` Spark
+    * rounds replay as `iters` unrolled SQL stages bit-for-bit.
+    *
+    * Recurrence: Cs = sign-split (c div 2^48) [fits IntegralDivide's
+    * long output]; w = Cs . v (DECIMAL matvec, order-independent);
+    * v' = sign(w) * (|w| * 2^20 div max|w|) — rescaling keeps components
+    * in [-2^20, 2^20] and uses only POSITIVE integer division, where
+    * Spark's truncating `div` and DuckDB's flooring `//` agree.
+    *
+    * Scale shape: the d x d matrix frame stays distributed (at d in the
+    * thousands it is millions of rows); each round is one equi-join of
+    * the d-row vector frame against it, one i-key aggregation, and a
+    * 1-row max broadcast — never a driver-side matrix. */
+  def pc1PowerIteration(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val cnum = covarianceNumerators(emb)
+    val cfull = cnum.select(col("i"), col("j"), col("c"))
+      .unionByName(cnum.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+    val down = 1L << 48
+    val cs = graft.core.SharedFrames.register(cfull.select(col("i"), col("j"),
+      expr(s"CASE WHEN c < 0 THEN -((-c) div ${down}L) ELSE c div ${down}L END")
+        .as("c")))
+    var v = cs.select(col("i").as("pos")).distinct()
+      .withColumn("v", lit(1L << 20))
+    for (_ <- 1 to iters) {
+      val w = cs
+        .join(v.select(col("pos").as("j"), col("v")), Seq("j"))
+        .groupBy(col("i").as("pos"))
+        .agg(sum(col("c").cast("decimal(19,0)") * col("v")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("pos"),
+          expr("CASE WHEN w < 0 THEN -((-w * 1048576) div m) ELSE (w * 1048576) div m END")
+            .as("v"))
+        .localCheckpoint(false)
+    }
+    val nrm = v.agg(sum(col("v") * col("v")).as("z"))
+    v.crossJoin(broadcast(nrm))
+      .select(col("pos"),
+        (col("v").cast("double") / sqrt(col("z").cast("double"))).as("pc1"))
+  }
+
   /** Bucketed ANN near-dup pairs: compare only bucket-mates, verify with
     * true cosine >= `threshold`. */
   def lshNearDupPairs(emb: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {

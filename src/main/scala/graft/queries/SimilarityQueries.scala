@@ -270,6 +270,21 @@ object SimilarityQueries extends QueryGroup {
     * leave the row, so this rides any scale. floor(x+0.5) (not round) is
     * deliberate: both engines floor identically, while double round
     * half-rules can differ. */
+  /** Distributed Gram / covariance matrix over the embedding corpus —
+    * the X^T X building block of PCA whitening and feature decorrelation.
+    * Exact: see [[Similarity.covarianceNumerators]] (integer numerators
+    * at scale 2^44, DECIMAL/HUGEINT sums; doubles only in the final
+    * n^2*2^88 normalization). */
+  private def embedCov(s: SparkSession, dir: String): DataFrame =
+    Similarity.covarianceMatrix(Tables.embeddings(s, dir)).orderBy("i", "j")
+
+  /** First principal component by fixed-point power iteration (8 exact
+    * integer rounds over the covariance numerators; see
+    * [[Similarity.pc1PowerIteration]]) — the direction a whitening /
+    * dimensionality-reduction pass would project out first. */
+  private def embedPca(s: SparkSession, dir: String): DataFrame =
+    Similarity.pc1PowerIteration(Tables.embeddings(s, dir)).orderBy("pos")
+
   private def embedQuant(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("v", col("embedding").cast("array<double>"))
@@ -343,6 +358,8 @@ object SimilarityQueries extends QueryGroup {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_clusters" -> simClusters,
     "q_embed_quant" -> embedQuant,
+    "q_embed_cov" -> embedCov,
+    "q_embed_pca" -> embedPca,
     "q_embed_pq" -> embedPq,
     "q_sim_pq" -> simPq,
     "q_sim_ivf_pq" -> simIvfPq,
@@ -466,6 +483,38 @@ object SimilarityQueries extends QueryGroup {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1)""".stripMargin
   }.mkString(",\n")
 
+  /** Shared oracle preamble for the covariance family: scaled integer
+    * elements (x * 2^44 is exact for every float32 in the data range),
+    * per-dimension sums, upper-triangle product sums, and the exact
+    * integer numerator cnum(i, j, c) with the vector count in nn. */
+  private val covSqlPrefix: String =
+    """WITH ex AS MATERIALIZED (SELECT vec_id, i - 1 AS pos,
+      |    CAST(x * 17592186044416 AS HUGEINT) AS xs
+      |  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+      |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |nn AS MATERIALIZED (SELECT count(DISTINCT vec_id) AS n FROM ex),
+      |si AS MATERIALIZED (SELECT pos, sum(xs) AS s FROM ex GROUP BY pos),
+      |sij AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, sum(a.xs * b.xs) AS s
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      |  GROUP BY 1, 2),
+      |cnum AS MATERIALIZED (SELECT i, j,
+      |    (SELECT n FROM nn) * sij.s - si1.s * si2.s AS c
+      |  FROM sij JOIN si si1 ON sij.i = si1.pos
+      |           JOIN si si2 ON sij.j = si2.pos)""".stripMargin
+
+  /** Unrolled power-iteration rounds w1/m1/v1 .. w_n/m_n/v_n over the
+    * `cs` matrix CTE (mirrors [[Similarity.pc1PowerIteration]]). */
+  private def pcaRoundsSql(n: Int): String =
+    (1 to n).map { k =>
+      s""",
+         |w$k AS MATERIALIZED (SELECT cs.i AS pos, sum(cs.c * v.v) AS w
+         |  FROM cs JOIN v${k - 1} v ON cs.j = v.pos GROUP BY 1),
+         |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (SELECT pos, CASE WHEN w < 0
+         |  THEN -((-w) * 1048576 // (SELECT m FROM m$k))
+         |  ELSE w * 1048576 // (SELECT m FROM m$k) END AS v FROM w$k)""".stripMargin
+    }.mkString("")
+
   override def oracle: Map[String, String] = Map(
     "q_sim_lsh" -> lshOracleSql,
     "q_sim_clusters" -> simClustersOracleSql,
@@ -567,6 +616,35 @@ object SimilarityQueries extends QueryGroup {
          |  FROM pairs)
          |SELECT query_id, neighbor_id, adc_dist, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // exact integer covariance numerators (HUGEINT == Spark DECIMAL(38,0)):
+    // c(i,j) = n*sum(xi*xj) - sum(xi)*sum(xj) over x*2^44 integers; the
+    // only doubles are the final correctly-rounded normalizations.
+    // AS MATERIALIZED: DuckDB inlines CTEs, and the power-iteration chain
+    // references each round twice -- inlining would re-evaluate
+    // exponentially (and reopen the parquet per reference)
+    "q_embed_cov" ->
+      s"""$covSqlPrefix
+         |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+         |  CAST(c AS DOUBLE) / ((SELECT n FROM nn) * (SELECT n FROM nn))
+         |    / CAST(309485009821345068724781056 AS DOUBLE) AS cov
+         |FROM cnum ORDER BY i, j""".stripMargin,
+
+    // 8 unrolled fixed-point power-iteration rounds; sign-split // keeps
+    // DuckDB's flooring division equal to Spark's truncating div
+    "q_embed_pca" ->
+      s"""$covSqlPrefix,
+         |cfull AS MATERIALIZED (SELECT i, j, c FROM cnum
+         |  UNION ALL SELECT j, i, c FROM cnum WHERE i <> j),
+         |cs AS MATERIALIZED (SELECT i, j, CASE WHEN c < 0
+         |  THEN -((-c) // 281474976710656) ELSE c // 281474976710656 END AS c
+         |  FROM cfull),
+         |v0 AS MATERIALIZED (SELECT DISTINCT i AS pos, CAST(1048576 AS HUGEINT) AS v FROM cs)
+         |${pcaRoundsSql(8)},
+         |nrm AS (SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) AS z FROM v8)
+         |SELECT CAST(pos AS INTEGER) AS pos,
+         |  CAST(v AS DOUBLE) / (SELECT z FROM nrm) AS pc1
+         |FROM v8 ORDER BY pos""".stripMargin,
 
     // mirrors embedQuant: same unrounded scale feeds the codes, exact
     // integer invariants over the codes, error fold in array order

@@ -276,6 +276,46 @@ class DedupSpec extends SparkSuite {
     assert(total <= scale && total > scale - 1000L)
   }
 
+  test("covariance matrix matches driver-side exact computation") {
+    val vecs = Seq(
+      0L -> Seq(0.25f, 0.5f, -0.75f),
+      1L -> Seq(0.5f, -0.25f, 0.125f),
+      2L -> Seq(-0.125f, 0.75f, 0.5f),
+      3L -> Seq(0.375f, 0.0f, -0.5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.covarianceMatrix(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val n = vecs.size
+    val xs = vecs.map(_._2.map(_.toDouble))
+    for (i <- 0 until 3; j <- i until 3) {
+      val sij = xs.map(v => v(i) * v(j)).sum
+      val si = xs.map(_(i)).sum
+      val sj = xs.map(_(j)).sum
+      val exp = sij / n - (si / n) * (sj / n)
+      assert(math.abs(got((i, j)) - exp) < 1e-12, s"cov($i,$j)")
+    }
+    assert(got.size == 6) // upper triangle of 3x3
+    (0 until 3).foreach(i => assert(got((i, i)) >= 0.0))
+  }
+
+  test("pc1 power iteration recovers a planted dominant direction") {
+    // corpus concentrated along u = (0.6, 0.8, 0, 0) with small noise in
+    // an orthogonal coordinate; all magnitudes >= 2^-20 or exactly 0, so
+    // the 2^44 integer scaling is exact
+    val vecs = (1 to 40).map { k =>
+      val t = (k % 5 + 1).toDouble
+      val w = if (k % 2 == 0) 0.01 * (k % 7) else -0.01 * (k % 7)
+      k.toLong -> Seq((0.6 * t).toFloat, (0.8 * t).toFloat, w.toFloat, 0.0f)
+    }
+    val got = Similarity.pc1PowerIteration(vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val v = (0 until 4).map(got)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    // cosine with the planted direction (sign of PC1 is arbitrary)
+    val cos = math.abs(v(0) * 0.6 + v(1) * 0.8)
+    assert(cos > 0.999, s"cos=$cos v=$v")
+  }
+
   test("ivf: high recall vs brute-force top-k at test scale") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, 5)
