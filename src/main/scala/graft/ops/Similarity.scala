@@ -389,9 +389,10 @@ object Similarity {
     * EXACT (every term is integer arithmetic in DECIMAL(38,0), which a
     * SQL engine mirrors in HUGEINT). Column `n` is carried alongside.
     *
-    * Distributed Gram shape: explode to elements, self-join WITHIN each
-    * vector (d^2/2 rows per vector, the actual multiply-add work), one
-    * (i,j)-key aggregation whose map-side partials collapse every
+    * Distributed Gram shape: the d^2/2 upper-triangle products are
+    * generated INSIDE each row (array transform + one explode — no
+    * self-join, so nothing shuffles on vec_id), and the only exchange is
+    * the (i,j)-key aggregation whose map-side partials collapse every
     * partition to at most d^2/2 rows — the classic X^T X pattern where
     * only the d x d result ever crosses the shuffle. */
   def covarianceNumerators(emb: DataFrame): DataFrame = {
@@ -400,13 +401,21 @@ object Similarity {
     // DECIMAL accumulation: a long sum would overflow past ~10^6 vectors
     val si = ex.groupBy("pos")
       .agg(sum(col("xs").cast("decimal(19,0)")).as("s"))
-    val sij = ex.select(col("vec_id"), col("pos").as("i"), col("xs").as("xa"))
-      .join(ex.select(col("vec_id"), col("pos").as("j"), col("xs").as("xb")),
-        Seq("vec_id"))
-      .filter(col("i") <= col("j"))
-      .groupBy("i", "j")
-      .agg(sum(col("xa").cast("decimal(19,0)") * col("xb").cast("decimal(19,0)"))
-        .as("sij"))
+    val xsArr = transform(col("embedding"), x =>
+      (x.cast("double") * lit(IntScale.toDouble)).cast("long")
+        .cast("decimal(19,0)"))
+    // the (i,j) pair enumeration is one LITERAL array reused by every row
+    // (d is a constant of the corpus — bounded single-row pull), so the
+    // generator emits d^2/2 rows per vector with no per-row array
+    // construction and the products run post-explode in codegen
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val idxLit = typedlit(for { i <- 1 to d; j <- i to d } yield (i, j))
+    val sij = emb
+      .withColumn("xs", xsArr)
+      .select(col("xs"), explode(idxLit).as("t"))
+      .groupBy((col("t._1") - 1).as("i"), (col("t._2") - 1).as("j"))
+      .agg(sum(element_at(col("xs"), col("t._1")) *
+        element_at(col("xs"), col("t._2"))).as("sij"))
     sij
       .join(si.select(col("pos").as("i"), col("s").as("si")), Seq("i"))
       .join(si.select(col("pos").as("j"), col("s").as("sj")), Seq("j"))
@@ -420,11 +429,10 @@ object Similarity {
     * exact integer numerator divided by n^2 * 2^88 — every double op is
     * correctly-rounded IEEE on identical inputs, so no rounding fudge is
     * needed for oracle parity. */
-  def covarianceMatrix(emb: DataFrame): DataFrame =
-    covarianceNumerators(emb)
-      .select(col("i"), col("j"),
-        (col("c").cast("double") / (col("n") * col("n")).cast("double") /
-          lit(math.pow(2, 2 * IntScaleBits))).as("cov"))
+  def covarianceMatrix(cnum: DataFrame): DataFrame =
+    cnum.select(col("i"), col("j"),
+      (col("c").cast("double") / (col("n") * col("n")).cast("double") /
+        lit(math.pow(2, 2 * IntScaleBits))).as("cov"))
 
   /** First principal component by FIXED-POINT power iteration — float
     * matvecs sum in partition order (nondeterministic on a cluster);
@@ -441,8 +449,7 @@ object Similarity {
     * thousands it is millions of rows); each round is one equi-join of
     * the d-row vector frame against it, one i-key aggregation, and a
     * 1-row max broadcast — never a driver-side matrix. */
-  def pc1PowerIteration(emb: DataFrame, iters: Int = 8): DataFrame = {
-    val cnum = covarianceNumerators(emb)
+  def pc1PowerIteration(cnum: DataFrame, iters: Int = 8): DataFrame = {
     val cfull = cnum.select(col("i"), col("j"), col("c"))
       .unionByName(cnum.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("c")))
@@ -450,24 +457,30 @@ object Similarity {
     val cs = graft.core.SharedFrames.register(cfull.select(col("i"), col("j"),
       expr(s"CASE WHEN c < 0 THEN -((-c) div ${down}L) ELSE c div ${down}L END")
         .as("c")))
-    var v = cs.select(col("i").as("pos")).distinct()
-      .withColumn("v", lit(1L << 20))
+    val dim = cs.agg(max(col("i"))).head().getInt(0) + 1
+    // the iterate is d-bounded: collect it per round (the same bounded
+    // driver pull as the IVF centroid seed) and broadcast it back as a
+    // literal — the MATRIX stays distributed, only the vector cycles.
+    // Driver-side rescale runs in BigInteger, exactly the truncating
+    // integer ops the SQL replay performs.
+    var v: Array[BigInt] = Array.fill(dim)(BigInt(1L << 20))
     for (_ <- 1 to iters) {
+      val vLit = typedlit(v.map(_.toLong).toSeq)
       val w = cs
-        .join(v.select(col("pos").as("j"), col("v")), Seq("j"))
-        .groupBy(col("i").as("pos"))
-        .agg(sum(col("c").cast("decimal(19,0)") * col("v")).as("w"))
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("pos"),
-          expr("CASE WHEN w < 0 THEN -((-w * 1048576) div m) ELSE (w * 1048576) div m END")
-            .as("v"))
-        .localCheckpoint(false)
+        .withColumn("term",
+          col("c").cast("decimal(19,0)") * element_at(vLit, col("j") + 1))
+        .groupBy(col("i")).agg(sum(col("term")).as("w"))
+        .collect() // bounded: d rows
+      val wArr = Array.fill(dim)(BigInt(0))
+      w.foreach(r => wArr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+      val m = wArr.map(_.abs).max
+      v = wArr.map(x => if (x < 0) -((-x * 1048576) / m) else x * 1048576 / m)
     }
-    val nrm = v.agg(sum(col("v") * col("v")).as("z"))
-    v.crossJoin(broadcast(nrm))
+    val z = math.sqrt(v.map(x => x * x).sum.toDouble)
+    val vLit = typedlit(v.map(_.toLong).toSeq)
+    cs.select(col("i").as("pos")).distinct()
       .select(col("pos"),
-        (col("v").cast("double") / sqrt(col("z").cast("double"))).as("pc1"))
+        (element_at(vLit, col("pos") + 1).cast("double") / lit(z)).as("pc1"))
   }
 
   /** Bucketed ANN near-dup pairs: compare only bucket-mates, verify with

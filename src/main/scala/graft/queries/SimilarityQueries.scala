@@ -276,14 +276,14 @@ object SimilarityQueries extends QueryGroup {
     * at scale 2^44, DECIMAL/HUGEINT sums; doubles only in the final
     * n^2*2^88 normalization). */
   private def embedCov(s: SparkSession, dir: String): DataFrame =
-    Similarity.covarianceMatrix(Tables.embeddings(s, dir)).orderBy("i", "j")
+    Similarity.covarianceMatrix(sharedCovNum(s, dir)).orderBy("i", "j")
 
   /** First principal component by fixed-point power iteration (8 exact
     * integer rounds over the covariance numerators; see
     * [[Similarity.pc1PowerIteration]]) — the direction a whitening /
     * dimensionality-reduction pass would project out first. */
   private def embedPca(s: SparkSession, dir: String): DataFrame =
-    Similarity.pc1PowerIteration(Tables.embeddings(s, dir)).orderBy("pos")
+    Similarity.pc1PowerIteration(sharedCovNum(s, dir)).orderBy("pos")
 
   private def embedQuant(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -327,9 +327,17 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("vec_id")
   }
 
+  /** Exact integer covariance numerators, built once per (session, dir)
+    * — shared by the covariance matrix and the PCA power iteration. */
+  private[queries] def sharedCovNum(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"covnum:$dir") {
+      Similarity.covarianceNumerators(Tables.embeddings(s, dir))
+    }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim_lsh_pairs" -> sharedLshPairs,
     "sim_clusters" -> sharedSimClusters,
+    "embed_cov_num" -> sharedCovNum,
   )
 
   /** PQ codes + reconstruction error over the embedding corpus: 4

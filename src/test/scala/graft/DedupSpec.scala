@@ -283,7 +283,7 @@ class DedupSpec extends SparkSuite {
       2L -> Seq(-0.125f, 0.75f, 0.5f),
       3L -> Seq(0.375f, 0.0f, -0.5f))
     val df = vecs.toDF("vec_id", "embedding")
-    val got = Similarity.covarianceMatrix(df).collect()
+    val got = Similarity.covarianceMatrix(Similarity.covarianceNumerators(df)).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     val n = vecs.size
     val xs = vecs.map(_._2.map(_.toDouble))
@@ -307,7 +307,8 @@ class DedupSpec extends SparkSuite {
       val w = if (k % 2 == 0) 0.01 * (k % 7) else -0.01 * (k % 7)
       k.toLong -> Seq((0.6 * t).toFloat, (0.8 * t).toFloat, w.toFloat, 0.0f)
     }
-    val got = Similarity.pc1PowerIteration(vecs.toDF("vec_id", "embedding"))
+    val got = Similarity.pc1PowerIteration(
+        Similarity.covarianceNumerators(vecs.toDF("vec_id", "embedding")))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val v = (0 until 4).map(got)
     assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
