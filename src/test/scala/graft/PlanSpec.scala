@@ -149,6 +149,33 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_tfidf_pairs: weighted pair generation stays a feature equi-join") {
+    val plan = formatted("q_tfidf_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"tfidf pair join degraded to all-pairs:\n${plan.take(1500)}")
+  }
+
+  test("q_embed_cov: Gram products generate in-row, dimension sums broadcast") {
+    val plan = formatted("q_embed_cov")
+    // the d^2/2 pair products come from ONE literal-array explode — a
+    // vec_id self-join here would re-shuffle the element frame twice
+    assert(plan.contains("Generate"),
+      s"Gram stage lost the in-row pair explode:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"d-bounded dimension sums fell back to a shuffle join:\n${plan.take(1500)}")
+  }
+
+  test("q_lm_score: only the 1-row vocab broadcast may nested-loop") {
+    val plan = formatted("q_lm_score")
+    assert(!plan.contains("CartesianProduct"))
+    // each BNLJ node prints twice (tree line + detail header); one
+    // deliberate 1-row vocab cross-broadcast is allowed, nothing else
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2,
+      s"bigram count joins degraded to nested loops ($bnlj):\n${plan.take(1500)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
