@@ -450,37 +450,73 @@ object Similarity {
     * the d-row vector frame against it, one i-key aggregation, and a
     * 1-row max broadcast — never a driver-side matrix. */
   def pc1PowerIteration(cnum: DataFrame, iters: Int = 8): DataFrame = {
-    val cfull = cnum.select(col("i"), col("j"), col("c"))
-      .unionByName(cnum.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("c")))
-    val down = 1L << 48
-    val cs = graft.core.SharedFrames.register(cfull.select(col("i"), col("j"),
-      expr(s"CASE WHEN c < 0 THEN -((-c) div ${down}L) ELSE c div ${down}L END")
-        .as("c")))
-    val dim = cs.agg(max(col("i"))).head().getInt(0) + 1
-    // the iterate is d-bounded: collect it per round (the same bounded
-    // driver pull as the IVF centroid seed) and broadcast it back as a
-    // literal — the MATRIX stays distributed, only the vector cycles.
-    // Driver-side rescale runs in BigInteger, exactly the truncating
-    // integer ops the SQL replay performs.
-    var v: Array[BigInt] = Array.fill(dim)(BigInt(1L << 20))
-    for (_ <- 1 to iters) {
-      val vLit = typedlit(v.map(_.toLong).toSeq)
-      val w = cs
-        .withColumn("term",
-          col("c").cast("decimal(19,0)") * element_at(vLit, col("j") + 1))
-        .groupBy(col("i")).agg(sum(col("term")).as("w"))
-        .collect() // bounded: d rows
-      val wArr = Array.fill(dim)(BigInt(0))
-      w.foreach(r => wArr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
-      val m = wArr.map(_.abs).max
-      v = wArr.map(x => if (x < 0) -((-x * 1048576) / m) else x * 1048576 / m)
-    }
+    val v = pc1Iterate(cnum, iters)
     val z = math.sqrt(v.map(x => x * x).sum.toDouble)
     val vLit = typedlit(v.map(_.toLong).toSeq)
-    cs.select(col("i").as("pos")).distinct()
+    cnum.select(col("i").as("pos")).distinct()
       .select(col("pos"),
         (element_at(vLit, col("pos") + 1).cast("double") / lit(z)).as("pc1"))
+  }
+
+  /** The fixed-point power-iteration loop: returns the integer iterate
+    * after `iters` rounds (components in [-2^20, 2^20]), cached per
+    * (session, frame) so PC1 output and projection share one training
+    * run. The iterate is d-bounded: collect it per round (the same
+    * bounded driver pull as the IVF centroid seed) and broadcast it back
+    * as a literal — the MATRIX stays distributed, only the vector
+    * cycles. Driver-side rescale runs in BigInteger, exactly the
+    * truncating integer ops the SQL replay performs. */
+  private val iterateCache =
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, Int), Array[BigInt]]()
+  private def pc1Iterate(cnum: DataFrame, iters: Int): Array[BigInt] =
+    iterateCache.computeIfAbsent((cnum, iters), { _ =>
+      val cfull = cnum.select(col("i"), col("j"), col("c"))
+        .unionByName(cnum.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+      val down = 1L << 48
+      val cs = graft.core.SharedFrames.register(cfull.select(col("i"), col("j"),
+        expr(s"CASE WHEN c < 0 THEN -((-c) div ${down}L) ELSE c div ${down}L END")
+          .as("c")))
+      val dim = cs.agg(max(col("i"))).head().getInt(0) + 1
+      var v: Array[BigInt] = Array.fill(dim)(BigInt(1L << 20))
+      for (_ <- 1 to iters) {
+        val vLit = typedlit(v.map(_.toLong).toSeq)
+        val w = cs
+          .withColumn("term",
+            col("c").cast("decimal(19,0)") * element_at(vLit, col("j") + 1))
+          .groupBy(col("i")).agg(sum(col("term")).as("w"))
+          .collect() // bounded: d rows
+        val wArr = Array.fill(dim)(BigInt(0))
+        w.foreach(r => wArr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+        val m = wArr.map(_.abs).max
+        v = wArr.map(x => if (x < 0) -((-x * 1048576) / m) else x * 1048576 / m)
+      }
+      v
+    })
+
+  /** Project every embedding onto the first principal component — the
+    * dimensionality-reduction APPLY step that pairs with
+    * [[pc1PowerIteration]]. The fixed-point iterate v (integers in
+    * [-2^20, 2^20]) is used directly: P = sum_i xs_i * v_i is an exact
+    * integer per row (sequential in-row DECIMAL fold — a SQL engine
+    * reproduces it with an element-wise sum, order irrelevant for exact
+    * integers), and proj = P / (2^44 * |v|) runs in deterministic
+    * doubles. Pure projection over the scan: the iterate rides along as
+    * a literal, nothing shuffles. */
+  def pc1Projection(emb: DataFrame, cnum: DataFrame, iters: Int = 8): DataFrame = {
+    val v = pc1Iterate(cnum, iters)
+    val z = math.sqrt(v.map(x => x * x).sum.toDouble)
+    val vLit = typedlit(v.map(_.toLong).toSeq)
+    val xsArr = transform(col("embedding"), x =>
+      (x.cast("double") * lit(IntScale.toDouble)).cast("long")
+        .cast("decimal(19,0)"))
+    emb.select(col("vec_id"),
+      aggregate(
+        zip_with(xsArr, vLit, (x, vv) => x * vv.cast("decimal(19,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"), (acc, t) => acc + t)
+        .as("p"))
+      .select(col("vec_id"),
+        (col("p").cast("double") / lit(IntScale.toDouble) / lit(z)).as("proj"))
   }
 
   /** Bucketed ANN near-dup pairs: compare only bucket-mates, verify with

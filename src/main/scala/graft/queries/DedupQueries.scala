@@ -424,10 +424,12 @@ object DedupQueries extends QueryGroup {
          |  FROM wsh a JOIN wsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, n_common,
-         |  round(CAST(s_ab AS DOUBLE) / sqrt(CAST(na.s2 AS DOUBLE) * CAST(nb.s2 AS DOUBLE)), 6) AS cosine
+         |  round(CAST(CAST(s_ab AS VARCHAR) AS DOUBLE)
+         |    / sqrt(CAST(CAST(na.s2 AS VARCHAR) AS DOUBLE) * CAST(CAST(nb.s2 AS VARCHAR) AS DOUBLE)), 6) AS cosine
          |FROM dots JOIN norms na ON dots.id_a = na.doc_id
          |          JOIN norms nb ON dots.id_b = nb.doc_id
-         |WHERE CAST(s_ab AS DOUBLE) / sqrt(CAST(na.s2 AS DOUBLE) * CAST(nb.s2 AS DOUBLE)) >= 0.5
+         |WHERE CAST(CAST(s_ab AS VARCHAR) AS DOUBLE)
+         |    / sqrt(CAST(CAST(na.s2 AS VARCHAR) AS DOUBLE) * CAST(CAST(nb.s2 AS VARCHAR) AS DOUBLE)) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_jaccard" ->
       s"""$shingleSqlPrefix,

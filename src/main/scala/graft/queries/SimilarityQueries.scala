@@ -285,6 +285,13 @@ object SimilarityQueries extends QueryGroup {
   private def embedPca(s: SparkSession, dir: String): DataFrame =
     Similarity.pc1PowerIteration(sharedCovNum(s, dir)).orderBy("pos")
 
+  /** PCA apply: every embedding projected onto PC1 (see
+    * [[Similarity.pc1Projection]]) — exact integer dot products against
+    * the shared fixed-point iterate, pure projection over the scan. */
+  private def embedProj(s: SparkSession, dir: String): DataFrame =
+    Similarity.pc1Projection(Tables.embeddings(s, dir), sharedCovNum(s, dir))
+      .orderBy("vec_id")
+
   private def embedQuant(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("v", col("embedding").cast("array<double>"))
@@ -368,6 +375,7 @@ object SimilarityQueries extends QueryGroup {
     "q_embed_quant" -> embedQuant,
     "q_embed_cov" -> embedCov,
     "q_embed_pca" -> embedPca,
+    "q_embed_proj" -> embedProj,
     "q_embed_pq" -> embedPq,
     "q_sim_pq" -> simPq,
     "q_sim_ivf_pq" -> simIvfPq,
@@ -634,7 +642,8 @@ object SimilarityQueries extends QueryGroup {
     "q_embed_cov" ->
       s"""$covSqlPrefix
          |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-         |  CAST(c AS DOUBLE) / ((SELECT n FROM nn) * (SELECT n FROM nn))
+         |  CAST(CAST(c AS VARCHAR) AS DOUBLE)
+         |    / ((SELECT n FROM nn) * (SELECT n FROM nn))
          |    / CAST(309485009821345068724781056 AS DOUBLE) AS cov
          |FROM cnum ORDER BY i, j""".stripMargin,
 
@@ -653,6 +662,26 @@ object SimilarityQueries extends QueryGroup {
          |SELECT CAST(pos AS INTEGER) AS pos,
          |  CAST(v AS DOUBLE) / (SELECT z FROM nrm) AS pc1
          |FROM v8 ORDER BY pos""".stripMargin,
+
+    // PCA apply: per-vector dot against the round-8 iterate is an exact
+    // HUGEINT sum (mirrors Spark's in-row DECIMAL fold — order
+    // irrelevant for exact integers); doubles only in the final scaling
+    "q_embed_proj" ->
+      s"""$covSqlPrefix,
+         |cfull AS MATERIALIZED (SELECT i, j, c FROM cnum
+         |  UNION ALL SELECT j, i, c FROM cnum WHERE i <> j),
+         |cs AS MATERIALIZED (SELECT i, j, CASE WHEN c < 0
+         |  THEN -((-c) // 281474976710656) ELSE c // 281474976710656 END AS c
+         |  FROM cfull),
+         |v0 AS MATERIALIZED (SELECT DISTINCT i AS pos, CAST(1048576 AS HUGEINT) AS v FROM cs)
+         |${pcaRoundsSql(8)},
+         |nrm AS (SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) AS z FROM v8),
+         |proj AS (SELECT ex.vec_id, sum(ex.xs * v8.v) AS p
+         |  FROM ex JOIN v8 ON ex.pos = v8.pos GROUP BY 1)
+         |SELECT vec_id,
+         |  CAST(CAST(p AS VARCHAR) AS DOUBLE) / 17592186044416
+         |    / (SELECT z FROM nrm) AS proj
+         |FROM proj ORDER BY vec_id""".stripMargin,
 
     // mirrors embedQuant: same unrounded scale feeds the codes, exact
     // integer invariants over the codes, error fold in array order

@@ -317,6 +317,23 @@ class DedupSpec extends SparkSuite {
     assert(cos > 0.999, s"cos=$cos v=$v")
   }
 
+  test("pc1 projection equals the per-row dot with the unit component vector") {
+    val vecs = (1 to 20).map { k =>
+      val t = (k % 4 + 1).toDouble
+      k.toLong -> Seq((0.6 * t).toFloat, (0.8 * t).toFloat, 0.25f, 0.0f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cnum = Similarity.covarianceNumerators(df)
+    val pc1 = Similarity.pc1PowerIteration(cnum)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val got = Similarity.pc1Projection(df, cnum)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, xs) =>
+      val exp = xs.zipWithIndex.map { case (x, i) => x.toDouble * pc1(i) }.sum
+      assert(math.abs(got(id) - exp) < 1e-6, s"vec $id: ${got(id)} vs $exp")
+    }
+  }
+
   test("ivf: high recall vs brute-force top-k at test scale") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, 5)
