@@ -165,7 +165,55 @@ object CorpusQueries extends QueryGroup {
       .orderBy("bin_lo")
   }
 
+  /** Per-source distribution drift — the mixture-monitoring shape (is a
+    * source's token distribution diverging from the corpus?): L1 distance
+    * between the source's unigram distribution and the corpus one, plus
+    * Gini impurity, ENTIRELY in exact integer numerators — the L1 sum
+    * runs over present (source, token) pairs only, with the absent-token
+    * mass added in closed form ((N - sum of present corpus counts) * Ns),
+    * so no token-x-source grid ever materializes. The drift flag compares
+    * in the integer domain (100*l1_num >= 11*Ns*N <=> l1 >= 0.11).
+    * Entropy/KL would need log (libm, order-dependent float sums); L1 and
+    * Gini are the rational cousins with the same monitoring power.
+    *
+    * Scale: one token explode, two count aggregations, a vocab-bounded
+    * equi-join back, one per-source fold. */
+  private def drift(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(org.apache.spark.sql.functions.split(trim(col("text")), "\\s+"))
+          .as("tok"))
+    val cst = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val ct = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+    val ns = toks.groupBy("source").agg(count(lit(1)).as("n"))
+    val nn = toks.agg(count(lit(1)).as("nt"))
+    val agg = cst.join(ct, Seq("tok")).join(ns, Seq("source"))
+      .crossJoin(broadcast(nn))
+      .groupBy("source")
+      .agg(
+        sum(abs(col("cs").cast("decimal(19,0)") * col("nt") -
+          col("cc").cast("decimal(19,0)") * col("n"))).as("l1p"),
+        sum(col("cc").cast("decimal(19,0)")).as("cpresent"),
+        sum(col("cs").cast("decimal(19,0)") * col("cs")).as("sq"),
+        count(lit(1)).as("vocab"),
+        max(col("n")).as("n_tokens"),
+        max(col("nt")).as("nt"))
+    agg
+      .withColumn("l1_num",
+        col("l1p") + (col("nt") - col("cpresent")) * col("n_tokens"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (col("l1_num").cast("double") /
+          (col("n_tokens") * col("nt")).cast("double")).as("l1"),
+        ((col("n_tokens").cast("decimal(19,0)") * col("n_tokens") - col("sq"))
+          .cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("gini"),
+        (col("l1_num") * 100 >= col("n_tokens").cast("decimal(19,0)") *
+          col("nt") * 11).as("is_drifted"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_drift" -> drift,
     "q_curation_e2e" -> curationE2E,
     "q_token_histogram" -> tokenHistogram,
     "q_text_scrub" -> scrub,
@@ -177,6 +225,31 @@ object CorpusQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // exact integer L1/Gini numerators (HUGEINT == Spark DECIMAL sums);
+    // absent-token L1 mass added in closed form; drift flag compared in
+    // the integer domain; VARCHAR-routed casts per the >2^63 rule
+    "q_corpus_drift" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |cst AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |ns AS (SELECT source, count(*) AS n FROM toks GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM toks),
+        |agg AS (SELECT cst.source,
+        |    sum(abs(cst.c * (SELECT n FROM nn) - ct.c * ns.n)) AS l1p,
+        |    sum(ct.c) AS cpresent, sum(cst.c * cst.c) AS sq,
+        |    count(*) AS vocab, max(ns.n) AS n
+        |  FROM cst JOIN ct USING (tok) JOIN ns USING (source)
+        |  GROUP BY cst.source),
+        |fin AS (SELECT source, n AS n_tokens, vocab,
+        |    l1p + ((SELECT n FROM nn) - cpresent) * n AS l1_num, sq FROM agg)
+        |SELECT source, n_tokens, vocab,
+        |  CAST(CAST(l1_num AS VARCHAR) AS DOUBLE)
+        |    / (n_tokens * (SELECT n FROM nn)) AS l1,
+        |  CAST(CAST(n_tokens * n_tokens - sq AS VARCHAR) AS DOUBLE)
+        |    / (n_tokens * n_tokens) AS gini,
+        |  l1_num * 100 >= n_tokens * (SELECT n FROM nn) * 11 AS is_drifted
+        |FROM fin ORDER BY source""".stripMargin,
     "q_token_histogram" ->
       """WITH t AS (
         |  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
