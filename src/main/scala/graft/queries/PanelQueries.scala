@@ -232,6 +232,39 @@ object PanelQueries extends QueryGroup {
       .orderBy("entity_id", "year")
   }
 
+  /** Exponentially weighted moving average, EXACT: weight for a year at
+    * distance d is the integer 3^d * 4^(K-d) (i.e. (3/4)^d up to the
+    * common 4^K factor, which cancels in the normalized mean), K = 7
+    * covers the panel's year span. Gap-aware by construction — decay
+    * follows YEAR distance, not row offset, so missing years still
+    * discount. Float EMAs accumulate in frame order (engine-dependent);
+    * the integer form is order-independent and oracle-exact.
+    *
+    * Shape: a bounded self-join on (entity, year within K) rather than a
+    * window — the weight depends on the anchor-to-row distance, which no
+    * SQL frame aggregate expresses; the join stays on the panel's entity
+    * partitioning and fans out at most K+1 rows per anchor. */
+  private val EmaSpan = 7
+  private val EmaWeights: Seq[Long] =
+    (0 to EmaSpan).map(d => math.pow(3, d).toLong * math.pow(4, EmaSpan - d).toLong)
+  private def ema(s: SparkSession, dir: String): DataFrame = {
+    val p = custPanel(s, dir).select(col("entity_id"), col("year"), col("revenue"))
+    val hist = p.select(col("entity_id").as("pe"), col("year").as("py"),
+      col("revenue").as("prev"))
+    val wv = element_at(typedlit(EmaWeights), col("year") - col("py") + 1)
+    p.join(hist, col("entity_id") === col("pe") &&
+        col("py").between(col("year") - EmaSpan, col("year")))
+      .drop("pe")
+      .groupBy("entity_id", "year", "revenue")
+      .agg(
+        sum((col("prev").cast("decimal(18,2)") * 100).cast("decimal(19,0)") * wv)
+          .as("num"),
+        sum(wv).as("den"))
+      .select(col("entity_id"), col("year"), col("revenue"),
+        (col("num").cast("double") / col("den") / lit(100.0)).as("rev_ema"))
+      .orderBy("entity_id", "year")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cust_panel" -> custPanel,
   )
@@ -248,12 +281,29 @@ object PanelQueries extends QueryGroup {
     "q_scd2" -> scd2,
     "q_rank_suite" -> rankSuite,
     "q_moving_avg" -> movingAvg,
+    "q_ema" -> ema,
   )
 
   private def pivotCasesSql = pivotYears.map(y =>
     s"MAX(CASE WHEN year = $y THEN revenue END) AS revenue_$y").mkString(",\n  ")
 
   override def oracle: Map[String, String] = Map(
+    // integer EMA weights 3^d * 4^(7-d); BIGINT/HUGEINT sums == Spark
+    // DECIMAL sums; the (3/4)^d decay follows year distance (gap-aware)
+    "q_ema" ->
+      s"""WITH p AS ($custPanelSql),
+         |wt(d, wv) AS (VALUES ${EmaWeights.zipWithIndex
+           .map { case (w, d) => s"($d, $w)" }.mkString(", ")}),
+         |j AS (SELECT a.entity_id, a.year, a.revenue,
+         |    CAST(CAST(b.revenue AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |    a.year - b.year AS d
+         |  FROM p a JOIN p b ON a.entity_id = b.entity_id
+         |    AND b.year BETWEEN a.year - $EmaSpan AND a.year)
+         |SELECT entity_id, year, revenue,
+         |  CAST(sum(cents * wv) AS DOUBLE) / sum(wv) / 100.0 AS rev_ema
+         |FROM j JOIN wt USING (d)
+         |GROUP BY entity_id, year, revenue
+         |ORDER BY entity_id, year""".stripMargin,
     "q_moving_avg" ->
       s"""WITH p AS ($custPanelSql)
          |SELECT entity_id, year, revenue,
