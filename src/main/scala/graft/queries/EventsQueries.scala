@@ -27,6 +27,26 @@ object EventsQueries extends QueryGroup {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy("window_start_us", "event_type")
 
+  /** Sliding-window batch twin (2-hour windows, 1-hour slide): each event
+    * belongs to exactly window/slide = 2 overlapping windows, so the
+    * oracle is the union of two shifted tumbling assignments. Spark's
+    * `window(ts, len, slide)` generates the per-event window fan-out
+    * natively (a bounded explode, factor len/slide) and the aggregation
+    * stays one hash-shuffle on (window, type) — there is no per-window
+    * rescan of the input. The streaming version (watermarked, bounded
+    * state) is [[graft.streaming.EventStream.slidingCounts]], asserted
+    * equal in StreamingSpec. */
+  private def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start_us", "event_type")
+
   /** Props parsed ONCE per (session, dir), carrying all three
     * semi-structured representations side by side: `k_str` (path
     * extraction, get_json_object), `parsed` (closed-schema from_json
@@ -212,6 +232,7 @@ object EventsQueries extends QueryGroup {
     "q_events_variant" -> variantExtract,
     "q_events_from_json" -> fromJson,
     "q_events_tumbling" -> tumbling,
+    "q_events_sliding" -> sliding,
     "q_events_json" -> jsonExtract,
     "q_events_funnel" -> userFunnel,
     "q_sessionize" -> sessionize,
@@ -240,6 +261,15 @@ object EventsQueries extends QueryGroup {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    // each event is in the window starting at its truncated hour and the
+    // one before it (2h window, 1h slide) -> two shifted tumbling passes
+    "q_events_sliding" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) - o * 3600000000 AS window_start_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o)
+        |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
 
     "q_events_json" ->
       """SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS n,

@@ -43,6 +43,23 @@ object EventStream {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding 2-hour windows advancing every hour, 1-hour watermark: each
+    * event lands in exactly two overlapping windows (window = 2 x slide).
+    * Sliding windows are the smoothed-rate monitoring shape — tumbling
+    * counts jump at boundaries, session windows need gaps; the overlap
+    * here trades 2x state rows for boundary-free trends. State stays
+    * bounded: a window's state is evicted once the watermark passes its
+    * end, exactly as for tumbling. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Streaming exact dedup: keep the first arrival of each key, dropping
     * any duplicate that arrives within the watermark delay of it. State
     * per key is bounded — it expires once the event-time watermark passes

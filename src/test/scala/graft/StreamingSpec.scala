@@ -24,6 +24,20 @@ class StreamingSpec extends SparkSuite {
     assert(got == exp)
   }
 
+  test("streaming sliding counts equal the batch sliding query") {
+    val tmp = Files.createTempDirectory("graftslide").toFile.getAbsolutePath
+    val agg = EventStream.slidingCounts(EventStream.source(spark, sf))
+    val got = EventStream.runToMemory(spark, agg, "sliding_out", s"$tmp/ckpt")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val exp = EventsQueries.queries("q_events_sliding")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == exp)
+  }
+
   test("stateful sessionization matches the windowed batch sessionize query") {
     val typed = graft.streaming.Sessionize
       .sessionize(spark, graft.core.Tables.events(spark, sf), 1800L * 1000000L)
