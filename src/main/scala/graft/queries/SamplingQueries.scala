@@ -73,6 +73,42 @@ object SamplingQueries extends QueryGroup {
       .orderBy("lang")
   }
 
+  /** Epoch-based mixture UPSAMPLING — the apply-side complement of
+    * [[mixWeights]] when the target mixture needs repeats rather than
+    * cuts. With the same dyadic target shares and a total budget of
+    * 2 x |corpus|, each language's target count c_l = budget div
+    * shareInv_l is met by e_l = c_l div n_l FULL epochs over the
+    * language plus one extra appearance for the rem_l = c_l - e_l*n_l
+    * first-ranked docs — how temperature-style mixtures are realized in
+    * practice: full passes + a deterministic partial pass, never a
+    * Bernoulli draw (exact counts, reproducible batches). Output is the
+    * materialized training list, one row per (doc, epoch).
+    *
+    * All-integer (no float shares anywhere), so quotas are exact; the
+    * per-doc fan-out is a bounded explode (factor c_l/n_l); quotas ride
+    * a broadcast few-row frame; the partial-pass pick reuses the
+    * two-level rank. */
+  private def mixUpsample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val budget = docs.agg((count(lit(1)) * lit(2L)).as("budget"))
+    val quotas = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(budget))
+      .withColumn("share_inv",
+        when(col("lang") === "en", lit(2L)).otherwise(lit(8L)))
+      .withColumn("c_target", expr("budget div share_inv"))
+      .withColumn("epochs", expr("c_target div n_docs"))
+      .withColumn("rem", col("c_target") - col("epochs") * col("n_docs"))
+      .select("lang", "epochs", "rem")
+    Sampling.rankedBy(docs.select("doc_id", "lang"), Seq("lang"), "doc_id")
+      .join(broadcast(quotas), "lang")
+      .withColumn("reps",
+        col("epochs") + when(col("samp_rank") <= col("rem"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("reps"))))
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy("lang", "doc_id", "epoch")
+  }
+
   /** Z-order layout audit: lineitem laid out on the (l_partkey,
     * l_suppkey) Morton curve into 64 Z-prefix files, reporting each
     * file's row count and (x, y) bounding box — the min/max stats a
@@ -89,6 +125,7 @@ object SamplingQueries extends QueryGroup {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> zorder,
     "q_mix_weights" -> mixWeights,
+    "q_mix_upsample" -> mixUpsample,
     "q_shuffle_order" -> shuffleOrder,
     "q_stratified_sample" -> stratified,
     "q_pack_plan" -> pack,
@@ -129,6 +166,30 @@ object SamplingQueries extends QueryGroup {
         |  CAST(floor(CAST(m AS DOUBLE) * target_share) AS BIGINT) AS quota,
         |  CAST(floor(CAST(m AS DOUBLE) * target_share) AS BIGINT) / CAST(n_docs AS DOUBLE) AS keep_prob
         |FROM w CROSS JOIN m ORDER BY lang""".stripMargin,
+
+    // integer epochs + partial-pass pick; generate_series(1,0) is empty,
+    // matching the Spark side's reps > 0 filter
+    "q_mix_upsample" ->
+      s"""WITH b AS (SELECT 2 * count(*) AS budget FROM documents),
+         |c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |q AS (
+         |  SELECT lang, n_docs,
+         |    budget // (CASE WHEN lang = 'en' THEN 2 ELSE 8 END) AS c_target
+         |  FROM c CROSS JOIN b),
+         |q2 AS (
+         |  SELECT lang, c_target // n_docs AS epochs,
+         |    c_target - (c_target // n_docs) * n_docs AS rem
+         |  FROM q),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY $rankOrderSql) AS BIGINT) AS samp_rank
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, r.lang AS lang,
+         |    epochs + CASE WHEN samp_rank <= rem THEN 1 ELSE 0 END AS reps
+         |  FROM r JOIN q2 ON r.lang = q2.lang)
+         |SELECT doc_id, lang, CAST(unnest(generate_series(1, reps)) AS BIGINT) AS epoch
+         |FROM e ORDER BY lang, doc_id, epoch""".stripMargin,
 
     // the closed-form equivalent of the two-level rank: one global
     // row_number over the canonical (bucket, hash, id) order

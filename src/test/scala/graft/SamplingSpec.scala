@@ -99,6 +99,29 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("mix upsample: realized per-lang counts hit the integer quota exactly") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 2L * docs.count()
+    val nByLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = SamplingQueries.queries("q_mix_upsample")(spark, sf)
+    val gotByLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    nByLang.keys.foreach { lang =>
+      val target = budget / (if (lang == "en") 2L else 8L)
+      assert(gotByLang.getOrElse(lang, 0L) == target,
+        s"$lang: realized ${gotByLang.getOrElse(lang, 0L)} != quota $target")
+    }
+    // within a language, appearance counts differ by at most 1 (full
+    // epochs + one partial pass), and (doc, epoch) rows are unique
+    val reps = out.groupBy("lang", "doc_id").count()
+    val spreads = reps.groupBy("lang")
+      .agg((max("count") - min("count")).as("spread"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    spreads.foreach { case (lang, s) => assert(s <= 1L, s"$lang spread $s") }
+    assert(out.distinct().count() == out.count())
+  }
+
   test("quality prune keeps ~70% of the corpus") {
     val rows = graft.queries.TextQueries.queries("q_quality_prune")(spark, sf)
       .collect()
