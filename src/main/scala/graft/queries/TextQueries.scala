@@ -254,6 +254,67 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Importance-resampling data selection (the DSIR shape — Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): train one n-gram LM on a small TARGET domain (here
+    * the `src0` source, standing in for the curated domain sample) and
+    * one on the raw corpus, weight every document by how much more
+    * target-like than raw-like its bigrams are, and keep the top
+    * quarter. Both LMs are the same Laplace-smoothed fixed-point bigram
+    * model as [[lmScore]], sharing one corpus-wide vocabulary V so the
+    * two probability spaces are comparable; unseen-in-target bigrams
+    * degrade to the 1/(0+V) smoothing floor via left joins.
+    *
+    * The importance statistic is exact end to end: integer per-bigram
+    * probabilities, integer sums st/sr, and the ratio scaled into the
+    * integer domain as (st * 1e6) div sr computed in DECIMAL(38,0)
+    * (HUGEINT on the oracle side) so the 1e18-range product never
+    * overflows. Only the keep threshold (one interpolated percentile, a
+    * 1-row broadcast, the q_quality_prune pairing) touches floats.
+    *
+    * Plan shape at scale: one bigram explode; the RAW count tables are
+    * vocab-bounded equi-joins (AQE-broadcastable); the TARGET count
+    * tables are small by construction (a domain sample) and broadcast
+    * explicitly — so scoring 100 TB is the raw-LM join cost plus two
+    * broadcast lookups, never a second corpus pass. */
+  private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+    val vocab = docs.select(explode(col("w")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val bi = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val tgt = bi.filter(col("source") === "src0")
+    val c12t = tgt.groupBy("w1", "w2").agg(count(lit(1)).as("n12t"))
+    val c1t = tgt.groupBy("w1").agg(count(lit(1)).as("n1t"))
+    val c12r = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12r"))
+    val c1r = bi.groupBy("w1").agg(count(lit(1)).as("n1r"))
+    val scored = bi
+      .join(c12r, Seq("w1", "w2")).join(c1r, Seq("w1"))
+      .join(broadcast(c12t), Seq("w1", "w2"), "left")
+      .join(broadcast(c1t), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("n12t", coalesce(col("n12t"), lit(0L)))
+      .withColumn("n1t", coalesce(col("n1t"), lit(0L)))
+      .withColumn("pt", expr("(1000000000000L * (n12t + 1)) div (n1t + v)"))
+      .withColumn("pr", expr("(1000000000000L * (n12r + 1)) div (n1r + v)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("pt").as("st"), sum("pr").as("sr"))
+      .withColumn("imp_scaled",
+        expr("(CAST(st AS DECIMAL(38,0)) * 1000000) div sr"))
+    val thr = scored.agg(expr("percentile(imp_scaled, 0.75)").as("threshold"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_bigrams"), col("imp_scaled"),
+        round(col("threshold"), 6).as("threshold"),
+        (col("imp_scaled") >= col("threshold")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer-training merge candidates (the distributed core of a BPE
     * step): count ADJACENT token pairs across the corpus and rank the
     * top 20 with a deterministic tiebreak. Shape at scale: one narrow
@@ -323,6 +384,7 @@ object TextQueries extends QueryGroup {
     "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
     "q_lm_score" -> lmScore,
+    "q_dsir_select" -> dsirSelect,
     "q_quality_prune" -> qualityPrune,
     "q_word_rarity" -> wordRarity,
     "q_text_repetition" -> repetition,
@@ -358,6 +420,40 @@ object TextQueries extends QueryGroup {
         |       WHEN ps >= 32000000000 * n_bigrams THEN 'mid'
         |       ELSE 'low' END AS lm_bucket
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // DSIR importance weights: target-vs-raw LM term ratios kept integer
+    // (HUGEINT product mirrors Spark's DECIMAL(38,0)); bi is MATERIALIZED
+    // because five consumers would otherwise re-inline the explode
+    "q_dsir_select" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |vocab AS (SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(words) AS tok FROM w)),
+        |bi AS MATERIALIZED (
+        |  SELECT doc_id, source, words[i] AS w1, words[i+1] AS w2
+        |  FROM (SELECT doc_id, source, words,
+        |          unnest(generate_series(1, len(words) - 1)) AS i FROM w)),
+        |c12t AS (SELECT w1, w2, count(*) AS n12t FROM bi WHERE source = 'src0' GROUP BY 1, 2),
+        |c1t AS (SELECT w1, count(*) AS n1t FROM bi WHERE source = 'src0' GROUP BY 1),
+        |c12r AS (SELECT w1, w2, count(*) AS n12r FROM bi GROUP BY 1, 2),
+        |c1r AS (SELECT w1, count(*) AS n1r FROM bi GROUP BY 1),
+        |terms AS (
+        |  SELECT bi.doc_id,
+        |    (1000000000000 * (COALESCE(n12t, 0) + 1))
+        |      // (COALESCE(n1t, 0) + (SELECT v FROM vocab)) AS pt,
+        |    (1000000000000 * (n12r + 1)) // (n1r + (SELECT v FROM vocab)) AS pr
+        |  FROM bi JOIN c12r USING (w1, w2) JOIN c1r USING (w1)
+        |  LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1)),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(pt) AS st, sum(pr) AS sr FROM terms GROUP BY 1),
+        |sc AS (SELECT doc_id, n_bigrams,
+        |    CAST((CAST(st AS HUGEINT) * 1000000) // sr AS BIGINT) AS imp_scaled
+        |  FROM agg),
+        |t AS (SELECT quantile_cont(imp_scaled, 0.75) AS threshold FROM sc)
+        |SELECT doc_id, n_bigrams, imp_scaled,
+        |  round(threshold, 6) AS threshold, imp_scaled >= threshold AS keep
+        |FROM sc CROSS JOIN t ORDER BY doc_id""".stripMargin,
+
     "q_text_split" ->
       """WITH parts AS (
         |  SELECT doc_id, string_split_regex(text, '\s+stream\s+') AS arr
