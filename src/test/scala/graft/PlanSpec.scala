@@ -176,6 +176,42 @@ class PlanSpec extends SparkSuite {
       s"bigram count joins degraded to nested loops ($bnlj):\n${plan.take(1500)}")
   }
 
+  test("q_events_sliding: bounded window fan-out, no join in the plan") {
+    // window(ts, 2h, 1h) must plan as a projection-level fan-out (Expand
+    // or Generate) feeding ONE hash aggregation — if the overlap were
+    // ever rewritten as a windows-table join the 2x bounded cost becomes
+    // a join against every event
+    val plan = formatted("q_events_sliding")
+    assert(plan.contains("Expand") || plan.contains("Generate"),
+      s"sliding windows lost the bounded fan-out:\n${plan.take(1200)}")
+    assert(!plan.contains("Join"),
+      s"sliding windows planned as a join:\n${plan.take(1200)}")
+  }
+
+  test("q_mix_upsample: rank windows stay stratum-partitioned, quotas broadcast") {
+    val plan = formatted("q_mix_upsample")
+    assert("hashpartitioning\\(lang".r.findAllIn(plan).size >= 1,
+      s"per-lang rank window lost its partitioning:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "quota/offset frames no longer join back as broadcasts")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a tiny quota-side join fell back to a shuffle join:\n${plan.take(1500)}")
+  }
+
+  test("q_dsir_select: target LM lookups broadcast; only scalar crosses nested-loop") {
+    val plan = formatted("q_dsir_select")
+    assert(!plan.contains("CartesianProduct"))
+    // deliberate 1-row scalar broadcasts only: the vocab-V cross (which
+    // prints twice — the scored subtree feeds both the threshold
+    // aggregate and the final projection) and the threshold cross; each
+    // BNLJ node prints twice (tree + detail header) -> 3 nodes, 6 lines
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 6,
+      s"LM count joins degraded to nested loops ($bnlj):\n${plan.take(1500)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"target-LM count tables no longer broadcast:\n${plan.take(1500)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
