@@ -456,4 +456,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Exact duplicated-substring spans — the ExactSubstr dedup mode
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every maximal token span of a document covered by
+    * `minLen`-token shingles occurring at least twice in the corpus
+    * (self-repeats count, as in the paper). Near-dup detectors flag
+    * whole documents; this reports WHICH ranges to cut.
+    *
+    * The paper's suffix array is a single-machine construct; the
+    * distributed shape is seed-and-merge:
+    *  1. L-gram explode with positions (bounded fan-out, one row per
+    *     token);
+    *  2. corpus-wide occurrence counts — one shuffle on the gram key,
+    *     map-side partials absorb the Zipf head, and the count table is
+    *     gram-cardinality, not corpus-cardinality;
+    *  3. seeds (count >= 2) join back on the gram key;
+    *  4. per-document gaps-and-islands: overlapping/adjacent seed
+    *     intervals [pos, pos+L-1] merge into maximal spans (break when
+    *     pos > prev + L). The lag + running-sum windows and the final
+    *     span rollup all ride ONE doc_id exchange (the rollup's
+    *     (doc_id, span_id) clustering is satisfied by the doc_id hash
+    *     partitioning).
+    *
+    * Output: (doc_id, span_id, tok_from, tok_to, n_seeds), token
+    * positions 1-based inclusive. */
+  def duplicatedSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    val w = docs
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .filter(size(col("w")) >= minLen)
+    val sh = w.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (minLen - 1)), i =>
+          struct(i.cast("long").as("pos"),
+            concat_ws(" ", slice(col("w"), i, lit(minLen))).as("g")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))
+    val counts = sh.groupBy("g").agg(count(lit(1)).as("n_occ"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    sh.join(counts.filter(col("n_occ") >= 2), "g")
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + minLen, 1L)
+          .otherwise(0L))
+      .withColumn("span_id",
+        sum("brk").over(byDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("tok_from"),
+        (max("pos") + (minLen - 1)).as("tok_to"),
+        count(lit(1)).as("n_seeds"))
+  }
+
 }

@@ -280,7 +280,16 @@ object DedupQueries extends QueryGroup {
     "q_dedup_clusters" -> clusters,
     "q_tfidf_pairs" -> tfidf,
     "q_pagerank" -> pagerank,
+    "q_dedup_spans" -> dedupSpans,
   )
+
+  /** Exact duplicated-substring spans ([[Dedup.duplicatedSpans]]) with
+    * 8-token seeds: the ExactSubstr complement of the whole-document
+    * near-dup detectors — it reports WHICH token ranges are duplicated
+    * corpus-wide, the cut list for span-level dedup. */
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, dir), minLen = 8)
+      .orderBy("doc_id", "tok_from")
 
   /** Structure-based centrality over the verified near-dup pair graph —
     * the companion of `q_dedup_clusters` (CC says which docs form a
@@ -408,6 +417,32 @@ object DedupQueries extends QueryGroup {
         |  count(*) OVER (PARTITION BY fp) AS n_same,
         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
         |FROM fps ORDER BY doc_id""".stripMargin,
+
+    // seed-and-merge ExactSubstr replay: 8-gram seeds with corpus count
+    // >= 2, per-doc interval merge via lag + running sum; sh MATERIALIZED
+    // (two consumers), window sum cast from DuckDB's HUGEINT to BIGINT
+    "q_dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(words[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 7)) AS i
+        |        FROM w WHERE len(words) >= 8)),
+        |df AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM sh JOIN df USING (g)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CAST(sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+        |  FROM m)
+        |SELECT doc_id, span_id, min(pos) AS tok_from, max(pos) + 7 AS tok_to,
+        |  count(*) AS n_seeds
+        |FROM isl GROUP BY doc_id, span_id ORDER BY doc_id, tok_from""".stripMargin,
 
     // L = lcm(1..DfMax) = 232792560: every (L/df)^2 is an exact integer,
     // HUGEINT sums mirror Spark's DECIMAL(38,0) sums bit-for-bit, and only

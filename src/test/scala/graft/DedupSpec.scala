@@ -390,6 +390,31 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("duplicated spans are maximal: disjoint, >= L tokens, gaps > L") {
+    val L = 8
+    val spans = graft.ops.Dedup
+      .duplicatedSpans(Tables0.documents(spark, sf), minLen = L)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("tok_from")), r.getLong(r.fieldIndex("tok_to"))))
+      .groupBy(_._1).values
+    assert(spans.nonEmpty)
+    spans.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, from, to) =>
+        assert(to - from + 1 >= L, s"span shorter than the $L-token seed")
+      }
+      // maximality: consecutive spans must be disjoint with a gap —
+      // from2 > to1 + 1 is algebraically the break rule (seed gap > L),
+      // so touching or overlapping spans mean the merge wasn't exhaustive
+      sorted.sliding(2).foreach {
+        case Array((_, _, to1), (_, from2, _)) =>
+          assert(from2 > to1 + 1, "overlapping/adjacent spans not merged")
+        case _ =>
+      }
+    }
+  }
+
   test("lsh planes are deterministic") {
     val p1 = Similarity.planes(4, 8).map(_.toSeq).toSeq
     val p2 = Similarity.planes(4, 8).map(_.toSeq).toSeq
