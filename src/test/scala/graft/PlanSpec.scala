@@ -212,6 +212,19 @@ class PlanSpec extends SparkSuite {
       s"target-LM count tables no longer broadcast:\n${plan.take(1500)}")
   }
 
+  test("q_dedup_spans: windows and span rollup share one doc_id exchange") {
+    val plan = formatted("q_dedup_spans")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).nonEmpty,
+      s"per-doc windows lost their doc partitioning:\n${plan.take(1500)}")
+    // the (doc_id, span_id) rollup must reuse the doc_id partitioning
+    // (clustering on a superset of the partition keys) — a second
+    // exchange on the compound key would double-shuffle the seed frame
+    assert("hashpartitioning\\(doc_id#\\d+, span_id".r.findAllIn(plan).isEmpty,
+      s"span rollup added its own exchange:\n${plan.take(1500)}")
+    assert(!plan.contains("SinglePartition"),
+      s"a span stage fell onto a single reducer:\n${plan.take(1500)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
