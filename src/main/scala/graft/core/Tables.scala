@@ -35,13 +35,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 rejects;
-    * read the raw ns longs and truncate to microseconds — the same ns->us
-    * truncation DuckDB applies internally, so values stay oracle-equal. */
+  /** Normalize the events `ts` column to session-zoned TIMESTAMP regardless
+    * of the on-disk encoding. Older generated data stored TIMESTAMP(NANOS)
+    * (which Spark 4 only reads as raw longs under the legacy conf — truncate
+    * ns->us, the same truncation DuckDB applies internally); newer data
+    * stores TIMESTAMP(MICROS) NTZ directly. Session TZ is UTC everywhere, so
+    * the NTZ->TZ cast is value-identity and keeps watermark/window code on
+    * one type. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

@@ -25,11 +25,11 @@ object EventStream {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source requires a directory: stream the sf dir with
     // a glob filter selecting only the events file
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour windowed counts/sums with a 1-hour watermark. */
