@@ -68,4 +68,35 @@ object Graph {
     ranks.join(degs.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("deg"), col("pr_scaled"))
   }
+
+  /** Per-node triangle participation counts over an undirected pair frame
+    * — the local clustering signal for the near-dup graph (a doc in many
+    * triangles sits inside a densely duplicated clique; a bridge doc in
+    * few triangles links otherwise-unrelated groups, the classic false
+    * positive a pairwise threshold lets through).
+    *
+    * Canonical-orientation algorithm: edges arrive as id_a < id_b, so a
+    * wedge (a,b)x(b,c) built from two canonical edges automatically has
+    * a < b < c and each triangle is enumerated exactly once — no
+    * permutation blowup, no post-hoc distinct. Two equi-joins total:
+    * wedge build on the shared middle node, then closure probe on (a,c).
+    * At scale both joins key on node ids; the wedge count per node b is
+    * deg(b)^2-bounded, which is the standard orientation bound — the
+    * canonical form already directs edges low->high id, halving degrees
+    * vs naive.
+    *
+    * @param pairs pair frame with BIGINT `id_a` < `id_b` per row
+    * @return (doc_id, n_triangles) for every node in >= 1 triangle
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+    val wedges = e.join(
+        e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tris = wedges.join(
+        e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select("a", "b", "c")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -212,7 +212,82 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  /** Documents exploded into their delimited records ONCE per (session,
+    * dir) — the `\s+stream\s+`-delimited records stand in for lines /
+    * paragraphs (the synthetic corpus has no newlines; the machinery is
+    * line-level curation verbatim). Shared by the line-dedup and
+    * boilerplate queries so the split+explode pass runs once. */
+  private[queries] def sharedRecords(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"corpus:records:$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.functions.split(
+            col("text"), """\s+stream\s+""")).as(Seq("pos", "record")))
+        .withColumn("part_idx", (col("pos") + 1).cast("int"))
+        .filter(length(col("record")) > 0)
+        .select("doc_id", "part_idx", "record")
+    }
+
+  /** Line-level exact dedup (the C4/CCNet line-dedup shape): every record
+    * is kept only at its FIRST corpus occurrence (ordered by doc_id,
+    * part_idx); later occurrences are dropped and each doc is reassembled
+    * from its surviving records. First-occurrence is computed as a
+    * min(struct) AGGREGATION, not a per-record row_number window: map-side
+    * partial min absorbs the Zipf head of repeated lines, where a window
+    * would funnel every occurrence of a hot record through one reducer.
+    * The join back on `record` is an equi-join AQE can skew-split. */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val rec = sharedRecords(s, dir)
+    val first = rec.groupBy("record")
+      .agg(min(struct(col("doc_id"), col("part_idx"))).as("first"))
+    rec.join(first, Seq("record"))
+      .withColumn("kept",
+        col("doc_id") === col("first.doc_id") && col("part_idx") === col("first.part_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("part_idx"), col("record"))))),
+          x => x.getField("record"))).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-frequency boilerplate removal (the RefinedWeb most-common-lines
+    * filter): records appearing in >= [[BoilerDf]] DISTINCT docs are
+    * boilerplate (headers, nav chrome, license banners at web scale) and
+    * are dropped EVERYWHERE; docs are reassembled from what survives.
+    * The boilerplate list is high-df by construction, therefore tiny —
+    * it broadcasts, so the removal pass is a broadcast left-anti-shaped
+    * probe over the records, never a shuffle of the corpus. */
+  private val BoilerDf = 3
+  private def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val rec = sharedRecords(s, dir)
+    val boiler = rec.groupBy("record")
+      .agg(countDistinct("doc_id").as("n_docs_in"))
+      .filter(col("n_docs_in") >= BoilerDf)
+      .select(col("record"), lit(true).as("is_boiler"))
+    rec.join(broadcast(boiler), Seq("record"), "left")
+      .withColumn("kept", col("is_boiler").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_boiler"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("part_idx"), col("record"))))),
+          x => x.getField("record"))).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "corpus_records" -> sharedRecords,
+  )
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_line_dedup" -> lineDedup,
+    "q_boilerplate" -> boilerplate,
     "q_corpus_drift" -> drift,
     "q_curation_e2e" -> curationE2E,
     "q_token_histogram" -> tokenHistogram,
@@ -225,6 +300,41 @@ object CorpusQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // record split mirrors q_text_split's consumed-delimiter parse; the
+    // oracle marks first occurrences with a window (semantically identical
+    // to Spark's min-struct aggregation) and reassembles with an ordered
+    // string_agg (NULL-skipping, like collect_list of the kept structs)
+    "q_line_dedup" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+stream\s+') AS arr FROM documents),
+        |idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM parts),
+        |rec AS (SELECT doc_id, CAST(i AS INTEGER) AS part_idx, arr[i] AS record
+        |        FROM idx WHERE length(arr[i]) > 0),
+        |rk AS (SELECT doc_id, part_idx, record,
+        |         row_number() OVER (PARTITION BY record ORDER BY doc_id, part_idx) AS rn
+        |       FROM rec)
+        |SELECT doc_id, count(*) AS n_parts,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN record END, ' ' ORDER BY part_idx), '')
+        |    AS cleaned_text
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      s"""WITH parts AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+stream\\s+') AS arr FROM documents),
+        |idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM parts),
+        |rec AS (SELECT doc_id, CAST(i AS INTEGER) AS part_idx, arr[i] AS record
+        |        FROM idx WHERE length(arr[i]) > 0),
+         |boiler AS (SELECT record FROM rec GROUP BY record
+         |           HAVING count(DISTINCT doc_id) >= $BoilerDf),
+        |m AS (SELECT r.doc_id, r.part_idx, r.record,
+        |        r.record NOT IN (SELECT record FROM boiler) AS kept
+        |      FROM rec r)
+        |SELECT doc_id, count(*) AS n_parts,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+        |  coalesce(string_agg(CASE WHEN kept THEN record END, ' ' ORDER BY part_idx), '')
+        |    AS cleaned_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact integer L1/Gini numerators (HUGEINT == Spark DECIMAL sums);
     // absent-token L1 mass added in closed form; drift flag compared in
     // the integer domain; VARCHAR-routed casts per the >2^63 rule

@@ -280,8 +280,19 @@ object DedupQueries extends QueryGroup {
     "q_dedup_clusters" -> clusters,
     "q_tfidf_pairs" -> tfidf,
     "q_pagerank" -> pagerank,
+    "q_graph_triangles" -> triangles,
     "q_dedup_spans" -> dedupSpans,
   )
+
+  /** Per-node triangle counts over the verified near-dup pair graph
+    * ([[graft.ops.Graph.triangleCounts]]) — the local-density companion of
+    * CC and PageRank: triangle-rich docs sit inside duplicate cliques,
+    * triangle-free linked docs are the chain/bridge cases a pairwise
+    * threshold admits. Shares the session pair frame, so the marginal
+    * cost is the two wedge/closure equi-joins. */
+  private def triangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleCounts(sharedJaccardPairs(s, dir))
+      .orderBy("doc_id")
 
   /** Exact duplicated-substring spans ([[Dedup.duplicatedSpans]]) with
     * 8-token seeds: the ExactSubstr complement of the whole-document
@@ -731,6 +742,29 @@ object DedupQueries extends QueryGroup {
          |SELECT p.doc_id, d.deg, p.pr AS pr_scaled
          |FROM r$PrIters p JOIN degs d ON p.doc_id = d.src
          |ORDER BY p.doc_id""".stripMargin,
+
+    // canonical-orientation triangle enumeration: jp rows carry id_a < id_b,
+    // so the wedge+closure joins yield each triangle once with a < b < c
+    "q_graph_triangles" ->
+      s"""$shingleSqlPrefix,
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |tri AS (
+         |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |  FROM jp e1 JOIN jp e2 ON e1.id_b = e2.id_a
+         |  JOIN jp e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         |nodes AS (SELECT a AS doc_id FROM tri
+         |          UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles
+         |FROM nodes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same df<=20 pruning and shared_fps >= 5 cut as the Spark query
     "q_dedup_winnow" ->

@@ -224,6 +224,30 @@ object EventsQueries extends QueryGroup {
       .orderBy("user_id", "click_id")
   }
 
+  /** Markov transition matrix over per-user event sequences: counts and
+    * row-normalized probabilities of each (prev_type -> next_type) step,
+    * the sequence-model statistic behind funnel diagnosis and synthetic
+    * session generation. One lag window on the user_id shuffle (the same
+    * partitioning every sessionization query uses), then a type-pair
+    * aggregation whose result is at most |types|^2 rows; row totals
+    * broadcast back. p divides two exact longs, so the doubles are
+    * engine-identical. */
+  private def transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = steps
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("prev_type").agg(sum("n").as("row_total"))
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .withColumn("p", col("n").cast("double") / col("row_total"))
+      .select("prev_type", "next_type", "n", "row_total", "p")
+      .orderBy("prev_type", "next_type")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "events_parsed_props" -> sharedParsed,
   )
@@ -240,9 +264,24 @@ object EventsQueries extends QueryGroup {
     "q_stream_join" -> streamJoin,
     "q_stream_enrich" -> streamEnrich,
     "q_asof_event" -> asofEvent,
+    "q_event_transitions" -> transitions,
   )
 
   override def oracle: Map[String, String] = Map(
+    // DuckDB sums BIGINT into HUGEINT -> cast row_total back; p is a ratio
+    // of two exact integers so the double is engine-identical
+    "q_event_transitions" ->
+      """WITH steps AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+        |SELECT prev_type, next_type, n, row_total,
+        |  CAST(n AS DOUBLE) / row_total AS p
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
     "q_events_variant" ->
       """WITH k AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
