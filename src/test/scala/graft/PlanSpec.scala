@@ -225,6 +225,40 @@ class PlanSpec extends SparkSuite {
       s"a span stage fell onto a single reducer:\n${plan.take(1500)}")
   }
 
+  test("q_line_dedup: first-occurrence is an aggregation, never a per-record window") {
+    // a row_number() over record would funnel every occurrence of a hot
+    // (Zipf-head) record through one window reducer; the min-struct
+    // aggregation keeps map-side partial combine
+    val plan = formatted("q_line_dedup")
+    assert(!plan.contains("Window"),
+      s"first-occurrence regressed to a per-record window:\n${plan.take(1500)}")
+    assert(plan.contains("partial_min") || plan.contains("min(struct"),
+      s"min-struct partial aggregation missing:\n${plan.take(1500)}")
+  }
+
+  test("q_boilerplate: the boilerplate list joins back as a broadcast") {
+    val plan = formatted("q_boilerplate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate probe no longer broadcasts:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the high-df (tiny) boilerplate list fell back to a shuffle join:\n${plan.take(1500)}")
+  }
+
+  test("q_event_transitions: lag rides the user shuffle; row totals broadcast") {
+    val plan = formatted("q_event_transitions")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).nonEmpty,
+      s"per-user lag window lost its user partitioning:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"|types|-bounded row totals no longer broadcast:\n${plan.take(1500)}")
+  }
+
+  test("q_graph_triangles: wedge and closure probes stay equi-joins") {
+    val plan = formatted("q_graph_triangles")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"triangle enumeration degraded to a non-equi join:\n${plan.take(1500)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
