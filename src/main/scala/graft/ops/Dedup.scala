@@ -59,6 +59,65 @@ object Dedup {
     }
   }
 
+  /** Prefix-filtered set-similarity join (the PPJoin family's prefix +
+    * length filters): LOSSLESS candidate generation for Jaccard >= tNum/tDen
+    * — the complement of document-frequency pruning, which bounds the pair
+    * space by DROPPING hot features (and is mirrored as part of the query
+    * definition). Here no feature is dropped:
+    *
+    *  - order each doc's features rarest-first (global df asc, feature
+    *    tiebreak — the canonical ordering every doc agrees on);
+    *  - a doc of size s only EMITS its first `s - ceil(t*s) + 1` features
+    *    (the prefix): two sets with Jaccard >= t must overlap within their
+    *    prefixes (pigeonhole — skipping that many features of either set
+    *    cannot leave an intersection of the required size), so joining on
+    *    prefix features finds every qualifying pair;
+    *  - the length filter (tDen*min >= tNum*max, implied by J >= t) cuts
+    *    size-incompatible candidates before verification;
+    *  - exact set-overlap verify on the FULL feature sets, compared in the
+    *    integer domain (c*tDen >= (sa+sb-c)*tNum — no float boundary).
+    *
+    * Scale shape: candidates shuffle ONLY on prefix features, which the
+    * rarest-first ordering biases toward low-df keys — the Zipf head that
+    * makes a naive feature self-join quadratic never becomes a join key
+    * unless a doc is nearly all stop-features. Everything is integer
+    * (ceil via `(tNum*s + tDen - 1) div tDen`), so the plan replays
+    * bit-for-bit in any SQL engine.
+    *
+    * @param sh  distinct (doc_id, shingle) feature sets, UNPRUNED
+    * @return (id_a, id_b, common, size_a, size_b, jaccard) pairs, J >= t
+    */
+  def prefixJaccardPairs(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "shingle")
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pref = sh.join(dfreq, Seq("shingle"))
+      .withColumn("r", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("r") <= col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+      .select("doc_id", "shingle", "sz")
+    val cand = pref.select(col("doc_id").as("id_a"), col("shingle"), col("sz").as("size_a"))
+      .join(pref.select(col("doc_id").as("id_b"), col("shingle"), col("sz").as("size_b")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("size_a"), col("size_b")) * tDen >=
+          greatest(col("size_a"), col("size_b")) * tNum)
+      .select("id_a", "id_b", "size_a", "size_b")
+      .distinct()
+    val common = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .filter(col("common") * tDen >= (col("size_a") + col("size_b") - col("common")) * tNum)
+      .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
+        (col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common"))).as("jaccard"))
+  }
+
   /** Exact pairwise Jaccard over a shingle equi-join; emits pairs with
     * jaccard >= `threshold`. */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {

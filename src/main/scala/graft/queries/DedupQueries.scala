@@ -282,7 +282,24 @@ object DedupQueries extends QueryGroup {
     "q_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
     "q_dedup_spans" -> dedupSpans,
+    "q_ppjoin" -> ppjoin,
   )
+
+  /** Prefix-filter rational threshold 4/5 = 0.8, shared with the oracle. */
+  private val PpNum = 4
+  private val PpDen = 5
+
+  /** Prefix-filtered set-similarity join ([[Dedup.prefixJaccardPairs]]):
+    * the LOSSLESS alternative to this group's df<=20-pruned pair queries —
+    * no feature is dropped, candidates come only from rarest-first
+    * prefixes, and the whole pipeline (prefix length, length filter,
+    * verify) compares in the integer domain. Runs on UNPRUNED shingles by
+    * definition, so its pair set is a superset of `q_dedup_jaccard`'s. */
+  private def ppjoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(
+        Dedup.shingles(Tables.documents(s, dir)), PpNum, PpDen)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
 
   /** Per-node triangle counts over the verified near-dup pair graph
     * ([[graft.ops.Graph.triangleCounts]]) — the local-density companion of
@@ -765,6 +782,35 @@ object DedupQueries extends QueryGroup {
          |          UNION ALL SELECT c FROM tri)
          |SELECT doc_id, count(*) AS n_triangles
          |FROM nodes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // UNPRUNED shingles by definition (the lossless complement of the
+    // df<=20 family); prefix length, length filter, and verify all in
+    // integer arithmetic -- `//` floors exactly like Spark's div
+    "q_ppjoin" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
+         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |rk AS (SELECT s.doc_id, s.shingle, z.sz,
+         |         row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS r
+         |       FROM sh s JOIN dfreq d USING (shingle) JOIN sizes z USING (doc_id)),
+         |pref AS (SELECT doc_id, shingle, sz FROM rk
+         |         WHERE r <= sz - ($PpNum * sz + ${PpDen - 1}) // $PpDen + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           a.sz AS size_a, b.sz AS size_b
+         |         FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |         WHERE least(a.sz, b.sz) * $PpDen >= greatest(a.sz, b.sz) * $PpNum),
+         |com AS (SELECT c.id_a, c.id_b, c.size_a, c.size_b, count(*) AS common
+         |        FROM cand c
+         |        JOIN sh x ON x.doc_id = c.id_a
+         |        JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, common, size_a, size_b,
+         |  round(CAST(common AS DOUBLE) / (size_a + size_b - common), 6) AS jaccard
+         |FROM com
+         |WHERE common * $PpDen >= (size_a + size_b - common) * $PpNum
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // same df<=20 pruning and shared_fps >= 5 cut as the Spark query
     "q_dedup_winnow" ->

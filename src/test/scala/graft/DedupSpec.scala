@@ -42,6 +42,31 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("jaccard") - 1.0) < 1e-12)
   }
 
+  test("ppjoin prefix filter is lossless: pairs == naive all-pairs threshold join") {
+    // corpus with near-dups at several sizes, partial overlaps below
+    // threshold, and shared hot shingles that the prefix must NOT need
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i j",          // exact dup of 1
+      3L -> "a b c d e f g h i k",          // near-dup of 1 (J = 7/9? close)
+      4L -> "a b c d e q r s t u",          // partial overlap, below 0.8
+      5L -> "m n o p q r s t u v w x",      // unrelated
+      6L -> "m n o p q r s t u v w x",      // exact dup of 5
+      7L -> "z z1 z2 a b c z3 z4 z5 z6"     // shares the hot 'a b c' only
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val got = Dedup.prefixJaccardPairs(sh, 4, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // naive reference: full all-pairs overlap with the same integer verify
+    val naive = Dedup.jaccardPairs(sh, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == naive, s"prefix filter changed the pair set: $got vs $naive")
+    assert(got.contains((1L, 2L)) && got.contains((5L, 6L)),
+      "planted exact dups missing")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      "below-threshold partial overlap leaked through")
+  }
+
   test("tfidf cosine: identical docs 1.0; rare-feature overlap outranks common") {
     val df = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"),        // identical -> cosine 1

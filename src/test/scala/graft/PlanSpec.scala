@@ -259,6 +259,17 @@ class PlanSpec extends SparkSuite {
       s"triangle enumeration degraded to a non-equi join:\n${plan.take(1500)}")
   }
 
+  test("q_ppjoin: candidate generation and verify stay equi-joins") {
+    val plan = formatted("q_ppjoin")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"prefix-filter join degraded to a non-equi join:\n${plan.take(1500)}")
+    // the per-doc rarest-first ranking must stay doc-partitioned (a
+    // global-order rank would single-reducer the feature frame)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).nonEmpty,
+      s"prefix ranking lost its per-doc partitioning:\n${plan.take(1500)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
