@@ -87,8 +87,12 @@ object Dedup {
     * @param sh  distinct (doc_id, shingle) feature sets, UNPRUNED
     * @return (id_a, id_b, common, size_a, size_b, jaccard) pairs, J >= t
     */
-  def prefixJaccardPairs(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def prefixJaccardPairs(shRaw: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen)
+    // the feature frame feeds four plan arms (df count, prefix build, and
+    // both verify sides) — persist it within the query or the shingle
+    // explode evaluates four times
+    val sh = SharedFrames.register(shRaw)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "shingle")
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -98,8 +102,9 @@ object Dedup {
       .join(sizes, Seq("doc_id"))
       .filter(col("r") <= col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
       .select("doc_id", "shingle", "sz")
-    val cand = pref.select(col("doc_id").as("id_a"), col("shingle"), col("sz").as("size_a"))
-      .join(pref.select(col("doc_id").as("id_b"), col("shingle"), col("sz").as("size_b")),
+    val prefP = SharedFrames.register(pref)
+    val cand = prefP.select(col("doc_id").as("id_a"), col("shingle"), col("sz").as("size_a"))
+      .join(prefP.select(col("doc_id").as("id_b"), col("shingle"), col("sz").as("size_b")),
         Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
         least(col("size_a"), col("size_b")) * tDen >=

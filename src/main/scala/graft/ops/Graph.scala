@@ -69,6 +69,47 @@ object Graph {
       .select(col("doc_id"), col("deg"), col("pr_scaled"))
   }
 
+  /** Synchronous label propagation (LPA) over an undirected pair frame —
+    * community detection as the coarser companion of connected components:
+    * CC merges anything reachable, LPA lets DENSE regions keep their own
+    * label, so two cliques linked by one bridge edge resolve as two
+    * communities where CC reports one.
+    *
+    * Fully deterministic: labels init to node ids; each round every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * SMALLEST label — implemented as `max(struct(count, -label))`, the
+    * same argmax-with-tiebreak every engine can replay (`ORDER BY c DESC,
+    * label ASC` pick-first in SQL). Synchronous updates with a FIXED
+    * round count (no convergence test: sync LPA can 2-cycle on bipartite
+    * stars, so "until stable" is not well-defined; a fixed horizon is,
+    * and replays bit-for-bit).
+    *
+    * Scale: per round one equi-join of the label frame against the
+    * src-partitioned edge list + two dst-key aggregations; lineage
+    * truncated per round like [[pageRank]].
+    *
+    * @return (doc_id, community) — community = the round-`iters` label
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1)
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
+    val edges = fwd.unionByName(rev).distinct()
+      .repartition(col("src")).persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to iters) {
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy("dst", "label").agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("doc_id"), (-col("m.nl")).as("label"))
+      labels = next.localCheckpoint(false)
+    }
+    labels.select(col("doc_id"), col("label").as("community"))
+  }
+
   /** Per-node triangle participation counts over an undirected pair frame
     * — the local clustering signal for the near-dup graph (a doc in many
     * triangles sits inside a densely duplicated clique; a bridge doc in

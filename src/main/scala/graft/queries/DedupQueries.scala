@@ -281,9 +281,37 @@ object DedupQueries extends QueryGroup {
     "q_tfidf_pairs" -> tfidf,
     "q_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
+    "q_communities" -> communities,
     "q_dedup_spans" -> dedupSpans,
     "q_ppjoin" -> ppjoin,
   )
+
+  private val LpIters = 4
+
+  /** LPA communities over the verified near-dup pair graph
+    * ([[graft.ops.Graph.labelPropagation]]) — the density-aware companion
+    * of `q_dedup_clusters`: bridge-linked cliques separate instead of
+    * merging. Fixed {{LpIters}} synchronous rounds, argmax label with
+    * min-label tiebreak, replayed exactly as unrolled SQL stages. */
+  private def communities(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.labelPropagation(sharedJaccardPairs(s, dir), iters = LpIters)
+      .orderBy("doc_id")
+
+  /** Unrolled LPA rounds l1..l`n` over CTEs `edges` / `l0` (mirrors
+    * Graph.labelPropagation's argmax recurrence). */
+  private def lpRoundsSql(n: Int): String =
+    (1 to n).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst, l.label, count(*) AS c
+         |  FROM edges e JOIN l${k - 1} l ON e.src = l.doc_id
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT dst AS doc_id, label FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+         |    FROM c$k)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
 
   /** Prefix-filter rational threshold 4/5 = 0.8, shared with the oracle. */
   private val PpNum = 4
@@ -759,6 +787,26 @@ object DedupQueries extends QueryGroup {
          |SELECT p.doc_id, d.deg, p.pr AS pr_scaled
          |FROM r$PrIters p JOIN degs d ON p.doc_id = d.src
          |ORDER BY p.doc_id""".stripMargin,
+
+    // synchronous LPA, LpIters unrolled rounds; argmax = row_number over
+    // (c DESC, label ASC) == Spark's max(struct(c, -label))
+    "q_communities" ->
+      s"""$shingleSqlPrefix,
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+         |${lpRoundsSql(LpIters)}
+         |SELECT doc_id, label AS community
+         |FROM l$LpIters ORDER BY doc_id""".stripMargin,
 
     // canonical-orientation triangle enumeration: jp rows carry id_a < id_b,
     // so the wedge+closure joins yield each triangle once with a < b < c

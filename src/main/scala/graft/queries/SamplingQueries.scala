@@ -109,6 +109,29 @@ object SamplingQueries extends QueryGroup {
       .orderBy("lang", "doc_id", "epoch")
   }
 
+  /** Per-source cap — the per-domain document cap every web-corpus
+    * curation pipeline applies (no single domain may dominate training
+    * data): keep the [[SourceCapK]] highest-quality docs of each source.
+    * Implemented with the bounded-heap top-k AGGREGATE
+    * ([[graft.functions.TopKAgg]]), not a per-source window sort —
+    * map-side partials move at most k entries per source per partition,
+    * so the cap costs one small shuffle at any corpus size, and a hot
+    * source (the usual skew: one crawler domain = half the corpus) never
+    * funnels through a single window reducer. Score ties break on doc_id
+    * asc in both engines (the aggregate's law-tested tiebreak). */
+  private val SourceCapK = 5
+  private def sourceCap(s: SparkSession, dir: String): DataFrame =
+    TextQueries.qualityScoredDocs(s, dir)
+      .groupBy("source")
+      .agg(graft.functions.TopK.topK(
+        col("quality_score"), col("doc_id"), SourceCapK).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"),
+        round(col("t.value"), 6).as("quality_score"))
+      .orderBy("source", "rank")
+
   /** Z-order layout audit: lineitem laid out on the (l_partkey,
     * l_suppkey) Morton curve into 64 Z-prefix files, reporting each
     * file's row count and (x, y) bounding box — the min/max stats a
@@ -124,6 +147,7 @@ object SamplingQueries extends QueryGroup {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> zorder,
+    "q_source_cap" -> sourceCap,
     "q_mix_weights" -> mixWeights,
     "q_mix_upsample" -> mixUpsample,
     "q_shuffle_order" -> shuffleOrder,
@@ -132,6 +156,28 @@ object SamplingQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // the window formulation is the oracle for the bounded-heap cap; the
+    // score formula is q_text_quality's (exact-count ratios with dyadic
+    // weights, so the unrounded doubles order identically cross-engine)
+    "q_source_cap" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    0.5 * least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100) +
+         |    0.25 * (1.0 - CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS DOUBLE)
+         |                  / len(regexp_extract_all(text, '\\S+'))) +
+         |    0.25 * least(1.0, CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |                      / len(regexp_extract_all(text, '\\S+')) / 8)
+         |      AS quality_score
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT source, doc_id, quality_score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id ASC) AS rn
+         |  FROM scored)
+         |SELECT source, CAST(rn AS INTEGER) AS rank, doc_id,
+         |  round(quality_score, 6) AS quality_score
+         |FROM ranked WHERE rn <= $SourceCapK
+         |ORDER BY source, rank""".stripMargin,
     // bit interleave replayed as a sum over a 16-row bit-index table;
     // integer scaling with // matches Spark's div exactly
     "q_zorder" ->

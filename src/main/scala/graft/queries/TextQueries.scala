@@ -31,7 +31,10 @@ object TextQueries extends QueryGroup {
 
   /** Quality scoring: length/stopword/token-shape heuristics combined with
     * dyadic weights (cross-engine exact). */
-  private def quality(s: SparkSession, dir: String): DataFrame =
+  /** Documents with the heuristic quality columns attached (one scan, pure
+    * projection) — `quality` selects from this; `SamplingQueries.sourceCap`
+    * reuses it with the `source` column for per-source capping. */
+  private[queries] def qualityScoredDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("n_tokens",
         size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))))
@@ -49,6 +52,9 @@ object TextQueries extends QueryGroup {
         lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100d) +
           lit(0.25) * (lit(1.0) - col("stop_ratio")) +
           lit(0.25) * least(lit(1.0), col("avg_token_len") / 8d))
+
+  private def quality(s: SparkSession, dir: String): DataFrame =
+    qualityScoredDocs(s, dir)
       .select("doc_id", "n_tokens", "stop_hits", "stop_ratio",
         "avg_token_len", "quality_score")
       .orderBy("doc_id")

@@ -272,6 +272,25 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("label propagation: bridged cliques form two communities where CC merges them") {
+    // two triangles joined by a single bridge edge 3-10
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)
+    ).toDF("id_a", "id_b")
+    val got = graft.ops.Graph.labelPropagation(pairs, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 6)
+    assert(got(1L) == got(2L) && got(2L) == got(3L), s"left clique split: $got")
+    assert(got(10L) == got(11L) && got(11L) == got(12L), s"right clique split: $got")
+    assert(got(1L) != got(10L), s"bridge merged the cliques: $got")
+    // CC on the same graph reports ONE component — LPA is strictly finer here
+    val cc = Dedup.connectedComponents(pairs)
+      .select("cluster_id").distinct().count()
+    assert(cc == 1L)
+  }
+
   test("pagerank: hub outranks leaves; integer recurrence matches driver replay") {
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L))
     val got = graft.ops.Graph.pageRank(pairs.toDF("id_a", "id_b"), iters = 5)

@@ -270,6 +270,14 @@ class PlanSpec extends SparkSuite {
       s"prefix ranking lost its per-doc partitioning:\n${plan.take(1500)}")
   }
 
+  test("q_source_cap: the cap is a bounded-heap aggregate, never a window sort") {
+    val plan = formatted("q_source_cap")
+    assert(plan.contains("top_k"),
+      s"bounded-heap aggregate missing from the cap:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"per-source cap regressed to a window sort:\n${plan.take(1500)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
