@@ -91,8 +91,12 @@ object Dedup {
     require(tNum > 0 && tDen > 0 && tNum <= tDen)
     // the feature frame feeds four plan arms (df count, prefix build, and
     // both verify sides) — persist it within the query or the shingle
-    // explode evaluates four times
-    val sh = SharedFrames.register(shRaw)
+    // explode evaluates four times (skip if the caller passed an
+    // already-persisted shared frame)
+    val sh =
+      if (shRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        SharedFrames.register(shRaw)
+      else shRaw
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "shingle")
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -36,6 +36,14 @@ object DedupQueries extends QueryGroup {
       Dedup.shingles(Tables.documents(s, dir), maxShingleFreq = Some(DfMax))
     }
 
+  /** UNPRUNED shingle frame, built once per (session, dir) — the lossless
+    * operators (prefix-filter join, novelty profile) need the full feature
+    * sets that the df<=20 frame deliberately drops. */
+  private[queries] def sharedShinglesRaw(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"shingles_raw:$dir") {
+      Dedup.shingles(Tables.documents(s, dir))
+    }
+
   /** Verified >=0.8-Jaccard pair set, built once per (session, dir) —
     * shared by the pair-listing query and the corpus dedup-apply query. */
   private[queries] def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
@@ -259,6 +267,7 @@ object DedupQueries extends QueryGroup {
   // declaration order = dependency order (shingles -> pairs -> clusters);
   // the bench prewarms in this order so each build time is its own stage's
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup_shingles_raw" -> sharedShinglesRaw,
     "dedup_shingles" -> sharedShingles,
     "dedup_jaccard_pairs" -> sharedJaccardPairs,
     "dedup_clusters" -> sharedClusters,
@@ -284,7 +293,59 @@ object DedupQueries extends QueryGroup {
     "q_communities" -> communities,
     "q_dedup_spans" -> dedupSpans,
     "q_ppjoin" -> ppjoin,
+    "q_doc_novelty" -> docNovelty,
+    "q_dup_source_matrix" -> dupSourceMatrix,
   )
+
+  /** Per-document novelty/diversity profile — the memorization-risk
+    * monitor: type-token ratio (lexical diversity) plus the fraction of
+    * the doc's distinct shingles that occur NOWHERE else in the corpus
+    * (novelty; 1 - shared ratio). Uses the UNPRUNED shingle frame — the
+    * hot features the df<=20 frame drops are exactly the shared ones.
+    * Shape: one token projection, one df aggregation over the shared raw
+    * shingle frame, one vocab-bounded equi-join back. All ratios divide
+    * exact counts. */
+  private def docNovelty(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct_tokens"))
+    val sh = sharedShinglesRaw(s, dir)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val shStats = sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_shingles"))
+    toks.join(shStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        round(col("n_distinct_tokens").cast("double") / col("n_tokens"), 6).as("ttr"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        round(when(col("n_shingles").isNull, lit(1.0))
+          .otherwise(lit(1.0) - col("n_shared_shingles").cast("double") / col("n_shingles")),
+          6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source duplication matrix — the "who copies whom" monitor a
+    * multi-source corpus needs: verified near-dup pair counts rolled up
+    * by unordered source pair (within-source pairs on the diagonal).
+    * Marginal cost over the session pair frame: two narrow doc->source
+    * lookups + a |sources|²-bounded aggregation. */
+  private def dupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    sharedJaccardPairs(s, dir)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_source", col("source_a") === col("source_b"))
+      .orderBy("source_a", "source_b")
+  }
 
   private val LpIters = 4
 
@@ -324,8 +385,7 @@ object DedupQueries extends QueryGroup {
     * verify) compares in the integer domain. Runs on UNPRUNED shingles by
     * definition, so its pair set is a superset of `q_dedup_jaccard`'s. */
   private def ppjoin(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixJaccardPairs(
-        Dedup.shingles(Tables.documents(s, dir)), PpNum, PpDen)
+    Dedup.prefixJaccardPairs(sharedShinglesRaw(s, dir), PpNum, PpDen)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
 
@@ -787,6 +847,51 @@ object DedupQueries extends QueryGroup {
          |SELECT p.doc_id, d.deg, p.pr AS pr_scaled
          |FROM r$PrIters p JOIN degs d ON p.doc_id = d.src
          |ORDER BY p.doc_id""".stripMargin,
+
+    // UNPRUNED shingles (the shared features are exactly what df-pruning
+    // drops); counts exact, ratios divide exact counts
+    "q_doc_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |t AS (SELECT doc_id, count(*) AS n_tokens,
+        |        count(DISTINCT tok) AS n_distinct_tokens FROM toks GROUP BY 1),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
+        |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |ss AS (SELECT sh.doc_id, count(*) AS n_shingles,
+        |         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |       FROM sh JOIN dfq USING (shingle) GROUP BY 1)
+        |SELECT t.doc_id, n_tokens, n_distinct_tokens,
+        |  round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  coalesce(n_shingles, 0) AS n_shingles,
+        |  coalesce(n_shared, 0) AS n_shared_shingles,
+        |  round(CASE WHEN n_shingles IS NULL THEN 1.0
+        |             ELSE 1.0 - CAST(n_shared AS DOUBLE) / n_shingles END, 6) AS novelty
+        |FROM t LEFT JOIN ss USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // near-dup pair counts by unordered source pair over the same jp set
+    "q_dup_source_matrix" ->
+      s"""$shingleSqlPrefix,
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |m AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b
+         |  FROM jp
+         |  JOIN documents da ON jp.id_a = da.doc_id
+         |  JOIN documents db ON jp.id_b = db.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  source_a = source_b AS within_source
+         |FROM m GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     // synchronous LPA, LpIters unrolled rounds; argmax = row_number over
     // (c DESC, label ASC) == Spark's max(struct(c, -label))
