@@ -173,6 +173,28 @@ object EventsQueries extends QueryGroup {
       .orderBy("view_id", "click_id")
   }
 
+  /** Batch twin of the LEFT-OUTER watermarked stream-stream join
+    * ([[graft.streaming.EventStream.intervalJoinOuter]]): every view with
+    * its in-window clicks, or null click columns if none — the
+    * funnel-drop-off query. Same co-partitioned user_id equi-join as the
+    * inner twin; the outer side adds no shuffle. */
+  private def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("view_ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        unix_micros(col("ts")).as("click_ts_us"))
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts_us") >= col("view_ts_us") &&
+          col("click_ts_us") <= col("view_ts_us") + lit(1800L * 1000000L),
+        "left_outer")
+      .select("user_id", "view_id", "click_id", "view_ts_us", "click_ts_us")
+      .orderBy("view_id", "click_id")
+  }
+
   /** Batch twin of the stream-static enrichment join
     * ([[graft.streaming.EventStream.enrichBySegment]]): events enriched
     * with the broadcast customer dim, revenue rolled up by market
@@ -262,6 +284,7 @@ object EventsQueries extends QueryGroup {
     "q_sessionize" -> sessionize,
     "q_session_window" -> sessionWindow,
     "q_stream_join" -> streamJoin,
+    "q_stream_join_outer" -> streamJoinOuter,
     "q_stream_enrich" -> streamEnrich,
     "q_asof_event" -> asofEvent,
     "q_event_transitions" -> transitions,
@@ -334,6 +357,19 @@ object EventsQueries extends QueryGroup {
         |SELECT user_id, view_id, click_id, view_ts_us, click_ts_us
         |FROM v JOIN c USING (user_id)
         |WHERE click_ts_us BETWEEN view_ts_us AND view_ts_us + 1800 * 1000000
+        |ORDER BY view_id, click_id""".stripMargin,
+
+    "q_stream_join_outer" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_ts_us
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS click_ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id, view_ts_us, click_ts_us
+        |FROM v LEFT JOIN c
+        |  ON v.user_id = c.click_user
+        |  AND c.click_ts_us BETWEEN v.view_ts_us AND v.view_ts_us + 1800 * 1000000
         |ORDER BY view_id, click_id""".stripMargin,
 
     // DuckDB's NATIVE asof join is the oracle for the union+window

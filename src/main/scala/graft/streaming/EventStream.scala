@@ -86,7 +86,25 @@ object EventStream {
     * StreamingSpec); timestamps are emitted as epoch-microsecond BIGINTs
     * per the cross-engine convention. */
   def intervalJoin(events: DataFrame, joinWindow: String = "30 minutes",
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour"): DataFrame =
+    intervalJoinImpl(events, joinWindow, watermark, "inner")
+
+  /** LEFT-OUTER watermarked stream-stream join: every view eventually
+    * emits — matched rows as they join, UNMATCHED views with null click
+    * columns once the watermark passes their join window (the state store
+    * can then prove no matching click can still arrive; this is why outer
+    * stream-stream joins REQUIRE both watermarks and a time-range
+    * condition). The funnel-drop-off shape: views that never converted,
+    * produced incrementally at ingest. Batch twin `q_stream_join_outer`;
+    * StreamingSpec asserts equality on the emit-eligible prefix (rows
+    * whose expiry the final watermark has reached) and null-row emission
+    * on watermark advance. */
+  def intervalJoinOuter(events: DataFrame, joinWindow: String = "30 minutes",
+                        watermark: String = "1 hour"): DataFrame =
+    intervalJoinImpl(events, joinWindow, watermark, "left_outer")
+
+  private def intervalJoinImpl(events: DataFrame, joinWindow: String,
+                               watermark: String, joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
@@ -98,7 +116,8 @@ object EventStream {
     views.join(clicks,
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         unix_micros(col("view_ts")).as("view_ts_us"),
         unix_micros(col("click_ts")).as("click_ts_us"))

@@ -88,6 +88,72 @@ class StreamingSpec extends SparkSuite {
       s"extra=${(got -- exp).take(3)}")
   }
 
+  test("left-outer stream join equals the batch twin on the emit-eligible prefix") {
+    val tmp = Files.createTempDirectory("graftsjo").toFile.getAbsolutePath
+    val joined = EventStream.intervalJoinOuter(EventStream.source(spark, sf))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sjo_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("view_id")),
+        if (r.isNullAt(r.fieldIndex("click_id"))) -1L
+        else r.getLong(r.fieldIndex("click_id")))
+    val exp0 = EventsQueries.queries("q_stream_join_outer")(spark, sf).collect()
+    // a null row for view v only emits once the watermark passes
+    // view_ts + window; the stream ends with watermark = max(ts) - 1h, so
+    // views younger than maxTs - (1h + 30min) may still be open — compare
+    // on the provably-emitted prefix
+    val maxTs = exp0.map(_.getLong(exp0.head.fieldIndex("view_ts_us"))).max
+    val cutoff = maxTs - (3600L + 1800L) * 1000000L
+    def eligible(r: org.apache.spark.sql.Row) =
+      r.getLong(r.fieldIndex("view_ts_us")) < cutoff
+    val exp = exp0.filter(eligible).map(key).toSet
+    val got = spark.table("sjo_out").collect().filter(eligible).map(key).toSet
+    assert(exp.nonEmpty)
+    assert(exp.exists(_._2 == -1L), "expected some never-clicked views")
+    assert(got == exp, s"outer stream join diverged: missing=${(exp -- got).take(3)} " +
+      s"extra=${(got -- exp).take(3)}")
+  }
+
+  test("left-outer stream join emits the null row when the watermark expires a view") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long, Long, String)]
+    val events = src.toDF().toDF("sec", "event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val joined = EventStream.intervalJoinOuter(events,
+      joinWindow = "30 seconds", watermark = "10 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sjo_evict").start()
+    try {
+      // view at t=100 with NO click; a matched pair elsewhere for contrast
+      src.addData((100L, 1L, 7L, "view"), (105L, 2L, 8L, "view"),
+        (110L, 3L, 8L, "click"))
+      q.processAllAvailable()
+      // nothing forces the unmatched row out yet
+      val early = spark.table("sjo_evict").collect()
+        .filter(r => r.getLong(r.fieldIndex("view_id")) == 1L)
+      assert(early.isEmpty, s"unmatched view emitted before expiry: ${early.toSeq}")
+      // advance the watermark far past 100 + 30 + 10
+      src.addData((500L, 4L, 9L, "view"), (500L, 5L, 9L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("sjo_evict").collect()
+        .map(r => (r.getLong(r.fieldIndex("view_id")),
+          if (r.isNullAt(r.fieldIndex("click_id"))) -1L
+          else r.getLong(r.fieldIndex("click_id")))).toSet
+      assert(rows.contains((1L, -1L)),
+        s"expired unmatched view did not emit its null row: $rows")
+      assert(rows.contains((2L, 3L)), s"matched pair missing: $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream join state evicts buffered rows past the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
