@@ -292,6 +292,7 @@ object DedupQueries extends QueryGroup {
     "q_graph_triangles" -> triangles,
     "q_communities" -> communities,
     "q_dedup_spans" -> dedupSpans,
+    "q_span_cut" -> spanCut,
     "q_ppjoin" -> ppjoin,
     "q_doc_novelty" -> docNovelty,
     "q_dup_source_matrix" -> dupSourceMatrix,
@@ -358,6 +359,35 @@ object DedupQueries extends QueryGroup {
     graft.ops.Graph.labelPropagation(sharedJaccardPairs(s, dir), iters = LpIters)
       .orderBy("doc_id")
 
+  /** Shared ExactSubstr-span oracle preamble: 8-gram seeds (corpus count
+    * >= 2), per-doc interval merge (lag + running sum), merged `spans`
+    * CTE — consumed by the span-listing query and the span-cut apply.
+    * `w` (per-doc word arrays) intentionally covers ALL docs; only `sh`
+    * filters to len >= 8. */
+  private val spansSqlPrefix: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      |  FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    array_to_string(words[i:i+7], ' ') AS g
+      |  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 7)) AS i
+      |        FROM w WHERE len(words) >= 8)),
+      |df AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM sh JOIN df USING (g)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CAST(sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+      |  FROM m),
+      |spans AS (
+      |  SELECT doc_id, span_id, min(pos) AS tok_from, max(pos) + 7 AS tok_to,
+      |    count(*) AS n_seeds
+      |  FROM isl GROUP BY doc_id, span_id)""".stripMargin
+
   /** Unrolled LPA rounds l1..l`n` over CTEs `edges` / `l0` (mirrors
     * Graph.labelPropagation's argmax recurrence). */
   private def lpRoundsSql(n: Int): String =
@@ -406,6 +436,34 @@ object DedupQueries extends QueryGroup {
   private def dedupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedSpans(Tables.documents(s, dir), minLen = 8)
       .orderBy("doc_id", "tok_from")
+
+  /** Apply side of the ExactSubstr spans: every token inside a duplicated
+    * span is cut and docs are reassembled from the survivors — the
+    * span-level dedup a whole-doc detector can't do. Spans explode to cut
+    * positions (bounded: total cut tokens <= corpus tokens) and the cut
+    * is ONE (doc_id, pos) equi-join; spans are disjoint by the
+    * maximality law, so the left join cannot duplicate token rows. */
+  private def spanCut(s: SparkSession, dir: String): DataFrame = {
+    val spans = Dedup.duplicatedSpans(Tables.documents(s, dir), minLen = 8)
+    val cutPos = spans.select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.sequence(
+        col("tok_from"), col("tok_to"))).as("pos"))
+      .withColumn("cut", lit(true))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.functions.split(
+          trim(col("text")), "\\s+")).as(Seq("p0", "tok")))
+      .withColumn("pos", (col("p0") + 1).cast("long"))
+    toks.join(cutPos, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cut").isNull,
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
 
   /** Structure-based centrality over the verified near-dup pair graph —
     * the companion of `q_dedup_clusters` (CC says which docs form a
@@ -538,27 +596,28 @@ object DedupQueries extends QueryGroup {
     // >= 2, per-doc interval merge via lag + running sum; sh MATERIALIZED
     // (two consumers), window sum cast from DuckDB's HUGEINT to BIGINT
     "q_dedup_spans" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
-        |  FROM documents),
-        |sh AS MATERIALIZED (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    array_to_string(words[i:i+7], ' ') AS g
-        |  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 7)) AS i
-        |        FROM w WHERE len(words) >= 8)),
-        |df AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
-        |m AS (
-        |  SELECT doc_id, pos,
-        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |  FROM sh JOIN df USING (g)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    CAST(sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
-        |  FROM m)
-        |SELECT doc_id, span_id, min(pos) AS tok_from, max(pos) + 7 AS tok_to,
-        |  count(*) AS n_seeds
-        |FROM isl GROUP BY doc_id, span_id ORDER BY doc_id, tok_from""".stripMargin,
+      s"""$spansSqlPrefix
+         |SELECT doc_id, span_id, tok_from, tok_to, n_seeds
+         |FROM spans ORDER BY doc_id, tok_from""".stripMargin,
+
+    // apply side of the ExactSubstr spans: tokens inside any duplicated
+    // span are cut (explode spans to cut positions -> one (doc_id, pos)
+    // equi-join; spans are disjoint by the maximality law, so the left
+    // join cannot duplicate token rows), docs reassembled from survivors
+    "q_span_cut" ->
+      s"""$spansSqlPrefix,
+         |cut AS (SELECT doc_id, unnest(generate_series(tok_from, tok_to)) AS pos
+         |        FROM spans),
+         |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS tok
+         |         FROM (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i
+         |               FROM w)),
+         |j AS (SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS is_cut
+         |      FROM toks t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+         |  coalesce(string_agg(CASE WHEN NOT is_cut THEN tok END, ' ' ORDER BY pos), '')
+         |    AS cleaned_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // L = lcm(1..DfMax) = 232792560: every (L/df)^2 is an exact integer,
     // HUGEINT sums mirror Spark's DECIMAL(38,0) sums bit-for-bit, and only

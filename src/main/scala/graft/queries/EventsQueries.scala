@@ -89,10 +89,11 @@ object EventsQueries extends QueryGroup {
         unix_micros(max(col("ts"))).as("last_ts_us"))
       .orderBy("user_id")
 
-  /** Gap-based sessionization: a new session starts after >30 min of
-    * user inactivity; cumulative-sum of session starts numbers the
-    * sessions — one shuffle on user_id shared by both windows. */
-  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+  /** Events with their gap-based session index (a new session starts
+    * after >30 min of user inactivity; cumulative-sum of session starts
+    * numbers the sessions) — one user_id shuffle shared by both windows,
+    * reused by the session rollup and the staged funnel. */
+  private def sessionedEvents(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(s, dir)
       .withColumn("gap_us",
@@ -101,6 +102,11 @@ object EventsQueries extends QueryGroup {
         when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0))
       .withColumn("session_idx",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+  }
+
+  /** Gap-based sessionization rollup. */
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionedEvents(s, dir)
       .groupBy("user_id", "session_idx")
       .agg(
         count(lit(1)).as("n_events"),
@@ -109,6 +115,46 @@ object EventsQueries extends QueryGroup {
       .withColumn("duration_s",
         (col("end_us") - col("start_us")) / lit(1e6))
       .orderBy("user_id", "session_idx")
+
+  /** ORDERED staged funnel per session (view -> click-after-view ->
+    * purchase-after-that-click): unlike `q_events_funnel`'s lifetime
+    * counters, stage order matters — a click before any view does not
+    * count. Running prefix-minima over the session window encode the
+    * stage machine without self-joins: a click qualifies iff a view
+    * precedes it in the session (the running first-view is non-null), a
+    * purchase iff a qualifying click precedes it. Three chained window
+    * columns share ONE user_id shuffle with the sessionizer; the rollup
+    * is two aggregations. Rates divide exact counts. */
+  private def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = sessionedEvents(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("qc",
+        min(when(col("event_type") === "click" && col("fv").isNotNull,
+          col("ts_us"))).over(w))
+      .withColumn("qp",
+        min(when(col("event_type") === "purchase" && col("qc").isNotNull,
+          col("ts_us"))).over(w))
+    val sess = staged.groupBy("user_id", "session_idx")
+      .agg(
+        max(when(col("fv").isNotNull, 1).otherwise(0)).as("reached_view"),
+        max(when(col("qc").isNotNull, 1).otherwise(0)).as("reached_click"),
+        max(when(col("qp").isNotNull, 1).otherwise(0)).as("reached_purchase"))
+    sess.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("reached_view").cast("long")).as("n_view"),
+        sum(col("reached_click").cast("long")).as("n_view_click"),
+        sum(col("reached_purchase").cast("long")).as("n_view_click_purchase"))
+      .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+        col("n_view_click_purchase"),
+        (col("n_view").cast("double") / col("n_sessions")).as("view_rate"),
+        (col("n_view_click").cast("double") / col("n_view")).as("click_through"),
+        (col("n_view_click_purchase").cast("double") / col("n_view_click"))
+          .as("purchase_through"))
   }
 
   /** Built-in session_window aggregation (Spark 3.2+): sessions are
@@ -282,6 +328,7 @@ object EventsQueries extends QueryGroup {
     "q_events_json" -> jsonExtract,
     "q_events_funnel" -> userFunnel,
     "q_sessionize" -> sessionize,
+    "q_funnel_stages" -> funnelStages,
     "q_session_window" -> sessionWindow,
     "q_stream_join" -> streamJoin,
     "q_stream_join_outer" -> streamJoinOuter,
@@ -358,6 +405,50 @@ object EventsQueries extends QueryGroup {
         |FROM v JOIN c USING (user_id)
         |WHERE click_ts_us BETWEEN view_ts_us AND view_ts_us + 1800 * 1000000
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // the same session CTEs as q_sessionize, then three chained running
+    // prefix-minima (the stage machine) and two rollups; rates divide
+    // exact counts
+    "q_funnel_stages" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_idx
+        |  FROM gaps),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |    OVER w2 AS fv
+        |  FROM sess WINDOW w2 AS (PARTITION BY user_id, session_idx
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN ts_us END)
+        |    OVER w2 AS qc
+        |  FROM s1 WINDOW w2 AS (PARTITION BY user_id, session_idx
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND qc IS NOT NULL THEN ts_us END)
+        |    OVER w2 AS qp
+        |  FROM s2 WINDOW w2 AS (PARTITION BY user_id, session_idx
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |per_sess AS (
+        |  SELECT user_id, session_idx,
+        |    max(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS rv,
+        |    max(CASE WHEN qc IS NOT NULL THEN 1 ELSE 0 END) AS rc,
+        |    max(CASE WHEN qp IS NOT NULL THEN 1 ELSE 0 END) AS rp
+        |  FROM s3 GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |  CAST(sum(rv) AS BIGINT) AS n_view,
+        |  CAST(sum(rc) AS BIGINT) AS n_view_click,
+        |  CAST(sum(rp) AS BIGINT) AS n_view_click_purchase,
+        |  CAST(sum(rv) AS DOUBLE) / count(*) AS view_rate,
+        |  CAST(sum(rc) AS DOUBLE) / sum(rv) AS click_through,
+        |  CAST(sum(rp) AS DOUBLE) / sum(rc) AS purchase_through
+        |FROM per_sess""".stripMargin,
 
     "q_stream_join_outer" ->
       """WITH v AS (

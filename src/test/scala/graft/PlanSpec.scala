@@ -278,6 +278,23 @@ class PlanSpec extends SparkSuite {
       s"per-source cap regressed to a window sort:\n${plan.take(1500)}")
   }
 
+  test("q_span_cut: the cut is a (doc_id,pos) equi-join, windows doc-partitioned") {
+    val plan = formatted("q_span_cut")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"span cut degraded to a non-equi join:\n${plan.take(1500)}")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).nonEmpty,
+      s"span machinery lost its doc partitioning:\n${plan.take(1500)}")
+  }
+
+  test("q_funnel_stages: stage windows ride the user shuffle, no join") {
+    val plan = formatted("q_funnel_stages")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).nonEmpty,
+      s"stage windows lost their user partitioning:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"),
+      s"the windowed stage machine planned a join:\n${plan.take(1500)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
