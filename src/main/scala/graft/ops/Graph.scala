@@ -110,6 +110,47 @@ object Graph {
     labels.select(col("doc_id"), col("label").as("community"))
   }
 
+  /** Bounded-depth BFS hop distances from a seed set over an undirected
+    * pair frame — the contamination blast radius: not just which docs
+    * directly overlap a benchmark (the semi-join check), but everything
+    * within `maxHops` near-dup links of one (a near-dup of a near-dup of
+    * an eval doc is still a leakage risk).
+    *
+    * Level-synchronous frontier expansion, `maxHops` rounds of one
+    * src-keyed equi-join + one anti-join against the settled set; BFS
+    * order guarantees the first time a node is reached IS its minimum
+    * distance, so no re-relaxation is needed (unweighted edges). Lineage
+    * truncated per round like the other iterative ops. A fixed horizon
+    * (not fixpoint) — the radius of interest is a policy choice, and at
+    * 100 TB the frontier join cost is bounded by hop-k neighborhood
+    * size, never the whole graph.
+    *
+    * @param seeds 1-column (doc_id) frame of sources
+    * @return (doc_id, hops) for every node within maxHops of a seed,
+    *         seeds at 0
+    */
+  def hopDistances(pairs: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
+    val edges = fwd.unionByName(rev).distinct()
+      .repartition(col("src")).persist()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var dist = nodes.join(seeds, Seq("doc_id"), "left_semi")
+      .withColumn("hops", lit(0L))
+    var frontier = dist
+    for (k <- 1 to maxHops) {
+      val next = edges
+        .join(frontier.select(col("doc_id").as("src")), Seq("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(dist.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("hops", lit(k.toLong))
+      frontier = next.localCheckpoint(false)
+      dist = dist.unionByName(frontier).localCheckpoint(false)
+    }
+    dist
+  }
+
   /** Per-node triangle participation counts over an undirected pair frame
     * — the local clustering signal for the near-dup graph (a doc in many
     * triangles sits inside a densely duplicated clique; a bridge doc in

@@ -293,6 +293,7 @@ object DedupQueries extends QueryGroup {
     "q_communities" -> communities,
     "q_dedup_spans" -> dedupSpans,
     "q_span_cut" -> spanCut,
+    "q_contamination_hops" -> contaminationHops,
     "q_ppjoin" -> ppjoin,
     "q_doc_novelty" -> docNovelty,
     "q_dup_source_matrix" -> dupSourceMatrix,
@@ -349,6 +350,20 @@ object DedupQueries extends QueryGroup {
   }
 
   private val LpIters = 4
+  private val HopRadius = 4
+
+  /** Contamination blast radius ([[graft.ops.Graph.hopDistances]]): hop
+    * distance from the benchmark docs (doc_id < 10, the same registry
+    * convention as `q_contamination`) through the verified near-dup
+    * graph, radius {{HopRadius}} — a near-dup of a near-dup of an eval
+    * doc is still a leakage risk the direct-overlap check misses. */
+  private def contaminationHops(s: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedJaccardPairs(s, dir)
+    val seeds = Tables.documents(s, dir)
+      .filter(col("doc_id") < 10).select("doc_id")
+    graft.ops.Graph.hopDistances(pairs, seeds, maxHops = HopRadius)
+      .orderBy("doc_id")
+  }
 
   /** LPA communities over the verified near-dup pair graph
     * ([[graft.ops.Graph.labelPropagation]]) — the density-aware companion
@@ -906,6 +921,32 @@ object DedupQueries extends QueryGroup {
          |SELECT p.doc_id, d.deg, p.pr AS pr_scaled
          |FROM r$PrIters p JOIN degs d ON p.doc_id = d.src
          |ORDER BY p.doc_id""".stripMargin,
+
+    // bounded recursive BFS: UNION dedupes (doc_id, level) rows and
+    // level < HopRadius bounds the recursion; min(level) = hop distance
+    // because BFS levels only grow
+    "q_contamination_hops" ->
+      s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |r AS (
+         |  SELECT src AS doc_id, 0 AS level
+         |  FROM (SELECT DISTINCT src FROM edges) WHERE src < 10
+         |  UNION
+         |  SELECT e.dst, r.level + 1
+         |  FROM r JOIN edges e ON e.src = r.doc_id
+         |  WHERE r.level < $HopRadius)
+         |SELECT doc_id, CAST(min(level) AS BIGINT) AS hops
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // UNPRUNED shingles (the shared features are exactly what df-pruning
     // drops); counts exact, ratios divide exact counts

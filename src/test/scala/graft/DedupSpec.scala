@@ -291,6 +291,21 @@ class DedupSpec extends SparkSuite {
     assert(cc == 1L)
   }
 
+  test("bfs hop distances: min distance wins, horizon excludes the tail") {
+    // chain 1-2-3-4-5-6 plus a 1-5 shortcut; seed = {1}, radius 3
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(Tuple1(1L)).toDF("doc_id")
+    val got = graft.ops.Graph.hopDistances(pairs, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 4L -> 2L, 6L -> 2L),
+      s"wrong distances: $got")
+    // radius 1 cuts everything past the direct neighbors
+    val r1 = graft.ops.Graph.hopDistances(pairs, seeds, maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 5L -> 1L), s"radius-1 wrong: $r1")
+  }
+
   test("pagerank: hub outranks leaves; integer recurrence matches driver replay") {
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L))
     val got = graft.ops.Graph.pageRank(pairs.toDF("id_a", "id_b"), iters = 5)
