@@ -273,6 +273,7 @@ object DedupQueries extends QueryGroup {
     "dedup_clusters" -> sharedClusters,
     "dedup_winnow_fps" -> sharedWinnowFps,
     "dedup_simhash64_pairs" -> sharedSimhash64Pairs,
+    "dedup_spans" -> sharedSpans,
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -448,9 +449,16 @@ object DedupQueries extends QueryGroup {
     * 8-token seeds: the ExactSubstr complement of the whole-document
     * near-dup detectors — it reports WHICH token ranges are duplicated
     * corpus-wide, the cut list for span-level dedup. */
+  /** Duplicated-span frame built once per (session, dir) — the
+    * seed-and-merge pipeline is the expensive part, shared by the
+    * span-listing query and the span-cut apply. */
+  private[queries] def sharedSpans(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"spans:$dir") {
+      Dedup.duplicatedSpans(Tables.documents(s, dir), minLen = 8)
+    }
+
   private def dedupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicatedSpans(Tables.documents(s, dir), minLen = 8)
-      .orderBy("doc_id", "tok_from")
+    sharedSpans(s, dir).orderBy("doc_id", "tok_from")
 
   /** Apply side of the ExactSubstr spans: every token inside a duplicated
     * span is cut and docs are reassembled from the survivors — the
@@ -459,7 +467,7 @@ object DedupQueries extends QueryGroup {
     * is ONE (doc_id, pos) equi-join; spans are disjoint by the
     * maximality law, so the left join cannot duplicate token rows. */
   private def spanCut(s: SparkSession, dir: String): DataFrame = {
-    val spans = Dedup.duplicatedSpans(Tables.documents(s, dir), minLen = 8)
+    val spans = sharedSpans(s, dir)
     val cutPos = spans.select(col("doc_id"),
       explode(org.apache.spark.sql.functions.sequence(
         col("tok_from"), col("tok_to"))).as("pos"))
