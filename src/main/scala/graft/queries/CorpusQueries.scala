@@ -281,12 +281,35 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Incremental line dedup ([[graft.ops.Dedup.incrementalFirstOccurrence]]):
+    * the batch (doc_id % 10 = 9, the arriving-docs convention every
+    * incremental query uses) deduped against the index of records the
+    * resident corpus has already seen, plus itself — per-doc survivors
+    * reassembled like `q_line_dedup`. Batch-vs-index joins only; the
+    * oracle replays the same arrival-order definition. */
+  private def lineDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val rec = sharedRecords(s, dir)
+    val isNew = col("doc_id") % 10 === 9
+    val index = rec.filter(!isNew).select("record").distinct()
+    val marked = graft.ops.Dedup.incrementalFirstOccurrence(index, rec.filter(isNew))
+    marked.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("part_idx"), col("record"))))),
+          x => x.getField("record"))).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "corpus_records" -> sharedRecords,
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_line_dedup" -> lineDedup,
+    "q_line_dedup_incr" -> lineDedupIncr,
     "q_boilerplate" -> boilerplate,
     "q_corpus_drift" -> drift,
     "q_curation_e2e" -> curationE2E,
@@ -318,6 +341,28 @@ object CorpusQueries extends QueryGroup {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN record END, ' ' ORDER BY part_idx), '')
         |    AS cleaned_text
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // arrival-order incremental: batch = doc_id % 10 = 9; kept = absent
+    // from the resident-corpus record index AND first within the batch
+    "q_line_dedup_incr" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+stream\s+') AS arr FROM documents),
+        |idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM parts),
+        |rec AS (SELECT doc_id, CAST(i AS INTEGER) AS part_idx, arr[i] AS record
+        |        FROM idx WHERE length(arr[i]) > 0),
+        |ix AS (SELECT DISTINCT record FROM rec WHERE doc_id % 10 <> 9),
+        |batch AS (SELECT * FROM rec WHERE doc_id % 10 = 9),
+        |rk AS (SELECT doc_id, part_idx, record,
+        |         row_number() OVER (PARTITION BY record ORDER BY doc_id, part_idx) AS rn
+        |       FROM batch),
+        |m AS (SELECT doc_id, part_idx, record,
+        |        rn = 1 AND record NOT IN (SELECT record FROM ix) AS kept
+        |      FROM rk)
+        |SELECT doc_id, count(*) AS n_parts,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN kept THEN record END, ' ' ORDER BY part_idx), '')
+        |    AS cleaned_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_boilerplate" ->
       s"""WITH parts AS (
