@@ -67,6 +67,18 @@ class DedupSpec extends SparkSuite {
       "below-threshold partial overlap leaked through")
   }
 
+  test("ppjoin losslessness holds on the real corpus, not just planted cases") {
+    val sh = Dedup.shingles(graft.core.Tables.documents(spark, sf))
+    val got = Dedup.prefixJaccardPairs(sh, 4, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val naive = Dedup.jaccardPairs(sh, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(got == naive,
+      s"prefix filter changed the real-corpus pair set: missing=${(naive -- got).take(5)} " +
+        s"extra=${(got -- naive).take(5)}")
+  }
+
   test("tfidf cosine: identical docs 1.0; rare-feature overlap outranks common") {
     val df = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"),        // identical -> cosine 1
