@@ -219,6 +219,25 @@ object EventsQueries extends QueryGroup {
       .orderBy("view_id", "click_id")
   }
 
+  /** Batch twin of the CHAINED stateful streaming query
+    * ([[graft.streaming.EventStream.joinThenTumbling]]): in-window
+    * (view, click) pairs counted per view hour. */
+  private def joinTumbling(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 minutes"))
+      .groupBy(unix_micros(date_trunc("hour", col("view_ts"))).as("window_start_us"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("window_start_us")
+  }
+
   /** Batch twin of the LEFT-OUTER watermarked stream-stream join
     * ([[graft.streaming.EventStream.intervalJoinOuter]]): every view with
     * its in-window clicks, or null click columns if none — the
@@ -332,6 +351,7 @@ object EventsQueries extends QueryGroup {
     "q_session_window" -> sessionWindow,
     "q_stream_join" -> streamJoin,
     "q_stream_join_outer" -> streamJoinOuter,
+    "q_join_tumbling" -> joinTumbling,
     "q_stream_enrich" -> streamEnrich,
     "q_asof_event" -> asofEvent,
     "q_event_transitions" -> transitions,
@@ -449,6 +469,19 @@ object EventsQueries extends QueryGroup {
         |  CAST(sum(rc) AS DOUBLE) / sum(rv) AS click_through,
         |  CAST(sum(rp) AS DOUBLE) / sum(rc) AS purchase_through
         |FROM per_sess""".stripMargin,
+
+    "q_join_tumbling" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS view_ts, epoch_us(ts) AS vus
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS cus
+        |  FROM events WHERE event_type = 'click')
+        |SELECT epoch_us(date_trunc('hour', view_ts)) AS window_start_us,
+        |  count(*) AS n_pairs
+        |FROM v JOIN c USING (user_id)
+        |WHERE cus BETWEEN vus AND vus + 1800 * 1000000
+        |GROUP BY 1 ORDER BY window_start_us""".stripMargin,
 
     "q_stream_join_outer" ->
       """WITH v AS (

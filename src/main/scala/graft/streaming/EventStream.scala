@@ -103,6 +103,35 @@ object EventStream {
                         watermark: String = "1 hour"): DataFrame =
     intervalJoinImpl(events, joinWindow, watermark, "left_outer")
 
+  /** CHAINED stateful operators (Spark 3.4+): the watermarked
+    * stream-stream interval join feeds a tumbling event-time aggregation
+    * in the SAME streaming query — joined (view, click) pairs counted per
+    * view hour. Two state stores back to back (join buffer, window
+    * state), both bounded by the shared watermark; the per-hour counts
+    * finalize when the watermark passes the window end. Batch twin
+    * `q_join_tumbling` (asserted equal in StreamingSpec). */
+  def joinThenTumbling(events: DataFrame, joinWindow: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"))
+      .groupBy(window(col("view_ts"), "1 hour"))
+      // count(*) only: DISTINCT aggregates are unsupported on streaming
+      // frames (the state store would need per-key sets, not counters)
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_pairs"))
+  }
+
   private def intervalJoinImpl(events: DataFrame, joinWindow: String,
                                watermark: String, joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
