@@ -88,6 +88,46 @@ class StreamingSpec extends SparkSuite {
       s"extra=${(got -- exp).take(3)}")
   }
 
+  test("transformWithState running totals: final snapshot equals batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("grafttws").toFile.getAbsolutePath
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(conf)
+    // the transformWithState API requires the RocksDB provider
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = graft.streaming.RunningTotals.totals(EventStream.source(spark, sf))
+      val q = out.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the fold is commutative, so the LAST snapshot per user (max
+      // n_events) is batch-slicing-independent
+      val got = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+      val exp = graft.core.Tables.events(spark, sf)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(exp.nonEmpty)
+      assert(got == exp,
+        s"running totals diverged: ${(exp.toSet -- got.toSet).take(3)} vs ${(got.toSet -- exp.toSet).take(3)}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
   test("chained stateful query (join -> tumbling agg) equals the batch twin") {
     val tmp = Files.createTempDirectory("graftjt").toFile.getAbsolutePath
     val agg = EventStream.joinThenTumbling(EventStream.source(spark, sf))
