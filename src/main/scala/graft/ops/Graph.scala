@@ -48,8 +48,8 @@ object Graph {
     val degs = undirected.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg_src), partitioned by src: every per-round join reuses
     // this partitioning instead of re-shuffling the edge list
-    val edges = undirected.join(degs, Seq("src"))
-      .repartition(col("src")).persist()
+    val edges = graft.core.SharedFrames.register(
+      undirected.join(degs, Seq("src")).repartition(col("src")))
     val n = edges.select(countDistinct("src")).head().getLong(0)
     val base = (scale * (100 - damp)) / (100 * n)
     var ranks = degs.select(col("src").as("doc_id"),
@@ -94,8 +94,8 @@ object Graph {
     require(iters >= 1)
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
-    val edges = fwd.unionByName(rev).distinct()
-      .repartition(col("src")).persist()
+    val edges = graft.core.SharedFrames.register(
+      fwd.unionByName(rev).distinct().repartition(col("src")))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     for (_ <- 1 to iters) {
@@ -133,8 +133,8 @@ object Graph {
     require(maxHops >= 0)
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
-    val edges = fwd.unionByName(rev).distinct()
-      .repartition(col("src")).persist()
+    val edges = graft.core.SharedFrames.register(
+      fwd.unionByName(rev).distinct().repartition(col("src")))
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     var dist = nodes.join(seeds, Seq("doc_id"), "left_semi")
       .withColumn("hops", lit(0L))
