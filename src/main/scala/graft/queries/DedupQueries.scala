@@ -288,6 +288,7 @@ object DedupQueries extends QueryGroup {
     "q_dedup_simhash64" -> simhash64,
     "q_dedup_ensemble" -> ensemble,
     "q_dedup_clusters" -> clusters,
+    "q_cluster_sizes" -> clusterSizes,
     "q_tfidf_pairs" -> tfidf,
     "q_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
@@ -299,6 +300,18 @@ object DedupQueries extends QueryGroup {
     "q_doc_novelty" -> docNovelty,
     "q_dup_source_matrix" -> dupSourceMatrix,
   )
+
+  /** Duplicate-cluster size histogram — the dedup health report: how many
+    * clusters of each size exist and how many docs they hold (a fat tail
+    * of giant clusters usually means template spam or a detector-threshold
+    * bug). Two tiny aggregations over the session clusters frame;
+    * singleton docs never enter CC, so sizes start at 2. */
+  private def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    sharedClusters(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
 
   /** Per-document novelty/diversity profile — the memorization-risk
     * monitor: type-token ratio (lexical diversity) plus the fraction of
@@ -880,6 +893,32 @@ object DedupQueries extends QueryGroup {
     // transitive closure via recursive CTE == the min-label fixpoint the
     // Spark side iterates to (both are "min reachable doc_id"); component
     // sizes are tiny so the closure is bounded
+    // per-cluster counts -> size histogram over the same recursive closure
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |per AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  cluster_size * count(*) AS n_docs
+         |FROM per GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
          |pairs0 AS (
