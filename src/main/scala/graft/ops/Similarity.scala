@@ -384,6 +384,45 @@ object Similarity {
       .select(col("vec_id"), col("pos"),
         (col("col") * lit(IntScale.toDouble)).cast("long").as("xs"))
 
+  /** Pairwise cosine between per-label CENTROIDS — the cluster-similarity
+    * monitor (are two labels/topics semantically collapsing?). Works on
+    * per-label SUM vectors, never means: cos(sum_a, sum_b) ==
+    * cos(mean_a, mean_b) (the 1/n scalars cancel), so everything up to
+    * the final ratio stays in exact integer arithmetic — per-(label, dim)
+    * sums of x*2^44 in DECIMAL(38,0), pairwise dots as decimal products
+    * (magnitudes ~1e32, inside DECIMAL(38,0)). Doubles appear only in
+    * the final dot/(|a||b|) ratio, evaluated in one fixed op order both
+    * engines share.
+    *
+    * Scale shape: one bounded (label, dim) aggregation with map-side
+    * partials (output = |labels| x d rows), then a dim-key join whose
+    * fan-out is |labels|² x d — label cardinality is bounded, so the
+    * whole matrix is a broadcast-scale frame at any corpus size. */
+  def labelCentroidCosine(emb: DataFrame): DataFrame = {
+    val ex = emb.select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))))
+      .select(col("label"), col("pos"),
+        (col("col") * lit(IntScale.toDouble)).cast("long").as("xs"))
+    val sums = graft.core.SharedFrames.register(
+      ex.groupBy("label", "pos")
+        .agg(sum(col("xs").cast("decimal(38,0)")).as("s")))
+    val dots = sums.select(col("label").as("label_a"), col("pos"), col("s").as("sa"))
+      .join(sums.select(col("label").as("label_b"), col("pos"), col("s").as("sb")),
+        Seq("pos"))
+      .filter(col("label_a") <= col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+    val norms = dots.filter(col("label_a") === col("label_b"))
+      .select(col("label_a").as("label"), col("dot").as("nrm"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("nrm").as("na")), Seq("label_a"))
+      .join(norms.select(col("label").as("label_b"), col("nrm").as("nb")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+  }
+
   /** Upper-triangle integer covariance numerators:
     * c(i,j) = n*sum(xi*xj) - sum(xi)*sum(xj) = n^2 * 2^88 * cov(i,j),
     * EXACT (every term is integer arithmetic in DECIMAL(38,0), which a

@@ -374,6 +374,7 @@ object SimilarityQueries extends QueryGroup {
     "q_sim_clusters" -> simClusters,
     "q_embed_quant" -> embedQuant,
     "q_embed_cov" -> embedCov,
+    "q_label_cosine" -> labelCosine,
     "q_embed_pca" -> embedPca,
     "q_embed_proj" -> embedProj,
     "q_embed_pq" -> embedPq,
@@ -503,6 +504,13 @@ object SimilarityQueries extends QueryGroup {
     * elements (x * 2^44 is exact for every float32 in the data range),
     * per-dimension sums, upper-triangle product sums, and the exact
     * integer numerator cnum(i, j, c) with the vector count in nn. */
+  /** Per-label centroid cosine matrix ([[Similarity.labelCentroidCosine]])
+    * — the topic-collapse monitor; diagonal = 1 by construction. */
+  private def labelCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidCosine(Tables.embeddings(s, dir))
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("label_a", "label_b")
+
   private val covSqlPrefix: String =
     """WITH ex AS MATERIALIZED (SELECT vec_id, i - 1 AS pos,
       |    CAST(x * 17592186044416 AS HUGEINT) AS xs
@@ -639,6 +647,29 @@ object SimilarityQueries extends QueryGroup {
     // AS MATERIALIZED: DuckDB inlines CTEs, and the power-iteration chain
     // references each round twice -- inlining would re-evaluate
     // exponentially (and reopen the parquet per reference)
+    // centroid cosine on SUM vectors (the 1/n cancels), integer sums and
+    // decimal products until the one final double ratio; HUGEINT->DOUBLE
+    // routed through VARCHAR per the >2^63 correct-rounding rule
+    "q_label_cosine" ->
+      """WITH ex AS MATERIALIZED (SELECT label, i - 1 AS pos,
+        |    CAST(x * 17592186044416 AS HUGEINT) AS xs
+        |  FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+        |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |sums AS MATERIALIZED (SELECT label, pos, sum(xs) AS s FROM ex GROUP BY 1, 2),
+        |dots AS MATERIALIZED (
+        |  SELECT a.label AS label_a, b.label AS label_b, sum(a.s * b.s) AS dot
+        |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label <= b.label
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT label_a AS label, dot AS nrm FROM dots WHERE label_a = label_b)
+        |SELECT d.label_a, d.label_b,
+        |  round(CAST(CAST(d.dot AS VARCHAR) AS DOUBLE)
+        |    / (sqrt(CAST(CAST(na.nrm AS VARCHAR) AS DOUBLE))
+        |       * sqrt(CAST(CAST(nb.nrm AS VARCHAR) AS DOUBLE))), 6) AS cosine
+        |FROM dots d
+        |JOIN norms na ON d.label_a = na.label
+        |JOIN norms nb ON d.label_b = nb.label
+        |ORDER BY label_a, label_b""".stripMargin,
+
     "q_embed_cov" ->
       s"""$covSqlPrefix
          |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
