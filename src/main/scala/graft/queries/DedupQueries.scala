@@ -299,7 +299,31 @@ object DedupQueries extends QueryGroup {
     "q_ppjoin" -> ppjoin,
     "q_doc_novelty" -> docNovelty,
     "q_dup_source_matrix" -> dupSourceMatrix,
+    "q_containment" -> containment,
   )
+
+  /** Asymmetric CONTAINMENT pairs — the partial-dup case Jaccard misses:
+    * a short doc quoted inside a long one has tiny J (the union is
+    * dominated by the long doc) but containment |A∩B|/min(|A|,|B|) near
+    * 1. Same bucketed shingle equi-join as the Jaccard pair generator;
+    * the 9/10 threshold compares in the integer domain (common*10 >=
+    * min_size*9), so no float boundary exists. */
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("size_b")), Seq("id_b"))
+      .filter(col("common") * 10 >= least(col("size_a"), col("size_b")) * 9)
+      .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
+        round(col("common").cast("double") / least(col("size_a"), col("size_b")), 6)
+          .as("containment"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** Duplicate-cluster size histogram — the dedup health report: how many
     * clusters of each size exist and how many docs they hold (a fat tail
@@ -968,6 +992,21 @@ object DedupQueries extends QueryGroup {
          |SELECT p.doc_id, d.deg, p.pr AS pr_scaled
          |FROM r$PrIters p JOIN degs d ON p.doc_id = d.src
          |ORDER BY p.doc_id""".stripMargin,
+
+    // containment threshold in the integer domain (common*10 >= min*9)
+    "q_containment" ->
+      s"""$shingleSqlPrefix,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+         |  round(CAST(common AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+         |FROM p
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE common * 10 >= least(sa.sz, sb.sz) * 9
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // bounded recursive BFS: UNION dedupes (doc_id, level) rows and
     // level < HopRadius bounds the recursion; min(level) = hop distance
