@@ -366,6 +366,29 @@ object RelationalQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** Column-statistics collection (the ANALYZE TABLE shape a cost-based
+    * optimizer feeds on): exact row count, NDV, min/max, and the
+    * interpolated median per measure column — collected in ONE grouped
+    * pass over an unpivoted (col_name, value) frame instead of one job
+    * per column. At 100 TB the exact NDV swaps to approx_count_distinct
+    * and the exact median to approx_percentile with the plan shape
+    * unchanged; here both stay exact so the oracle can hash-match. */
+  private def analyzeStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def slice(name: String, c: String) =
+      li.select(lit(name).as("col_name"), col(c).cast("double").as("v"))
+    slice("l_discount", "l_discount")
+      .unionByName(slice("l_extendedprice", "l_extendedprice"))
+      .unionByName(slice("l_quantity", "l_quantity"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("v")).as("ndv"),
+        min(col("v")).as("mn"),
+        max(col("v")).as("mx"),
+        round(expr("percentile(v, 0.5)"), 6).as("median"))
+      .orderBy("col_name")
+  }
+
   /** J4 full shape: multi-pass name match — pass 1 exact on the normalized
     * key, pass 2 blocked levenshtein for pass-1 misses, best match per
     * record by match quality then distance (the reference's exact -> alias
@@ -445,6 +468,7 @@ object RelationalQueries extends QueryGroup {
     "q_multipass_match" -> multipassMatch,
     "q_percentiles" -> percentiles,
     "q_describe_stats" -> describeStats,
+    "q_analyze_stats" -> analyzeStats,
     "q_subsidiary" -> subsidiary,
     "q_fuzzy_match" -> fuzzyMatch,
     "q_star_join" -> starJoin,
@@ -521,6 +545,18 @@ object RelationalQueries extends QueryGroup {
         |FROM supplier s
         |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON s.s_suppkey = r.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q_analyze_stats" ->
+      """WITH u AS (
+        |  SELECT 'l_discount' AS col_name, CAST(l_discount AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem)
+        |SELECT col_name, count(*) AS n, count(DISTINCT v) AS ndv,
+        |  min(v) AS mn, max(v) AS mx,
+        |  round(quantile_cont(v, 0.5), 6) AS median
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
