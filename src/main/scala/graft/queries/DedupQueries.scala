@@ -300,7 +300,34 @@ object DedupQueries extends QueryGroup {
     "q_doc_novelty" -> docNovelty,
     "q_dup_source_matrix" -> dupSourceMatrix,
     "q_containment" -> containment,
+    "q_minhash_est" -> minhashEst,
   )
+
+  /** MinHash as a Jaccard ESTIMATOR: for each LSH candidate pair, the
+    * signature agreement fraction (matching slots / 8) NEXT TO the exact
+    * Jaccard and the estimation error — the sketch a 100 TB pipeline
+    * ranks candidates with when exact verification is the expensive step
+    * (E[matching/k] = J; k=8 keeps it coarse but md5-deterministic, so
+    * the whole estimator replays in SQL and can be hash-gated — unlike a
+    * seeded-random sketch). Signature frame is persisted once and feeds
+    * bands, the estimate join, and nothing else twice. */
+  private def minhashEst(s: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingles(s, dir)
+    val sig = SharedFrames.register(Dedup.minhashSignatures(sh, 8))
+    val cands = Dedup.bandCandidates(Dedup.withBands(sig, 8, 2), 4)
+    val slotsA = sig.toDF("id_a" +: (1 to 8).map(j => s"a$j"): _*)
+    val slotsB = sig.toDF("id_b" +: (1 to 8).map(j => s"b$j"): _*)
+    val matches = (1 to 8).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+    val exact = Dedup.verifyCandidates(cands, sh, 0.0)
+    exact.join(slotsA, Seq("id_a")).join(slotsB, Seq("id_b"))
+      .withColumn("est_jaccard", matches.cast("double") / 8)
+      .select(col("id_a"), col("id_b"),
+        col("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(abs(matches.cast("double") / 8 - col("jaccard")), 6).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** Asymmetric CONTAINMENT pairs — the partial-dup case Jaccard misses:
     * a short doc quoted inside a long one has tiny J (the union is
@@ -755,6 +782,59 @@ object DedupQueries extends QueryGroup {
          |JOIN sizes sa ON m.id_a = sa.doc_id
          |JOIN sizes sb ON m.id_b = sb.doc_id
          |WHERE CAST(m.common AS DOUBLE) / (sa.sz + sb.sz - m.common) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same sig/banded/cands CTEs as q_dedup_minhash; the estimate is the
+    // slot-agreement fraction (dyadic n/8 — exact in doubles), compared
+    // against the raw exact jaccard before any rounding
+    "q_minhash_est" ->
+      s"""$shingleSqlPrefix,
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(substr(md5('mh1_' || shingle), 1, 16)) AS h1, min(substr(md5('mh2_' || shingle), 1, 16)) AS h2,
+         |    min(substr(md5('mh3_' || shingle), 1, 16)) AS h3, min(substr(md5('mh4_' || shingle), 1, 16)) AS h4,
+         |    min(substr(md5('mh5_' || shingle), 1, 16)) AS h5, min(substr(md5('mh6_' || shingle), 1, 16)) AS h6,
+         |    min(substr(md5('mh7_' || shingle), 1, 16)) AS h7, min(substr(md5('mh8_' || shingle), 1, 16)) AS h8
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, md5(h1 || h2) AS band1, md5(h3 || h4) AS band2,
+         |    md5(h5 || h6) AS band3, md5(h7 || h8) AS band4
+         |  FROM sig),
+         |cands AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+         |      JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+         |      JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+         |      JOIN banded b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+         |      JOIN banded b ON a.band4 = b.band4 AND a.doc_id < b.doc_id)),
+         |common AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS common
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT m.id_a, m.id_b, m.common,
+         |    CAST(a.h1 = b.h1 AS INT) + CAST(a.h2 = b.h2 AS INT) +
+         |    CAST(a.h3 = b.h3 AS INT) + CAST(a.h4 = b.h4 AS INT) +
+         |    CAST(a.h5 = b.h5 AS INT) + CAST(a.h6 = b.h6 AS INT) +
+         |    CAST(a.h7 = b.h7 AS INT) + CAST(a.h8 = b.h8 AS INT) AS nmatch
+         |  FROM common m
+         |  JOIN sig a ON m.id_a = a.doc_id
+         |  JOIN sig b ON m.id_b = b.doc_id)
+         |SELECT e.id_a, e.id_b, e.nmatch / 8.0 AS est_jaccard,
+         |  round(CAST(e.common AS DOUBLE) / (sa.sz + sb.sz - e.common), 6) AS jaccard,
+         |  round(abs(e.nmatch / 8.0
+         |    - CAST(e.common AS DOUBLE) / (sa.sz + sb.sz - e.common)), 6) AS abs_err
+         |FROM est e
+         |JOIN sizes sa ON e.id_a = sa.doc_id
+         |JOIN sizes sb ON e.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
 
     // mirrors SimHash.compute16: token hash = first 4 hex chars of
