@@ -157,6 +157,29 @@ object EventsQueries extends QueryGroup {
           .as("purchase_through"))
   }
 
+  /** Rate-spike detection — the ingest-anomaly monitor: each (hour,
+    * type) event count compared against its trailing mean over the
+    * previous three OBSERVED hours, flag when count > 2x that mean, with
+    * the comparison held in the integer domain (n*3 > trailing_sum*2 —
+    * no float mean ever materializes). One tumbling aggregation, then a
+    * bounded window per event_type (type cardinality is bounded, hours
+    * per type are the rows — the window never sees raw events). */
+  private def rateSpikes(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(-3, -1)
+    hourly
+      .withColumn("trailing_n", sum(col("n")).over(w))
+      .withColumn("trailing_hours", count(col("n")).over(w))
+      .filter(col("trailing_hours") === 3)
+      .withColumn("spike", col("n") * 3 > col("trailing_n") * 2)
+      .select("hour_us", "event_type", "n", "trailing_n", "spike")
+      .orderBy("event_type", "hour_us")
+  }
+
   /** Built-in session_window aggregation (Spark 3.2+): sessions are
     * [first_ts, last_ts + gap) intervals merged while events arrive
     * within the gap; the batch twin of the stateful
@@ -344,6 +367,7 @@ object EventsQueries extends QueryGroup {
     "q_events_from_json" -> fromJson,
     "q_events_tumbling" -> tumbling,
     "q_events_sliding" -> sliding,
+    "q_rate_spikes" -> rateSpikes,
     "q_events_json" -> jsonExtract,
     "q_events_funnel" -> userFunnel,
     "q_sessionize" -> sessionize,
@@ -469,6 +493,24 @@ object EventsQueries extends QueryGroup {
         |  CAST(sum(rc) AS DOUBLE) / sum(rv) AS click_through,
         |  CAST(sum(rp) AS DOUBLE) / sum(rc) AS purchase_through
         |FROM per_sess""".stripMargin,
+
+    // trailing window over the previous three OBSERVED hours per type;
+    // the spike rule compares integers (n*3 > trailing*2), never a mean
+    "q_rate_spikes" ->
+      """WITH h AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT hour_us, event_type, n,
+        |    CAST(sum(n) OVER tw AS BIGINT) AS trailing_n,
+        |    count(n) OVER tw AS th
+        |  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour_us
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_us, event_type, n, trailing_n,
+        |  n * 3 > trailing_n * 2 AS spike
+        |FROM w WHERE th = 3
+        |ORDER BY event_type, hour_us""".stripMargin,
 
     "q_join_tumbling" ->
       """WITH v AS (
