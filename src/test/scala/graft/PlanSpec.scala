@@ -295,6 +295,19 @@ class PlanSpec extends SparkSuite {
       s"the windowed stage machine planned a join:\n${plan.take(1500)}")
   }
 
+  test("q_rate_spikes: windows run over hourly aggregates, not raw events") {
+    val plan = formatted("q_rate_spikes")
+    // the aggregation must come BEFORE the window: exactly one
+    // HashAggregate pair below the Window node's subtree means the
+    // trailing sums see (hour, type) rows, never events
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"window is not over the hourly aggregate:\n${plan.take(1200)}")
+    assert("hashpartitioning\\(event_type".r.findAllIn(plan).nonEmpty,
+      s"trailing window lost its type partitioning:\n${plan.take(1200)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
