@@ -283,6 +283,24 @@ object EventsQueries extends QueryGroup {
       .orderBy("view_id", "click_id")
   }
 
+  /** Conversion-latency histogram: view->click delay for in-window
+    * matched pairs, bucketed into fixed 5-minute bins — the latency
+    * distribution every funnel dashboard plots. Bin arithmetic is pure
+    * integer (microsecond delta div 300e6), share divides two exact
+    * counts; rides the same co-partitioned join as `q_stream_join`. */
+  private def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    val joined = streamJoin(s, dir)
+      .withColumn("lag_bin",
+        expr("(click_ts_us - view_ts_us) div 300000000").cast("int"))
+    val total = joined.agg(count(lit(1)).as("total"))
+    joined.groupBy("lag_bin")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n_pairs").cast("double") / col("total"))
+      .drop("total")
+      .orderBy("lag_bin")
+  }
+
   /** Batch twin of the stream-static enrichment join
     * ([[graft.streaming.EventStream.enrichBySegment]]): events enriched
     * with the broadcast customer dim, revenue rolled up by market
@@ -376,6 +394,7 @@ object EventsQueries extends QueryGroup {
     "q_stream_join" -> streamJoin,
     "q_stream_join_outer" -> streamJoinOuter,
     "q_join_tumbling" -> joinTumbling,
+    "q_conversion_lag" -> conversionLag,
     "q_stream_enrich" -> streamEnrich,
     "q_asof_event" -> asofEvent,
     "q_event_transitions" -> transitions,
@@ -493,6 +512,21 @@ object EventsQueries extends QueryGroup {
         |  CAST(sum(rc) AS DOUBLE) / sum(rv) AS click_through,
         |  CAST(sum(rp) AS DOUBLE) / sum(rc) AS purchase_through
         |FROM per_sess""".stripMargin,
+
+    "q_conversion_lag" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_ts_us
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT CAST((click_ts_us - view_ts_us) // 300000000 AS INTEGER) AS lag_bin
+        |  FROM v JOIN c USING (user_id)
+        |  WHERE click_ts_us BETWEEN view_ts_us AND view_ts_us + 1800 * 1000000)
+        |SELECT lag_bin, count(*) AS n_pairs,
+        |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM p) AS share
+        |FROM p GROUP BY lag_bin ORDER BY lag_bin""".stripMargin,
 
     // trailing window over the previous three OBSERVED hours per type;
     // the spike rule compares integers (n*3 > trailing*2), never a mean
