@@ -340,6 +340,39 @@ object TextQueries extends QueryGroup {
       .limit(20)
   }
 
+  /** Collocation mining (the word2phrase step tokenizer pipelines run to
+    * promote "new york" into one token): adjacent-pair LIFT =
+    * N·c(a,b) / (c(a)·c(b)) with minimum support, top 20 by (lift desc,
+    * pair) — lift, not PMI, because PMI's log adds nothing to the
+    * RANKING (log is monotone) and would drag order-dependent float sums
+    * into the gate; every term here is an exact integer and the one
+    * division is deterministic IEEE. Shape: one bigram explode, two
+    * vocab-bounded count aggregations, equi-joins back, TakeOrdered. */
+  private val CollocMinSupport = 5
+  private def collocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+    val toks = docs.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = docs.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+        struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val nTotal = bi.agg(count(lit(1)).as("n_total"))
+    bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinSupport)
+      .join(toks.select(col("tok").as("w1"), col("c1").as("ca")), Seq("w1"))
+      .join(toks.select(col("tok").as("w2"), col("c1").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("lift",
+        round((col("n_total") * col("c12")).cast("double") /
+          (col("ca") * col("cb")).cast("double"), 6))
+      .select("w1", "w2", "c12", "ca", "cb", "lift")
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** Sliding-window document chunking (context-window preprocessing for
     * training/RAG): fixed 200-char chunks on a 150-char stride (50-char
     * overlap), final partial chunk kept, one chunk minimum per doc.
@@ -389,6 +422,7 @@ object TextQueries extends QueryGroup {
     "q_text_split" -> textSplitRecords,
     "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
+    "q_collocations" -> collocations,
     "q_lm_score" -> lmScore,
     "q_dsir_select" -> dsirSelect,
     "q_quality_prune" -> qualityPrune,
@@ -489,6 +523,27 @@ object TextQueries extends QueryGroup {
         |  substring(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200) AS chunk_text,
         |  CAST(length(substring(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) AS INTEGER) AS chunk_len
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // lift not PMI (log is monotone -- adds nothing to the ranking, and
+    // would put order-dependent float sums in the gate); rounded lift is
+    // the ORDER key in both engines, (w1,w2) breaks rounding ties
+    "q_collocations" ->
+      s"""WITH w AS (SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |t AS (SELECT unnest(words) AS tok FROM w),
+         |c1 AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+         |idx AS (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i
+         |        FROM w WHERE len(words) >= 2),
+         |b AS (SELECT words[i] AS w1, words[i+1] AS w2 FROM idx),
+         |n AS (SELECT count(*) AS n_total FROM b),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2
+         |        HAVING count(*) >= $CollocMinSupport)
+         |SELECT w1, w2, c12, ca.c AS ca, cb.c AS cb,
+         |  round(CAST((SELECT n_total FROM n) * c12 AS DOUBLE)
+         |    / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+         |FROM c12
+         |JOIN c1 ca ON c12.w1 = ca.tok
+         |JOIN c1 cb ON c12.w2 = cb.tok
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH w AS (
