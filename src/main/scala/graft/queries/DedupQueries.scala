@@ -1069,7 +1069,7 @@ object DedupQueries extends QueryGroup {
          |r0 AS (SELECT src AS doc_id,
          |       1000000000000000 // (SELECT n FROM nn) AS pr FROM degs),
          |${prRoundsSql(PrIters)}
-         |SELECT p.doc_id, d.deg, p.pr AS pr_scaled
+         |SELECT p.doc_id, d.deg, CAST(p.pr AS BIGINT) AS pr_scaled
          |FROM r$PrIters p JOIN degs d ON p.doc_id = d.src
          |ORDER BY p.doc_id""".stripMargin,
 
