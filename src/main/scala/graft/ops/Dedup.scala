@@ -318,37 +318,13 @@ object Dedup {
     * "sum unchanged" no longer implies "no label changed". */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
                           reliable: Boolean = false): DataFrame = {
-    def truncate(df: DataFrame): DataFrame =
-      // eager = false: the convergence-count action below materializes
-      // the checkpoint, so each round costs ONE job, not two
-      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
-    // Reliable-mode checkpoint hygiene: Spark never deletes superseded
-    // checkpoint data on its own (cleanCheckpoints defaults to false), so a
-    // long CC run would leak one full label-frame copy per round on durable
-    // storage. Track the rdd-* dirs THIS call creates (never touching other
-    // checkpoint users') and delete a round's dirs once a later round has
-    // materialized; only the final round's data — which the returned frame
-    // reads — survives the loop.
-    val sc = pairs.sparkSession.sparkContext
-    val cpRoot: Option[org.apache.hadoop.fs.Path] =
-      if (reliable) sc.getCheckpointDir.map(new org.apache.hadoop.fs.Path(_))
-      else None
-    def rddDirs(): Set[String] = cpRoot match {
-      case Some(p) =>
-        val fs = p.getFileSystem(sc.hadoopConfiguration)
-        if (fs.exists(p))
-          fs.listStatus(p).map(_.getPath)
-            .filter(_.getName.startsWith("rdd-")).map(_.toString).toSet
-        else Set.empty
-      case None => Set.empty
-    }
-    def deleteDirs(dirs: Set[String]): Unit = cpRoot.foreach { p =>
-      val fs = p.getFileSystem(sc.hadoopConfiguration)
-      dirs.foreach(d =>
-        try fs.delete(new org.apache.hadoop.fs.Path(d), true)
-        catch { case _: java.io.IOException => () })
-    }
-    var ourCpDirs = Set.empty[String]
+    // Lazy truncation + reliable-mode checkpoint hygiene (see
+    // [[RoundCheckpointer]]): the convergence-count action below
+    // materializes each round's checkpoint, so a round costs ONE job,
+    // and superseded label-frame checkpoints are deleted as the loop
+    // advances instead of leaking one copy per round on durable storage.
+    val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
+    def truncate(df: DataFrame): DataFrame = cp.truncate(df)
     // symmetric edges PLUS a self-loop per vertex: with (v, v) present,
     // min over neighbor labels already includes v's own label, so each
     // round is ONE join + ONE aggregation — the separate keep-own-label
@@ -372,7 +348,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val before = rddDirs()
+      val before = cp.beginRound()
       // the self-loop row carries each vertex's own label through the
       // join, so min(lbl) is the next label and the own-label minimum
       // (dst == src) detects change — one aggregation computes both
@@ -386,10 +362,7 @@ object Dedup {
       converged = changedCount(next) == 0L
       // `next` is now fully materialized on durable storage; every one of
       // our checkpoints that predates this round is superseded — delete it
-      val after = rddDirs()
-      val obsolete = ourCpDirs.intersect(before)
-      ourCpDirs = ourCpDirs ++ (after -- before) -- obsolete
-      deleteDirs(obsolete)
+      cp.endRound(before)
       labels = next.select("id", "lbl")
       iter += 1
     }

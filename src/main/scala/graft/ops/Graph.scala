@@ -37,11 +37,17 @@ object Graph {
     * lineage truncation so plan size stays O(1) in the iteration count.
     *
     * @param pairs undirected pair frame with BIGINT columns `id_a`,`id_b`
+    * @param reliable durable per-round checkpoints with supersede-delete
+    *                 hygiene instead of executor-local truncation — the
+    *                 lost-executor-safe 100 TB configuration (see
+    *                 [[RoundCheckpointer]]; requires `setCheckpointDir`)
     * @return (doc_id, deg, pr_scaled) — pr_scaled sums to ~scale
     */
   def pageRank(pairs: DataFrame, iters: Int = 5, damp: Int = 85,
-               scale: Long = 1000000000000000L): DataFrame = {
+               scale: Long = 1000000000000000L,
+               reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 100)
+    val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
     val undirected = fwd.unionByName(rev).distinct()
@@ -63,7 +69,7 @@ object Graph {
         .select(col("doc_id"),
           (lit(base) + expr(s"($damp * in_mass) div 100")).as("pr_scaled"))
       // truncate lineage so the logical plan stays O(1) across rounds
-      ranks = next.localCheckpoint(false)
+      ranks = cp.round(next)
     }
     ranks.join(degs.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("deg"), col("pr_scaled"))
@@ -90,8 +96,10 @@ object Graph {
     *
     * @return (doc_id, community) — community = the round-`iters` label
     */
-  def labelPropagation(pairs: DataFrame, iters: Int = 4): DataFrame = {
+  def labelPropagation(pairs: DataFrame, iters: Int = 4,
+                       reliable: Boolean = false): DataFrame = {
     require(iters >= 1)
+    val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
     val edges = graft.core.SharedFrames.register(
@@ -105,7 +113,7 @@ object Graph {
         .groupBy(col("dst").as("doc_id"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("doc_id"), (-col("m.nl")).as("label"))
-      labels = next.localCheckpoint(false)
+      labels = cp.round(next)
     }
     labels.select(col("doc_id"), col("label").as("community"))
   }
@@ -129,8 +137,14 @@ object Graph {
     * @return (doc_id, hops) for every node within maxHops of a seed,
     *         seeds at 0
     */
-  def hopDistances(pairs: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def hopDistances(pairs: DataFrame, seeds: DataFrame, maxHops: Int,
+                   reliable: Boolean = false): DataFrame = {
     require(maxHops >= 0)
+    // Two iterated lineages (frontier, settled set) that read each other's
+    // PRIOR rounds — one checkpointer each, so neither's supersede-delete
+    // can drop a dir the other still needs (see RoundCheckpointer scaladoc)
+    val cpFrontier = new RoundCheckpointer(pairs.sparkSession, reliable)
+    val cpDist = new RoundCheckpointer(pairs.sparkSession, reliable)
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
     val edges = graft.core.SharedFrames.register(
@@ -145,9 +159,12 @@ object Graph {
         .select(col("dst").as("doc_id")).distinct()
         .join(dist.select("doc_id"), Seq("doc_id"), "left_anti")
         .withColumn("hops", lit(k.toLong))
-      frontier = next.localCheckpoint(false)
-      dist = dist.unionByName(frontier).localCheckpoint(false)
+      frontier = cpFrontier.round(next)
+      dist = cpDist.round(dist.unionByName(frontier))
     }
+    // the final frontier was folded into `dist` and materialized there —
+    // its own checkpoint data is no longer reachable from the result
+    cpFrontier.releaseAll()
     dist
   }
 

@@ -284,6 +284,73 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  def rddCheckpointDirs(root: java.nio.file.Path): Seq[String] = {
+    // the checkpoint root nests one level of app-id dir above the rdd-* dirs
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).map(_.toString)
+      .toSeq
+  }
+
+  test("reliable CC: superseded per-round checkpoints are deleted (no leak)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-leak")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    // diameter-12 path: the loop runs many rounds, so a leak would leave
+    // one rdd-* dir per round; hygiene keeps only the live tail
+    val chain = (300L until 312L).map(k => (k, k + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, reliable = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 13 && got.values.forall(_ == 300L))
+    val left = rddCheckpointDirs(dir)
+    assert(left.size <= 2, s"leaked checkpoint rounds: $left")
+    graft.core.SharedFrames.clear()
+  }
+
+  test("graph ops: reliable checkpoint parity with local mode, no leaked rounds") {
+    // path + shortcut graph reused across all three ops; every op must
+    // return identical rows in reliable mode, leaving at most the final
+    // round's checkpoint dir behind
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(Tuple1(1L)).toDF("doc_id")
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
+      df.collect().toSeq.sortBy(_.toString)
+
+    val prLocal = sorted(graft.ops.Graph.pageRank(pairs, iters = 5))
+    val lpaLocal = sorted(graft.ops.Graph.labelPropagation(pairs, iters = 4))
+    val hopLocal = sorted(graft.ops.Graph.hopDistances(pairs, seeds, maxHops = 3))
+    graft.core.SharedFrames.clear()
+
+    for ((name, run) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("pageRank", () => graft.ops.Graph.pageRank(pairs, iters = 5, reliable = true)),
+      ("labelPropagation", () => graft.ops.Graph.labelPropagation(pairs, iters = 4, reliable = true)),
+      ("hopDistances", () => graft.ops.Graph.hopDistances(pairs, seeds, maxHops = 3, reliable = true)))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-$name-ckpt")
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val reliableRows = sorted(run())
+      val expected = name match {
+        case "pageRank" => prLocal
+        case "labelPropagation" => lpaLocal
+        case _ => hopLocal
+      }
+      assert(reliableRows == expected, s"$name reliable mode diverged")
+      val left = rddCheckpointDirs(dir)
+      assert(left.size <= 1, s"$name leaked checkpoint rounds: $left")
+      graft.core.SharedFrames.clear()
+    }
+  }
+
+  test("reliable mode without a checkpoint dir fails loudly up front") {
+    val sc = spark.sparkContext
+    val saved = sc.getCheckpointDir
+    // simulate the misconfigured-cluster case: no durable checkpoint dir
+    sc.setCheckpointDir(null)
+    try intercept[IllegalArgumentException] {
+      graft.ops.Graph.pageRank(
+        Seq((1L, 2L)).toDF("id_a", "id_b"), iters = 2, reliable = true)
+    } finally saved.foreach(sc.setCheckpointDir)
+  }
+
   test("label propagation: bridged cliques form two communities where CC merges them") {
     // two triangles joined by a single bridge edge 3-10
     val pairs = Seq(
