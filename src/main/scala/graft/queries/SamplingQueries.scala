@@ -158,22 +158,33 @@ object SamplingQueries extends QueryGroup {
   override def oracle: Map[String, String] = Map(
     // the window formulation is the oracle for the bounded-heap cap; the
     // score formula is q_text_quality's (exact-count ratios with dyadic
-    // weights, so the unrounded doubles order identically cross-engine)
+    // weights, so the unrounded doubles order identically cross-engine).
+    // The n_tokens = 0 guards mirror q_quality_prune's: a zero-token doc
+    // scores NULL on BOTH engines (DuckDB's bare 0/0 would be NaN, which
+    // sorts ABOVE every real score in ORDER BY DESC and enters the top-k,
+    // while Spark's TopKAgg skips the NULL — a cross-engine divergence on
+    // corpora containing empty/whitespace-only documents)
     "q_source_cap" ->
-      s"""WITH scored AS (
+      s"""WITH base AS (
          |  SELECT doc_id, source,
-         |    0.5 * least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100) +
-         |    0.25 * (1.0 - CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS DOUBLE)
-         |                  / len(regexp_extract_all(text, '\\S+'))) +
-         |    0.25 * least(1.0, CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |                      / len(regexp_extract_all(text, '\\S+')) / 8)
-         |      AS quality_score
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS INTEGER) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INTEGER) AS chars_nospace
          |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) +
+         |    0.25 * (1.0 - CASE WHEN n_tokens = 0 THEN NULL
+         |                       ELSE CAST(stop_hits AS DOUBLE) / n_tokens END) +
+         |    0.25 * least(1.0, CASE WHEN n_tokens = 0 THEN NULL
+         |                           ELSE CAST(chars_nospace AS DOUBLE) / n_tokens END / 8)
+         |      AS quality_score
+         |  FROM base),
          |ranked AS (
          |  SELECT source, doc_id, quality_score,
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY quality_score DESC, doc_id ASC) AS rn
-         |  FROM scored)
+         |  FROM scored WHERE quality_score IS NOT NULL)
          |SELECT source, CAST(rn AS INTEGER) AS rank, doc_id,
          |  round(quality_score, 6) AS quality_score
          |FROM ranked WHERE rn <= $SourceCapK

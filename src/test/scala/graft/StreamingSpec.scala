@@ -141,14 +141,23 @@ class StreamingSpec extends SparkSuite {
     q.awaitTermination()
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val exp0 = EventsQueries.queries("q_join_tumbling")(spark, sf).collect()
-    // append mode only finalizes windows the last watermark passed: the
-    // final watermark is max(event ts) - 1h, so windows ending after it
-    // are still open — compare on the finalized prefix
-    val maxUs = exp0.map(_.getLong(0)).max
-    val exp = exp0.filter(_.getLong(0) + 3600000000L <= maxUs - 3600000000L)
+    // append mode only finalizes windows the last watermark passed. With
+    // per-side watermarks the GLOBAL watermark is the MIN across both
+    // inputs: min(max view_ts, max click_ts) - 1h. Deriving the cutoff
+    // from max(window_start) of the batch result would assume the two
+    // stream maxima coincide — if the click stream's max event time
+    // trails the view stream's, that cutoff includes windows the
+    // append-mode query has not finalized yet (flaky assert)
+    import org.apache.spark.sql.functions.{col, max, unix_micros}
+    val ev = graft.core.Tables.events(spark, sf)
+    def sideMaxUs(eventType: String): Long = ev
+      .filter(col("event_type") === eventType)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = math.min(sideMaxUs("view"), sideMaxUs("click")) - 3600000000L
+    val exp = exp0.filter(_.getLong(0) + 3600000000L <= wmUs)
       .map(key).toSet
     val got = spark.table("jt_out").collect()
-      .filter(_.getLong(0) + 3600000000L <= maxUs - 3600000000L).map(key).toSet
+      .filter(_.getLong(0) + 3600000000L <= wmUs).map(key).toSet
     assert(exp.nonEmpty)
     assert(got == exp, s"chained stateful diverged: missing=${(exp -- got).take(3)} " +
       s"extra=${(got -- exp).take(3)}")
