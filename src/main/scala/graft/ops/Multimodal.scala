@@ -232,6 +232,53 @@ object Multimodal {
     }
   }
 
+  case class AviFrameFeature(
+      doc_id: Long,
+      frame_idx: Int,
+      n_frames: Int,
+      codec: String,
+      frame_bytes: Long,
+      width: Int,
+      height: Int,
+      luma_sum: Option[Long],
+      mean_luma: Option[Long])
+
+  /** REAL per-frame video decode for MJPEG/raw-in-AVI payloads
+    * ([[AviHeaders.aviInfo]] walks the RIFF container to each movi frame's
+    * own byte range): "dc" frames are complete JPEGs whose dimensions come
+    * from the per-frame SOF parse ([[ImageHeaders.jpegDims]] — NOT the
+    * container header, which may disagree), "db" frames are 8-bit luma
+    * rasters summed exactly. Non-AVI payloads are dropped (typed decode
+    * surface, like [[decodeGifFrames]]). H.264-in-MP4 stays out of scope —
+    * a pure-JVM entropy decoder is not reasonable; MJPEG/raw is the
+    * codec-free container path real pipelines use for frame extraction.
+    * Same partition shape as every decoder here: parse inside the
+    * partition, emit features only, payload bytes never duplicated per
+    * frame or shuffled. */
+  def decodeAviFrames(spark: SparkSession, media: DataFrame): Dataset[AviFrameFeature] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        AviHeaders.aviInfo(r.payload).iterator.flatMap { info =>
+          info.frames.iterator.zipWithIndex.map { case (f, i) =>
+            val nBytes = (f.dataEnd - f.dataStart).toLong
+            if (f.codeType == "dc") {
+              val (w, h) = ImageHeaders.jpegDims(java.util.Arrays.copyOfRange(
+                r.payload, f.dataStart, f.dataEnd)).getOrElse((-1, -1))
+              AviFrameFeature(r.doc_id, i, info.frames.length, "mjpeg",
+                nBytes, w, h, None, None)
+            } else {
+              val sum = AviHeaders.byteSum(r.payload, f.dataStart, f.dataEnd)
+              AviFrameFeature(r.doc_id, i, info.frames.length, "raw",
+                nBytes, info.width, info.height,
+                Some(sum), Some(sum / math.max(1L, nBytes)))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Feature decoder. Dimensions come from a REAL header parse when the
     * payload is PNG or JPEG ([[ImageHeaders.dims]]); other formats fall
     * back to the deterministic md5-derived pseudo-decode (documented

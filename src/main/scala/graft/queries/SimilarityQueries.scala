@@ -185,6 +185,27 @@ object SimilarityQueries extends QueryGroup {
     ImageHash.frameLumas(s, pixelGifMedia(s, dir)).toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** REAL per-frame video decode under an oracle gate: every doc_id is
+    * encoded as an MJPEG/raw AVI ([[graft.ops.AviFixtures]] — RIFF lists,
+    * JUNK padding, idx1 index, odd-size chunk padding, per-frame JPEG
+    * dimensions and raw 8-bit rasters, all pure integer functions of
+    * doc_id), then decoded back by the real container walk
+    * ([[graft.ops.AviHeaders]] + the per-frame SOF parse / exact luma
+    * sum). The SQL oracle predicts geometry, byte counts, and pixel sums
+    * from the same formulas WITHOUT parsing bytes. Corpus bounded at
+    * doc_id < 600 to keep the oracle's per-pixel replay bounded at any
+    * sf; the Spark decode path itself is per-partition streaming and
+    * corpus-size-independent. */
+  private def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 600).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.AviFixtures.synthAvi(id), "video"))
+      .toDF()
+    Multimodal.decodeAviFrames(s, media).toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** PCM fixture corpus: every doc_id encoded as a 16-bit mono WAV whose
     * samples follow [[graft.ops.AudioFixtures]]' integer formulas. */
   private def wavMedia(s: SparkSession, dir: String,
@@ -396,6 +417,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_phash_incr" -> mmPhashIncr,
     "q_mm_audio_incr" -> mmAudioIncr,
     "q_mm_video" -> mmVideo,
+    "q_mm_video_frames" -> mmVideoFrames,
   )
 
   /** Shared phash oracle preamble: replays the ENTIRE pixel pipeline of
@@ -950,6 +972,42 @@ object SimilarityQueries extends QueryGroup {
         |  CAST(byte_len AS BIGINT) AS n_samples,
         |  CAST(byte_len * 1000 // sample_rate AS BIGINT) AS duration_ms
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // real AVI decode replayed from the AviFixtures formulas: MJPEG frame
+    // geometry/byte counts are closed-form; raw-frame luma sums re-derive
+    // every pixel from the formula (the sum is CAST out of DuckDB's
+    // HUGEINT promotion). A hash match proves the RIFF walk + per-frame
+    // SOF parse + exact byte sums against the independent encoder.
+    "q_mm_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS nf,
+        |    16 * (doc_id % 5 + 1) AS w, 8 * (doc_id % 7 + 1) AS h
+        |  FROM documents WHERE doc_id < 600),
+        |f AS (SELECT doc_id, nf, w, h, unnest(generate_series(0, nf - 1)) AS i FROM d),
+        |mj AS (
+        |  SELECT doc_id, i, nf,
+        |    CAST(42 + (doc_id + 3 * i) % 11 AS BIGINT) AS frame_bytes,
+        |    w + i AS width, h + 2 * i AS height
+        |  FROM f WHERE i % 2 = 0),
+        |xs AS (SELECT unnest(generate_series(0, 79)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 55)) AS y),
+        |rawsum AS (
+        |  SELECT doc_id, i, CAST(sum((doc_id + 3 * x + 7 * y + 11 * i) % 256) AS BIGINT) AS luma_sum
+        |  FROM f CROSS JOIN xs CROSS JOIN ys
+        |  WHERE i % 2 = 1 AND x < w AND y < h
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(nf AS INTEGER) AS n_frames, 'mjpeg' AS codec, frame_bytes,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(NULL AS BIGINT) AS luma_sum, CAST(NULL AS BIGINT) AS mean_luma
+        |FROM mj
+        |UNION ALL
+        |SELECT f.doc_id, CAST(f.i AS INTEGER), CAST(f.nf AS INTEGER), 'raw',
+        |  CAST(f.w * f.h AS BIGINT),
+        |  CAST(f.w AS INTEGER), CAST(f.h AS INTEGER),
+        |  r.luma_sum, r.luma_sum // (f.w * f.h)
+        |FROM f JOIN rawsum r ON f.doc_id = r.doc_id AND f.i = r.i
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // video = doc_id % 3 = 2; text bytes never walk as ISO-BMFF boxes, so
     // every row takes the md5 stand-in: timescale in the conventional

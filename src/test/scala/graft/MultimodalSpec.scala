@@ -307,4 +307,64 @@ class MultimodalSpec extends SparkSuite {
     assert(out(3L).width === Integer.parseInt(c.substring(0, 2), 16))
     assert(out(3L).height === Integer.parseInt(c.substring(2, 4), 16))
   }
+
+  test("AviFixtures round-trip: container walk rediscovers every frame") {
+    import graft.ops.{AviFixtures, AviHeaders}
+    for (docId <- 0L to 40L) {
+      val bytes = AviFixtures.synthAvi(docId)
+      val info = AviHeaders.aviInfo(bytes)
+        .getOrElse(fail(s"doc $docId did not parse"))
+      assert(info.usPerFrame === AviFixtures.usPerFrame(docId))
+      assert(info.totalFrames === AviFixtures.nFrames(docId).toLong)
+      assert(info.width === AviFixtures.width(docId))
+      assert(info.height === AviFixtures.height(docId))
+      assert(info.frames.length === AviFixtures.nFrames(docId))
+      info.frames.zipWithIndex.foreach { case (f, i) =>
+        assert(f.stream === 0)
+        if (i % 2 == 0) {
+          assert(f.codeType === "dc")
+          assert(f.dataEnd - f.dataStart === AviFixtures.jpegBytes(docId, i))
+          // the per-frame SOF dimensions, not the container header's
+          val dims = ImageHeaders.jpegDims(java.util.Arrays.copyOfRange(
+            bytes, f.dataStart, f.dataEnd))
+          assert(dims === Some((AviFixtures.jpegW(docId, i),
+            AviFixtures.jpegH(docId, i))))
+        } else {
+          assert(f.codeType === "db")
+          val w = AviFixtures.width(docId); val h = AviFixtures.height(docId)
+          assert(f.dataEnd - f.dataStart === w * h)
+          val expSum = (for (y <- 0 until h; x <- 0 until w)
+            yield AviFixtures.pixel(docId, i, x, y).toLong).sum
+          assert(AviHeaders.byteSum(bytes, f.dataStart, f.dataEnd) === expSum)
+        }
+      }
+    }
+  }
+
+  test("non-AVI and truncated payloads are rejected by the RIFF walk") {
+    import graft.ops.{AviFixtures, AviHeaders}
+    assert(AviHeaders.aviInfo("RIFFxxxxWAVE".getBytes(StandardCharsets.US_ASCII)) === None)
+    assert(AviHeaders.aviInfo("plain text, no container".getBytes(StandardCharsets.UTF_8)) === None)
+    val good = AviFixtures.synthAvi(6L) // has JUNK (6%3=0) and idx1 (6%2=0)
+    assert(AviHeaders.aviInfo(good).nonEmpty)
+    assert(AviHeaders.aviInfo(good.take(40)) === None) // cut mid-header
+  }
+
+  test("decodeAviFrames: per-frame features, non-AVI payloads dropped") {
+    import spark.implicits._
+    import graft.ops.AviFixtures
+    val rows = Seq(
+      (5L, AviFixtures.synthAvi(5L), "video"),
+      (6L, "not a container".getBytes(StandardCharsets.UTF_8), "video"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.decodeAviFrames(spark, rows).collect()
+    assert(out.map(_.doc_id).toSet === Set(5L))
+    assert(out.length === AviFixtures.nFrames(5L))
+    val byIdx = out.map(f => f.frame_idx -> f).toMap
+    assert(byIdx(0).codec === "mjpeg" && byIdx(0).luma_sum.isEmpty)
+    assert(byIdx(0).width === AviFixtures.jpegW(5L, 0))
+    assert(byIdx(1).codec === "raw" && byIdx(1).luma_sum.nonEmpty)
+    assert(byIdx(1).mean_luma ===
+      byIdx(1).luma_sum.map(_ / (AviFixtures.width(5L) * AviFixtures.height(5L))))
+  }
 }
