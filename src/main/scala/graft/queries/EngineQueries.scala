@@ -144,13 +144,196 @@ object EngineQueries extends QueryGroup {
       .orderBy("risk_category")
   }
 
+  /** The 990 (v1) lifecycle as one composed query, replaying the
+    * reference's run block (`...990.py:1456-1512`): seed scan (master's
+    * data_source filter -> target key set, the EIN list), filings loaded
+    * at three richness levels and FILTERED TO SEEDS AT LOAD (`filter_eins`),
+    * richer-form upgrade per (entity, year) with STD > EZ > PF rank
+    * (`...990.py:713-715`), gap-aware trends over the upgraded panel,
+    * year-by-year scoring (the `score_all_years` detail export), then
+    * latest-year integration into the seed master (`integrate_with_master`
+    * at target_year — every seed survives, unmatched ones as NoData). The
+    * IPEDS v5 composition is pinned by `q_lifecycle_e2e`; this row pins
+    * the 990 path's distinct stages: seed semi-join, form upgrade, and
+    * all-years detail.
+    *
+    * Form richness mapping on the orders panel: STD exists when
+    * n_orders >= 3 and carries BOTH revenue and order-count series; EZ
+    * (2..5 orders) and PF (always) carry revenue only — so the upgrade
+    * changes which indicators exist per year, exercising the null-renorm
+    * weight machinery exactly the way the three real filing types do. */
+  private def lifecycle990(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 1. seed scan: the master's data_source filter
+    val master = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val seeds = master.filter(col("c_mktsegment") === "BUILDING")
+    // 2. filings at three richness levels, seed-filtered at load
+    val panel0 = Tables.orders(s, dir)
+      .join(seeds.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_semi")
+      .groupBy(col("o_custkey").as("entity_id"),
+        year(col("o_orderdate")).as("year"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val std = panel0.filter(col("n_orders") >= 3)
+      .select(col("entity_id"), col("year"), col("revenue"),
+        col("n_orders").cast("double").as("orders_d"), lit("STD").as("filing_type"))
+    val ez = panel0.filter(col("n_orders").between(2, 5))
+      .select(col("entity_id"), col("year"), col("revenue"),
+        lit(null).cast("double").as("orders_d"), lit("EZ").as("filing_type"))
+    val pf = panel0
+      .select(col("entity_id"), col("year"), col("revenue"),
+        lit(null).cast("double").as("orders_d"), lit("PF").as("filing_type"))
+    // 3. richer-form upgrade: STD > EZ > PF per (entity, year)
+    val rank = when(col("filing_type") === "STD", 0)
+      .when(col("filing_type") === "EZ", 1).otherwise(2)
+    val panel = graft.ingest.Ingest.dedupRicherForm(
+      std.unionByName(ez).unionByName(pf), "entity_id", "year", rank, col("year"))
+    // 4. gap-aware trends over the upgraded panel
+    val w = Window.partitionBy("entity_id").orderBy("year")
+    val trended = panel
+      .withColumn("prior_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("prior_orders", lag(col("orders_d"), 1).over(w))
+      .withColumn("gap", col("year") - lag(col("year"), 1).over(w))
+      .withColumn("revenue_cagr",
+        Scoring.cagr(col("revenue"), col("prior_revenue"), col("gap")))
+      .withColumn("orders_d_cagr",
+        Scoring.cagr(col("orders_d"), col("prior_orders"), col("gap")))
+    // 5. score EVERY panel year (the reference's detail export)
+    val detail = Engine.score(
+      trended.join(master.select(col("c_custkey"), col("c_acctbal")),
+        col("entity_id") === col("c_custkey")),
+      customerConfig)
+    // 6. latest-year integration into the seed master
+    val latest = detail
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("entity_id").orderBy(col("year").desc)))
+      .filter(col("rn") === 1)
+    val perEntity = detail.groupBy("entity_id").agg(count(lit(1)).as("n_years"))
+      .join(latest.select(col("entity_id"), col("year"), col("filing_type"),
+        round(col("final_score"), 4).as("final_score"), col("risk_category")),
+        Seq("entity_id"))
+    graft.ops.Merge.integrate(
+        seeds.select(col("c_custkey").as("entity_id")), perEntity, "entity_id",
+        Seq("n_years", "year", "filing_type", "final_score", "risk_category"))
+      .withColumn("risk_category", coalesce(col("risk_category"), lit("NoData")))
+      .orderBy("entity_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_engine_scores" -> engineScores,
     "q_engine_v5" -> engineV5,
     "q_lifecycle_e2e" -> lifecycleE2E,
+    "q_lifecycle_990" -> lifecycle990,
   )
 
   override def oracle: Map[String, String] = Map(
+    // the 990 composition: seed scan -> seed-filtered form load ->
+    // richer-form upgrade (STD > EZ > PF) -> gap-aware trends ->
+    // year-by-year scores -> latest-year integrate into the seed master
+    "q_lifecycle_990" ->
+      """WITH seeds AS (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |panel0 AS (
+        |  SELECT o_custkey AS entity_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders JOIN seeds ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |forms AS (
+        |  SELECT entity_id, year, revenue, CAST(n_orders AS DOUBLE) AS orders_d,
+        |    'STD' AS filing_type, 0 AS frank FROM panel0 WHERE n_orders >= 3
+        |  UNION ALL
+        |  SELECT entity_id, year, revenue, NULL, 'EZ', 1
+        |  FROM panel0 WHERE n_orders BETWEEN 2 AND 5
+        |  UNION ALL
+        |  SELECT entity_id, year, revenue, NULL, 'PF', 2 FROM panel0),
+        |upgraded AS (
+        |  SELECT entity_id, year, revenue, orders_d, filing_type FROM forms
+        |  QUALIFY row_number() OVER (PARTITION BY entity_id, year
+        |    ORDER BY frank ASC) = 1),
+        |lagged AS (
+        |  SELECT entity_id, year, revenue, orders_d, filing_type,
+        |    lag(revenue) OVER w AS prior_revenue,
+        |    lag(orders_d) OVER w AS prior_orders,
+        |    year - lag(year) OVER w AS gap
+        |  FROM upgraded WINDOW w AS (PARTITION BY entity_id ORDER BY year)),
+        |trended AS (
+        |  SELECT entity_id, year, filing_type,
+        |    CASE WHEN revenue IS NULL OR prior_revenue IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR revenue <= 0 OR prior_revenue <= 0 THEN NULL
+        |         ELSE pow(revenue / prior_revenue, 1.0 / gap) - 1 END AS rev_cagr,
+        |    CASE WHEN orders_d IS NULL OR prior_orders IS NULL OR gap IS NULL
+        |           OR gap <= 0 OR orders_d <= 0 OR prior_orders <= 0 THEN NULL
+        |         ELSE pow(orders_d / prior_orders, 1.0 / gap) - 1 END AS ord_cagr
+        |  FROM lagged),
+        |inds AS (
+        |  SELECT t.entity_id, t.year, t.filing_type, rev_cagr,
+        |    CASE WHEN rev_cagr IS NULL THEN NULL
+        |         WHEN rev_cagr >= 0.10 THEN 0.0
+        |         WHEN rev_cagr <= -0.30 THEN 1.0
+        |         ELSE (0.10 - rev_cagr) / 0.40 END AS i_rev,
+        |    CASE WHEN ord_cagr IS NULL THEN NULL
+        |         WHEN ord_cagr >= 0.10 THEN 0.0
+        |         WHEN ord_cagr <= -0.50 THEN 1.0
+        |         ELSE (0.10 - ord_cagr) / 0.60 END AS i_ord,
+        |    CASE WHEN s.c_acctbal IS NULL THEN NULL
+        |         WHEN s.c_acctbal >= 5000 THEN 0.0
+        |         WHEN s.c_acctbal <= -500 THEN 1.0
+        |         ELSE (5000 - s.c_acctbal) / 5500 END AS i_bal
+        |  FROM trended t JOIN seeds s ON t.entity_id = s.c_custkey),
+        |doms AS (
+        |  SELECT entity_id, year, filing_type, rev_cagr, i_rev, i_ord, i_bal,
+        |    CASE WHEN (CASE WHEN i_rev IS NOT NULL THEN 0.5 ELSE 0 END
+        |             + CASE WHEN i_ord IS NOT NULL THEN 0.5 ELSE 0 END) > 0
+        |      THEN (CASE WHEN i_rev IS NOT NULL THEN i_rev * 0.5 ELSE 0 END
+        |          + CASE WHEN i_ord IS NOT NULL THEN i_ord * 0.5 ELSE 0 END)
+        |         / (CASE WHEN i_rev IS NOT NULL THEN 0.5 ELSE 0 END
+        |          + CASE WHEN i_ord IS NOT NULL THEN 0.5 ELSE 0 END) * 100
+        |      ELSE NULL END AS dom_trend,
+        |    CASE WHEN i_bal IS NOT NULL THEN i_bal * 1.0 / 1.0 * 100 ELSE NULL END AS dom_balance
+        |  FROM inds),
+        |comp AS (
+        |  SELECT entity_id, year, filing_type, rev_cagr,
+        |    (CASE WHEN i_rev IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN i_ord IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN i_bal IS NOT NULL THEN 1 ELSE 0 END) AS n_indicators,
+        |    CASE WHEN (CASE WHEN dom_trend IS NOT NULL THEN 0.5 ELSE 0 END
+        |             + CASE WHEN dom_balance IS NOT NULL THEN 0.5 ELSE 0 END) > 0
+        |      THEN (CASE WHEN dom_trend IS NOT NULL THEN dom_trend * 0.5 ELSE 0 END
+        |          + CASE WHEN dom_balance IS NOT NULL THEN dom_balance * 0.5 ELSE 0 END)
+        |         / (CASE WHEN dom_trend IS NOT NULL THEN 0.5 ELSE 0 END
+        |          + CASE WHEN dom_balance IS NOT NULL THEN 0.5 ELSE 0 END) * 1.0
+        |      ELSE NULL END AS raw_composite
+        |  FROM doms),
+        |scored AS (
+        |  SELECT entity_id, year, filing_type,
+        |    CASE WHEN rev_cagr IS NOT NULL AND rev_cagr <= -0.5
+        |          AND composite IS NOT NULL
+        |         THEN greatest(composite, 65.0) ELSE composite END AS final
+        |  FROM (SELECT *,
+        |    CASE WHEN n_indicators >= 2 THEN raw_composite ELSE NULL END AS composite
+        |    FROM comp)),
+        |latest AS (
+        |  SELECT entity_id, year, filing_type, final,
+        |    CASE WHEN final IS NULL THEN 'Unknown'
+        |         WHEN final < 20 THEN 'Healthy'
+        |         WHEN final < 40 THEN 'Watch'
+        |         WHEN final < 60 THEN 'Elevated'
+        |         WHEN final < 80 THEN 'High'
+        |         ELSE 'Severe' END AS risk_category
+        |  FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY entity_id ORDER BY year DESC) = 1),
+        |yrs AS (SELECT entity_id, COUNT(*) AS n_years FROM scored GROUP BY 1)
+        |SELECT s.c_custkey AS entity_id, y.n_years, l.year, l.filing_type,
+        |  round(l.final, 4) AS final_score,
+        |  COALESCE(l.risk_category, 'NoData') AS risk_category
+        |FROM seeds s
+        |LEFT JOIN latest l ON s.c_custkey = l.entity_id
+        |LEFT JOIN yrs y ON s.c_custkey = y.entity_id
+        |ORDER BY entity_id""".stripMargin,
+
     // the full lifecycle composition: panel -> usable-year fallback ->
     // nation-average fill -> inactive gate -> cliff+floor scoring ->
     // master integrate -> category distribution
