@@ -70,4 +70,32 @@ class AudioHashSpec extends SparkSuite {
     // different-base signals have different lengths and waveforms
     assert(!pairs.contains((1L, 2L)))
   }
+
+  test("banded recall law over audio fingerprints: hamming <= 3 exact, 4 can miss") {
+    // audio fingerprints share the image dHash band shape (4 x 16-bit
+    // ints through the same phashPairs join), so they inherit the same
+    // pigeonhole claim — pinned here over random fingerprints rather
+    // than only the planted WAV corpus
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(300)
+      .withInitialSeed(org.scalacheck.rng.Seed(11L))
+    val fp = Gen.listOfN(4, Gen.chooseNum(0, 0xffff)).map(_.toArray)
+    val upTo3Flips = Gen.choose(0, 3).flatMap(k => Gen.pick(k, 0 until 64))
+    val recall = Prop.forAll(fp, upTo3Flips) { (a, pos) =>
+      val b = a.clone()
+      pos.foreach(p => b(p / 16) ^= 1 << (p % 16))
+      (0 until 4).exists(i => a(i) == b(i))
+    }
+    val r1 = SCTest.check(params, recall)
+    assert(r1.passed, s"recall law failed: ${r1.status}")
+    val adversarial = Prop.forAll(fp, Gen.listOfN(4, Gen.chooseNum(0, 15))) {
+      (a, offs) =>
+        val b = a.clone()
+        offs.zipWithIndex.foreach { case (o, i) => b(i) ^= 1 << o }
+        (0 until 4).forall(i => a(i) != b(i))
+    }
+    val r2 = SCTest.check(params, adversarial)
+    assert(r2.passed, s"adversarial miss law failed: ${r2.status}")
+  }
 }

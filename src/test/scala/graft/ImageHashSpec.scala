@@ -162,4 +162,37 @@ class ImageHashSpec extends SparkSuite {
       assert(pairs.contains((a, b)), s"missing identical pair ($a, $b)")
     }
   }
+
+  test("banded recall law: hamming <= 3 collides in >= 1 band; 1 flip per band misses") {
+    // the pigeonhole boundary behind phashPairs' maxHamming <= 3 guard,
+    // pinned over RANDOM fingerprints (the planted-corpus tests above
+    // only exercise the fixtures' hamming distribution): <= 3 flipped
+    // bits cannot touch all 4 of the 16-bit bands, so the banded
+    // equi-join's candidate set provably contains every such pair...
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(300)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L))
+    val fp = Gen.listOfN(4, Gen.chooseNum(0, 0xffff)).map(_.toArray)
+    val upTo3Flips = Gen.choose(0, 3).flatMap(k => Gen.pick(k, 0 until 64))
+    val recall = Prop.forAll(fp, upTo3Flips) { (a, pos) =>
+      val b = a.clone()
+      pos.foreach(p => b(p / 16) ^= 1 << (p % 16))
+      (0 until 4).exists(i => a(i) == b(i))
+    }
+    val r1 = SCTest.check(params, recall)
+    assert(r1.passed, s"recall law failed: ${r1.status}")
+    // ...and the boundary is TIGHT: an adversarial hamming-4 pair with
+    // one flip in each band shares no band, so the join may miss it —
+    // which is why the guard rejects maxHamming > 3 instead of
+    // silently under-recalling
+    val adversarial = Prop.forAll(fp, Gen.listOfN(4, Gen.chooseNum(0, 15))) {
+      (a, offs) =>
+        val b = a.clone()
+        offs.zipWithIndex.foreach { case (o, i) => b(i) ^= 1 << o }
+        (0 until 4).forall(i => a(i) != b(i))
+    }
+    val r2 = SCTest.check(params, adversarial)
+    assert(r2.passed, s"adversarial miss law failed: ${r2.status}")
+  }
 }
