@@ -74,6 +74,19 @@ object Bench {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+      // The driver records only the LAST ~2000 chars of stdout and tries
+      // to json-parse the metric line it finds there; the full per-query
+      // line above is ~4KB, so it has arrived truncated (and unparseable)
+      // every round. Emit a compact summary LAST — headline total, group
+      // subtotals, and the top-15 most expensive queries — sized to
+      // survive the tail window intact. Complete per-query data lives in
+      // the line above and in target/bench.json.
+      val topQ = queries.sortBy(-_._2).take(15)
+      val compact =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${queries.size},""" +
+          f""""queries_sec":${queries.map(_._2).sum}%.3f,"shared_sec":${shared.map(_._2).sum}%.3f,""" +
+          s""""queries_top15_only":true,"queries":${js(topQ)},"sf":"$sfDir"}"""
+      println(compact)
     } finally {
       graft.core.SharedFrames.clear()
       graft.core.Tables.cacheScans = false
