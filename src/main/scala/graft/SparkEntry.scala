@@ -22,6 +22,7 @@ object SparkEntry {
     SimilarityQueries,
     CorpusQueries,
     SamplingQueries,
+    TokenizerQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

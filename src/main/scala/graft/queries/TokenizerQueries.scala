@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Bpe
+
+/** Tokenizer-training queries: the iterative BPE merge loop
+  * ([[graft.ops.Bpe]]) and its apply side. Extends the single-step
+  * `q_bpe_pairs` candidate count into the full trainer a data pipeline
+  * runs before tokenizing a corpus.
+  *
+  * Oracle discipline: the Spark side iterates `Bpe.Rounds` times; the
+  * DuckDB oracle replays the SAME rounds as unrolled CTE stages (pair
+  * count -> 1-row argmax -> replace), exactly the unrolled-fixpoint
+  * pattern `q_pagerank` / `q_embed_pca` / `q_communities` use. Every
+  * count is an exact integer and the merge apply is deterministic
+  * left-to-right string replacement, so the replay is bit-for-bit.
+  */
+object TokenizerQueries extends QueryGroup {
+
+  /** Trained merge table: one row per round. */
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = Bpe.trained(s, dir)
+    s.createDataFrame(merges)
+      .select(col("round"), col("w1"), col("w2"), col("n"),
+        concat(col("w1"), col("w2")).as("merged"))
+      .orderBy("round")
+  }
+
+  /** Apply side: per-doc token/symbol/char counts under the trained
+    * merges. The vocab-bounded (word -> n_syms) lookup broadcasts; the
+    * corpus pass is one explode + broadcast join + doc aggregation. */
+  private def bpeSegment(s: SparkSession, dir: String): DataFrame = {
+    val (_, repr) = Bpe.trained(s, dir)
+    val seg = repr.select(col("word"),
+      size(split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\["))
+        .as("n_syms"),
+      length(col("word")).as("n_chars"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("n_syms").as("n_symbols"),
+        sum("n_chars").as("n_chars"))
+      .withColumn("chars_per_symbol",
+        round(col("n_chars").cast("double") / col("n_symbols"), 6))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> bpeTrain,
+    "q_bpe_segment" -> bpeSegment,
+  )
+
+  override def shared: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("bpe_repr" -> ((s, dir) => Bpe.trained(s, dir)._2))
+
+  /** WITH-prefix replaying the training loop: wc -> r0, then per round
+    * p{r} (pair counts) / b{r} (argmax) / r{r+1} (merge applied). */
+  private def bpeSqlPrefix(rounds: Int): String = {
+    val head =
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS cnt FROM tok WHERE word <> '' GROUP BY 1),
+        |r0 AS (
+        |  SELECT word, cnt,
+        |    '[' || array_to_string(
+        |      list_transform(generate_series(1, length(word)), i -> word[i]),
+        |      '][') || ']' AS repr
+        |  FROM wc)""".stripMargin
+    val stages = (0 until rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT syms[i] AS w1, syms[i+1] AS w2, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, string_split(repr[2:-2], '][') AS syms FROM r$r),
+         |       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT w1, w2, n FROM p$r ORDER BY n DESC, w1, w2 LIMIT 1),
+         |r${r + 1} AS (
+         |  SELECT word, cnt,
+         |    replace(repr, '[' || b.w1 || '][' || b.w2 || ']',
+         |                  '[' || b.w1 || b.w2 || ']') AS repr
+         |  FROM r$r, b$r b)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  override def oracle: Map[String, String] = {
+    val k = Bpe.Rounds
+    val mergeRows = (0 until k)
+      .map(r => s"SELECT $r AS round, w1, w2, n, w1 || w2 AS merged FROM b$r")
+      .mkString("\nUNION ALL ")
+    Map(
+      "q_bpe_train" ->
+        s"""${bpeSqlPrefix(k)}
+           |SELECT * FROM ($mergeRows) ORDER BY round""".stripMargin,
+
+      "q_bpe_segment" ->
+        s"""${bpeSqlPrefix(k)},
+           |seg AS (
+           |  SELECT word, len(string_split(repr[2:-2], '][')) AS n_syms,
+           |         length(word) AS n_chars
+           |  FROM r$k),
+           |dt AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents)
+           |SELECT doc_id,
+           |  count(*) AS n_tokens,
+           |  CAST(sum(n_syms) AS BIGINT) AS n_symbols,
+           |  CAST(sum(s.n_chars) AS BIGINT) AS n_chars,
+           |  round(CAST(sum(s.n_chars) AS DOUBLE) / CAST(sum(n_syms) AS BIGINT), 6)
+           |    AS chars_per_symbol
+           |FROM dt JOIN seg s USING (word)
+           |WHERE word <> ''
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    )
+  }
+}
