@@ -303,6 +303,30 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** GPT-3-style exact n-gram decontamination, next to the winnow-based
+    * `q_contamination`: a corpus doc is flagged when ANY of its word
+    * 13-grams appears verbatim in the benchmark set (doc_id < 10, the
+    * registered-benchmark convention) — the overlap rule the GPT-3/PaLM
+    * reports applied, where winnowing is the sampled/cheaper screen.
+    * Shape: benchmark grams are a broadcast probe (eval suites are tiny);
+    * the corpus side is one explode + broadcast left join + one doc_id
+    * aggregation — a single corpus pass, no shuffle on the gram space. */
+  private val ContamN = 13
+  private def contaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    val grams = graft.ops.Dedup.shingles(Tables.documents(s, dir), n = ContamN)
+    val bench = grams.filter(col("doc_id") < 10)
+      .select("shingle").distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+      .withColumn("frac",
+        round(col("n_matched").cast("double") / col("n_grams"), 6))
+      .withColumn("contaminated", col("n_matched") >= 1)
+      .orderBy("doc_id")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "corpus_records" -> sharedRecords,
   )
@@ -319,10 +343,32 @@ object CorpusQueries extends QueryGroup {
     "q_corpus_split" -> split,
     "q_corpus_stats" -> stats,
     "q_contamination" -> contamination,
+    "q_contamination_ngram" -> contaminationNgram,
     "q_dedup_apply" -> dedupApply,
   )
 
   override def oracle: Map[String, String] = Map(
+    // distinct 13-grams per doc (mirrors Dedup.shingles), benchmark =
+    // doc_id < 10; sum() promotion cast back to BIGINT for the hash gate
+    "q_contamination_ngram" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+         |  FROM documents),
+         |idx AS (SELECT doc_id, words,
+         |    unnest(generate_series(1, len(words) - ${ContamN - 1})) AS i
+         |  FROM w),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    array_to_string(words[i:i+${ContamN - 1}], ' ') AS shingle
+         |  FROM idx),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+         |j AS (SELECT s.doc_id, s.shingle,
+         |    CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM sh s LEFT JOIN bench b USING (shingle) WHERE s.doc_id >= 10)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(hit) AS BIGINT) AS n_matched,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS frac,
+         |  sum(hit) >= 1 AS contaminated
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // record split mirrors q_text_split's consumed-delimiter parse; the
     // oracle marks first occurrences with a window (semantically identical
     // to Spark's min-struct aggregation) and reassembles with an ordered

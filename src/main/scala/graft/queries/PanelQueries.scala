@@ -265,6 +265,37 @@ object PanelQueries extends QueryGroup {
       .orderBy("entity_id", "year")
   }
 
+  /** W-family extension: per-entity OLS revenue trend in EXACT integer
+    * arithmetic — slope numerator n·Σxy − Σx·Σy and denominator
+    * n·Σx² − (Σx)² over (x = year, y = revenue cents) stay in
+    * DECIMAL(38,0)/HUGEINT (float Σxy would sum in partition order), one
+    * deterministic double division at the end. The reference's trends are
+    * all two-point differences (`Hummingbird_Master_engine_990.py:1009`
+    * first-vs-last CAGR); the least-squares fit over EVERY year is the
+    * robust upgrade a real panel engine offers. Shape: the shared panel
+    * aggregate plus one entity-key aggregation. */
+  private def olsTrend(s: SparkSession, dir: String): DataFrame = {
+    val p = custPanel(s, dir).select(col("entity_id"), col("year"),
+      (col("revenue").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    p.groupBy("entity_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("year").cast("long")).as("sx"),
+        sum(col("cents").cast("decimal(38,0)")).as("sy"),
+        sum(col("year").cast("decimal(38,0)") * col("cents")).as("sxy"),
+        sum(col("year").cast("long") * col("year")).as("sxx"))
+      .filter(col("n") >= 2)
+      .select(col("entity_id"), col("n").cast("int").as("n_years"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .select(col("entity_id"), col("n_years"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("slope_cents"),
+        when(col("num") > 0, "up").when(col("num") < 0, "down")
+          .otherwise("flat").as("direction"))
+      .orderBy("entity_id")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cust_panel" -> custPanel,
   )
@@ -282,12 +313,37 @@ object PanelQueries extends QueryGroup {
     "q_rank_suite" -> rankSuite,
     "q_moving_avg" -> movingAvg,
     "q_ema" -> ema,
+    "q_ols_trend" -> olsTrend,
   )
 
   private def pivotCasesSql = pivotYears.map(y =>
     s"MAX(CASE WHEN year = $y THEN revenue END) AS revenue_$y").mkString(",\n  ")
 
   override def oracle: Map[String, String] = Map(
+    // exact-integer OLS: HUGEINT sums mirror Spark's DECIMAL(38,0); the
+    // numerator routes through VARCHAR (HUGEINT->DOUBLE direct cast
+    // double-rounds; string parsing is correctly rounded, the q_embed_proj
+    // pattern) — the denominator is small enough for a direct cast
+    "q_ols_trend" ->
+      s"""WITH p0 AS ($custPanelSql),
+         |p AS (SELECT entity_id, year,
+         |        CAST(CAST(revenue AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |      FROM p0),
+         |s AS (SELECT entity_id, count(*) AS n, sum(year) AS sx,
+         |        sum(CAST(cents AS HUGEINT)) AS sy,
+         |        sum(CAST(year AS HUGEINT) * cents) AS sxy,
+         |        sum(CAST(year AS BIGINT) * year) AS sxx
+         |      FROM p GROUP BY 1 HAVING count(*) >= 2),
+         |d AS (SELECT entity_id, CAST(n AS INTEGER) AS n_years,
+         |        n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+         |      FROM s)
+         |SELECT entity_id, n_years,
+         |  round(CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |    AS slope_cents,
+         |  CASE WHEN num > 0 THEN 'up' WHEN num < 0 THEN 'down'
+         |       ELSE 'flat' END AS direction
+         |FROM d ORDER BY entity_id""".stripMargin,
+
     // integer EMA weights 3^d * 4^(7-d); BIGINT/HUGEINT sums == Spark
     // DECIMAL sums; the (3/4)^d decay follows year distance (gap-aware)
     "q_ema" ->

@@ -462,7 +462,60 @@ object RelationalQueries extends QueryGroup {
       .orderBy("urgent_orderkey")
   }
 
+  /** A5 extension: per-group IQR outlier detection (Tukey fences) over
+    * per-customer total spend by nation — the data-quality monitor that
+    * flags anomalous records before they pollute a training aggregate.
+    * Exactness: spend sums become integer CENTS, and the quartile positions
+    * (n−1)·{0.25,0.75} have DYADIC fractional parts, so the interpolated
+    * quartiles — and therefore the q1−1.5·IQR / q3+1.5·IQR fences, exact
+    * multiples of 1/8 cent — are bit-identical across engines; the fence
+    * comparison never sits on a float boundary. Shape: one group
+    * aggregation (|nations| rows) broadcast back over the scan. */
+  private def groupOutliers(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)").cast("long").as("cents"))
+    val q = spend.groupBy("c_nationkey").agg(
+      expr("percentile(cents, 0.25)").as("q1"),
+      expr("percentile(cents, 0.75)").as("q3"))
+    spend.join(broadcast(q), Seq("c_nationkey"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .filter(col("cents") < col("lo") || col("cents") > col("hi"))
+      .select(col("o_custkey"), col("c_nationkey"),
+        (col("cents").cast("double") / 100).as("spend"),
+        round(col("lo") / 100, 6).as("lo_bound"),
+        round(col("hi") / 100, 6).as("hi_bound"),
+        when(col("cents") < col("lo"), "low").otherwise("high").as("side"))
+      .orderBy("o_custkey")
+  }
+
+  /** Benford first-digit audit over order totals — the classic financial
+    * anomaly screen (the reference's domain is 990 FINANCIAL filings;
+    * fabricated numbers drift from Benford's log distribution). First
+    * significant digit via the integer-cents string, never double
+    * formatting; exact counts; log10 appears only inside round(_, 6). */
+  private def benford(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val tot = o.agg(count(lit(1)).as("total"))
+    o.select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"),
+        round(col("n").cast("double") / col("total") -
+          log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("deviation"))
+      .orderBy("digit")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_outliers" -> groupOutliers,
+    "q_benford" -> benford,
     "q_range_join" -> rangeJoin,
     "q_salted_agg" -> saltedAgg,
     "q_multipass_match" -> multipassMatch,
@@ -494,6 +547,38 @@ object RelationalQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // dyadic quartile positions keep quantile_cont == Spark percentile
+    // bit-exact on integer cents; the fences are exact eighths of a cent
+    "q_group_outliers" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |q AS (SELECT c_nationkey,
+        |    quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.75) AS q3
+        |  FROM c GROUP BY 1),
+        |j AS (SELECT c.*, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM c JOIN q USING (c_nationkey))
+        |SELECT o_custkey, c_nationkey, CAST(cents AS DOUBLE) / 100 AS spend,
+        |  round(lo / 100, 6) AS lo_bound, round(hi / 100, 6) AS hi_bound,
+        |  CASE WHEN cents < lo THEN 'low' ELSE 'high' END AS side
+        |FROM j WHERE cents < lo OR cents > hi ORDER BY o_custkey""".stripMargin,
+
+    "q_benford" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |        count(*) AS n
+        |      FROM o GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM o)
+        |SELECT digit, n, round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS expected,
+        |  round(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 6)
+        |    AS deviation
+        |FROM g, t ORDER BY digit""".stripMargin,
+
     // the oracle states the range join declaratively (DuckDB plans its
     // own IEJoin); the Spark side must produce the identical match set
     // through the bucketized equi-join

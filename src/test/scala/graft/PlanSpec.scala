@@ -44,6 +44,22 @@ class PlanSpec extends SparkSuite {
       s"vocab lookup fell back to a shuffle join:\n${plan.take(1200)}")
   }
 
+  test("q_contamination_ngram: the benchmark gram set probes as broadcast") {
+    // the benchmark side is eval-suite-sized at any corpus scale; if it
+    // ever plans as SMJ the decontam pass shuffles the whole gram space
+    val plan = formatted("q_contamination_ngram")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      s"benchmark probe fell back to a shuffle join:\n${plan.take(1200)}")
+  }
+
+  test("q_group_outliers: the per-group fence frame joins as broadcast") {
+    // |groups| rows vs the full spend frame — a shuffle join here would
+    // re-exchange the corpus to look up 25 fence rows
+    val plan = formatted("q_group_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // the 100 TB shape: fact SMJ-joined to a selectively-filtered side too
     // big to broadcast — Spark injects a bloom filter from the filtered

@@ -128,6 +128,46 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("ListState spike monitor: final snapshot equals the batch rate-spike query") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graftspk").toFile.getAbsolutePath
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(conf)
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = graft.streaming.SpikeMonitor.spikes(EventStream.source(spark, sf))
+      val q = out.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("spike_out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // rows at the per-key max hours_seen are the complete snapshot (a
+      // key's last input batch has merged every hour of its data)
+      val all = spark.table("spike_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getInt(5)))
+      val maxSeen = all.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._6).max }
+      val got = all.filter(r => r._6 == maxSeen(r._1))
+        .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+      val exp = graft.queries.EventsQueries.queries("q_rate_spikes")(spark, sf)
+        .collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      assert(exp.nonEmpty)
+      assert(got == exp,
+        s"spike monitor diverged: missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
   test("chained stateful query (join -> tumbling agg) equals the batch twin") {
     val tmp = Files.createTempDirectory("graftjt").toFile.getAbsolutePath
     val agg = EventStream.joinThenTumbling(EventStream.source(spark, sf))
