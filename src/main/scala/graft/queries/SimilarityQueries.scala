@@ -157,6 +157,27 @@ object SimilarityQueries extends QueryGroup {
       .toDF()
   }
 
+  /** REAL PNG pixel decode under an oracle gate ([[graft.ops.Png]]):
+    * every doc_id < 600 is encoded as a PNG by the independent fixture
+    * encoder ([[graft.ops.PngFixtures]] — own filtered-scanline writer +
+    * Deflater zlib stream, per-row filter type cycling through ALL FIVE
+    * predictors, gray/RGB/RGBA color types by doc_id % 3), then decoded
+    * back by the real chunk walk + CRC verify + Inflater + un-filter
+    * chain and dHashed. The SQL oracle recomputes every pixel, cell sum,
+    * and band bit from the channel formulas without touching a byte —
+    * agreement pins signature/CRC/inflate/all-five-filters/luma/dHash
+    * end to end. Corpus bounded (doc_id < 600) only to bound the
+    * oracle's per-pixel replay; the Spark path is per-partition. */
+  private def mmPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 600).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.PngFixtures.synthPng(id), "image"))
+      .toDF()
+    graft.ops.Png.phash(s, media).toDF().orderBy("doc_id")
+  }
+
   /** REAL pixel decode under an oracle gate: LZW-decompress frame 0,
     * map the palette to integer luma, box-downscale to the 9x8 dHash
     * grid, emit the 64 comparison bits as four 16-bit bands. The SQL
@@ -407,6 +428,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_features" -> mmFeatures,
     "q_mm_frames" -> mmFrames,
     "q_mm_gif" -> mmGif,
+    "q_mm_png" -> mmPng,
     "q_mm_phash" -> mmPhash,
     "q_mm_phash_dup" -> mmPhashDup,
     "q_mm_frame_px" -> mmFramePx,
@@ -827,6 +849,49 @@ object SimilarityQueries extends QueryGroup {
         |  CAST((doc_id + 7 * i) % 48 + 1 AS INTEGER) AS frame_h,
         |  CAST((doc_id + i) % 500 AS INTEGER) AS delay_cs
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the whole PNG pipeline (chunk walk -> CRC -> inflate -> un-filter
+    // x5 -> luma -> 9x8 cells -> dHash bands) replayed from the channel
+    // formulas without parsing a byte
+    "q_mm_png" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 AS m,
+        |    17 + doc_id % 16 AS w, 14 + doc_id % 13 AS h
+        |  FROM documents WHERE doc_id < 600),
+        |xs AS (SELECT unnest(generate_series(0, 32)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 26)) AS y),
+        |pix AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    CASE WHEN m = 0 THEN (7 * doc_id + 3 * x + 11 * y + x * y) % 256
+        |         ELSE (299 * ((doc_id + 5 * x + 2 * y) % 256)
+        |             + 587 * ((3 * doc_id + x + 7 * y) % 256)
+        |             + 114 * ((doc_id + x * y) % 256)) // 1000 END AS g
+        |  FROM d CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h),
+        |cells AS (
+        |  SELECT doc_id, (y * 8) // h AS r, (x * 9) // w AS c,
+        |    CAST(sum(g) AS BIGINT) AS cs, COUNT(*) AS cn
+        |  FROM pix GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.r * 8 + a.c AS idx,
+        |    CASE WHEN a.cs * b.cn < b.cs * a.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |bands AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p0,
+        |    CAST(sum(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p1,
+        |    CAST(sum(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p2,
+        |    CAST(sum(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p3
+        |  FROM bits GROUP BY doc_id),
+        |gs AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS gray_sum
+        |  FROM pix GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN 2 ELSE 6 END AS INTEGER)
+        |    AS color_type,
+        |  CAST(w * h AS BIGINT) AS n_pixels, gray_sum, p0, p1, p2, p3
+        |FROM d JOIN gs USING (doc_id) JOIN bands USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the whole pixel pipeline (LZW decode -> palette luma -> 9x8 cells
     // -> dHash bands) replayed from the fixture formulas without parsing
