@@ -11,7 +11,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def groups: Seq[QueryGroup] = Seq(
+  private[graft] def groups: Seq[QueryGroup] = Seq(
     CoreQueries,
     RelationalQueries,
     PanelQueries,

@@ -168,6 +168,48 @@ object Graph {
     dist
   }
 
+  /** k-core of an undirected pair frame — iterative peeling: drop every
+    * node with degree < k, recompute degrees over the surviving subgraph,
+    * repeat. The surviving nodes are the graph's dense backbone; for the
+    * near-dup graph that separates true duplicate CLIQUES (every member
+    * near-dups every other — high core number) from star/chain artifacts
+    * where one hub doc links many otherwise-unrelated docs (leaves peel
+    * off in round one). CC + triangles + k-core are the standard trio:
+    * reachability, local density, and global density.
+    *
+    * FIXED round horizon like [[labelPropagation]]: peeling converges in
+    * at most |V| rounds, but a data-dependent stop ("no node removed")
+    * can't replay as unrolled SQL; a fixed horizon can, bit-for-bit —
+    * and equality with the oracle holds at ANY horizon because both
+    * engines run exactly the same rounds. Per round: one src-key degree
+    * aggregation + two semi-joins restricting the edge list; lineage
+    * truncated per round like the other iterative ops. At 100 TB each
+    * round only shrinks the edge frame, so round cost is monotonically
+    * decreasing.
+    *
+    * @param pairs undirected pair frame with BIGINT `id_a`, `id_b`
+    * @return (doc_id, core_deg) for nodes surviving `iters` peels;
+    *         core_deg = degree within the surviving subgraph
+    */
+  def kCore(pairs: DataFrame, k: Int, iters: Int,
+            reliable: Boolean = false): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
+    var edges = fwd.unionByName(rev).distinct()
+    for (_ <- 1 to iters) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val next = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      edges = cp.round(next)
+    }
+    edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Per-node triangle participation counts over an undirected pair frame
     * — the local clustering signal for the near-dup graph (a doc in many
     * triangles sits inside a densely duplicated clique; a bridge doc in

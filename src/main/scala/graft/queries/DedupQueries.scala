@@ -293,6 +293,7 @@ object DedupQueries extends QueryGroup {
     "q_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
     "q_communities" -> communities,
+    "q_kcore" -> kcore,
     "q_dedup_spans" -> dedupSpans,
     "q_span_cut" -> spanCut,
     "q_contamination_hops" -> contaminationHops,
@@ -508,6 +509,31 @@ object DedupQueries extends QueryGroup {
   private def triangles(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.triangleCounts(sharedJaccardPairs(s, dir))
       .orderBy("doc_id")
+
+  private val CoreK = 2
+  private val CoreIters = 4
+
+  /** k-core backbone of the verified near-dup pair graph
+    * ([[graft.ops.Graph.kCore]], k={{CoreK}}): the global-density member
+    * of the graph trio — CC says reachable, triangles say locally dense,
+    * k-core says the node survives after every sparse appendage peels
+    * off. Fixed {{CoreIters}} peeling rounds replayed as unrolled SQL
+    * stages (equality holds at any horizon: both engines run the same
+    * rounds). */
+  private def kcore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.kCore(sharedJaccardPairs(s, dir), CoreK, CoreIters)
+      .orderBy("doc_id")
+
+  /** Unrolled peeling rounds e1..e`n` over the CTE `e0` (mirrors
+    * Graph.kCore: degree filter >= `k`, then restrict both endpoints). */
+  private def kcoreRoundsSql(n: Int, k: Int): String =
+    (1 to n).map { r =>
+      s"""k$r AS (SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$r AS (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r a ON e.src = a.src
+         |  JOIN k$r b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
 
   /** Exact duplicated-substring spans ([[Dedup.duplicatedSpans]]) with
     * 8-token seeds: the ExactSubstr complement of the whole-document
@@ -1178,6 +1204,25 @@ object DedupQueries extends QueryGroup {
          |${lpRoundsSql(LpIters)}
          |SELECT doc_id, label AS community
          |FROM l$LpIters ORDER BY doc_id""".stripMargin,
+
+    // iterative peeling, CoreIters unrolled rounds; equality holds at any
+    // horizon because both engines run exactly the same rounds
+    "q_kcore" ->
+      s"""$shingleSqlPrefix,
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |e0 AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |       UNION SELECT id_b, id_a FROM jp),
+         |${kcoreRoundsSql(CoreIters, CoreK)}
+         |SELECT src AS doc_id, count(*) AS core_deg
+         |FROM e$CoreIters GROUP BY src ORDER BY doc_id""".stripMargin,
 
     // canonical-orientation triangle enumeration: jp rows carry id_a < id_b,
     // so the wedge+closure joins yield each triangle once with a < b < c

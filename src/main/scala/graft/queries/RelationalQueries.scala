@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Scoring, Tables}
@@ -513,7 +513,53 @@ object RelationalQueries extends QueryGroup {
       .orderBy("digit")
   }
 
+  /** Pearson correlation matrix over the four lineitem measures in ONE
+    * aggregation pass — the feature-redundancy screen that decides which
+    * quality signals are worth keeping (two 0.98-correlated features are
+    * one feature). Exactness: measures become integer cents; the pass
+    * collects n, Σxᵢ and all upper-triangle Σxᵢxⱼ as DECIMAL(38,0)
+    * (HUGEINT in the oracle), so the correlation numerator
+    * n·Σxᵢxⱼ − Σxᵢ·Σxⱼ and both variance factors are EXACT integers;
+    * IEEE doubles appear only in the final sqrt/divide (routed through
+    * VARCHAR on the DuckDB side per the >2^63 correct-rounding rule).
+    * Scale shape: d=4 measures → d+d(d+1)/2 horizontal sums in one
+    * map-side-combined aggregation over the scan; the result is ONE row
+    * exploded to the 6 pair rows — nothing shuffles but the final agg,
+    * at any corpus size. Headroom: n·Σx² ≈ 10³⁶ at 10¹² rows — inside
+    * DECIMAL(38,0)/HUGEINT. */
+  private def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ms = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+      "l_discount" -> "disc", "l_tax" -> "tax")
+    val li = Tables.lineitem(s, dir).select(
+      ms.map { case (c, a) =>
+        (col(c).cast("decimal(18,2)") * 100).cast("decimal(38,0)").as(a)
+      }: _*)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+        ms.map { case (_, a) => sum(col(a)).as(s"s_$a") } ++
+        (for { i <- ms.indices; j <- i until ms.size } yield {
+          val (ai, aj) = (ms(i)._2, ms(j)._2)
+          sum((col(ai) * col(aj)).cast("decimal(38,0)")).as(s"p_${ai}_$aj")
+        })
+    val g = li.agg(aggs.head, aggs.tail: _*)
+    def varOf(a: String): Column =
+      col(s"p_${a}_$a") * col("n") - col(s"s_$a") * col(s"s_$a")
+    val pairRows = for { i <- ms.indices; j <- (i + 1) until ms.size } yield {
+      val (ai, aj) = (ms(i)._2, ms(j)._2)
+      val num = col(s"p_${ai}_$aj") * col("n") - col(s"s_$ai") * col(s"s_$aj")
+      struct(lit(ai).as("m_a"), lit(aj).as("m_b"),
+        col("n").cast("long").as("n"),
+        when(varOf(ai) === 0 || varOf(aj) === 0, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") /
+            (sqrt(varOf(ai).cast("double")) * sqrt(varOf(aj).cast("double"))), 6))
+          .as("corr"))
+    }
+    g.select(explode(array(pairRows: _*)).as("r")).select("r.*")
+      .orderBy("m_a", "m_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix" -> corrMatrix,
     "q_group_outliers" -> groupOutliers,
     "q_benford" -> benford,
     "q_range_join" -> rangeJoin,
@@ -547,6 +593,35 @@ object RelationalQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // exact HUGEINT moment sums; doubles only in the final sqrt/divide,
+    // routed through VARCHAR (direct HUGEINT->DOUBLE double-rounds >2^63)
+    "q_corr_matrix" -> {
+      val ms = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+        "l_discount" -> "disc", "l_tax" -> "tax")
+      val cents = ms.map { case (c, a) =>
+        s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS HUGEINT) AS $a" }
+      val sums = ms.map { case (_, a) => s"sum($a) AS s_$a" }
+      val prods = for { i <- ms.indices; j <- i until ms.size } yield {
+        val (ai, aj) = (ms(i)._2, ms(j)._2)
+        s"sum($ai * $aj) AS p_${ai}_$aj"
+      }
+      def dbl(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+      def varOf(a: String) = s"(p_${a}_$a * n - s_$a * s_$a)"
+      val pairs = for { i <- ms.indices; j <- (i + 1) until ms.size } yield {
+        val (ai, aj) = (ms(i)._2, ms(j)._2)
+        s"""SELECT '$ai' AS m_a, '$aj' AS m_b, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN ${varOf(ai)} = 0 OR ${varOf(aj)} = 0 THEN NULL
+           |    ELSE round(${dbl(s"(p_${ai}_$aj * n - s_$ai * s_$aj)")}
+           |      / (sqrt(${dbl(varOf(ai))}) * sqrt(${dbl(varOf(aj))})), 6)
+           |  END AS corr FROM m""".stripMargin
+      }
+      s"""WITH c AS (SELECT ${cents.mkString(", ")} FROM lineitem),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, ${sums.mkString(", ")},
+         |  ${prods.mkString(", ")} FROM c)
+         |${pairs.mkString("\nUNION ALL\n")}
+         |ORDER BY m_a, m_b""".stripMargin
+    },
+
     // dyadic quartile positions keep quantile_cont == Spark percentile
     // bit-exact on integer cents; the fences are exact eighths of a cent
     "q_group_outliers" ->

@@ -418,7 +418,68 @@ object TextQueries extends QueryGroup {
         length(col("record")).as("n_chars"))
       .orderBy("doc_id", "part_idx")
 
+  private val PcRounds = 3
+  private val PcFeats = Seq("x0", "x1", "x2", "x3", "x4")
+
+  /** Integer feature frame for the perceptron: bias + the four
+    * language-stopword hit counts `q_text_langid` already pins
+    * cross-engine. Label y = +1 for English, −1 otherwise. */
+  private def perceptronFeats(s: SparkSession, dir: String): DataFrame = {
+    val pats = Seq(
+      """\b(the|a|and|is|of|to)\b""", """\b(der|die|das|und|ist)\b""",
+      """\b(le|la|les|et|est)\b""", """\b(el|los|las|es|y)\b""")
+    Tables.documents(s, dir).select(
+      Seq(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x0")) ++
+        pats.zipWithIndex.map { case (p, i) =>
+          size(regexp_extract_all(col("text"), lit(p), lit(0)))
+            .cast("long").as(s"x${i + 1}")
+        }: _*)
+  }
+
+  /** TRAINED quality/language gate: a batch perceptron
+    * ([[graft.ops.Perceptron]]) learns the en-vs-rest decision from the
+    * stopword-hit features in {{PcRounds}} exact-integer rounds — the
+    * fastText-shape classifier gate next to the HAND-written heuristics
+    * (`q_text_langid` is the authored rule; this is the learned one).
+    * Each round is one map-side-combined aggregation; only the 5-long
+    * weight vector reaches the driver and re-enters as literals, so the
+    * rounds replay bit-for-bit as unrolled SQL stages. */
+  private def perceptronGate(s: SparkSession, dir: String): DataFrame = {
+    val f = graft.core.SharedFrames.cached(s, s"pcfeats:$dir") {
+      perceptronFeats(s, dir)
+    }
+    val w = graft.ops.Perceptron.train(f, PcFeats, "y", PcRounds).last
+    val m = graft.ops.Perceptron.margin(PcFeats, w)
+    f.select(col("doc_id"), col("y"), m.as("margin"),
+        (m > 0).as("pred_en"), ((m > 0) === (col("y") === 1L)).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** w·x over the oracle CTE alias `w`. */
+  private def pcMarginSql: String =
+    PcFeats.zipWithIndex.map { case (x, i) => s"w.w$i*$x" }.mkString(" + ")
+
+  /** Unrolled perceptron rounds w1..w`n` over the feature CTE `f`
+    * (mirrors Perceptron.train; round 1 is the plain class sum because
+    * w0 = 0 misclassifies every row). */
+  private def pcRoundsSql(n: Int): String = {
+    val r1 = s"""w1 AS (SELECT ${PcFeats.zipWithIndex.map { case (x, i) =>
+      s"CAST(coalesce(sum(y*$x), 0) AS BIGINT) AS w$i" }.mkString(", ")} FROM f)"""
+    val rest = (2 to n).map { k =>
+      s"""u$k AS (SELECT ${PcFeats.zipWithIndex.map { case (x, i) =>
+        s"CAST(coalesce(sum(CASE WHEN y*($pcMarginSql) <= 0 THEN y*$x ELSE 0 END), 0) AS BIGINT) AS d$i"
+      }.mkString(", ")}
+         |  FROM f, w${k - 1} w),
+         |w$k AS (SELECT ${PcFeats.indices.map(i =>
+        s"w.w$i + u.d$i AS w$i").mkString(", ")} FROM w${k - 1} w, u$k u)""".stripMargin
+    }
+    (r1 +: rest).mkString(",\n")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perceptron_gate" -> perceptronGate,
     "q_text_split" -> textSplitRecords,
     "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
@@ -441,6 +502,25 @@ object TextQueries extends QueryGroup {
   override def oracle: Map[String, String] = Map(
     // fixed-point LM scoring: integer // keeps every term exact, the HUGEINT
     // sum mirrors Spark's long sum, and bucketing compares integer-scaled
+    // batch perceptron, PcRounds unrolled rounds; ALL integer (update =
+    // class-sum of misclassified rows), margin-0 counts as wrong so the
+    // w0=0 first round is the plain class sum both engines agree on
+    "q_perceptron_gate" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+         |    CAST(1 AS BIGINT) AS x0,
+         |    CAST(len(regexp_extract_all(text, '\\b(the|a|and|is|of|to)\\b')) AS BIGINT) AS x1,
+         |    CAST(len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS BIGINT) AS x2,
+         |    CAST(len(regexp_extract_all(text, '\\b(le|la|les|et|est)\\b')) AS BIGINT) AS x3,
+         |    CAST(len(regexp_extract_all(text, '\\b(el|los|las|es|y)\\b')) AS BIGINT) AS x4
+         |  FROM documents),
+         |${pcRoundsSql(PcRounds)}
+         |SELECT doc_id, y, CAST($pcMarginSql AS BIGINT) AS margin,
+         |  ($pcMarginSql) > 0 AS pred_en,
+         |  (($pcMarginSql) > 0) = (y = 1) AS correct
+         |FROM f, w$PcRounds w ORDER BY doc_id""".stripMargin,
+
     // thresholds -- no float enters until the displayed score
     "q_lm_score" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),

@@ -42,12 +42,9 @@ class QueriesSpec extends SparkSuite {
   }
 
   test("query names are unique across groups (no silent Map overwrite)") {
-    val all = Seq(
-      queries.CoreQueries, queries.RelationalQueries, queries.PanelQueries,
-      queries.EngineQueries, queries.EventsQueries, queries.TextQueries,
-      queries.DedupQueries, queries.SimilarityQueries, queries.CorpusQueries,
-      queries.SamplingQueries)
-    val names = all.flatMap(_.queries.keys)
+    // derived from SparkEntry.groups (not a hand-copied list) so a newly
+    // added group can't silently fall out of the uniqueness check
+    val names = SparkEntry.groups.flatMap(_.queries.keys)
     val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
     assert(names.size == SparkEntry.queries.size)
