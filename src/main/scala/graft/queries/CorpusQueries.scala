@@ -331,7 +331,34 @@ object CorpusQueries extends QueryGroup {
     "corpus_records" -> sharedRecords,
   )
 
+  /** WARC crawl-archive ingestion ([[graft.ops.Warc]]): the documents
+    * table rendered as synthetic WARC files by the INDEPENDENT fixture
+    * encoder (one archive per 64-doc group, `warcinfo` lead record, odd
+    * groups as per-record gzip members — the `.warc.gz` Common Crawl
+    * layout), then parsed back by the real Content-Length-framed record
+    * walk. The consumer skips non-`response` records the way a real
+    * reader must. The oracle never touches a byte: it reconstructs every
+    * record's size SYMBOLICALLY (header text length + payload octets +
+    * trailer) and prefix-sums them into the expected stream offsets —
+    * so a single miscounted byte anywhere in the walk fails the hash. */
+  private def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val archives = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / graft.ops.WarcFixtures.GroupSize)
+      .mapGroups { (g, it) => (g, graft.ops.WarcFixtures.synthWarc(g, it.toSeq)) }
+    graft.ops.Warc.parseArchives(s, archives)
+      .filter(col("warc_type") === "response")
+      .withColumn("doc_id",
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long"))
+      .select("group_id", "doc_id", "target_uri", "content_lang",
+        "content_length", "payload_md5", "offset")
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_warc_ingest" -> warcIngest,
     "q_line_dedup" -> lineDedup,
     "q_line_dedup_incr" -> lineDedupIncr,
     "q_boilerplate" -> boilerplate,
@@ -348,6 +375,36 @@ object CorpusQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // symbolic WARC framing: rec_size = octets(header) + payload + 4;
+    // offsets = 80 (warcinfo lead record) + prefix sum within the group.
+    // gzip groups decompress to the identical logical stream, so ONE
+    // arithmetic covers both layouts
+    "q_warc_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang, doc_id // 64 AS group_id FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, group_id,
+        |    'http://synth.test/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS clen,
+        |    md5(text) AS payload_md5
+        |  FROM d),
+        |sz AS (
+        |  SELECT *,
+        |    octet_length(encode(
+        |      'WARC/1.0' || chr(13) || chr(10) ||
+        |      'WARC-Type: response' || chr(13) || chr(10) ||
+        |      'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+        |      'WARC-Identified-Content-Language: ' || lang || chr(13) || chr(10) ||
+        |      'Content-Length: ' || CAST(clen AS VARCHAR) || chr(13) || chr(10) ||
+        |      chr(13) || chr(10))) + clen + 4 AS rec_size
+        |  FROM r)
+        |SELECT group_id, doc_id, uri AS target_uri, lang AS content_lang,
+        |  clen AS content_length, payload_md5,
+        |  CAST(80 + coalesce(sum(rec_size) OVER (PARTITION BY group_id
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS "offset"
+        |FROM sz ORDER BY doc_id""".stripMargin,
+
     // distinct 13-grams per doc (mirrors Dedup.shingles), benchmark =
     // doc_id < 10; sum() promotion cast back to BIGINT for the hash gate
     "q_contamination_ngram" ->
