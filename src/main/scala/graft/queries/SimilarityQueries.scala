@@ -178,6 +178,25 @@ object SimilarityQueries extends QueryGroup {
     graft.ops.Png.phash(s, media).toDF().orderBy("doc_id")
   }
 
+  /** REAL baseline JPEG pixel decode under an oracle gate
+    * ([[graft.ops.Jpeg]]): block-constant grayscale fixtures from the
+    * independent encoder (own bit-writer, canonical-code assignment,
+    * restart markers, byte stuffing) through the full marker walk +
+    * Huffman + dequant + IDCT chain, then dHashed. A constant 8x8 block
+    * has only a DC coefficient, whose quantize->dequantize->IDCT
+    * round-trip is integer arithmetic — decoded = clamp(v + v%2) at
+    * q_DC=16 — which is what makes a LOSSY codec hash-gateable; the
+    * general AC path is JpegSpec's bounded-error round-trip. */
+  private def mmJpegPx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 600).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.JpegFixtures.synthJpeg(id), "image"))
+      .toDF()
+    graft.ops.Jpeg.phash(s, media).toDF().orderBy("doc_id")
+  }
+
   /** REAL pixel decode under an oracle gate: LZW-decompress frame 0,
     * map the palette to integer luma, box-downscale to the 9x8 dHash
     * grid, emit the 64 comparison bits as four 16-bit bands. The SQL
@@ -429,6 +448,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_frames" -> mmFrames,
     "q_mm_gif" -> mmGif,
     "q_mm_png" -> mmPng,
+    "q_mm_jpeg_px" -> mmJpegPx,
     "q_mm_phash" -> mmPhash,
     "q_mm_phash_dup" -> mmPhashDup,
     "q_mm_frame_px" -> mmFramePx,
@@ -889,6 +909,47 @@ object SimilarityQueries extends QueryGroup {
         |SELECT d.doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  CAST(CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN 2 ELSE 6 END AS INTEGER)
         |    AS color_type,
+        |  CAST(w * h AS BIGINT) AS n_pixels, gray_sum, p0, p1, p2, p3
+        |FROM d JOIN gs USING (doc_id) JOIN bands USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the LOSSY codec replayed exactly: a constant 8x8 block quantizes to
+    // DC-only, and round(DC/16)*16/8 collapses to g = least(255, v + v%2)
+    // — the whole Huffman+IDCT chain must land on that closed form
+    "q_mm_jpeg_px" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (2 + doc_id % 3) * 8 - (doc_id % 3) AS w,
+        |    (2 + doc_id % 4) * 8 - (doc_id % 5) AS h
+        |  FROM documents WHERE doc_id < 600),
+        |xs AS (SELECT unnest(generate_series(0, 29)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 39)) AS y),
+        |pix AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    least(255,
+        |      ((11 * doc_id + 23 * (x // 8) + 37 * (y // 8) + (x // 8) * (y // 8)) % 256)
+        |      + ((11 * doc_id + 23 * (x // 8) + 37 * (y // 8) + (x // 8) * (y // 8)) % 256) % 2) AS g
+        |  FROM d CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h),
+        |cells AS (
+        |  SELECT doc_id, (y * 8) // h AS r, (x * 9) // w AS c,
+        |    CAST(sum(g) AS BIGINT) AS cs, COUNT(*) AS cn
+        |  FROM pix GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.r * 8 + a.c AS idx,
+        |    CASE WHEN a.cs * b.cn < b.cs * a.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |bands AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p0,
+        |    CAST(sum(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p1,
+        |    CAST(sum(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p2,
+        |    CAST(sum(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS p3
+        |  FROM bits GROUP BY doc_id),
+        |gs AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS gray_sum
+        |  FROM pix GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  CAST(w * h AS BIGINT) AS n_pixels, gray_sum, p0, p1, p2, p3
         |FROM d JOIN gs USING (doc_id) JOIN bands USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
