@@ -155,21 +155,31 @@ private[graft] object AviFixtures {
     px
   }
 
-  def synthAvi(docId: Long): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
-    def u32(v: Long): Unit = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
-    def tag4(s: String): Unit = out.write(s.getBytes(StandardCharsets.US_ASCII))
-    def chunk(id: String, payload: Array[Byte]): Unit = {
-      tag4(id); u32(payload.length.toLong); out.write(payload)
-      if ((payload.length & 1) == 1) u8(0) // pad to even
-    }
-    val n = nFrames(docId)
-    val frames: Seq[(String, Array[Byte])] = (0 until n).map { i =>
+  def synthAvi(docId: Long): Array[Byte] =
+    container(docId, (0 until nFrames(docId)).map { i =>
       if (i % 2 == 0) ("00dc", jpegFrame(docId, i))
       else ("00db", rawFrame(docId, i))
-    }
+    })
+
+  /** Frame JPEG seed for the pixel-level MJPEG family: each frame of a
+    * container is an INDEPENDENT block-constant baseline JPEG
+    * ([[JpegFixtures.synthJpeg]]) with its own geometry/content. */
+  def pxSeed(docId: Long, i: Int): Long = docId * 7 + i
+
+  /** MJPEG AVI whose every 00dc frame is a REAL decodable JPEG — the
+    * per-frame PIXEL decode fixture (the dims-only family above keeps
+    * its original oracle). */
+  def synthMjpegPxAvi(docId: Long): Array[Byte] =
+    container(docId, (0 until nFrames(docId)).map { i =>
+      ("00dc", JpegFixtures.synthJpeg(pxSeed(docId, i)))
+    })
+
+  private def container(docId: Long, frames: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u32(v: Long): Unit = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
+    def tag4(s: String): Unit = out.write(s.getBytes(StandardCharsets.US_ASCII))
+    val n = frames.length
     val hasIdx = docId % 2 == 0
 
     // avih main header: 56 bytes

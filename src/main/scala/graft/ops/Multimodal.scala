@@ -279,6 +279,40 @@ object Multimodal {
     }
   }
 
+  case class AviPixelFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      luma_sum: Long)
+
+  /** PIXEL-level MJPEG video decode: the RIFF walk hands each 00dc
+    * frame's byte range to the full baseline JPEG decoder
+    * ([[Jpeg.decode]] — Huffman + dequant + IDCT), so per-frame output
+    * is real decoded luma, not header echo. Container walk and codec
+    * both run inside the partition; a frame row carries four numbers.
+    * Frames the decoder refuses (non-baseline) are skipped — the honest
+    * degradation at corpus scale. */
+  def decodeAviPixelFrames(spark: SparkSession, media: DataFrame): Dataset[AviPixelFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        AviHeaders.aviInfo(r.payload).iterator.flatMap { info =>
+          info.frames.iterator.zipWithIndex
+            .filter(_._1.codeType == "dc")
+            .flatMap { case (f, i) =>
+              Jpeg.decode(java.util.Arrays.copyOfRange(
+                r.payload, f.dataStart, f.dataEnd)).map { img =>
+                AviPixelFrame(r.doc_id, i, img.width, img.height,
+                  img.gray.length.toLong, img.gray.map(_.toLong).sum)
+              }
+            }
+        }
+      }
+    }
+  }
+
   /** Feature decoder. Dimensions come from a REAL header parse when the
     * payload is PNG or JPEG ([[ImageHeaders.dims]]); other formats fall
     * back to the deterministic md5-derived pseudo-decode (documented

@@ -197,6 +197,24 @@ object SimilarityQueries extends QueryGroup {
     graft.ops.Jpeg.phash(s, media).toDF().orderBy("doc_id")
   }
 
+  /** Per-frame VIDEO PIXEL decode: AVI containers whose every 00dc frame
+    * is a real block-constant baseline JPEG; the RIFF walk + full JPEG
+    * decode chain runs per frame and the oracle replays each frame's
+    * decoded luma from the closed form ([[graft.ops.Multimodal.decodeAviPixelFrames]]).
+    * Composes the two decoders the round built separately: container
+    * framing from `q_mm_video_frames`, pixel arithmetic from
+    * `q_mm_jpeg_px`. */
+  private def mmVideoPx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 400).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.AviFixtures.synthMjpegPxAvi(id), "video"))
+      .toDF()
+    Multimodal.decodeAviPixelFrames(s, media).toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** REAL pixel decode under an oracle gate: LZW-decompress frame 0,
     * map the palette to integer luma, box-downscale to the 9x8 dHash
     * grid, emit the 64 comparison bits as four 16-bit bands. The SQL
@@ -449,6 +467,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_gif" -> mmGif,
     "q_mm_png" -> mmPng,
     "q_mm_jpeg_px" -> mmJpegPx,
+    "q_mm_video_px" -> mmVideoPx,
     "q_mm_phash" -> mmPhash,
     "q_mm_phash_dup" -> mmPhashDup,
     "q_mm_frame_px" -> mmFramePx,
@@ -912,6 +931,31 @@ object SimilarityQueries extends QueryGroup {
         |  CAST(w * h AS BIGINT) AS n_pixels, gray_sum, p0, p1, p2, p3
         |FROM d JOIN gs USING (doc_id) JOIN bands USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // container walk + full JPEG decode per frame; block-level sums with
+    // edge-crop visibility factors (vw x vh) replay each frame's luma
+    "q_mm_video_px" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+        |fr AS (SELECT doc_id,
+        |    unnest(generate_series(0, doc_id % 4 + 1)) AS frame_idx FROM d),
+        |g AS (SELECT doc_id, frame_idx, doc_id * 7 + frame_idx AS fid FROM fr),
+        |dim AS (SELECT *,
+        |    (2 + fid % 3) * 8 - (fid % 3) AS w,
+        |    (2 + fid % 4) * 8 - (fid % 5) AS h FROM g),
+        |bxs AS (SELECT unnest(generate_series(0, 3)) AS bx),
+        |bys AS (SELECT unnest(generate_series(0, 4)) AS byy),
+        |bl AS (SELECT dim.*, bx, byy FROM dim CROSS JOIN bxs CROSS JOIN bys
+        |       WHERE bx < 2 + fid % 3 AND byy < 2 + fid % 4),
+        |s AS (SELECT doc_id, frame_idx, w, h,
+        |    sum((least(255,
+        |          ((11 * fid + 23 * bx + 37 * byy + bx * byy) % 256)
+        |          + ((11 * fid + 23 * bx + 37 * byy + bx * byy) % 256) % 2))
+        |        * least(8, w - bx * 8) * least(8, h - byy * 8)) AS luma_sum
+        |  FROM bl GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels, CAST(luma_sum AS BIGINT) AS luma_sum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
     // the LOSSY codec replayed exactly: a constant 8x8 block quantizes to
     // DC-only, and round(DC/16)*16/8 collapses to g = least(255, v + v%2)
