@@ -155,6 +155,30 @@ object Similarity {
     ivfSearch(n, isQuery, k, centroids, nProbe, listSalt)
   }
 
+  /** INCREMENTAL IVF: insert a batch into an EXISTING index without
+    * re-seeding — the centroids are a function of the CORPUS only
+    * (md5-seeded like [[ivfSeededTopK]]), the batch is assigned to those
+    * fixed lists, and searches probe corpus + batch together. This is
+    * the production property of an inverted-file index: an insert
+    * touches only its own list; nothing about the existing index moves.
+    * With centroids held fixed, incremental assignment trivially equals
+    * a full rebuild's — the law DedupSpec pins is the search-level one:
+    * an empty batch reproduces [[ivfSeededTopK]] exactly, and an
+    * inserted near-duplicate of a query becomes its top neighbor (the
+    * insert is VISIBLE to search immediately, no index rebuild). */
+  def ivfIncrementalTopK(emb: DataFrame, isNew: Column, isQuery: Column,
+                         k: Int, nCentroids: Int, nProbe: Int,
+                         listSalt: Int = 1): DataFrame = {
+    val corpus = graft.core.SharedFrames.register(withNorm(emb.filter(!isNew)))
+    val centroids = corpus.select(col("vec_id"), col("v"))
+      .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
+      .limit(nCentroids).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "ivfIncrementalTopK: empty corpus")
+    val all = corpus.unionByName(withNorm(emb.filter(isNew)))
+    ivfSearch(all, isQuery, k, centroids, nProbe, listSalt)
+  }
+
   /** Shared IVF search stage: assign every vector to its nearest centroid
     * list, probe the `nProbe` nearest lists per query, exact cosine top-k
     * within the probed lists.

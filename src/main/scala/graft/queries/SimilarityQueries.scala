@@ -100,6 +100,18 @@ object SimilarityQueries extends QueryGroup {
         k = 5, nCentroids = 8, nProbe = 3)
       .orderBy("query_id", "rank")
 
+  /** Incremental IVF insert ([[Similarity.ivfIncrementalTopK]]): vectors
+    * with vec_id % 10 == 9 arrive as the batch; centroids seed from the
+    * corpus ONLY, the batch lands in the existing lists, and the same
+    * queries immediately see inserted neighbors (`from_batch`). The
+    * incremental-index discipline of the dedup families applied to ANN. */
+  private def ivfIncr(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfIncrementalTopK(Tables.embeddings(s, dir),
+        isNew = col("vec_id") % 10 === 9, isQuery = col("vec_id") < 5,
+        k = 5, nCentroids = 8, nProbe = 3)
+      .withColumn("from_batch", col("neighbor_id") % 10 === 9)
+      .orderBy("query_id", "rank")
+
   /** Audio decode over audio-typed payloads: real WAV header parse where
     * the bytes are RIFF, md5-derived stand-in otherwise (the text corpus
     * is all stand-in — that is what the oracle replays; real-WAV parsing
@@ -462,6 +474,7 @@ object SimilarityQueries extends QueryGroup {
     "q_sim_topk" -> topk,
     "q_sim_lsh" -> lsh,
     "q_sim_ivf" -> ivf,
+    "q_sim_ivf_incr" -> ivfIncr,
     "q_mm_features" -> mmFeatures,
     "q_mm_frames" -> mmFrames,
     "q_mm_gif" -> mmGif,
@@ -822,6 +835,42 @@ object SimilarityQueries extends QueryGroup {
     // md5('ivf_'||vec_id) order) - 1; d(v,c) = |c|^2 - 2 v.c (|v|^2
     // dropped — constant per row); assignment = argmin (d, then c);
     // queries probe the 3 nearest lists; exact cosine top-5 within lists
+    // same probe/search arithmetic as q_sim_ivf, but the centroid seed
+    // subquery EXCLUDES the batch (vec_id % 10 = 9) — the index the
+    // batch inserts into is a pure function of the prior corpus
+    "q_sim_ivf_incr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS c,
+        |         v AS cv
+        |  FROM n WHERE vec_id % 10 <> 9
+        |  QUALIFY row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR))) <= 8),
+        |dists AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cent.c,
+        |    list_dot_product(cent.cv, cent.cv) - 2 * list_dot_product(n.v, cent.cv) AS d
+        |  FROM n CROSS JOIN cent),
+        |lists AS (
+        |  SELECT vec_id, v, nrm, c AS list_id FROM dists
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, c AS list_id FROM dists
+        |  WHERE vec_id < 5
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) <= 3),
+        |pairs AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+        |  FROM probes JOIN lists USING (list_id)
+        |  WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id AS neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, cosine, rank,
+        |  neighbor_id % 10 = 9 AS from_batch
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_sim_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -555,6 +555,32 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("ivf incremental: empty batch reproduces the seeded index; an " +
+    "inserted near-dup of a query is immediately its top neighbor") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    // empty batch == full seeded build (same centroids, same search)
+    val full = Similarity.ivfSeededTopK(emb, col("vec_id") < 5, k = 5,
+        nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val incr0 = Similarity.ivfIncrementalTopK(emb, isNew = lit(false),
+        isQuery = col("vec_id") < 5, k = 5, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == incr0 && full.nonEmpty)
+    // plant a batch vector nearly equal to query 0's embedding: the
+    // insert must be visible to search with no rebuild, as rank 1
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    q0(0) += 1e-4f
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((100000L, q0.toSeq)).toDF("vec_id", "embedding"))
+    val got = Similarity.ivfIncrementalTopK(planted,
+        isNew = col("vec_id") === 100000L, isQuery = col("vec_id") === 0L,
+        k = 3, nCentroids = 8, nProbe = 3)
+      .filter(col("rank") === 1).head()
+    assert(got.getLong(1) == 100000L, s"planted near-dup should be rank 1: $got")
+    graft.core.SharedFrames.clear()
+  }
+
   test("duplicated spans are maximal: disjoint, >= L tokens, gaps > L") {
     val L = 8
     val spans = graft.ops.Dedup
