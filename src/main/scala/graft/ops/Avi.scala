@@ -68,7 +68,8 @@ object AviHeaders {
             height = le32(b, start + 36).toInt
           case fid if inMovi && fid.length == 4 &&
               isDigit(fid(0)) && isDigit(fid(1)) &&
-              (fid.substring(2) == "dc" || fid.substring(2) == "db") =>
+              (fid.substring(2) == "dc" || fid.substring(2) == "db" ||
+                fid.substring(2) == "wb") =>
             frames :+= AviFrame((fid(0) - '0') * 10 + (fid(1) - '0'),
               fid.substring(2), start, end.toInt)
           case _ => () // JUNK, idx1, strl/strh/strf, anything else: skip
@@ -172,6 +173,32 @@ private[graft] object AviFixtures {
   def synthMjpegPxAvi(docId: Long): Array[Byte] =
     container(docId, (0 until nFrames(docId)).map { i =>
       ("00dc", JpegFixtures.synthJpeg(pxSeed(docId, i)))
+    })
+
+  /** Audio-track fixture formulas: one 256-sample 16-bit PCM chunk per
+    * video frame, samples a pure integer function of (docId, t). */
+  val AudioChunkSamples = 256
+  def aviSample(docId: Long, t: Int): Int =
+    (((docId * 31 + 7L * t + (t.toLong * t) % 101) % 4001) - 2000).toInt
+
+  private def audioChunk(docId: Long, chunkIdx: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var k = 0
+    while (k < AudioChunkSamples) {
+      val s = aviSample(docId, chunkIdx * AudioChunkSamples + k)
+      out.write(s & 0xff); out.write((s >> 8) & 0xff)
+      k += 1
+    }
+    out.toByteArray
+  }
+
+  /** Audio+video AVI: 00dc JPEG frames INTERLEAVED with 01wb PCM audio
+    * chunks, the way real muxers lay out a movi list. The audio track is
+    * the concatenation of the 01wb payloads in walk order. */
+  def synthAvAvi(docId: Long): Array[Byte] =
+    container(docId, (0 until nFrames(docId)).flatMap { i =>
+      Seq(("00dc", JpegFixtures.synthJpeg(pxSeed(docId, i))),
+        ("01wb", audioChunk(docId, i)))
     })
 
   private def container(docId: Long, frames: Seq[(String, Array[Byte])]): Array[Byte] = {

@@ -260,7 +260,9 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       it.flatMap { r =>
         AviHeaders.aviInfo(r.payload).iterator.flatMap { info =>
-          info.frames.iterator.zipWithIndex.map { case (f, i) =>
+          // video chunks only: audio (wb) streams go through decodeAviAudio
+          info.frames.iterator.filter(f => f.codeType != "wb")
+            .zipWithIndex.map { case (f, i) =>
             val nBytes = (f.dataEnd - f.dataStart).toLong
             if (f.codeType == "dc") {
               val (w, h) = ImageHeaders.jpegDims(java.util.Arrays.copyOfRange(
@@ -308,6 +310,49 @@ object Multimodal {
                   img.gray.length.toLong, img.gray.map(_.toLong).sum)
               }
             }
+        }
+      }
+    }
+  }
+
+  case class AviAudioTrack(
+      doc_id: Long,
+      n_chunks: Int,
+      n_samples: Long,
+      abs_sum: Long,
+      a0: Int, a1: Int, a2: Int, a3: Int)
+
+  /** AUDIO track extraction from interleaved AVI containers: the RIFF
+    * walk surfaces the `##wb` chunks, their payloads concatenate (in
+    * walk order) into the stream's 16-bit PCM track, and the SAME
+    * 65-window energy fingerprint that serves standalone WAV audio
+    * ([[AudioHash.energyBands]]) fingerprints the embedded track — one
+    * pipeline across container formats. Demux + fingerprint run inside
+    * the partition; a track row carries 4 band ints. */
+  def decodeAviAudio(spark: SparkSession, media: DataFrame): Dataset[AviAudioTrack] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        AviHeaders.aviInfo(r.payload).iterator.flatMap { info =>
+          val wb = info.frames.filter(_.codeType == "wb")
+          if (wb.isEmpty) None
+          else {
+            val nBytes = wb.map(f => f.dataEnd - f.dataStart).sum
+            val s = new Array[Int](nBytes / 2)
+            var o = 0
+            wb.foreach { f =>
+              var i = f.dataStart
+              while (i + 1 < f.dataEnd) {
+                // little-endian signed 16-bit
+                s(o) = ((r.payload(i) & 0xff) | (r.payload(i + 1) << 8)).toShort.toInt
+                o += 1; i += 2
+              }
+            }
+            AudioHash.energyBands(s).map { case (total, (a0, a1, a2, a3)) =>
+              AviAudioTrack(r.doc_id, wb.length, s.length.toLong, total,
+                a0, a1, a2, a3)
+            }
+          }
         }
       }
     }

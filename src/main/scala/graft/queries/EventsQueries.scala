@@ -352,6 +352,55 @@ object EventsQueries extends QueryGroup {
       .orderBy("user_id", "click_id")
   }
 
+  /** Tolerance in µs for the nearest as-of join (30 minutes). */
+  private val NearTolUs = 1800000000L
+
+  /** NEAREST as-of join with tolerance (pandas merge_asof
+    * direction='nearest'): each click matched to the closest view by
+    * |Δts| within 30 min, per user — backward wins ties (the earlier
+    * view), the deterministic rule both engines replay. Built from TWO
+    * carry passes over the SAME union-tagged frame and user_id window
+    * partitioning `q_asof_event` uses (backward = last-at-or-before,
+    * forward = first-after), so the whole nearest join costs one
+    * user_id shuffle and touches each event row twice — never a range
+    * join, never a per-key loop. */
+  private def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .agg(max(col("event_id")).as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("click_id"))
+    val tagged = views
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        col("view_id"), lit(null).cast("long").as("click_id"))
+      .unionByName(clicks
+        .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+          lit(null).cast("long").as("view_id"), col("click_id")))
+    val ord = Window.partitionBy("user_id").orderBy(col("ts_us"), col("tag"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = ord.rowsBetween(0, Window.unboundedFollowing)
+    val vTs = when(col("view_id").isNotNull, col("ts_us"))
+    val m = tagged
+      .withColumn("b_view_id", last(col("view_id"), ignoreNulls = true).over(wb))
+      .withColumn("b_view_ts", last(vTs, ignoreNulls = true).over(wb))
+      .withColumn("f_view_id", first(col("view_id"), ignoreNulls = true).over(wf))
+      .withColumn("f_view_ts", first(vTs, ignoreNulls = true).over(wf))
+      .filter(col("tag") === 1)
+    val db = col("ts_us") - col("b_view_ts")
+    val df = col("f_view_ts") - col("ts_us")
+    val bOk = col("b_view_ts").isNotNull && db <= NearTolUs
+    val fOk = col("f_view_ts").isNotNull && df <= NearTolUs
+    val useB = bOk && (!fOk || db <= df)
+    m.select(col("user_id"), col("click_id"), col("ts_us").as("click_ts_us"),
+        when(useB, col("b_view_id")).when(fOk, col("f_view_id")).as("view_id"),
+        when(useB, col("b_view_ts")).when(fOk, col("f_view_ts")).as("view_ts_us"),
+        when(useB, db).when(fOk, df).as("delta_us"),
+        when(useB, "backward").when(fOk, "forward").as("direction"))
+      .orderBy("user_id", "click_id")
+  }
+
   /** Markov transition matrix over per-user event sequences: counts and
     * row-normalized probabilities of each (prev_type -> next_type) step,
     * the sequence-model statistic behind funnel diagnosis and synthetic
@@ -397,6 +446,7 @@ object EventsQueries extends QueryGroup {
     "q_conversion_lag" -> conversionLag,
     "q_stream_enrich" -> streamEnrich,
     "q_asof_event" -> asofEvent,
+    "q_asof_nearest" -> asofNearest,
     "q_event_transitions" -> transitions,
   )
 
@@ -571,6 +621,51 @@ object EventsQueries extends QueryGroup {
         |  ON v.user_id = c.click_user
         |  AND c.click_ts_us BETWEEN v.view_ts_us AND v.view_ts_us + 1800 * 1000000
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // nearest-with-tolerance: the same union+window encoding, replayed
+    // with both carry directions; backward wins ties
+    "q_asof_nearest" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |tagged AS (
+        |  SELECT user_id, ts_us, 0 AS tag, view_id, CAST(NULL AS BIGINT) AS click_id FROM v
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 1, NULL, click_id FROM c),
+        |m AS (
+        |  SELECT *,
+        |    last_value(view_id IGNORE NULLS) OVER wb AS b_view_id,
+        |    last_value(CASE WHEN view_id IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |      OVER wb AS b_view_ts,
+        |    first_value(view_id IGNORE NULLS) OVER wf AS f_view_id,
+        |    first_value(CASE WHEN view_id IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |      OVER wf AS f_view_ts
+        |  FROM tagged
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts_us, tag
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts_us, tag
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |pick AS (
+        |  SELECT user_id, click_id, ts_us AS click_ts_us,
+        |    b_view_id, b_view_ts, f_view_id, f_view_ts,
+        |    (b_view_ts IS NOT NULL AND ts_us - b_view_ts <= 1800000000) AS b_ok,
+        |    (f_view_ts IS NOT NULL AND f_view_ts - ts_us <= 1800000000) AS f_ok
+        |  FROM m WHERE tag = 1),
+        |sel AS (
+        |  SELECT *, (b_ok AND (NOT f_ok OR click_ts_us - b_view_ts
+        |                       <= f_view_ts - click_ts_us)) AS use_b
+        |  FROM pick)
+        |SELECT user_id, click_id, click_ts_us,
+        |  CASE WHEN use_b THEN b_view_id WHEN f_ok THEN f_view_id END AS view_id,
+        |  CASE WHEN use_b THEN b_view_ts WHEN f_ok THEN f_view_ts END AS view_ts_us,
+        |  CASE WHEN use_b THEN click_ts_us - b_view_ts
+        |       WHEN f_ok THEN f_view_ts - click_ts_us END AS delta_us,
+        |  CASE WHEN use_b THEN 'backward' WHEN f_ok THEN 'forward' END AS direction
+        |FROM sel ORDER BY user_id, click_id""".stripMargin,
 
     // DuckDB's NATIVE asof join is the oracle for the union+window
     // encoding — the inequality in the ON clause is the as-of condition

@@ -296,6 +296,32 @@ object PanelQueries extends QueryGroup {
       .orderBy("entity_id")
   }
 
+  /** Panel resample: per-entity dense year grid with carry-forward fill
+    * — the gap-filling step every downstream window op silently assumes
+    * (the reference's engines special-case year gaps everywhere, e.g.
+    * the gap-aware lag `...990.py:983–996`; resampling makes the gaps
+    * explicit instead). Level metrics (revenue) carry forward via
+    * last(_, ignoreNulls); activity metrics (n_orders) fill with ZERO —
+    * a year with no observations had no orders, not "the same orders
+    * again". Shape: the span aggregate and the grid join both key on
+    * entity, riding the panel's partitioning; `sequence` explode fans
+    * out only gap years, bounded by the year span. */
+  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val p = custPanel(s, dir)
+    val spans = p.groupBy("entity_id")
+      .agg(min("year").as("y0"), max("year").as("y1"))
+    val grid = spans.select(col("entity_id"),
+      explode(sequence(col("y0"), col("y1"))).as("year"))
+    val wFF = Window.partitionBy("entity_id").orderBy("year")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(p, Seq("entity_id", "year"), "left")
+      .withColumn("is_filled", col("revenue").isNull)
+      .withColumn("revenue_ff", last(col("revenue"), ignoreNulls = true).over(wFF))
+      .withColumn("n_orders_ff", when(col("is_filled"), 0L).otherwise(col("n_orders")))
+      .select("entity_id", "year", "is_filled", "revenue_ff", "n_orders_ff")
+      .orderBy("entity_id", "year")
+  }
+
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cust_panel" -> custPanel,
   )
@@ -314,12 +340,30 @@ object PanelQueries extends QueryGroup {
     "q_moving_avg" -> movingAvg,
     "q_ema" -> ema,
     "q_ols_trend" -> olsTrend,
+    "q_gap_fill" -> gapFill,
   )
 
   private def pivotCasesSql = pivotYears.map(y =>
     s"MAX(CASE WHEN year = $y THEN revenue END) AS revenue_$y").mkString(",\n  ")
 
   override def oracle: Map[String, String] = Map(
+    // dense year grid via generate_series; carry-forward = last_value
+    // IGNORE NULLS over the same frame Spark's last(_, true) uses
+    "q_gap_fill" ->
+      s"""WITH p AS ($custPanelSql),
+         |spans AS (SELECT entity_id, min(year) AS y0, max(year) AS y1
+         |          FROM p GROUP BY 1),
+         |grid AS (SELECT entity_id,
+         |    CAST(unnest(generate_series(y0, y1)) AS INTEGER) AS year FROM spans),
+         |j AS (SELECT g.entity_id, g.year, p.revenue, p.n_orders
+         |      FROM grid g LEFT JOIN p USING (entity_id, year))
+         |SELECT entity_id, year, revenue IS NULL AS is_filled,
+         |  last_value(revenue IGNORE NULLS) OVER (PARTITION BY entity_id
+         |    ORDER BY year ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS revenue_ff,
+         |  coalesce(n_orders, 0) AS n_orders_ff
+         |FROM j ORDER BY entity_id, year""".stripMargin,
+
     // exact-integer OLS: HUGEINT sums mirror Spark's DECIMAL(38,0); the
     // numerator routes through VARCHAR (HUGEINT->DOUBLE direct cast
     // double-rounds; string parsing is correctly rounded, the q_embed_proj

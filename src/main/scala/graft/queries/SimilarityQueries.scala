@@ -227,6 +227,21 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Audio track demuxed from INTERLEAVED AVI containers
+    * ([[graft.ops.Multimodal.decodeAviAudio]]): 01wb PCM chunks woven
+    * between the 00dc video frames concatenate into the stream's track,
+    * fingerprinted by the SAME 65-window energy pipeline standalone WAV
+    * uses — one audio fingerprint across container formats. */
+  private def mmAviAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 300).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.AviFixtures.synthAvAvi(id), "video"))
+      .toDF()
+    Multimodal.decodeAviAudio(s, media).toDF().orderBy("doc_id")
+  }
+
   /** REAL pixel decode under an oracle gate: LZW-decompress frame 0,
     * map the palette to integer luma, box-downscale to the 9x8 dHash
     * grid, emit the 64 comparison bits as four 16-bit bands. The SQL
@@ -481,6 +496,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_png" -> mmPng,
     "q_mm_jpeg_px" -> mmJpegPx,
     "q_mm_video_px" -> mmVideoPx,
+    "q_mm_avi_audio" -> mmAviAudio,
     "q_mm_phash" -> mmPhash,
     "q_mm_phash_dup" -> mmPhashDup,
     "q_mm_frame_px" -> mmFramePx,
@@ -979,6 +995,40 @@ object SimilarityQueries extends QueryGroup {
         |    AS color_type,
         |  CAST(w * h AS BIGINT) AS n_pixels, gray_sum, p0, p1, p2, p3
         |FROM d JOIN gs USING (doc_id) JOIN bands USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // demuxed audio track = concatenated 01wb payloads; the 65-window
+    // energy fingerprint replayed from the chunk sample formula
+    "q_mm_avi_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 2 AS INTEGER) AS nc,
+        |    256 * (doc_id % 4 + 2) AS n
+        |  FROM documents WHERE doc_id < 300),
+        |ts AS (SELECT unnest(generate_series(0, 1279)) AS t),
+        |smp AS (
+        |  SELECT doc_id, nc, n, t, (t * 65) // n AS w,
+        |    CAST((doc_id * 31 + 7 * t + (t * t) % 101) % 4001 - 2000 AS BIGINT) AS s
+        |  FROM d CROSS JOIN ts WHERE t < n),
+        |wins AS (
+        |  SELECT doc_id, w, CAST(sum(abs(s)) AS BIGINT) AS e, COUNT(*) AS c
+        |  FROM smp GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS idx,
+        |    CASE WHEN a.e * b.c < b.e * a.c THEN 1 ELSE 0 END AS bit
+        |  FROM wins a JOIN wins b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64),
+        |bands AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS a0,
+        |    CAST(sum(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS a1,
+        |    CAST(sum(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS a2,
+        |    CAST(sum(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INTEGER) AS a3
+        |  FROM bits GROUP BY doc_id),
+        |asum AS (SELECT doc_id, CAST(sum(abs(s)) AS BIGINT) AS abs_sum
+        |         FROM smp GROUP BY doc_id)
+        |SELECT d.doc_id, nc AS n_chunks, CAST(n AS BIGINT) AS n_samples,
+        |  abs_sum, a0, a1, a2, a3
+        |FROM d JOIN asum USING (doc_id) JOIN bands USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // container walk + full JPEG decode per frame; block-level sums with

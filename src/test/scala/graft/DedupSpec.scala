@@ -555,6 +555,20 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("k-core: pendants and chains peel, cliques survive with full degree") {
+    // 4-clique {1,2,3,4} + pendant 5 hanging off 1 + chain 6-7-8 off 2
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 6L), (6L, 7L), (7L, 8L)).toDF("id_a", "id_b")
+    val core2 = graft.ops.Graph.kCore(pairs, k = 2, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // chain/pendant peel over successive rounds; clique keeps degree 3
+    assert(core2.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core2.values.forall(_ == 3L))
+    // k=4 empties the graph entirely (clique internal degree is 3)
+    assert(graft.ops.Graph.kCore(pairs, k = 4, iters = 4).isEmpty)
+    graft.core.SharedFrames.clear()
+  }
+
   test("ivf incremental: empty batch reproduces the seeded index; an " +
     "inserted near-dup of a query is immediately its top neighbor") {
     val emb = graft.core.Tables.embeddings(spark, sf)
