@@ -66,6 +66,35 @@ object CorpusQueries extends QueryGroup {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** LEAKAGE-SAFE train/val/test split: the hash unit is the near-dup
+    * CLUSTER, not the document — every member of a duplicate cluster
+    * lands in the same split, so a near-copy of a training doc can never
+    * sit in the test set (the doc-level `q_corpus_split` has exactly
+    * this hole, which is why real pipelines split AFTER clustering).
+    * Singletons hash on their own id; the salt differs from the
+    * doc-level split so the two assignments are independent. Costs one
+    * left join against the session cluster frame + a cluster-size agg;
+    * the split decision itself stays a pure projection. */
+  private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val comp = DedupQueries.sharedClusters(s, dir).select("doc_id", "cluster_id")
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val bucket = (conv(substring(
+      md5(concat(lit("gsplit_"), col("unit_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 100).cast("int")
+    Tables.documents(s, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("unit_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("csize"), lit(1L)))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "unit_id", "cluster_size", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** Contamination check (eval-set hygiene): flag training docs whose
     * winnow fingerprints overlap a registered benchmark set (modeled here
     * as doc_id < 10). Directional semi-join shape — the benchmark
@@ -368,6 +397,7 @@ object CorpusQueries extends QueryGroup {
     "q_text_scrub" -> scrub,
     "q_corpus_filter" -> qualityFilter,
     "q_corpus_split" -> split,
+    "q_split_leakage_safe" -> splitLeakageSafe,
     "q_corpus_stats" -> stats,
     "q_contamination" -> contamination,
     "q_contamination_ngram" -> contaminationNgram,
@@ -575,6 +605,42 @@ object CorpusQueries extends QueryGroup {
         |  (lang = 'en' AND n_tokens >= 20 AND n_tokens <= 120
         |   AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.3) AS keep
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // cluster-integral split: the hash unit is the recursive-CTE CC
+    // cluster (singletons = own id), so no near-dup pair straddles splits
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE ${DedupQueries.shingleSqlPrefix.stripPrefix("WITH ")},
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |cs AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1),
+         |u AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit_id,
+         |    coalesce(cs.csize, 1) AS cluster_size
+         |  FROM documents d
+         |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |  LEFT JOIN cs ON c.cluster_id = cs.cluster_id)
+         |SELECT doc_id, unit_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(CAST(('0x' || substr(md5('gsplit_' || CAST(unit_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INTEGER) AS bucket,
+         |  CASE WHEN CAST(('0x' || substr(md5('gsplit_' || CAST(unit_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5('gsplit_' || CAST(unit_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
 
     "q_corpus_split" ->
       """SELECT doc_id,

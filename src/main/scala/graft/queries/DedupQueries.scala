@@ -72,7 +72,7 @@ object DedupQueries extends QueryGroup {
   /** Shared oracle preamble: shingles + df-prune + per-doc sizes. The
     * `HAVING count(*) <= DfMax` CTE mirrors [[Dedup.shingles]]'s
     * `maxShingleFreq` exactly. */
-  private val shingleSqlPrefix =
+  private[queries] val shingleSqlPrefix =
     s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
        |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w),
        |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
