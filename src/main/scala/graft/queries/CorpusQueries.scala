@@ -66,6 +66,39 @@ object CorpusQueries extends QueryGroup {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Per-source signature terms (the c-TF-IDF / "what makes this domain
+    * different" report): token lift c_st·N/(c_s·c_t) against the corpus
+    * distribution, min support 5, top-3 per source — the per-domain
+    * topic fingerprint a mixture designer reads before weighting
+    * sources. Integer-scaled lift (×10⁶, floored — Spark `div` ==
+    * DuckDB `//`) keeps the ranking comparison out of floats; the
+    * ranking window runs over the VOCAB-BOUNDED (source, token) count
+    * frame, never the corpus, so the per-source partition is safe at
+    * any corpus size. */
+  private def sourceSignature(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(org.apache.spark.sql.functions.split(
+          trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val cst = tok.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+    val cs = cst.groupBy("source").agg(sum("c_st").as("c_s"))
+    val ct = cst.groupBy("token").agg(sum("c_st").as("c_t"))
+    val nt = cst.agg(sum("c_st").as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("lift_scaled").desc, col("token").asc)
+    cst.filter(col("c_st") >= 5)
+      .join(broadcast(cs), Seq("source"))
+      .join(ct, Seq("token"))
+      .crossJoin(broadcast(nt))
+      .withColumn("lift_scaled",
+        expr("(c_st * n_total * 1000000) div (c_s * c_t)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("source", "rank", "token", "c_st", "lift_scaled")
+      .orderBy("source", "rank")
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the hash unit is the near-dup
     * CLUSTER, not the document — every member of a duplicate cluster
     * lands in the same split, so a near-copy of a training doc can never
@@ -398,6 +431,7 @@ object CorpusQueries extends QueryGroup {
     "q_corpus_filter" -> qualityFilter,
     "q_corpus_split" -> split,
     "q_split_leakage_safe" -> splitLeakageSafe,
+    "q_source_signature" -> sourceSignature,
     "q_corpus_stats" -> stats,
     "q_contamination" -> contamination,
     "q_contamination_ngram" -> contaminationNgram,
@@ -605,6 +639,29 @@ object CorpusQueries extends QueryGroup {
         |  (lang = 'en' AND n_tokens >= 20 AND n_tokens <= 120
         |   AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.3) AS keep
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // integer-scaled lift ranking over the vocab-bounded count frame;
+    // floor division keeps the ranking key out of floats
+    "q_source_signature" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT source, token FROM tok WHERE token <> ''),
+        |cst AS (SELECT source, token, count(*) AS c_st FROM t GROUP BY 1, 2),
+        |cs AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s FROM cst GROUP BY 1),
+        |ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_total FROM cst),
+        |lifted AS (
+        |  SELECT cst.source, cst.token, c_st,
+        |    (c_st * n_total * 1000000) // (c_s * c_t) AS lift_scaled
+        |  FROM cst JOIN cs USING (source) JOIN ct USING (token) CROSS JOIN nt
+        |  WHERE c_st >= 5),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY lift_scaled DESC, token ASC) AS INTEGER) AS rank
+        |  FROM lifted)
+        |SELECT source, rank, token, c_st, CAST(lift_scaled AS BIGINT) AS lift_scaled
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
     // cluster-integral split: the hash unit is the recursive-CTE CC
     // cluster (singletons = own id), so no near-dup pair straddles splits

@@ -352,6 +352,28 @@ object EventsQueries extends QueryGroup {
       .orderBy("user_id", "click_id")
   }
 
+  /** EXACT running distinct count per user — how many distinct event
+    * types each user has touched so far at every event (the
+    * feature-engineering "breadth so far" signal, usually approximated
+    * with sketches): a row is its type's first occurrence iff
+    * row_number over (user, type) is 1, and the running sum of those
+    * flags IS the running distinct count — two window passes, no
+    * distinct-aggregate state, exact at any scale. Ties broken by
+    * event_id so both engines order identically. */
+  private def runningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_types", sum(col("first_seen")).over(wRun))
+      .select("user_id", "event_id", "event_type", "n_distinct_types")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Tolerance in µs for the nearest as-of join (30 minutes). */
   private val NearTolUs = 1800000000L
 
@@ -447,6 +469,7 @@ object EventsQueries extends QueryGroup {
     "q_stream_enrich" -> streamEnrich,
     "q_asof_event" -> asofEvent,
     "q_asof_nearest" -> asofNearest,
+    "q_running_distinct" -> runningDistinct,
     "q_event_transitions" -> transitions,
   )
 
@@ -621,6 +644,21 @@ object EventsQueries extends QueryGroup {
         |  ON v.user_id = c.click_user
         |  AND c.click_ts_us BETWEEN v.view_ts_us AND v.view_ts_us + 1800 * 1000000
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // first-occurrence flags summed over the running frame = exact
+    // running distinct; event_id tiebreaks make both orderings identical
+    "q_running_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts, event_id) = 1
+        |         THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct_types
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
 
     // nearest-with-tolerance: the same union+window encoding, replayed
     // with both carry directions; backward wins ties

@@ -419,47 +419,108 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id", "part_idx")
 
   private val PcRounds = 3
-  private val PcFeats = Seq("x0", "x1", "x2", "x3", "x4")
+  private val PcFeats = Seq("x0", "x1", "x2", "x3")
 
-  /** Integer feature frame for the perceptron: bias + the four
-    * language-stopword hit counts `q_text_langid` already pins
-    * cross-engine. Label y = +1 for English, −1 otherwise. */
+  /** Integer feature frame for the perceptron. Target label: the
+    * length-quality rule n_tokens >= 60 (the "substantial document"
+    * half of the corpus quality gate); features are CHEAP surface
+    * counts that correlate with length without being it — the distill-
+    * a-heavy-heuristic-into-a-fast-classifier shape (the corpus `lang`
+    * column is a random label with zero content signal, so a language
+    * target would only teach the majority class). Features are CENTERED
+    * by fixed integer offsets (part of the feature spec, mirrored in
+    * the oracle): an uncentered all-positive count vector makes every
+    * round-1 margin positive and the batch update degenerate — the
+    * integer analog of standardizing inputs. */
   private def perceptronFeats(s: SparkSession, dir: String): DataFrame = {
-    val pats = Seq(
-      """\b(the|a|and|is|of|to)\b""", """\b(der|die|das|und|ist)\b""",
-      """\b(le|la|les|et|est)\b""", """\b(el|los|las|es|y)\b""")
+    val toks = org.apache.spark.sql.functions.split(trim(col("text")), "\\s+")
     Tables.documents(s, dir).select(
-      Seq(col("doc_id"),
-        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-        lit(1L).as("x0")) ++
-        pats.zipWithIndex.map { case (p, i) =>
-          size(regexp_extract_all(col("text"), lit(p), lit(0)))
-            .cast("long").as(s"x${i + 1}")
-        }: _*)
+      col("doc_id"),
+      when(size(toks) >= 60, 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      (size(regexp_extract_all(col("text"),
+        lit("""\b(the|a|and|is|of|to)\b"""), lit(0))).cast("long") - 4).as("x1"),
+      (size(array_distinct(toks)).cast("long") - 23).as("x2"),
+      (size(filter(toks, t => length(t) >= 6)).cast("long") - 11).as("x3"))
   }
 
-  /** TRAINED quality/language gate: a batch perceptron
-    * ([[graft.ops.Perceptron]]) learns the en-vs-rest decision from the
-    * stopword-hit features in {{PcRounds}} exact-integer rounds — the
-    * fastText-shape classifier gate next to the HAND-written heuristics
-    * (`q_text_langid` is the authored rule; this is the learned one).
-    * Each round is one map-side-combined aggregation; only the 5-long
-    * weight vector reaches the driver and re-enters as literals, so the
-    * rounds replay bit-for-bit as unrolled SQL stages. */
-  private def perceptronGate(s: SparkSession, dir: String): DataFrame = {
+  private val pcWeightCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+
+  /** Session-cached feature frame + trained weights (shared by the gate
+    * query and the kappa agreement audit — train once per session). */
+  private def pcTrained(s: SparkSession, dir: String): (DataFrame, Array[Long]) = {
     val f = graft.core.SharedFrames.cached(s, s"pcfeats:$dir") {
       perceptronFeats(s, dir)
     }
-    val w = graft.ops.Perceptron.train(f, PcFeats, "y", PcRounds).last
+    val w = pcWeightCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:${System.identityHashCode(s)}:$dir",
+      graft.ops.Perceptron.train(f, PcFeats, "y", PcRounds).last)
+    (f, w)
+  }
+
+  /** TRAINED quality gate: a batch perceptron ([[graft.ops.Perceptron]])
+    * learns the n_tokens >= 60 length-quality rule from cheap surface
+    * counts in {{PcRounds}} exact-integer rounds — the fastText-shape
+    * "distill the heavy heuristic into a fast classifier" gate (learning
+    * capability itself is pinned by PerceptronSpec on planted separable
+    * data). Each round is one map-side-combined aggregation; only the
+    * 4-long weight vector reaches the driver and re-enters as literals,
+    * so the rounds replay bit-for-bit as unrolled SQL stages. */
+  private def perceptronGate(s: SparkSession, dir: String): DataFrame = {
+    val (f, w) = pcTrained(s, dir)
     val m = graft.ops.Perceptron.margin(PcFeats, w)
     f.select(col("doc_id"), col("y"), m.as("margin"),
-        (m > 0).as("pred_en"), ((m > 0) === (col("y") === 1L)).as("correct"))
+        (m > 0).as("pred_keep"), ((m > 0) === (col("y") === 1L)).as("correct"))
       .orderBy("doc_id")
+  }
+
+  /** Cohen's kappa agreement audit between the EXACT length-quality
+    * rule (the perceptron's training target) and the TRAINED decision —
+    * the labeler-QA statistic a weak-supervision pipeline runs before
+    * trusting a distilled classifier: chance-corrected agreement, not
+    * raw accuracy (a majority-class predictor scores high accuracy and
+    * kappa ~ 0). All-integer confusion counts; po and pe stay rational
+    * (pe_num/n²) until one final double division: kappa =
+    * (po_num − pe_num)/(n² − pe_num) with po_num = (n11+n00)·n. One
+    * map-side-combined aggregation over the cached feature frame. */
+  private def annotatorKappa(s: SparkSession, dir: String): DataFrame = {
+    val (f, w) = pcTrained(s, dir)
+    val a = col("y") === 1L
+    val b = graft.ops.Perceptron.margin(PcFeats, w) > 0
+    val conf = f.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+    val peNum = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    val poNum = (col("n11") + col("n00")) * col("n")
+    val den = col("n") * col("n") - peNum
+    conf.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round((col("n11") + col("n00")).cast("double") / col("n"), 6).as("po"),
+      round(peNum.cast("double") / (col("n") * col("n")), 6).as("pe"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round((poNum - peNum).cast("double") / den, 6)).as("kappa"))
   }
 
   /** w·x over the oracle CTE alias `w`. */
   private def pcMarginSql: String =
     PcFeats.zipWithIndex.map { case (x, i) => s"w.w$i*$x" }.mkString(" + ")
+
+  /** Shared oracle feature CTE (mirrors [[perceptronFeats]]). */
+  private def pcFeatsSql: String =
+    """f AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 60
+      |         THEN 1 ELSE -1 END AS BIGINT) AS y,
+      |    CAST(1 AS BIGINT) AS x0,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|and|is|of|to)\b')) AS BIGINT) - 4 AS x1,
+      |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) - 23 AS x2,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |         t -> len(t) >= 6)) AS BIGINT) - 11 AS x3
+      |  FROM documents)""".stripMargin
 
   /** Unrolled perceptron rounds w1..w`n` over the feature CTE `f`
     * (mirrors Perceptron.train; round 1 is the plain class sum because
@@ -480,6 +541,7 @@ object TextQueries extends QueryGroup {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_perceptron_gate" -> perceptronGate,
+    "q_annotator_kappa" -> annotatorKappa,
     "q_text_split" -> textSplitRecords,
     "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
@@ -506,20 +568,36 @@ object TextQueries extends QueryGroup {
     // class-sum of misclassified rows), margin-0 counts as wrong so the
     // w0=0 first round is the plain class sum both engines agree on
     "q_perceptron_gate" ->
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
-         |    CAST(1 AS BIGINT) AS x0,
-         |    CAST(len(regexp_extract_all(text, '\\b(the|a|and|is|of|to)\\b')) AS BIGINT) AS x1,
-         |    CAST(len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS BIGINT) AS x2,
-         |    CAST(len(regexp_extract_all(text, '\\b(le|la|les|et|est)\\b')) AS BIGINT) AS x3,
-         |    CAST(len(regexp_extract_all(text, '\\b(el|los|las|es|y)\\b')) AS BIGINT) AS x4
-         |  FROM documents),
+      s"""WITH $pcFeatsSql,
          |${pcRoundsSql(PcRounds)}
          |SELECT doc_id, y, CAST($pcMarginSql AS BIGINT) AS margin,
-         |  ($pcMarginSql) > 0 AS pred_en,
+         |  ($pcMarginSql) > 0 AS pred_keep,
          |  (($pcMarginSql) > 0) = (y = 1) AS correct
          |FROM f, w$PcRounds w ORDER BY doc_id""".stripMargin,
+
+    // integer confusion counts against the unrolled-perceptron decision;
+    // kappa = (po_num - pe_num)/(n^2 - pe_num), one double at the end
+    "q_annotator_kappa" ->
+      s"""WITH $pcFeatsSql,
+         |${pcRoundsSql(PcRounds)},
+         |conf AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(CASE WHEN y = 1 AND ($pcMarginSql) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n11,
+         |    CAST(coalesce(sum(CASE WHEN y = 1 AND NOT ($pcMarginSql) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n10,
+         |    CAST(coalesce(sum(CASE WHEN y = -1 AND ($pcMarginSql) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n01,
+         |    CAST(coalesce(sum(CASE WHEN y = -1 AND NOT ($pcMarginSql) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n00
+         |  FROM f, w$PcRounds w)
+         |SELECT n, n11, n10, n01, n00,
+         |  round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+         |  round(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+         |    / (n * n), 6) AS pe,
+         |  CASE WHEN n * n = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+         |    THEN NULL
+         |    ELSE round(CAST((n11 + n00) * n
+         |        - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+         |      / (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))), 6)
+         |  END AS kappa
+         |FROM conf""".stripMargin,
 
     // thresholds -- no float enters until the displayed score
     "q_lm_score" ->
