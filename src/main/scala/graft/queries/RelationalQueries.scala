@@ -558,7 +558,53 @@ object RelationalQueries extends QueryGroup {
       .orderBy("m_a", "m_b")
   }
 
+  /** Parquet footer facts for every testdata table via the from-scratch
+    * Thrift-compact footer reader ([[graft.ops.ParquetFooter]]) — the
+    * planner-facing metadata layer (row counts, per-leaf value counts,
+    * null counts, physical types) read WITHOUT any parquet library and
+    * without touching a data page. Oracle design: only split-invariant,
+    * data-derivable facts are emitted (num_values / null_count sums
+    * across row groups; physical types fixed by the writer's schema
+    * mapping), so DuckDB recomputes the expected table from the DATA —
+    * the parser is checked against ground truth through a completely
+    * independent route. */
+  private def parquetMeta(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ParquetFooter.tableColumnMeta(s, dir)
+      .orderBy("tbl", "path_in_schema")
+
+  /** (table, column, physical type) rows of the driver-written testdata
+    * files (pyarrow's fixed schema mapping). */
+  private val pqCols: Seq[(String, String, String)] = Seq(
+    ("region", "r_regionkey", "INT32"), ("region", "r_name", "BYTE_ARRAY"),
+    ("nation", "n_nationkey", "INT32"), ("nation", "n_name", "BYTE_ARRAY"),
+    ("nation", "n_regionkey", "INT32"),
+    ("customer", "c_custkey", "INT64"), ("customer", "c_name", "BYTE_ARRAY"),
+    ("customer", "c_nationkey", "INT32"), ("customer", "c_acctbal", "DOUBLE"),
+    ("customer", "c_mktsegment", "BYTE_ARRAY"),
+    ("supplier", "s_suppkey", "INT64"), ("supplier", "s_name", "BYTE_ARRAY"),
+    ("supplier", "s_nationkey", "INT32"), ("supplier", "s_acctbal", "DOUBLE"),
+    ("part", "p_partkey", "INT64"), ("part", "p_name", "BYTE_ARRAY"),
+    ("part", "p_brand", "BYTE_ARRAY"), ("part", "p_type", "BYTE_ARRAY"),
+    ("part", "p_size", "INT32"), ("part", "p_retailprice", "DOUBLE"),
+    ("orders", "o_orderkey", "INT64"), ("orders", "o_custkey", "INT64"),
+    ("orders", "o_orderstatus", "BYTE_ARRAY"), ("orders", "o_totalprice", "DOUBLE"),
+    ("orders", "o_orderdate", "INT64"), ("orders", "o_orderpriority", "BYTE_ARRAY"),
+    ("lineitem", "l_orderkey", "INT64"), ("lineitem", "l_partkey", "INT64"),
+    ("lineitem", "l_suppkey", "INT64"), ("lineitem", "l_linenumber", "INT32"),
+    ("lineitem", "l_quantity", "DOUBLE"), ("lineitem", "l_extendedprice", "DOUBLE"),
+    ("lineitem", "l_discount", "DOUBLE"), ("lineitem", "l_tax", "DOUBLE"),
+    ("lineitem", "l_returnflag", "BYTE_ARRAY"), ("lineitem", "l_linestatus", "BYTE_ARRAY"),
+    ("lineitem", "l_shipdate", "INT64"),
+    ("events", "event_id", "INT64"), ("events", "ts", "INT64"),
+    ("events", "user_id", "INT64"), ("events", "event_type", "BYTE_ARRAY"),
+    ("events", "value", "DOUBLE"), ("events", "props", "BYTE_ARRAY"),
+    ("documents", "doc_id", "INT64"), ("documents", "text", "BYTE_ARRAY"),
+    ("documents", "lang", "BYTE_ARRAY"), ("documents", "source", "BYTE_ARRAY"),
+    ("documents", "n_chars", "INT64"),
+    ("embeddings", "vec_id", "INT64"), ("embeddings", "label", "INT32"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parquet_meta" -> parquetMeta,
     "q_corr_matrix" -> corrMatrix,
     "q_group_outliers" -> groupOutliers,
     "q_benford" -> benford,
@@ -593,6 +639,25 @@ object RelationalQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // ground truth from the DATA, never the file: num_values = count(*)
+    // per flat leaf (sum of element counts for the list leaf), null_count
+    // from count differences — the footer parse must land on these
+    "q_parquet_meta" -> {
+      val flat = pqCols.map { case (t, c, ty) =>
+        s"""SELECT '$t' AS tbl, '$c' AS path_in_schema, '$ty' AS phys_type,
+           |  CAST(count(*) AS BIGINT) AS num_values,
+           |  CAST(count(*) - count($c) AS BIGINT) AS null_count FROM $t""".stripMargin
+      }
+      val listLeaf =
+        """SELECT 'embeddings', 'embedding.list.element', 'FLOAT',
+          |  CAST(coalesce(sum(len(embedding)), 0) AS BIGINT),
+          |  CAST(coalesce(sum(len(embedding)
+          |    - len(list_filter(embedding, x -> x IS NOT NULL))), 0) AS BIGINT)
+          |FROM embeddings""".stripMargin
+      (flat :+ listLeaf).mkString("", "\nUNION ALL\n",
+        "\nORDER BY tbl, path_in_schema")
+    },
+
     // exact HUGEINT moment sums; doubles only in the final sqrt/divide,
     // routed through VARCHAR (direct HUGEINT->DOUBLE double-rounds >2^63)
     "q_corr_matrix" -> {
