@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharsNospaceExpr, CharsNospaceRewrite, DotProductExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, TopKAgg, WinnowExpr}
+import graft.functions.{CharsNospaceExpr, CharsNospaceRewrite, DotProductExpr, NfcExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, TopKAgg, WinnowExpr}
 
 /** SQL-surface registration for the library's native Catalyst expressions.
   *
@@ -56,6 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("top_k", "top_k(value, id, k) - bounded-heap per-group top-k " +
         "aggregate (value desc, id asc), map-side combined"),
       { args: Seq[Expression] => GraftExtensions.buildTopK(args) }))
+    ext.injectFunction(unary("nfc",
+      "nfc(text) - Unicode NFC canonical composition", NfcExpr))
     ext.injectFunction(unary("chars_nospace",
       "chars_nospace(text) - non-whitespace codepoint count (one byte pass)",
       CharsNospaceExpr))
@@ -88,6 +90,8 @@ object GraftExtensions {
       args => TokenCountExpr(args.head))
     reg("chars_nospace", "chars_nospace(text) - non-whitespace codepoint count",
       args => CharsNospaceExpr(args.head))
+    reg("nfc", "nfc(text) - Unicode NFC canonical composition",
+      args => NfcExpr(args.head))
     reg("top_k", "top_k(value, id, k) - bounded-heap per-group top-k aggregate",
       buildTopK)
     installOptimizations(spark)

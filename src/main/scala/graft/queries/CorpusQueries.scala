@@ -66,6 +66,32 @@ object CorpusQueries extends QueryGroup {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Unicode-normalized dedup keys ([[graft.functions.Nfc]]): every doc
+    * spawns two visually-identical variants -- one ending in precomposed
+    * U+00E9, one in e + combining U+0301 -- that raw byte comparison
+    * (md5, shingles, exact-dup fingerprints) treats as DIFFERENT docs;
+    * keying on nfc(s) collapses each pair. This is the canonical-form
+    * pass a multi-source corpus needs before any exact dedup (editors,
+    * OCR, and keyboards disagree about composition constantly). The
+    * oracle replays with DuckDB's `nfc_normalize` + chr() literals, so
+    * the native expression's output hash-gates cross-engine. */
+  private def unicodeDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("prefix"))
+    val composed = base.select(col("doc_id"),
+      concat(col("prefix"), lit("caf\u00e9")).as("s"))
+    val decomposed = base.select(col("doc_id"),
+      concat(col("prefix"), lit("cafe\u0301")).as("s"))
+    composed.unionByName(decomposed)
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("s")).as("raw_distinct"),
+        countDistinct(graft.functions.Nfc.nfc(col("s"))).as("nfc_distinct"),
+        min(length(graft.functions.Nfc.nfc(col("s")))).cast("int").as("nfc_chars"),
+        min(md5(graft.functions.Nfc.nfc(col("s")))).as("nfc_key"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source signature terms (the c-TF-IDF / "what makes this domain
     * different" report): token lift c_st·N/(c_s·c_t) against the corpus
     * distribution, min support 5, top-3 per source — the per-domain
@@ -432,6 +458,7 @@ object CorpusQueries extends QueryGroup {
     "q_corpus_split" -> split,
     "q_split_leakage_safe" -> splitLeakageSafe,
     "q_source_signature" -> sourceSignature,
+    "q_unicode_dedup" -> unicodeDedup,
     "q_corpus_stats" -> stats,
     "q_contamination" -> contamination,
     "q_contamination_ngram" -> contaminationNgram,
@@ -639,6 +666,24 @@ object CorpusQueries extends QueryGroup {
         |  (lang = 'en' AND n_tokens >= 20 AND n_tokens <= 120
         |   AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.3) AS keep
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // chr(233) = precomposed U+00E9, chr(769) = combining acute; DuckDB's
+    // nfc_normalize implements the same canonical composition as the
+    // native nfc() expression
+    "q_unicode_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, substring(text, 1, 16) AS prefix
+        |  FROM documents WHERE doc_id < 200),
+        |u AS (
+        |  SELECT doc_id, prefix || 'caf' || chr(233) AS s FROM base
+        |  UNION ALL
+        |  SELECT doc_id, prefix || 'cafe' || chr(769) AS s FROM base)
+        |SELECT doc_id,
+        |  CAST(count(DISTINCT s) AS BIGINT) AS raw_distinct,
+        |  CAST(count(DISTINCT nfc_normalize(s)) AS BIGINT) AS nfc_distinct,
+        |  CAST(min(length(nfc_normalize(s))) AS INTEGER) AS nfc_chars,
+        |  min(md5(nfc_normalize(s))) AS nfc_key
+        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // integer-scaled lift ranking over the vocab-bounded count frame;
     // floor division keeps the ranking key out of floats

@@ -227,6 +227,28 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** ANN index EVALUATION: recall@5 of the seeded IVF against the
+    * brute-force exact top-5, per query — the accept/reject number an
+    * index rollout is judged by, produced by the engine itself instead
+    * of a notebook. Both pipelines are deterministic (md5 seeding,
+    * tie-broken ranks), so even the recall fractions hash-gate. Costs
+    * one join of two k-row-per-query frames the group already builds. */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfSeededTopK(emb, col("vec_id") < 5,
+        k = 5, nCentroids = 8, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id").as("ivf_neighbor"))
+    brute.join(ivf,
+        brute("query_id") === ivf("query_id") &&
+          col("neighbor_id") === col("ivf_neighbor"), "left")
+      .groupBy(brute("query_id").as("query_id"))
+      .agg(count(col("ivf_neighbor")).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / 5, 6))
+      .orderBy("query_id")
+  }
+
   /** Audio track demuxed from INTERLEAVED AVI containers
     * ([[graft.ops.Multimodal.decodeAviAudio]]): 01wb PCM chunks woven
     * between the 00dc video frames concatenate into the stream's track,
@@ -490,6 +512,7 @@ object SimilarityQueries extends QueryGroup {
     "q_sim_lsh" -> lsh,
     "q_sim_ivf" -> ivf,
     "q_sim_ivf_incr" -> ivfIncr,
+    "q_ann_recall" -> annRecall,
     "q_mm_features" -> mmFeatures,
     "q_mm_frames" -> mmFrames,
     "q_mm_gif" -> mmGif,
@@ -851,6 +874,56 @@ object SimilarityQueries extends QueryGroup {
     // md5('ivf_'||vec_id) order) - 1; d(v,c) = |c|^2 - 2 v.c (|v|^2
     // dropped — constant per row); assignment = argmin (d, then c);
     // queries probe the 3 nearest lists; exact cosine top-5 within lists
+    // both rankings are deterministic, so recall itself hash-gates;
+    // brute = exact window over all pairs, ivf = the seeded probe stack
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |bp AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+        |  FROM q CROSS JOIN n WHERE vec_id <> query_id),
+        |brute AS (
+        |  SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, vec_id ASC) AS rank
+        |    FROM bp) WHERE rank <= 5),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS c,
+        |         v AS cv
+        |  FROM n
+        |  QUALIFY row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR))) <= 8),
+        |dists AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cent.c,
+        |    list_dot_product(cent.cv, cent.cv) - 2 * list_dot_product(n.v, cent.cv) AS d
+        |  FROM n CROSS JOIN cent),
+        |lists AS (
+        |  SELECT vec_id, v, nrm, c AS list_id FROM dists
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, c AS list_id FROM dists
+        |  WHERE vec_id < 5
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) <= 3),
+        |ip AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+        |  FROM probes JOIN lists USING (list_id)
+        |  WHERE vec_id <> query_id),
+        |ivf AS (
+        |  SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, vec_id ASC) AS rank
+        |    FROM ip) WHERE rank <= 5)
+        |SELECT b.query_id,
+        |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+        |  round(CAST(count(i.neighbor_id) AS DOUBLE) / 5, 6) AS recall
+        |FROM brute b LEFT JOIN ivf i
+        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
     // same probe/search arithmetic as q_sim_ivf, but the centroid seed
     // subquery EXCLUDES the batch (vec_id % 10 = 9) — the index the
     // batch inserts into is a pure function of the prior corpus

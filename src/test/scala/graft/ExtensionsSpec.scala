@@ -37,6 +37,12 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
       "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
       .collect().head.getDouble(0)
     assert(dp == 32.0)
+
+    // nfc: decomposed e + U+0301 composes to U+00E9; already-NFC input
+    // passes through unchanged (the no-allocation fast path)
+    val nfc = spark.sql("SELECT nfc('cafe\u0301') AS a, nfc('caf\u00e9') AS b")
+      .collect().head
+    assert(nfc.getString(0) == "caf\u00e9" && nfc.getString(1) == "caf\u00e9")
   }
 
   test("token-count rewrite fires on the regex pattern and values agree") {
