@@ -155,6 +155,62 @@ object Similarity {
     ivfSearch(n, isQuery, k, centroids, nProbe, listSalt)
   }
 
+  /** DBSCAN over a verified eps-neighbor pair graph — density clustering
+    * with the classic core/border/noise trichotomy, built entirely from
+    * the engine's existing primitives: the pair frame IS the
+    * eps-neighborhood relation (here: LSH-bucketed cosine >= eps pairs,
+    * the scale path that never goes all-pairs), degree >= minPts marks
+    * CORE points, connected components over the core-core edges form the
+    * clusters, non-core points with a core neighbor join their MINIMUM
+    * core neighbor's cluster (the deterministic tie rule — textbook
+    * DBSCAN is order-dependent for shared borders; min-id is the
+    * replayable choice), and everything else is NOISE. SemDeDup's CC
+    * (`q_sim_clusters`) merges through chains; DBSCAN refuses to let
+    * sparse bridges glue dense regions — the density-aware upgrade.
+    *
+    * Scale: one degree aggregation + two semi-joins + the CC fixpoint
+    * (per-round lineage truncation) + one border aggregation — every
+    * stage keyed on vector ids.
+    *
+    * @param pairs eps-pairs (id_a < id_b)
+    * @param allIds 1-column (vec_id) universe frame
+    * @return (vec_id, degree, role, cluster_id) — cluster_id null for noise
+    */
+  def dbscan(pairs: DataFrame, allIds: DataFrame, minPts: Int): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val und = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = graft.core.SharedFrames.register(
+      und.groupBy("src").agg(count(lit(1)).as("degree")))
+    val core = graft.core.SharedFrames.register(
+      deg.filter(col("degree") >= minPts).select(col("src").as("id")))
+    val coreEdges = p
+      .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(coreEdges)
+    // singleton cores (no core neighbor) cluster as themselves
+    val coreClusters = core
+      .join(cc.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val borderAssign = und
+      .join(core.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(coreClusters.withColumnRenamed("id", "dst"), Seq("dst"))
+      .groupBy(col("src").as("vec_id"))
+      .agg(min(col("cluster_id")).as("b_cluster"))
+    allIds.select(col("vec_id"))
+      .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .join(coreClusters.withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("cluster_id", "c_cluster"), Seq("vec_id"), "left")
+      .join(borderAssign, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        when(col("c_cluster").isNotNull, "core")
+          .when(col("b_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("c_cluster"), col("b_cluster")).as("cluster_id"))
+  }
+
   /** INCREMENTAL IVF: insert a batch into an EXISTING index without
     * re-seeding — the centroids are a function of the CORPUS only
     * (md5-seeded like [[ivfSeededTopK]]), the batch is assigned to those

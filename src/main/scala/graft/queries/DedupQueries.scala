@@ -294,6 +294,7 @@ object DedupQueries extends QueryGroup {
     "q_graph_triangles" -> triangles,
     "q_communities" -> communities,
     "q_kcore" -> kcore,
+    "q_dbscan" -> dbscanQ,
     "q_dedup_spans" -> dedupSpans,
     "q_span_cut" -> spanCut,
     "q_contamination_hops" -> contaminationHops,
@@ -508,6 +509,25 @@ object DedupQueries extends QueryGroup {
     * cost is the two wedge/closure equi-joins. */
   private def triangles(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.triangleCounts(sharedJaccardPairs(s, dir))
+      .orderBy("doc_id")
+
+  private val DbscanMinPts = 2
+
+  /** DBSCAN over the verified near-dup pair graph
+    * ([[graft.ops.Similarity.dbscan]], minPts = {{DbscanMinPts}}): the
+    * pair frame is the eps-neighborhood relation, degree >= minPts marks
+    * cores, CC over core-core edges forms clusters, borders take their
+    * MIN core neighbor's cluster, the rest (including docs with no pair
+    * at all) is noise — the density-aware clustering next to CC's pure
+    * reachability and LPA's label dynamics. The op is pair-source
+    * generic: the LSH cosine pair frame plugs in identically (at test
+    * scale that graph is nearly degree-1 everywhere, so the lexical
+    * graph is the demonstrative substrate). */
+  private def dbscanQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.dbscan(sharedJaccardPairs(s, dir),
+        Tables.documents(s, dir).select(col("doc_id").as("vec_id")),
+        DbscanMinPts)
+      .withColumnRenamed("vec_id", "doc_id")
       .orderBy("doc_id")
 
   private val CoreK = 2
@@ -1204,6 +1224,53 @@ object DedupQueries extends QueryGroup {
          |${lpRoundsSql(LpIters)}
          |SELECT doc_id, label AS community
          |FROM l$LpIters ORDER BY doc_id""".stripMargin,
+
+    // degree >= minPts marks cores, recursive closure over core-core
+    // edges forms clusters, borders take their MIN core neighbor's
+    // cluster, the rest is noise
+    "q_dbscan" ->
+      s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
+         |pairs0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |und AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |        UNION ALL SELECT id_b, id_a FROM jp),
+         |deg AS (SELECT src, count(*) AS degree FROM und GROUP BY 1),
+         |core AS (SELECT src AS id FROM deg WHERE degree >= $DbscanMinPts),
+         |ce AS (SELECT id_a, id_b FROM jp
+         |       JOIN core a ON id_a = a.id JOIN core b2 ON id_b = b2.id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM ce
+         |          UNION SELECT id_b, id_a FROM ce),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         |         FROM reach GROUP BY src),
+         |cclu AS (SELECT c.id, coalesce(comp.cluster_id, c.id) AS cluster_id
+         |         FROM core c LEFT JOIN comp ON c.id = comp.id),
+         |border AS (
+         |  SELECT u.src AS doc_id, min(k.cluster_id) AS b_cluster
+         |  FROM und u JOIN cclu k ON u.dst = k.id
+         |  WHERE u.src NOT IN (SELECT id FROM core)
+         |  GROUP BY u.src)
+         |SELECT d0.doc_id,
+         |  CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+         |  CASE WHEN cclu.id IS NOT NULL THEN 'core'
+         |       WHEN border.doc_id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  coalesce(cclu.cluster_id, border.b_cluster) AS cluster_id
+         |FROM (SELECT doc_id FROM documents) d0
+         |LEFT JOIN deg ON d0.doc_id = deg.src
+         |LEFT JOIN cclu ON d0.doc_id = cclu.id
+         |LEFT JOIN border ON d0.doc_id = border.doc_id
+         |ORDER BY d0.doc_id""".stripMargin,
 
     // iterative peeling, CoreIters unrolled rounds; equality holds at any
     // horizon because both engines run exactly the same rounds

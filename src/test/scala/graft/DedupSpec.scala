@@ -555,6 +555,30 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("dbscan: planted graph yields the textbook core/border/noise roles") {
+    // triangle {1,2,3} (all core at minPts=2), pendant 4 off 1 (border),
+    // isolated pair 5-6 (degree 1 each: noise), singleton 7 (noise),
+    // shared border 8 attached to cores 1 AND 9's cluster? — keep one
+    // cluster: 8 attaches to both 2 and 3 (min rule exercised)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (5L, 6L),
+      (2L, 8L), (3L, 8L)).toDF("id_a", "id_b")
+    val ids = (1L to 9L).toDF("vec_id")
+    val out = graft.ops.Similarity.dbscan(pairs, ids, minPts = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((3L, "core", 1L)))
+    assert(out(2L)._2 == "core" && out(2L)._3 == 1L)
+    assert(out(3L)._2 == "core" && out(3L)._3 == 1L)
+    // 8 has degree 2 -> actually CORE too (connects into the cluster)
+    assert(out(8L)._2 == "core" && out(8L)._3 == 1L)
+    assert(out(4L) == ((1L, "border", 1L)))
+    assert(out(5L)._2 == "noise" && out(6L)._2 == "noise")
+    assert(out(7L) == ((0L, "noise", -1L)))
+    assert(out(9L) == ((0L, "noise", -1L)))
+    graft.core.SharedFrames.clear()
+  }
+
   test("k-core: pendants and chains peel, cliques survive with full degree") {
     // 4-clique {1,2,3,4} + pendant 5 hanging off 1 + chain 6-7-8 off 2
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
