@@ -92,6 +92,43 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Chi-square independence audit of source x lang — "does every crawl
+    * domain contribute the same language mix, or is the corpus secretly
+    * stratified?" (a skewed cell here means per-source caps and
+    * language quotas fight each other). EXACT integer arithmetic end to
+    * end: per-cell contribution (O·n − row·col)² / (n·row·col) is a
+    * rational whose ×10¹² floor-scaled value both engines compute
+    * identically (Spark `div` == DuckDB `//`), and the chi² total is a
+    * SUM OF INTEGERS — no float add-order anywhere (a double sum over
+    * cells would hash-differ by partition order). The statistic rides
+    * two tiny aggregates; the contingency table is |sources|×|langs|. */
+  private def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("source").agg(sum("o").as("row_n"))
+    val cols = cells.groupBy("lang").agg(sum("o").as("col_n"))
+    val n = cells.agg(sum("o").as("n"))
+    val scaled = cells
+      .join(broadcast(rows), Seq("source"))
+      .join(broadcast(cols), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .withColumn("num",
+        (col("o") * col("n") - col("row_n") * col("col_n")).cast("decimal(38,0)"))
+      .withColumn("contrib_scaled",
+        expr("CAST(num * num * 1000000000000 AS DECIMAL(38,0)) div " +
+          "CAST(n * row_n * col_n AS DECIMAL(38,0))").cast("long"))
+    val total = scaled.agg(sum("contrib_scaled").as("chi2_scaled"))
+    scaled.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("o").as("observed"),
+        round(col("row_n") * col("col_n") / col("n").cast("double"), 6)
+          .as("expected"),
+        col("contrib_scaled"),
+        col("chi2_scaled").cast("long").as("chi2_scaled_total"),
+        // 0.05 critical value for dof = (|src|-1)(|lang|-1) = 76
+        (col("chi2_scaled") > lit(97351000000000L)).as("rejects_independence"))
+      .orderBy("source", "lang")
+  }
+
   /** Per-source signature terms (the c-TF-IDF / "what makes this domain
     * different" report): token lift c_st·N/(c_s·c_t) against the corpus
     * distribution, min support 5, top-3 per source — the per-domain
@@ -459,6 +496,7 @@ object CorpusQueries extends QueryGroup {
     "q_split_leakage_safe" -> splitLeakageSafe,
     "q_source_signature" -> sourceSignature,
     "q_unicode_dedup" -> unicodeDedup,
+    "q_chi_square" -> chiSquare,
     "q_corpus_stats" -> stats,
     "q_contamination" -> contamination,
     "q_contamination_ngram" -> contaminationNgram,
@@ -666,6 +704,28 @@ object CorpusQueries extends QueryGroup {
         |  (lang = 'en' AND n_tokens >= 20 AND n_tokens <= 120
         |   AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.3) AS keep
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // per-cell floor-scaled rational contributions; chi2 total = integer
+    // sum, so no float add-order exists anywhere in the statistic
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(sum(o) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+        |c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |sc AS (
+        |  SELECT cells.source, cells.lang, o, row_n, col_n, n,
+        |    CAST((CAST(o * n - row_n * col_n AS HUGEINT)
+        |          * CAST(o * n - row_n * col_n AS HUGEINT) * 1000000000000)
+        |      // CAST(n AS HUGEINT) // row_n // col_n AS BIGINT) AS contrib_scaled
+        |  FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN nn),
+        |tot AS (SELECT CAST(sum(contrib_scaled) AS BIGINT) AS chi2_scaled FROM sc)
+        |SELECT source, lang, o AS observed,
+        |  round(CAST(row_n AS DOUBLE) * col_n / n, 6) AS expected,
+        |  contrib_scaled,
+        |  chi2_scaled AS chi2_scaled_total,
+        |  chi2_scaled > 97351000000000 AS rejects_independence
+        |FROM sc CROSS JOIN tot ORDER BY source, lang""".stripMargin,
 
     // chr(233) = precomposed U+00E9, chr(769) = combining acute; DuckDB's
     // nfc_normalize implements the same canonical composition as the

@@ -352,6 +352,37 @@ object EventsQueries extends QueryGroup {
       .orderBy("user_id", "click_id")
   }
 
+  /** Time-weighted average value per user (the TWAP shape): each event's
+    * value holds from its timestamp until the next event, so the mean is
+    * duration-weighted — the correct aggregate for sampled state (price,
+    * queue depth, battery level), where the plain AVG over-counts
+    * burst-sampled periods. EXACT: values become integer cents, weights
+    * are integer µs deltas, the numerator Σ cents·Δus accumulates in
+    * DECIMAL(38,0)/HUGEINT, and the ONE double appears in the final
+    * division. The last event carries no duration (standard left-closed
+    * convention); single-event users yield null. Shares the per-user
+    * lag partitioning every sessionization query uses. */
+  private def twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("next_us",
+        lead(unix_micros(col("ts")), 1).over(w))
+      .withColumn("dur_us", col("next_us") - unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dur_us")).as("span_us"),
+        sum((col("cents") * col("dur_us")).cast("decimal(38,0)")).as("num"))
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("span_us"), lit(0L)).as("span_us"),
+        when(col("span_us").isNull || col("span_us") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            (col("span_us").cast("double") * 100), 6)).as("twap"))
+      .orderBy("user_id")
+  }
+
   /** EXACT running distinct count per user — how many distinct event
     * types each user has touched so far at every event (the
     * feature-engineering "breadth so far" signal, usually approximated
@@ -470,6 +501,7 @@ object EventsQueries extends QueryGroup {
     "q_asof_event" -> asofEvent,
     "q_asof_nearest" -> asofNearest,
     "q_running_distinct" -> runningDistinct,
+    "q_twap" -> twap,
     "q_event_transitions" -> transitions,
   )
 
@@ -644,6 +676,27 @@ object EventsQueries extends QueryGroup {
         |  ON v.user_id = c.click_user
         |  AND c.click_ts_us BETWEEN v.view_ts_us AND v.view_ts_us + 1800 * 1000000
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // integer cents x integer microsecond weights; HUGEINT numerator,
+    // one double division at the end
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(ts) AS t_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(next_us - t_us) AS BIGINT) AS span_us,
+        |    sum(CAST(cents AS HUGEINT) * (next_us - t_us)) AS num
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events, coalesce(span_us, 0) AS span_us,
+        |  CASE WHEN span_us IS NULL OR span_us = 0 THEN NULL
+        |       ELSE round(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |              / (CAST(span_us AS DOUBLE) * 100), 6) END AS twap
+        |FROM a ORDER BY user_id""".stripMargin,
 
     // first-occurrence flags summed over the running frame = exact
     // running distinct; event_id tiebreaks make both orderings identical
