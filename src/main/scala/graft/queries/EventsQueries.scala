@@ -352,6 +352,32 @@ object EventsQueries extends QueryGroup {
       .orderBy("user_id", "click_id")
   }
 
+  /** Cohort retention matrix — users grouped by FIRST-event day, then
+    * for each day offset k: how many of that cohort were active again
+    * (the activation/retention curve every product and data-freshness
+    * dashboard draws). Exact distinct counts (a user active twice on
+    * day k counts once), retention divides two exact longs. Shape: one
+    * user-key aggregate for cohort assignment, broadcast back over the
+    * events scan, then a (cohort, k) aggregation whose cardinality is
+    * days² — tiny at any event volume. */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = e.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("cohort_size"))
+    e.join(broadcast(cohorts), Seq("user_id"))
+      .withColumn("k", datediff(col("d"), col("cohort_day")))
+      .groupBy("cohort_day", "k")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day").cast("string").as("cohort_day"), col("k"),
+        col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_day", "k")
+  }
+
   /** Time-weighted average value per user (the TWAP shape): each event's
     * value holds from its timestamp until the next event, so the mean is
     * duration-weighted — the correct aggregate for sampled state (price,
@@ -502,6 +528,7 @@ object EventsQueries extends QueryGroup {
     "q_asof_nearest" -> asofNearest,
     "q_running_distinct" -> runningDistinct,
     "q_twap" -> twap,
+    "q_cohort_retention" -> cohortRetention,
     "q_event_transitions" -> transitions,
   )
 
@@ -676,6 +703,24 @@ object EventsQueries extends QueryGroup {
         |  ON v.user_id = c.click_user
         |  AND c.click_ts_us BETWEEN v.view_ts_us AND v.view_ts_us + 1800 * 1000000
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // exact distinct-user counts per (first-event day, day offset);
+    // retention divides two exact longs
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+        |       FROM coh GROUP BY 1),
+        |act AS (
+        |  SELECT cohort_day, date_diff('day', cohort_day, d) AS k,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |  FROM e JOIN coh ON e.user_id = coh.user_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, CAST(k AS INTEGER) AS k,
+        |  n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM act JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, k""".stripMargin,
 
     // integer cents x integer microsecond weights; HUGEINT numerator,
     // one double division at the end

@@ -324,6 +324,47 @@ class PlanSpec extends SparkSuite {
       s"trailing window lost its type partitioning:\n${plan.take(1200)}")
   }
 
+  test("q_corr_matrix: one aggregation over the scan, no join, no window") {
+    val plan = formatted("q_corr_matrix")
+    assert(!plan.contains("Join"), s"moment pass planned a join:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"), s"moment pass planned a window:\n${plan.take(1200)}")
+  }
+
+  test("q_asof_nearest: both carry directions ride ONE user shuffle, no join") {
+    val plan = formatted("q_asof_nearest")
+    assert(!plan.contains("Join"),
+      s"nearest as-of planned a join (range-join regression):\n${plan.take(1500)}")
+    val parts = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(parts >= 1, s"carry windows lost user partitioning:\n${plan.take(1500)}")
+  }
+
+  test("q_running_distinct: two window passes, no join, no distinct aggregate") {
+    val plan = formatted("q_running_distinct")
+    assert(!plan.contains("Join"), plan.take(1200))
+    // a distinct AGGREGATE would plan as count(distinct ...) + an Expand;
+    // the column name contains "distinct", so match the operator forms
+    assert(!plan.toLowerCase.contains("count(distinct") && !plan.contains("Expand"),
+      s"running distinct should use first-occurrence flags, not a distinct agg:\n${plan.take(1200)}")
+  }
+
+  test("q_source_signature: totals broadcast; ranking window is on the count frame") {
+    val plan = formatted("q_source_signature")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"per-source totals did not broadcast:\n${plan.take(1500)}")
+    // the window must sit ABOVE an aggregate (vocab-bounded frame), never
+    // directly over the token explode
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && aggIdx > winIdx,
+      s"ranking window is not over the aggregated count frame:\n${plan.take(1200)}")
+  }
+
+  test("q_twap: lead rides the user shuffle; numerator aggregates in decimal") {
+    val plan = formatted("q_twap")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).nonEmpty, plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
