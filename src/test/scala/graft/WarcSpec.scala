@@ -53,6 +53,34 @@ class WarcSpec extends AnyFunSuite {
     assert(rs.map(_.target_uri) == Seq("http://a"))
   }
 
+  test("streaming archive ingest: store wins re-crawls, min URI wins in-batch") {
+    val spark = SparkSuite.session
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftwarc")
+      .toFile.getAbsolutePath
+    val src = MemoryStream[(Long, Array[Byte])]
+    val archives = src.toDF().toDF("group_id", "payload")
+    def run(): Unit = graft.streaming.WarcStream.runArchiveIngest(
+      spark, archives, s"$tmp/store", s"$tmp/ckpt")
+    // batch 1 (plain group): two distinct docs
+    src.addData((0L, WarcFixtures.synthWarc(0L,
+      Seq((1L, "hello world", "en"), (2L, "other content", "fr")))))
+    run()
+    // batch 2 (gzip group): doc 3 re-crawls doc 1's content (suppressed,
+    // store wins); docs 4 and 5 share NEW content (min URI doc/4 wins)
+    src.addData((1L, WarcFixtures.synthWarc(1L,
+      Seq((3L, "hello world", "en"), (4L, "brand new", "de"),
+        (5L, "brand new", "de")))))
+    run()
+    val store = spark.read.parquet(s"$tmp/store")
+      .select("target_uri").collect().map(_.getString(0)).toSet
+    assert(store == Set(
+      WarcFixtures.uriOf(1L), WarcFixtures.uriOf(2L), WarcFixtures.uriOf(4L)),
+      s"wrong store contents: $store")
+  }
+
   test("multibyte payloads frame by OCTETS, not characters") {
     val zh = "你好世界" // 4 chars, 12 UTF-8 bytes
     val bytes = (record("http://z", zh) + record("http://t", "tail")).getBytes(UTF_8)
