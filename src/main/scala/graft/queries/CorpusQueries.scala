@@ -92,6 +92,39 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** HTML-to-text extraction (the WARC→WET step): crawl payloads are
+    * HTML, training text is not — strip <script>/<style> subtrees
+    * (content and all), then every remaining tag, decode the five
+    * predefined entities, collapse whitespace. Fixtures wrap each doc's
+    * text in a deterministic page template (nav boilerplate, a script
+    * with decoy text that MUST NOT leak, attributes with '>' in quoted
+    * values avoided — the regex tier's documented limit), so the oracle
+    * rebuilds the same page in SQL and strips it with the same RE2-safe
+    * patterns ((?s) non-greedy subtree removal — no lookaround, no
+    * backreferences). Pure projection; rides the scan at any size. */
+  private def htmlToText(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>t</title><style>body{color:red}</style>" +
+        "<script>var decoy = \"DO NOT LEAK\";</script></head>" +
+        "<body><nav>home &amp; about</nav><p id=\"main\">"),
+      col("text"),
+      lit("</p><div class='foot'>&lt;footer&gt; &#39;fin&#39;</div></body></html>"))
+    val stripped =
+      regexp_replace(regexp_replace(regexp_replace(
+        page, "(?s)<script.*?</script>", " "),
+        "(?s)<style.*?</style>", " "),
+        "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(stripped) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(decoded, """\s+""", " ")).as("extracted"))
+      .withColumn("n_chars", length(col("extracted")))
+      .withColumn("leaked_script", col("extracted").contains("DO NOT LEAK"))
+      .orderBy("doc_id")
+  }
+
   /** Chi-square independence audit of source x lang — "does every crawl
     * domain contribute the same language mix, or is the corpus secretly
     * stratified?" (a skewed cell here means per-source caps and
@@ -497,6 +530,7 @@ object CorpusQueries extends QueryGroup {
     "q_source_signature" -> sourceSignature,
     "q_unicode_dedup" -> unicodeDedup,
     "q_chi_square" -> chiSquare,
+    "q_html_to_text" -> htmlToText,
     "q_corpus_stats" -> stats,
     "q_contamination" -> contamination,
     "q_contamination_ngram" -> contaminationNgram,
@@ -704,6 +738,36 @@ object CorpusQueries extends QueryGroup {
         |  (lang = 'en' AND n_tokens >= 20 AND n_tokens <= 120
         |   AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.3) AS keep
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // the same RE2-safe strip chain over the same page template; the
+    // decoy-leak flag proves subtree removal, not just tag removal
+    "q_html_to_text" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>t</title><style>body{color:red}</style>' ||
+        |    '<script>var decoy = "DO NOT LEAK";</script></head>' ||
+        |    '<body><nav>home &amp; about</nav><p id="main">' || text ||
+        |    '</p><div class=''foot''>&lt;footer&gt; &#39;fin&#39;</div></body></html>'
+        |    AS h
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(h,
+        |      '(?s)<script.*?</script>', ' ', 'g'),
+        |      '(?s)<style.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g') AS t
+        |  FROM page),
+        |decoded AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&amp;', '&') AS t
+        |  FROM stripped)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted,
+        |  CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS INTEGER) AS n_chars,
+        |  contains(trim(regexp_replace(t, '\s+', ' ', 'g')), 'DO NOT LEAK') AS leaked_script
+        |FROM decoded ORDER BY doc_id""".stripMargin,
 
     // per-cell floor-scaled rational contributions; chi2 total = integer
     // sum, so no float add-order exists anywhere in the statistic

@@ -493,6 +493,38 @@ object RelationalQueries extends QueryGroup {
       .orderBy("o_custkey")
   }
 
+  /** Robust (MAD) outlier screen per nation — the modified z-score
+    * companion of `q_group_outliers`' Tukey fences: median absolute
+    * deviation tolerates up to 50% contamination where the IQR breaks
+    * at 25%. Exactness: spends are integer cents; the median sits at a
+    * dyadic position so med and MAD are exact multiples of 1/4 cent;
+    * the 0.6745·dev > 3.5·MAD cut compares as 6745·(4·dev) >
+    * 35000·(4·MAD) — ALL integer, no float boundary. The z itself is
+    * one exact-operand double division, displayed rounded. Same shape
+    * as the IQR screen: tiny per-group stats broadcast back. */
+  private def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)").cast("long").as("cents"))
+    val med = spend.groupBy("c_nationkey")
+      .agg((expr("percentile(cents, 0.5)") * 4).cast("long").as("med4"))
+    val dev = spend.join(broadcast(med), Seq("c_nationkey"))
+      .withColumn("dev4", abs(col("cents") * 4 - col("med4")))
+    val mad = dev.groupBy("c_nationkey")
+      .agg((expr("percentile(dev4, 0.5)") * 4).cast("long").as("mad16"))
+    dev.join(broadcast(mad), Seq("c_nationkey"))
+      .filter(col("mad16") > 0 &&
+        col("dev4") * lit(6745L) * 4 > col("mad16") * lit(35000L))
+      .select(col("o_custkey"), col("c_nationkey"),
+        (col("cents").cast("double") / 100).as("spend"),
+        round(col("med4").cast("double") / 400, 6).as("median_spend"),
+        round(lit(0.6745) * col("dev4").cast("double") * 4 /
+          col("mad16").cast("double"), 6).as("robust_z"))
+      .orderBy("o_custkey")
+  }
+
   /** Benford first-digit audit over order totals — the classic financial
     * anomaly screen (the reference's domain is 990 FINANCIAL filings;
     * fabricated numbers drift from Benford's log distribution). First
@@ -607,6 +639,7 @@ object RelationalQueries extends QueryGroup {
     "q_parquet_meta" -> parquetMeta,
     "q_corr_matrix" -> corrMatrix,
     "q_group_outliers" -> groupOutliers,
+    "q_mad_outliers" -> madOutliers,
     "q_benford" -> benford,
     "q_range_join" -> rangeJoin,
     "q_salted_agg" -> saltedAgg,
@@ -686,6 +719,31 @@ object RelationalQueries extends QueryGroup {
          |${pairs.mkString("\nUNION ALL\n")}
          |ORDER BY m_a, m_b""".stripMargin
     },
+
+    // med and MAD are exact quarter-cents; the modified-z cut compares
+    // entirely in integers (6745·4dev vs 35000·mad16)
+    "q_mad_outliers" ->
+      """WITH sp AS (
+        |  SELECT c_nationkey, o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |med AS (SELECT c_nationkey,
+        |    CAST(quantile_cont(cents, 0.5) * 4 AS BIGINT) AS med4
+        |  FROM sp GROUP BY 1),
+        |dev AS (
+        |  SELECT sp.*, med4, abs(cents * 4 - med4) AS dev4
+        |  FROM sp JOIN med USING (c_nationkey)),
+        |mad AS (SELECT c_nationkey,
+        |    CAST(quantile_cont(dev4, 0.5) * 4 AS BIGINT) AS mad16
+        |  FROM dev GROUP BY 1)
+        |SELECT o_custkey, dev.c_nationkey,
+        |  CAST(cents AS DOUBLE) / 100 AS spend,
+        |  round(CAST(med4 AS DOUBLE) / 400, 6) AS median_spend,
+        |  round(0.6745 * dev4 * 4 / mad16, 6) AS robust_z
+        |FROM dev JOIN mad USING (c_nationkey)
+        |WHERE mad16 > 0 AND dev4 * 6745 * 4 > mad16 * 35000
+        |ORDER BY o_custkey""".stripMargin,
 
     // dyadic quartile positions keep quantile_cont == Spark percentile
     // bit-exact on integer cents; the fences are exact eighths of a cent
