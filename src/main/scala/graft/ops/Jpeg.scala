@@ -458,6 +458,39 @@ private[graft] object JpegFixtures {
     out.toByteArray
   }
 
+  /** 3-component (YCbCr, 1x1 sampling) block-constant fixture — the
+    * interleaved-MCU layout color JPEGs use: per MCU one block PER
+    * component with per-component DC predictors. Y carries the same
+    * block formula as the grayscale family; Cb/Cr sit at the neutral
+    * 128 (quantized DC 0). The decoder must interleave correctly and
+    * extract the luma plane. */
+  def synthJpegColor(id: Long): Array[Byte] = {
+    val bw = blocksW(id); val bh = blocksH(id)
+    val w = width(id); val h = height(id)
+    val out = new ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xdb, 0 +: QLum.toArray)
+    seg(out, 0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    seg(out, 0xc4, (0x00 +: DcBits) ++ DcVals)
+    seg(out, 0xc4, (0x10 +: AcBits) ++ AcVals)
+    seg(out, 0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val bwr = new BitWriter(out)
+    val pred = Array(0, 0, 0)
+    for (mcu <- 0 until bw * bh; c <- 0 until 3) {
+      val v = if (c == 0) blockV(id, mcu % bw, mcu / bw) else 128
+      val qdc = math.floor((v - 128) / 2.0 + 0.5).toInt
+      val diff = qdc - pred(c)
+      pred(c) = qdc
+      val s = category(diff)
+      putCoef(bwr, DcCodes, s, diff, s)
+      putCoef(bwr, AcCodes, 0x00, 0, 0)
+    }
+    bwr.align()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   /** General-path fixture for JpegSpec: arbitrary gray pixels through a
     * full FDCT + RLE AC encode with a FLAT quant table (all qv) — not
     * oracle-gated (lossy), bounded-error tested instead. */

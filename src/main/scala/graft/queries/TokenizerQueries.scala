@@ -52,9 +52,39 @@ object TokenizerQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-quality report: per language, how much of the corpus the
+    * trained merges actually COVER — the fraction of word occurrences
+    * fully merged to one symbol and the mean symbols per word (the
+    * fertility metric tokenizer evaluations quote). A merge budget
+    * trained on the corpus mix over-serves the dominant language; this
+    * is the per-stratum view that exposes it. Rides the shared trained
+    * repr frame; |langs|-row output. */
+  private def bpeCoverage(s: SparkSession, dir: String): DataFrame = {
+    val (_, repr) = Bpe.trained(s, dir)
+    val seg = repr.select(col("word"),
+      size(split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\["))
+        .as("n_syms"))
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_occurrences"),
+        sum(when(col("n_syms") === 1, 1L).otherwise(0L)).as("fully_merged"),
+        sum("n_syms").as("n_symbols"))
+      .select(col("lang"), col("n_occurrences"), col("fully_merged"),
+        round(col("fully_merged").cast("double") / col("n_occurrences"), 6)
+          .as("coverage"),
+        round(col("n_symbols").cast("double") / col("n_occurrences"), 6)
+          .as("symbols_per_word"))
+      .orderBy("lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> bpeTrain,
     "q_bpe_segment" -> bpeSegment,
+    "q_bpe_coverage" -> bpeCoverage,
   )
 
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] =
@@ -118,6 +148,25 @@ object TokenizerQueries extends QueryGroup {
            |FROM dt JOIN seg s USING (word)
            |WHERE word <> ''
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_bpe_coverage" ->
+        s"""${bpeSqlPrefix(k)},
+           |seg AS (
+           |  SELECT word, len(string_split(repr[2:-2], '][')) AS n_syms
+           |  FROM r$k),
+           |dt AS (
+           |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents)
+           |SELECT lang,
+           |  count(*) AS n_occurrences,
+           |  CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS fully_merged,
+           |  round(CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*), 6) AS coverage,
+           |  round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS symbols_per_word
+           |FROM dt JOIN seg USING (word)
+           |WHERE word <> ''
+           |GROUP BY lang ORDER BY lang""".stripMargin,
     )
   }
 }

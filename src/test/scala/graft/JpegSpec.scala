@@ -35,6 +35,21 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(bytes).isDefined)
   }
 
+  test("3-component interleaved MCUs decode the luma plane exactly") {
+    for (id <- 0L until 60L) {
+      val img = Jpeg.decode(JpegFixtures.synthJpegColor(id))
+        .getOrElse(fail(s"color decode failed for $id"))
+      assert(img.nComp == 3)
+      assert(img.width == JpegFixtures.width(id))
+      assert(img.height == JpegFixtures.height(id))
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val want = JpegFixtures.expectedV(id, x / 8, y / 8)
+        assert(img.gray(y * img.width + x) == want,
+          s"color id=$id ($x,$y)")
+      }
+    }
+  }
+
   test("general AC path: full-FDCT round-trip within quantization error") {
     val rnd = new scala.util.Random(42)
     val h = 24; val w = 21 // exercises edge-block crop too
