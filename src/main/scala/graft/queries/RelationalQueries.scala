@@ -493,6 +493,37 @@ object RelationalQueries extends QueryGroup {
       .orderBy("o_custkey")
   }
 
+  /** Entity resolution END TO END — the reference's fuzzy EIN-merge
+    * shape (README.md:41–47, `master_acreage_merge.py:49–114`) composed
+    * into one operator: block customers on a cheap key (the name minus
+    * its final char — a blocking key must MATCH for candidates, so it
+    * is chosen to make near-identical names collide), verify
+    * levenshtein <= 1 within blocks only (never a cross join), treat
+    * surviving pairs as an identity graph, and resolve
+    * transitive groups with connected components — A~B, B~C puts A and
+    * C in one entity even when A!~C directly, which per-pair merging
+    * misses. Output: every customer with its canonical entity id
+    * (smallest member key) and group size. The CC fixpoint replays as
+    * the recursive-CTE closure. */
+  private def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), lower(col("c_name")).as("nm"))
+      .withColumn("blk", expr("left(nm, length(nm) - 1)"))
+    val pairs = c.alias("a").join(c.alias("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .filter(levenshtein(col("a.nm"), col("b.nm")) <= 1)
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"))
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+    c.select(col("c_custkey"))
+      .join(cc.withColumnRenamed("doc_id", "c_custkey"), Seq("c_custkey"), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col("c_custkey")))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("entity_id")))
+      .select("c_custkey", "entity_id", "n_members")
+      .orderBy("c_custkey")
+  }
+
   /** Robust (MAD) outlier screen per nation — the modified z-score
     * companion of `q_group_outliers`' Tukey fences: median absolute
     * deviation tolerates up to 50% contamination where the IQR breaks
@@ -640,6 +671,7 @@ object RelationalQueries extends QueryGroup {
     "q_corr_matrix" -> corrMatrix,
     "q_group_outliers" -> groupOutliers,
     "q_mad_outliers" -> madOutliers,
+    "q_entity_resolution" -> entityResolution,
     "q_benford" -> benford,
     "q_range_join" -> rangeJoin,
     "q_salted_agg" -> saltedAgg,
@@ -719,6 +751,33 @@ object RelationalQueries extends QueryGroup {
          |${pairs.mkString("\nUNION ALL\n")}
          |ORDER BY m_a, m_b""".stripMargin
     },
+
+    // blocked levenshtein pairs -> recursive-CTE transitive closure;
+    // singletons resolve to themselves
+    "q_entity_resolution" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey, lower(c_name) AS nm,
+        |    left(lower(c_name), length(c_name) - 1) AS blk
+        |  FROM customer),
+        |jp AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.nm, b.nm) <= 1),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |          UNION SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS c_custkey, least(src, min(dst)) AS cluster_id
+        |         FROM reach GROUP BY src),
+        |res AS (
+        |  SELECT c.c_custkey,
+        |    coalesce(comp.cluster_id, c.c_custkey) AS entity_id
+        |  FROM c LEFT JOIN comp USING (c_custkey))
+        |SELECT c_custkey, entity_id,
+        |  count(*) OVER (PARTITION BY entity_id) AS n_members
+        |FROM res ORDER BY c_custkey""".stripMargin,
 
     // med and MAD are exact quarter-cents; the modified-z cut compares
     // entirely in integers (6745·4dev vs 35000·mad16)
