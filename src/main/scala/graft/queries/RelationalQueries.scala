@@ -493,6 +493,34 @@ object RelationalQueries extends QueryGroup {
       .orderBy("o_custkey")
   }
 
+  /** Market-basket co-purchase pairs — the relational cousin of the
+    * token collocation miner: parts bought together in one order,
+    * ranked by integer-scaled lift support·N/(n_a·n_b) with min
+    * support, top-20 with deterministic tiebreak. The pair join is
+    * per-order (basket²-bounded fan-out, never a catalog self-join) and
+    * the ranking runs over the pair-count aggregate; floored lift keeps
+    * the ranking key out of floats, exactly like `q_collocations`. */
+  private def copurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = li.select(countDistinct("ok").as("n_orders"))
+    val partN = li.groupBy("pk").agg(count(lit(1)).as("n_part"))
+    val pairs = li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p_a"), col("b.pk").as("p_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 3)
+    pairs
+      .join(partN.select(col("pk").as("p_a"), col("n_part").as("n_a")), Seq("p_a"))
+      .join(partN.select(col("pk").as("p_b"), col("n_part").as("n_b")), Seq("p_b"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_scaled",
+        expr("(support * n_orders * 1000000) div (n_a * n_b)"))
+      .orderBy(col("lift_scaled").desc, col("p_a"), col("p_b"))
+      .limit(20)
+      .select("p_a", "p_b", "support", "n_a", "n_b", "lift_scaled")
+  }
+
   /** Entity resolution END TO END — the reference's fuzzy EIN-merge
     * shape (README.md:41–47, `master_acreage_merge.py:49–114`) composed
     * into one operator: block customers on a cheap key (the name minus
@@ -672,6 +700,7 @@ object RelationalQueries extends QueryGroup {
     "q_group_outliers" -> groupOutliers,
     "q_mad_outliers" -> madOutliers,
     "q_entity_resolution" -> entityResolution,
+    "q_copurchase" -> copurchase,
     "q_benford" -> benford,
     "q_range_join" -> rangeJoin,
     "q_salted_agg" -> saltedAgg,
@@ -751,6 +780,21 @@ object RelationalQueries extends QueryGroup {
          |${pairs.mkString("\nUNION ALL\n")}
          |ORDER BY m_a, m_b""".stripMargin
     },
+
+    // per-order pair fan-out, integer-scaled floored lift ranking
+    "q_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        |pn AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_part FROM li GROUP BY 1),
+        |pr AS (
+        |  SELECT a.pk AS p_a, b.pk AS p_b, CAST(count(*) AS BIGINT) AS support
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p_a, p_b, support, na.n_part AS n_a, nb.n_part AS n_b,
+        |  (support * n_orders * 1000000) // (na.n_part * nb.n_part) AS lift_scaled
+        |FROM pr JOIN pn na ON p_a = na.pk JOIN pn nb ON p_b = nb.pk
+        |CROSS JOIN no
+        |ORDER BY lift_scaled DESC, p_a, p_b LIMIT 20""".stripMargin,
 
     // blocked levenshtein pairs -> recursive-CTE transitive closure;
     // singletons resolve to themselves
