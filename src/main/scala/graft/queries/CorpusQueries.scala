@@ -515,7 +515,63 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Distribution-SHAPE drift monitor: per-source skewness and excess
+    * kurtosis of document length, from EXACT integer moment numerators —
+    * the statistics that catch a source whose length distribution grew a
+    * heavy tail (truncation bugs, concatenated crawls, a scraper pasting
+    * pages together) while mean and count still look healthy. Complements
+    * `q_corpus_drift` (token-mixture drift) with length-shape drift.
+    *
+    * With S_k = Σ x^k held exactly (DECIMAL(38,0) here, HUGEINT in the
+    * oracle) the scale factors cancel into pure integer numerators:
+    *   A = n·S2 − S1²                               (n²·m2)
+    *   B = n²·S3 − 3n·S1·S2 + 2·S1³                 (n³·m3)
+    *   C = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴    (n⁴·m4)
+    *   g1 = B / A^{3/2}   g2 = C / A² − 3     (the n powers cancel)
+    * so doubles appear only in the final division — no order-dependent
+    * float accumulation. x⁴ per row fits a long (n_chars ≤ ~5e3); the
+    * DECIMAL(38,0) sums hold to ~1e8 docs per source, past which the
+    * accumulation would center per partition first (same plan shape).
+    * One map-side-combined aggregation, |sources| rows out. */
+  private def moments(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("x"))
+      .withColumn("x2", col("x") * col("x"))
+      .withColumn("x3", col("x") * col("x2"))
+      .withColumn("x4", col("x2") * col("x2"))
+    val agg = d.groupBy("source").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("s1"),
+      sum(col("x2").cast("decimal(38,0)")).as("s2"),
+      sum(col("x3").cast("decimal(38,0)")).as("s3"),
+      sum(col("x4").cast("decimal(38,0)")).as("s4"))
+    agg
+      .withColumn("a", col("n") * col("s2") - col("s1") * col("s1"))
+      .withColumn("b",
+        col("n") * col("n") * col("s3") -
+          lit(3) * col("n") * col("s1") * col("s2") +
+          lit(2) * col("s1") * col("s1") * col("s1"))
+      .withColumn("c",
+        col("n") * col("n") * col("n") * col("s4") -
+          lit(4) * col("n") * col("n") * col("s1") * col("s3") +
+          lit(6) * col("n") * col("s1") * col("s1") * col("s2") -
+          lit(3) * col("s1") * col("s1") * col("s1") * col("s1"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        round(col("s1").cast("double") / col("n").cast("double"), 6)
+          .as("mean_chars"),
+        when(col("a") === 0, lit(null)).otherwise(
+          round(col("b").cast("double") /
+            (col("a").cast("double") * sqrt(col("a").cast("double"))), 6))
+          .as("skewness"),
+        when(col("a") === 0, lit(null)).otherwise(
+          round(col("c").cast("double") /
+            (col("a").cast("double") * col("a").cast("double")) - 3d, 6))
+          .as("kurtosis_excess"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moments" -> moments,
     "q_warc_ingest" -> warcIngest,
     "q_line_dedup" -> lineDedup,
     "q_line_dedup_incr" -> lineDedupIncr,
@@ -538,6 +594,37 @@ object CorpusQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // HUGEINT moment numerators; doubles only in the final division,
+    // HUGEINT->DOUBLE routed through VARCHAR (correctly rounded; the
+    // direct cast double-rounds above 2^63)
+    "q_moments" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n,
+        |    sum(CAST(n_chars AS HUGEINT)) AS s1,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS s3,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars) AS s4
+        |  FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT source, n, s1,
+        |    n * s2 - s1 * s1 AS a,
+        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS b,
+        |    n * n * n * s4 - 4 * n * n * s1 * s3
+        |      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS c
+        |  FROM s)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  round(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n, 6) AS mean_chars,
+        |  CASE WHEN a = 0 THEN NULL ELSE
+        |    round(CAST(CAST(b AS VARCHAR) AS DOUBLE) /
+        |          (CAST(CAST(a AS VARCHAR) AS DOUBLE) *
+        |           sqrt(CAST(CAST(a AS VARCHAR) AS DOUBLE))), 6) END
+        |    AS skewness,
+        |  CASE WHEN a = 0 THEN NULL ELSE
+        |    round(CAST(CAST(c AS VARCHAR) AS DOUBLE) /
+        |          (CAST(CAST(a AS VARCHAR) AS DOUBLE) *
+        |           CAST(CAST(a AS VARCHAR) AS DOUBLE)) - 3, 6) END
+        |    AS kurtosis_excess
+        |FROM m ORDER BY source""".stripMargin,
     // symbolic WARC framing: rec_size = octets(header) + payload + 4;
     // offsets = 80 (warcinfo lead record) + prefix sum within the group.
     // gzip groups decompress to the identical logical stream, so ONE

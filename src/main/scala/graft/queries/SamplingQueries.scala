@@ -145,7 +145,56 @@ object SamplingQueries extends QueryGroup {
         "l_partkey", "l_suppkey"),
       "l_partkey", "l_suppkey", filesLog2 = 6)
 
+  /** Vocabulary growth along the training shuffle order — the Heaps-law
+    * monitor: as the corpus is consumed in [[shuffleOrder]]'s
+    * deterministic epoch order, how many token TYPES has the model seen
+    * after each tenth of the corpus, and how fast is novelty decaying?
+    * A curve that flattens early means the later corpus is recycling
+    * vocabulary (template spam, boilerplate the dedup stage missed);
+    * sustained growth means late batches still teach new tokens. The
+    * reference has no notion of this; it is the curation-health cousin
+    * of `q_token_histogram`.
+    *
+    * Exact and scalable: a type's first-seen position is a min
+    * AGGREGATION over (token, decile) rows — map-side combine absorbs
+    * the Zipf head, no per-token window; deciles come from the same
+    * two-level rank as every sampling query (never a global sort of the
+    * data); the only partition-less window is the 10-row decile cumsum
+    * (bounded by construction, like the rank's bucket-offset cumsum). */
+  private def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Sampling.rankedBy(Tables.documents(s, dir), Seq.empty, "doc_id")
+      .select(col("doc_id"), col("text"), col("samp_rank"))
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    val docs = ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        (expr("((samp_rank - 1) * 10) div n_total") + 1L).cast("int"))
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).cast("long"))
+    val perDecile = docs.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("d_tokens"))
+    val firstSeen = docs
+      .select(col("decile"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(min("decile").as("first_decile"))
+      .groupBy("first_decile").agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perDecile
+      .join(firstSeen, perDecile("decile") === firstSeen("first_decile"), "left")
+      .select(perDecile("decile"), col("n_docs"), col("d_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("docs_seen", sum("n_docs").over(w))
+      .withColumn("tokens_seen", sum("d_tokens").over(w))
+      .withColumn("vocab_size", sum("new_types").over(w))
+      .select(col("decile"), col("n_docs"), col("new_types"), col("docs_seen"),
+        col("tokens_seen"), col("vocab_size"),
+        round(col("vocab_size").cast("double") /
+          col("tokens_seen").cast("double"), 6).as("ttr"))
+      .orderBy("decile")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_growth" -> vocabGrowth,
     "q_zorder" -> zorder,
     "q_source_cap" -> sourceCap,
     "q_mix_weights" -> mixWeights,
@@ -156,6 +205,41 @@ object SamplingQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // the shuffle-order rank replays as one row_number window; first-seen
+    // decile per type is min(decile) (monotone in rank, so min over the
+    // decile equals the decile of the min rank); HUGEINT cumsums cast out
+    "q_vocab_growth" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |    CAST(row_number() OVER (ORDER BY $rankOrderSql) AS BIGINT) AS samp_rank
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, text,
+         |    CAST((samp_rank - 1) * 10 // (SELECT count(*) FROM documents) + 1
+         |      AS INTEGER) AS decile,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         |  FROM r),
+         |pd AS (SELECT decile, count(*) AS n_docs, sum(n_tokens) AS d_tokens
+         |       FROM d GROUP BY 1),
+         |tk AS (SELECT decile, unnest(regexp_extract_all(text, '\\S+')) AS tok
+         |       FROM d),
+         |fs AS (SELECT tok, min(decile) AS first_decile FROM tk GROUP BY 1),
+         |nt AS (SELECT first_decile AS decile, count(*) AS new_types
+         |       FROM fs GROUP BY 1),
+         |j AS (
+         |  SELECT pd.decile, pd.n_docs, pd.d_tokens,
+         |    COALESCE(nt.new_types, 0) AS new_types
+         |  FROM pd LEFT JOIN nt ON pd.decile = nt.decile)
+         |SELECT decile, n_docs, new_types,
+         |  CAST(sum(n_docs) OVER w AS BIGINT) AS docs_seen,
+         |  CAST(sum(d_tokens) OVER w AS BIGINT) AS tokens_seen,
+         |  CAST(sum(new_types) OVER w AS BIGINT) AS vocab_size,
+         |  round(CAST(sum(new_types) OVER w AS DOUBLE) /
+         |        CAST(sum(d_tokens) OVER w AS BIGINT), 6) AS ttr
+         |FROM j
+         |WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+         |             AND CURRENT ROW)
+         |ORDER BY decile""".stripMargin,
     // the window formulation is the oracle for the bounded-heap cap; the
     // score formula is q_text_quality's (exact-count ratios with dyadic
     // weights, so the unrounded doubles order identically cross-engine).

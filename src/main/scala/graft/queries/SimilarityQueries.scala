@@ -498,7 +498,78 @@ object SimilarityQueries extends QueryGroup {
         topK = 5, nCentroids = 8, nProbe = 3, m = 4, k = 4)
       .orderBy("query_id", "rank")
 
+  /** Feature-hashing dimension count. 16 keeps the oracle replay and the
+    * |sources|²·d pair join tiny; the op is d-generic. */
+  private val HashDim = 16
+
+  /** Engine-GENERATED lexical embeddings (the hashing trick): every token
+    * occurrence hashes to one of [[HashDim]] dimensions with a ±1 sign
+    * drawn from an independent digest bit, and a document's vector is the
+    * signed occurrence count per dimension — the classic feature-hashing
+    * bag-of-words embedding (Weinberger et al.), all in exact integers.
+    * This closes the loop between the text and similarity families: the
+    * engine can embed a corpus with no external model and feed its own
+    * centroid/cosine machinery ([[hashEmbedSim]] does exactly that).
+    *
+    * Long-form output (doc_id, dim, v, n_occ) — only observed dims
+    * materialize, so rows ≤ min(n_tokens, d) per doc. One token explode +
+    * one map-side-combined aggregation; md5-derived hash and sign, so the
+    * vectors are a pure function of the data (rerun/layout stable). */
+  private[queries] def hashEmbedVectors(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("fh_"), col("tok"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("dim", pmod(col("h"), lit(HashDim)).cast("int"))
+      .withColumn("sgn", lit(1L) - lit(2L) * pmod(expr("h div 16"), lit(2)))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sgn")).as("v"), count(lit(1)).as("n_occ"))
+
+  private def hashEmbed(s: SparkSession, dir: String): DataFrame =
+    hashEmbedVectors(s, dir).orderBy("doc_id", "dim")
+
+  /** Source-centroid cosine matrix over the HASHED vectors — the lexical
+    * source-similarity monitor, computed entirely from engine-generated
+    * embeddings: per-(source, dim) sums (the un-normalized centroid — the
+    * 1/n cancels inside cosine, as in `q_label_cosine`), then pairwise
+    * integer dots over a |sources|²·d-bounded self-join. Doubles appear
+    * only in the final sqrt/divide. A pair of sources that copy each
+    * other's text shows up here even when no single document pair
+    * crosses the near-dup threshold. */
+  private def hashEmbedSim(s: SparkSession, dir: String): DataFrame = {
+    val cent = hashEmbedVectors(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source", "dim")
+      .agg(sum("v").cast("decimal(38,0)").as("sv"))
+    val norms = cent.groupBy("source")
+      .agg(sum(col("sv") * col("sv")).as("nrm"))
+    val a = cent.select(col("source").as("source_a"), col("dim"),
+      col("sv").as("sva"))
+    val b = cent.select(col("source").as("source_b"), col("dim"),
+      col("sv").as("svb"))
+    a.join(b, Seq("dim"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("sva") * col("svb")).as("dot"))
+      .join(norms.select(col("source").as("source_a"), col("nrm").as("na")),
+        Seq("source_a"))
+      .join(norms.select(col("source").as("source_b"), col("nrm").as("nb")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("dot").cast("long").as("dot"),
+        when(col("na") === 0 || col("nb") === 0, lit(null)).otherwise(
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+            6)).as("cosine"))
+      .orderBy("source_a", "source_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_embed" -> hashEmbed,
+    "q_hash_embed_sim" -> hashEmbedSim,
     "q_sim_clusters" -> simClusters,
     "q_embed_quant" -> embedQuant,
     "q_embed_cov" -> embedCov,
@@ -674,7 +745,53 @@ object SimilarityQueries extends QueryGroup {
          |  ELSE w * 1048576 // (SELECT m FROM m$k) END AS v FROM w$k)""".stripMargin
     }.mkString("")
 
+  /** Shared oracle preamble: token occurrences hashed to (dim, sign).
+    * `('0x'||substr(md5,1,8))::BIGINT` == Spark `conv(substring,16,10)`;
+    * dim uses digest bits 0–3, the sign bit 4 — independent slices. */
+  private def hashTokSql: String =
+    """t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+      |  FROM documents),
+      |hv AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('fh_' || tok), 1, 8)) AS BIGINT) AS h
+      |  FROM t)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_hash_embed" ->
+      s"""WITH $hashTokSql
+         |SELECT doc_id, CAST(h % $HashDim AS INTEGER) AS dim,
+         |  CAST(sum(1 - 2 * ((h // 16) % 2)) AS BIGINT) AS v,
+         |  count(*) AS n_occ
+         |FROM hv GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+    // centroid = per-(source, dim) SUM vector (1/n cancels in cosine);
+    // HUGEINT dots/norms, doubles only in the final sqrt/divide
+    "q_hash_embed_sim" ->
+      s"""WITH $hashTokSql,
+         |dv AS (
+         |  SELECT hv.doc_id, CAST(h % $HashDim AS INTEGER) AS dim,
+         |    sum(1 - 2 * ((h // 16) % 2)) AS v
+         |  FROM hv GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT d.source, dv.dim, sum(CAST(dv.v AS HUGEINT)) AS sv
+         |  FROM dv JOIN documents d ON dv.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT source, sum(sv * sv) AS nrm FROM cent GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    sum(a.sv * b.sv) AS dot
+         |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(dot AS BIGINT) AS dot,
+         |  CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN NULL ELSE
+         |    round(CAST(CAST(dot AS VARCHAR) AS DOUBLE) /
+         |          (sqrt(CAST(CAST(na.nrm AS VARCHAR) AS DOUBLE)) *
+         |           sqrt(CAST(CAST(nb.nrm AS VARCHAR) AS DOUBLE))), 6) END
+         |    AS cosine
+         |FROM pairs
+         |JOIN nrm na ON pairs.source_a = na.source
+         |JOIN nrm nb ON pairs.source_b = nb.source
+         |ORDER BY source_a, source_b""".stripMargin,
     "q_sim_lsh" -> lshOracleSql,
     "q_sim_clusters" -> simClustersOracleSql,
 
