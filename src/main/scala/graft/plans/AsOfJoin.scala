@@ -1,0 +1,183 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** A WHOLE-OPERATOR extension — the last rung of the custom-operator
+  * ladder (expression → aggregate → optimizer rule → physical operator):
+  * a native AS-OF join planned as its own physical node instead of being
+  * encoded in existing operators.
+  *
+  * Semantics (backward as-of, left outer): every left row is matched to
+  * the LATEST right row with the same key whose time is at-or-before the
+  * left row's time (optionally within `toleranceUs`); unmatched left rows
+  * carry NULLs. This is the pandas `merge_asof` / DuckDB `ASOF LEFT JOIN`
+  * contract the union+window encoding of `q_asof_event` implements — here
+  * it is a first-class operator.
+  *
+  * Why a physical operator when the window encoding already runs in one
+  * shuffle: the encoding materializes a UNION of both inputs, pays the
+  * window machinery (frame state, null-carry columns) on every row, and
+  * ties both inputs to one combined sort. The native operator asks the
+  * planner for exactly what the merge needs — co-partitioning on key,
+  * per-partition (key, time) order on EACH side — and then streams both
+  * sorted iterators through a two-pointer merge: O(|L| + |R|) per
+  * partition, one buffered right row, no union frame, no window state.
+  * EnsureRequirements inserts the exchanges/sorts only when the children
+  * aren't already partitioned/sorted right, so a pre-bucketed layout
+  * (see `ops.Bucketing`) runs it with ZERO exchanges — the window
+  * encoding can never skip its union shuffle.
+  *
+  * Scale: distribution is per-key like every equi-join (AQE handles the
+  * partition sizing); the merge holds ONE right row at a time — state
+  * does not grow with key group size. Keys and times are LongType by
+  * contract (user ids, epoch micros) — the planner asserts it.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression,
+                        toleranceUs: Long) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsOfJoinPlan → AsOfJoinExec. Injected via
+  * `experimental.extraStrategies` (the public strategy hook; same
+  * mechanism `SparkSessionExtensions.injectPlannerStrategy` feeds). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoinPlan =>
+      require(j.leftKey.dataType == LongType &&
+        j.rightKey.dataType == LongType &&
+        j.leftTime.dataType == LongType &&
+        j.rightTime.dataType == LongType,
+        "as_of_join: key and time columns must be LongType")
+      AsOfJoinExec(planLater(j.left), planLater(j.right),
+        j.leftKey, j.rightKey, j.leftTime, j.rightTime,
+        j.toleranceUs, j.output) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical backward as-of join: requiredChildDistribution co-partitions
+  * the sides on key, requiredChildOrdering sorts each partition by
+  * (key, time) — EnsureRequirements materializes only what's missing —
+  * then each partition pair streams through a two-pointer merge.
+  *
+  * The merge keeps ONE candidate right row (the latest at-or-before the
+  * current left row): right rows are consumed monotonically because both
+  * iterators share the (key, time) order, so each side is read exactly
+  * once. Iterator rows are JVM-reused by the upstream sort, so the
+  * buffered candidate is a copy; left rows are consumed immediately and
+  * need none. */
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression,
+                        toleranceUs: Long,
+                        output: Seq[Attribute]) extends BinaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rightWidth = right.output.length
+    val tol = toleranceUs
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      // lookahead on the right stream (copied: sort iterators reuse rows)
+      var rHead: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
+      // latest right row consumed so far, with its (key, time)
+      var cand: InternalRow = null
+      var candKey = 0L
+      var candTime = 0L
+      lIt.map { l =>
+        val lk = lKey.eval(l).asInstanceOf[Long]
+        val lt = lTime.eval(l).asInstanceOf[Long]
+        // consume right rows that are at-or-before (lk, lt); each becomes
+        // the new best candidate (later time within the key wins)
+        var advance = true
+        while (advance && rHead != null) {
+          val rk = rKey.eval(rHead).asInstanceOf[Long]
+          if (rk < lk || (rk == lk &&
+              rTime.eval(rHead).asInstanceOf[Long] <= lt)) {
+            cand = rHead
+            candKey = rk
+            candTime = rTime.eval(rHead).asInstanceOf[Long]
+            rHead = if (rIt.hasNext) rIt.next().copy() else null
+          } else advance = false
+        }
+        val matched = cand != null && candKey == lk &&
+          (tol < 0L || lt - candTime <= tol)
+        joined(l, if (matched) cand else nullRight)
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry point for the native as-of join. */
+object AsOfJoin {
+  /** Backward as-of LEFT join: each `left` row picks the latest `right`
+    * row with `leftKey == rightKey` and `rightTime <= leftTime` (within
+    * `toleranceUs`; negative = unbounded). Right columns are null on no
+    * match. Key/time columns must be LongType. Column names must be
+    * disjoint across the sides (project/rename first — the operator
+    * concatenates the schemas). */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           toleranceUs: Long = -1L): DataFrame = {
+    val spark = leftDf.sparkSession
+    AsOfJoinStrategy.install(spark)
+    val l = leftDf.queryExecution.analyzed
+    val r = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"as_of_join: no column '$name' in ${p.output.map(_.name)}"))
+    val dup = l.output.map(_.name).toSet
+      .intersect(r.output.map(_.name).toSet)
+    require(dup.isEmpty, s"as_of_join: colliding column names $dup")
+    org.apache.spark.sql.graft.PlanShim.ofRows(spark,
+      AsOfJoinPlan(l, r, attr(l, leftKey), attr(r, rightKey),
+        attr(l, leftTime), attr(r, rightTime), toleranceUs))
+  }
+
+  implicit private class StrategyInstall(self: AsOfJoinStrategy.type) {
+    def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val cur = spark.experimental.extraStrategies
+      if (!cur.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+  }
+}

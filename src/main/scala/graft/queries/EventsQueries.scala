@@ -352,6 +352,30 @@ object EventsQueries extends QueryGroup {
       .orderBy("user_id", "click_id")
   }
 
+  /** The SAME event-time as-of semantics as [[asofEvent]], executed by
+    * the library's NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]]): the planner co-partitions clicks
+    * and views on user and sorts each partition by (user, time), then a
+    * two-pointer merge streams both sides once, holding ONE buffered
+    * view row — no union materialization, no window-frame state. Both
+    * formulations are pinned to the same DuckDB native `ASOF LEFT JOIN`
+    * oracle, and ExtensionsSpec proves the plan actually contains
+    * AsOfJoinExec and that the two implementations agree row-for-row. */
+  private def asofExec(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"),
+        unix_micros(col("ts")).as("view_ts_us"))
+      .agg(max(col("event_id")).as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_ts_us"),
+        col("event_id").as("click_id"))
+    graft.plans.AsOfJoin.join(clicks, views,
+        "user_id", "v_user", "click_ts_us", "view_ts_us")
+      .select("user_id", "click_id", "click_ts_us", "view_id", "view_ts_us")
+      .orderBy("user_id", "click_id")
+  }
+
   /** Cohort retention matrix — users grouped by FIRST-event day, then
     * for each day offset k: how many of that cohort were active again
     * (the activation/retention curve every product and data-freshness
@@ -525,6 +549,7 @@ object EventsQueries extends QueryGroup {
     "q_conversion_lag" -> conversionLag,
     "q_stream_enrich" -> streamEnrich,
     "q_asof_event" -> asofEvent,
+    "q_asof_exec" -> asofExec,
     "q_asof_nearest" -> asofNearest,
     "q_running_distinct" -> runningDistinct,
     "q_twap" -> twap,
@@ -802,6 +827,21 @@ object EventsQueries extends QueryGroup {
         |       WHEN f_ok THEN f_view_ts - click_ts_us END AS delta_us,
         |  CASE WHEN use_b THEN 'backward' WHEN f_ok THEN 'forward' END AS direction
         |FROM sel ORDER BY user_id, click_id""".stripMargin,
+
+    // the native AsOfJoinExec operator answers to the SAME oracle as the
+    // union+window encoding — DuckDB's native ASOF LEFT JOIN
+    "q_asof_exec" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_ts_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id AS user_id, c.click_id, c.click_ts_us,
+        |  v.view_id, v.ts_us AS view_ts_us
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.click_ts_us >= v.ts_us
+        |ORDER BY c.user_id, click_id""".stripMargin,
 
     // DuckDB's NATIVE asof join is the oracle for the union+window
     // encoding — the inequality in the ON clause is the as-of condition

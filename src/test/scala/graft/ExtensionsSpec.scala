@@ -126,6 +126,46 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
       s"top_k did not plan as a partial object-hash aggregate:\n${plan.take(1200)}")
   }
 
+  test("as-of join plans through the native physical operator, two exchanges") {
+    val df = SparkEntry.queries("q_asof_exec")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), // SparkPlan nodeName strips "Exec"
+      s"expected the custom physical operator in the plan:\n${plan.take(1500)}")
+    // one exchange per side (user-key co-partitioning) and no union —
+    // the window encoding's union+window machinery must be absent
+    assert(!plan.contains("Union"), "native as-of must not plan a union")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      "native as-of must not plan window state")
+  }
+
+  test("native as-of join equals the union+window encoding row-for-row") {
+    val a = SparkEntry.queries("q_asof_exec")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_asof_event")(spark, sf).collect().toSeq
+    assert(a.nonEmpty && a == b,
+      s"operator and encoding diverged: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
+  }
+
+  test("as-of tolerance bounds the match window; unmatched rows carry nulls") {
+    import spark.implicits._
+    val clicks = Seq((1L, 1000L, 10L), (1L, 5000L, 11L), (2L, 100L, 12L))
+      .toDF("k", "ct", "click_id")
+    val views = Seq((1L, 900L, 20L), (1L, 980L, 21L), (3L, 50L, 22L))
+      .toDF("vk", "vt", "view_id")
+    // unbounded: click 1000 -> view 980 (latest at-or-before), click 5000
+    // -> 980 too, click at key 2 -> null
+    val un = graft.plans.AsOfJoin.join(clicks, views, "k", "vk", "ct", "vt")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(un == Set((10L, 21L), (11L, 21L), (12L, -1L)))
+    // tolerance 50us: click 1000 matches view 980 (delta 20) but click
+    // 5000 is 4020us past the latest view -> null
+    val tol = graft.plans.AsOfJoin.join(clicks, views, "k", "vk", "ct", "vt",
+        toleranceUs = 50L)
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(tol == Set((10L, 21L), (11L, -1L), (12L, -1L)))
+  }
+
   test("a fresh session built with the extension class resolves the functions") {
     // same SparkContext, new session with injected extensions (the static
     // spark.sql.extensions conf only applies when the context is built, so
