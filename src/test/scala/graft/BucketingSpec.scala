@@ -75,6 +75,43 @@ class BucketingSpec extends SparkSuite {
     } finally spark.conf.set(k, saved)
   }
 
+  test("bucketed inputs run the native as-of join with ZERO exchanges") {
+    // the as-of operator only DECLARES its distribution requirement —
+    // when both inputs arrive bucketed on their user keys, the planner
+    // inserts no Exchange at all (the window encoding of the same
+    // semantics can never skip its union shuffle)
+    Seq("graft_clicks_b", "graft_views_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+    }
+    val e = Tables.events(spark, sf)
+    Bucketing.writeBucketed(
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("click_ts_us"),
+          col("event_id").as("click_id")),
+      "graft_clicks_b", nBuckets, Seq("user_id"))
+    Bucketing.writeBucketed(
+      e.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"),
+          unix_micros(col("ts")).as("view_ts_us"))
+        .agg(max(col("event_id")).as("view_id")),
+      "graft_views_b", nBuckets, Seq("v_user"))
+    val joined = graft.plans.AsOfJoin.join(
+      spark.table("graft_clicks_b"), spark.table("graft_views_b"),
+      "user_id", "v_user", "click_ts_us", "view_ts_us")
+    val plan = joined.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("AsOfJoin"), plan.take(900))
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of join still shuffles:\n${plan.take(1500)}")
+    // and the exchange-free run returns the same rows as q_asof_exec
+    val got = joined
+      .select("user_id", "click_id", "click_ts_us", "view_id", "view_ts_us")
+      .orderBy("user_id", "click_id").collect().toSeq
+    val exp = SparkEntry.queries("q_asof_exec")(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == exp)
+  }
+
   test("group-by on the bucket key reuses the bucketing without an exchange") {
     ensureTables()
     val plan = spark.table("graft_orders_b")
