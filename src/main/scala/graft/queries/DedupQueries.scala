@@ -276,7 +276,45 @@ object DedupQueries extends QueryGroup {
     "dedup_spans" -> sharedSpans,
   )
 
+  /** KMV (k-minimum-values) distinct sketch, ORACLE-GATED: per-source
+    * distinct-shingle cardinality estimated from the k smallest 32-bit
+    * md5 slices, next to the exact count and the relative error. Unlike
+    * HLL (implementation-specific bias tables — bounds-testable only,
+    * see ApproxSpec), KMV over a deterministic hash is a pure function
+    * of the data: est = (k−1)·2³² div h₍ₖ₎ — so the ESTIMATOR ITSELF
+    * hash-gates cross-engine. The k smallest hashes ride the same
+    * bounded-heap aggregate as `q_source_cap` (negating the value turns
+    * max-k into min-k); map-side partials move ≤ k hashes per source per
+    * partition — the sketch that replaces exact distinct counting at
+    * 100 TB, verified here against the exact count it replaces. Groups
+    * with fewer than k distinct hashes report the exact count (the KMV
+    * small-cardinality convention). */
+  private val KmvK = 64
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = sharedShinglesRaw(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"),
+        conv(substring(md5(concat(lit("kmv_"), col("shingle"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    h.groupBy("source")
+      .agg(count(lit(1)).as("n_exact"),
+        graft.functions.TopK.topK((-col("h")).cast("double"), col("h"), KmvK)
+          .as("mins"))
+      .withColumn("kth",
+        when(size(col("mins")) < KmvK, lit(null))
+          .otherwise(element_at(col("mins"), KmvK).getField("id")))
+      .withColumn("est_distinct",
+        when(col("kth").isNull, col("n_exact"))
+          .otherwise(expr(s"(${KmvK - 1} * 4294967296) div kth")))
+      .select(col("source"), col("n_exact"), col("est_distinct"),
+        round((col("est_distinct") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> kmvDistinct,
     "q_dedup_canonical" -> canonical,
     "q_dedup_incremental" -> incremental,
     "q_dedup_incr_simhash" -> incrSimhash,
@@ -716,6 +754,25 @@ object DedupQueries extends QueryGroup {
   }
 
   override def oracle: Map[String, String] = Map(
+    // sh0 is the UNPRUNED shingle CTE; the k-th smallest hash via one
+    // per-source rank window, the estimator in integer floor division
+    "q_kmv_distinct" ->
+      s"""$shingleSqlPrefix,
+         |hv AS (SELECT DISTINCT d.source,
+         |  CAST(('0x' || substr(md5('kmv_' || sh0.shingle), 1, 8)) AS BIGINT) AS h
+         |  FROM sh0 JOIN documents d USING (doc_id)),
+         |r AS (SELECT source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hv),
+         |k AS (SELECT source, count(*) AS n_exact,
+         |  max(CASE WHEN rn = $KmvK THEN h END) AS kth FROM r GROUP BY 1),
+         |e AS (SELECT source, n_exact,
+         |  CASE WHEN kth IS NULL THEN n_exact
+         |       ELSE (${KmvK - 1} * 4294967296) // kth END AS est
+         |  FROM k)
+         |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(est AS BIGINT) AS est_distinct,
+         |  round(CAST(est - n_exact AS DOUBLE) / n_exact, 6) AS rel_err
+         |FROM e ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       """WITH fps AS (
         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -567,7 +567,33 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("source_a", "source_b")
   }
 
+  /** EXIF metadata extraction under the oracle gate ([[graft.ops.Exif]]):
+    * every doc is a REAL JPEG ([[graft.ops.JpegFixtures]] stream) with an
+    * APP1 EXIF block spliced in by the INDEPENDENT fixture encoder —
+    * TIFF byte order alternates by doc_id, odd ids bury the APP1 behind
+    * another segment (so only a real marker WALK finds it), strings are
+    * offset-stored, scalars inline, exposure an offset RATIONAL, plus an
+    * unknown tag mid-IFD proving generic skip. The from-scratch TIFF IFD
+    * walker parses it all back per partition (bytes never shuffle), and
+    * the oracle recomputes every field from the doc_id formulas without
+    * touching a byte. Typed capture metadata is what multimodal curation
+    * filters on: orientation-aware dedup, capture-time windows, camera
+    * strata. */
+  private def mmExif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id => graft.ops.Exif.exifInfo(
+        id, graft.ops.ExifFixtures.synthJpegWithExif(id))))
+      .toDF()
+      .select(col("docId").as("doc_id"), col("byteOrder").as("byte_order"),
+        col("orientation"), col("make"), col("model"),
+        col("dateTime").as("datetime"), col("pxX").as("px_x"),
+        col("pxY").as("px_y"), col("iso"), col("exposureDen").as("exposure_den"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_exif" -> mmExif,
     "q_hash_embed" -> hashEmbed,
     "q_hash_embed_sim" -> hashEmbedSim,
     "q_sim_clusters" -> simClusters,
@@ -758,6 +784,22 @@ object SimilarityQueries extends QueryGroup {
       |  FROM t)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // every EXIF field replayed from the fixture's doc_id formulas —
+    // a single wrong byte anywhere in the IFD walk fails the hash
+    "q_mm_exif" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+        |  'Maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  'Cam' || CAST(doc_id % 7 AS VARCHAR) AS model,
+        |  '2026:08:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |    ' 10:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00'
+        |    AS datetime,
+        |  CAST(64 + doc_id % 100 AS INTEGER) AS px_x,
+        |  CAST(48 + doc_id % 80 AS INTEGER) AS px_y,
+        |  CAST(100 * (doc_id % 4 + 1) AS INTEGER) AS iso,
+        |  CAST(doc_id % 500 + 1 AS INTEGER) AS exposure_den
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_hash_embed" ->
       s"""WITH $hashTokSql
          |SELECT doc_id, CAST(h % $HashDim AS INTEGER) AS dim,

@@ -86,6 +86,21 @@ class MonitorsSpec extends SparkSuite {
     v.unpersist()
   }
 
+  test("kmv sketch: small groups fall back to exact, estimates stay bounded") {
+    val rows = SparkEntry.queries("q_kmv_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("est_distinct")
+      val err = r.getAs[Double]("rel_err")
+      if (n < 64) assert(est == n && err == 0.0,
+        s"groups below k must report the exact count: $r")
+      // k=64 KMV has ~12.7% std error; 6 sigma is a safe determinism-free
+      // bound — a wrong estimator (off by 2x) fails, a correct one never
+      else assert(math.abs(err) < 0.76, s"estimate implausibly far: $r")
+    }
+  }
+
   test("hash embed sim: full strict-upper-triangle matrix, cosine in [-1, 1]") {
     val m = SparkEntry.queries("q_hash_embed_sim")(spark, sf).collect()
     val nSrc = graft.core.Tables.documents(spark, sf)
