@@ -45,7 +45,8 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        toleranceUs: Long) extends BinaryNode {
+                        toleranceUs: Long,
+                        forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -66,7 +67,7 @@ object AsOfJoinStrategy extends SparkStrategy {
         "as_of_join: key and time columns must be LongType")
       AsOfJoinExec(planLater(j.left), planLater(j.right),
         j.leftKey, j.rightKey, j.leftTime, j.rightTime,
-        j.toleranceUs, j.output) :: Nil
+        j.toleranceUs, j.forward, j.output) :: Nil
     case _ => Nil
   }
 }
@@ -85,7 +86,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        toleranceUs: Long,
+                        toleranceUs: Long, forward: Boolean,
                         output: Seq[Attribute]) extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -106,57 +107,96 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = BindReferences.bindReference(leftKey, left.output)
-    val lTime = BindReferences.bindReference(leftTime, left.output)
-    val rKey = BindReferences.bindReference(rightKey, right.output)
-    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val lKey = AsOfJoinExec.longGetter(leftKey, left.output)
+    val lTime = AsOfJoinExec.longGetter(leftTime, left.output)
+    val rKey = AsOfJoinExec.longGetter(rightKey, right.output)
+    val rTime = AsOfJoinExec.longGetter(rightTime, right.output)
     val rightWidth = right.output.length
     val tol = toleranceUs
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       // lookahead on the right stream (copied: sort iterators reuse rows)
       var rHead: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
-      // latest right row consumed so far, with its (key, time)
+      // backward: latest right row consumed so far, with its (key, time)
       var cand: InternalRow = null
       var candKey = 0L
       var candTime = 0L
       lIt.map { l =>
-        val lk = lKey.eval(l).asInstanceOf[Long]
-        val lt = lTime.eval(l).asInstanceOf[Long]
-        // consume right rows that are at-or-before (lk, lt); each becomes
-        // the new best candidate (later time within the key wins)
-        var advance = true
-        while (advance && rHead != null) {
-          val rk = rKey.eval(rHead).asInstanceOf[Long]
-          if (rk < lk || (rk == lk &&
-              rTime.eval(rHead).asInstanceOf[Long] <= lt)) {
-            cand = rHead
-            candKey = rk
-            candTime = rTime.eval(rHead).asInstanceOf[Long]
-            rHead = if (rIt.hasNext) rIt.next().copy() else null
-          } else advance = false
+        val lk = lKey(l)
+        val lt = lTime(l)
+        if (fwd) {
+          // consume right rows strictly before (lk, lt); what remains at
+          // rHead is the FIRST row at-or-after — skipped rows can never
+          // match a later left row (left times only grow within the key)
+          var advance = true
+          while (advance && rHead != null) {
+            val rk = rKey(rHead)
+            if (rk < lk || (rk == lk && rTime(rHead) < lt)) {
+              rHead = if (rIt.hasNext) rIt.next().copy() else null
+            } else advance = false
+          }
+          val matched = rHead != null && rKey(rHead) == lk &&
+            (tol < 0L || rTime(rHead) - lt <= tol)
+          joined(l, if (matched) rHead else nullRight)
+        } else {
+          // consume right rows at-or-before (lk, lt); each becomes the
+          // new best candidate (later time within the key wins)
+          var advance = true
+          while (advance && rHead != null) {
+            val rk = rKey(rHead)
+            if (rk < lk || (rk == lk && rTime(rHead) <= lt)) {
+              cand = rHead
+              candKey = rk
+              candTime = rTime(rHead)
+              rHead = if (rIt.hasNext) rIt.next().copy() else null
+            } else advance = false
+          }
+          val matched = cand != null && candKey == lk &&
+            (tol < 0L || lt - candTime <= tol)
+          joined(l, if (matched) cand else nullRight)
         }
-        val matched = cand != null && candKey == lk &&
-          (tol < 0L || lt - candTime <= tol)
-        joined(l, if (matched) cand else nullRight)
       }
     }
   }
 }
 
+object AsOfJoinExec {
+  /** Primitive-access getter: a direct attribute reference reads its
+    * ordinal with `getLong` (no per-row boxing — the hot path for every
+    * call through [[AsOfJoin.join]]); any other expression falls back to
+    * bound evaluation. Null keys/times are not supported (filter them
+    * upstream) — the contract every time-series join shares. */
+  private[plans] def longGetter(e: Expression,
+                                out: Seq[Attribute]): InternalRow => Long =
+    e match {
+      case a: Attribute if out.exists(_.exprId == a.exprId) =>
+        val ord = out.indexWhere(_.exprId == a.exprId)
+        r => r.getLong(ord)
+      case _ =>
+        val bound = BindReferences.bindReference(e, out)
+        r => bound.eval(r).asInstanceOf[Long]
+    }
+}
+
 /** DataFrame-level entry point for the native as-of join. */
 object AsOfJoin {
-  /** Backward as-of LEFT join: each `left` row picks the latest `right`
-    * row with `leftKey == rightKey` and `rightTime <= leftTime` (within
-    * `toleranceUs`; negative = unbounded). Right columns are null on no
-    * match. Key/time columns must be LongType. Column names must be
-    * disjoint across the sides (project/rename first — the operator
-    * concatenates the schemas). */
+  /** As-of LEFT join: each `left` row picks, among right rows with
+    * `leftKey == rightKey`, the LATEST at-or-before (`direction =
+    * "backward"`, the default) or the EARLIEST at-or-after
+    * (`"forward"`) its time — within `toleranceUs` (negative =
+    * unbounded). Right columns are null on no match. Key/time columns
+    * must be LongType and non-null. Column names must be disjoint
+    * across the sides (project/rename first — the operator concatenates
+    * the schemas). */
   def join(leftDf: DataFrame, rightDf: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           toleranceUs: Long = -1L): DataFrame = {
+           toleranceUs: Long = -1L,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as_of_join: unknown direction '$direction'")
     val spark = leftDf.sparkSession
     AsOfJoinStrategy.install(spark)
     val l = leftDf.queryExecution.analyzed
@@ -170,7 +210,8 @@ object AsOfJoin {
     require(dup.isEmpty, s"as_of_join: colliding column names $dup")
     org.apache.spark.sql.graft.PlanShim.ofRows(spark,
       AsOfJoinPlan(l, r, attr(l, leftKey), attr(r, rightKey),
-        attr(l, leftTime), attr(r, rightTime), toleranceUs))
+        attr(l, leftTime), attr(r, rightTime), toleranceUs,
+        forward = direction == "forward"))
   }
 
   implicit private class StrategyInstall(self: AsOfJoinStrategy.type) {

@@ -166,6 +166,36 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(tol == Set((10L, 21L), (11L, -1L), (12L, -1L)))
   }
 
+  test("forward as-of picks the earliest at-or-after; backward law duality holds") {
+    import spark.implicits._
+    val clicks = Seq((1L, 1000L, 10L), (1L, 5000L, 11L), (2L, 100L, 12L))
+      .toDF("k", "ct", "click_id")
+    val views = Seq((1L, 1000L, 20L), (1L, 4000L, 21L), (1L, 6000L, 22L))
+      .toDF("vk", "vt", "view_id")
+    // click 1000 -> view at exactly 1000 (at-or-after includes equality),
+    // click 5000 -> 6000, key 2 -> null
+    val fwd = graft.plans.AsOfJoin.join(clicks, views, "k", "vk", "ct", "vt",
+        direction = "forward")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(fwd == Set((10L, 20L), (11L, 22L), (12L, -1L)))
+    // tolerance 500us: click 5000 -> 6000 is 1000us away -> null
+    val tol = graft.plans.AsOfJoin.join(clicks, views, "k", "vk", "ct", "vt",
+        toleranceUs = 500L, direction = "forward")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(tol == Set((10L, 20L), (11L, -1L), (12L, -1L)))
+    // DUALITY: forward(left, right) on times == backward with both time
+    // axes negated — a sign slip in either merge breaks it
+    val negClicks = clicks.select(col("k"), (-col("ct")).as("ct"), col("click_id"))
+    val negViews = views.select(col("vk"), (-col("vt")).as("vt"), col("view_id"))
+    val bwdNeg = graft.plans.AsOfJoin.join(negClicks, negViews,
+        "k", "vk", "ct", "vt")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(bwdNeg == fwd, "forward must equal backward on negated time axes")
+  }
+
   test("a fresh session built with the extension class resolves the functions") {
     // same SparkContext, new session with injected extensions (the static
     // spark.sql.extensions conf only applies when the context is built, so
