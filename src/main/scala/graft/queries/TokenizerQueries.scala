@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -81,10 +82,50 @@ object TokenizerQueries extends QueryGroup {
       .orderBy("lang")
   }
 
+  /** The ENCODE step — what a model actually consumes: every word's
+    * symbol sequence under the trained merges mapped to integer token
+    * ids from a frequency-ranked vocabulary (occurrence-weighted rank,
+    * symbol-asc tiebreak — the id assignment real tokenizers ship).
+    * Output is one row per (doc, word position, symbol): the token-id
+    * stream, bounded to each doc's first [[EncodeMaxPos]] words so the
+    * verification row count stays fixed per doc. Shapes: the vocab is
+    * tiny by construction (distinct chars + merge budget), so its
+    * ranking window sees ≤ |chars|+rounds rows and both lookup joins
+    * broadcast; the corpus pass is one posexplode + two broadcast
+    * joins — no data-sized shuffle anywhere. */
+  private val EncodeMaxPos = 10
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, repr) = Bpe.trained(s, dir)
+    val wordSyms = repr.select(col("word"), col("cnt"),
+      split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\[").as("syms"))
+    val vocab = wordSyms
+      .select(col("cnt"), explode(col("syms")).as("symbol"))
+      .groupBy("symbol").agg(sum("cnt").as("occ"))
+    // deliberate partition-less window: the vocab frame is bounded by
+    // |alphabet| + merge rounds (~40 rows), like the rank-offset cumsum
+    val vw = Window.orderBy(col("occ").desc, col("symbol"))
+    val vocabIds = vocab
+      .withColumn("token_id", (row_number().over(vw) - 1).cast("int"))
+      .select("symbol", "token_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "word")))
+      .filter(col("word") =!= "" && col("p") < EncodeMaxPos)
+      .join(broadcast(wordSyms.select("word", "syms")), Seq("word"))
+      .select(col("doc_id"), (col("p") + 1).cast("int").as("pos"),
+        posexplode(col("syms")).as(Seq("si", "symbol")))
+      .join(broadcast(vocabIds), Seq("symbol"))
+      .select(col("doc_id"), col("pos"),
+        (col("si") + 1).cast("int").as("sym_idx"),
+        col("token_id"), col("symbol"))
+      .orderBy("doc_id", "pos", "sym_idx")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> bpeTrain,
     "q_bpe_segment" -> bpeSegment,
     "q_bpe_coverage" -> bpeCoverage,
+    "q_bpe_encode" -> bpeEncode,
   )
 
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] =
@@ -148,6 +189,34 @@ object TokenizerQueries extends QueryGroup {
            |FROM dt JOIN seg s USING (word)
            |WHERE word <> ''
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_bpe_encode" ->
+        s"""${bpeSqlPrefix(k)},
+           |ws AS (SELECT word, cnt, string_split(repr[2:-2], '][') AS syms
+           |       FROM r$k),
+           |voc AS (
+           |  SELECT syms[i] AS symbol, CAST(sum(cnt) AS BIGINT) AS occ
+           |  FROM ws, unnest(generate_series(1, len(syms))) AS t(i)
+           |  GROUP BY 1),
+           |vid AS (
+           |  SELECT symbol,
+           |    CAST(row_number() OVER (ORDER BY occ DESC, symbol) - 1
+           |      AS INTEGER) AS token_id
+           |  FROM voc),
+           |dt AS (
+           |  SELECT doc_id, CAST(i AS INTEGER) AS pos, words[i] AS word
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+           |        FROM documents),
+           |       unnest(generate_series(1, len(words))) AS t(i)
+           |  WHERE words[i] <> '' AND i <= $EncodeMaxPos),
+           |enc AS (
+           |  SELECT doc_id, pos, syms,
+           |    unnest(generate_series(1, len(syms))) AS si
+           |  FROM dt JOIN ws USING (word))
+           |SELECT doc_id, pos, CAST(si AS INTEGER) AS sym_idx,
+           |  token_id, syms[si] AS symbol
+           |FROM enc JOIN vid ON syms[si] = vid.symbol
+           |ORDER BY doc_id, pos, sym_idx""".stripMargin,
 
       "q_bpe_coverage" ->
         s"""${bpeSqlPrefix(k)},

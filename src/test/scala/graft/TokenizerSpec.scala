@@ -52,4 +52,30 @@ class TokenizerSpec extends SparkSuite {
         col("n_chars") < col("n_symbols"))
     assert(bad.count() == 0L)
   }
+
+  test("encode: symbols reconstruct the source words, ids are a dense bijection") {
+    val enc = TokenizerQueries.queries("q_bpe_encode")(spark, sf).cache()
+    // LOSSLESS: concatenating a position's symbols in sym_idx order must
+    // rebuild the original word at that position exactly
+    val rebuilt = enc.groupBy("doc_id", "pos")
+      .agg(concat_ws("", org.apache.spark.sql.functions.array_sort(
+        collect_list(struct(col("sym_idx"), col("symbol"))))
+        .getField("symbol")).as("word"))
+    val expected = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "w")))
+      .filter(col("w") =!= "" && col("p") < 10)
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("w"))
+    val broken = rebuilt.join(expected, Seq("doc_id", "pos"))
+      .filter(col("word") =!= col("w")).count()
+    assert(broken == 0, "token stream does not reconstruct the corpus")
+    // ids: one id per symbol, dense 0..V-1
+    val ids = enc.select("symbol", "token_id").distinct().collect()
+    assert(ids.map(_.getString(0)).distinct.length == ids.length)
+    val idVals = ids.map(_.getInt(1)).sorted
+    assert(idVals.head == 0 && idVals.last == idVals.length - 1 &&
+      idVals.distinct.length == idVals.length,
+      "token ids must be dense and unique")
+    enc.unpersist()
+  }
 }
