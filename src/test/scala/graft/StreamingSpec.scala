@@ -478,6 +478,29 @@ class StreamingSpec extends SparkSuite {
     assert(got == exp, "restarted upsert must equal the batch result exactly once")
   }
 
+  test("streaming as-of enrich equals the batch native as-of join") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graftaoe").toFile.getAbsolutePath
+    val e = graft.core.Tables.events(spark, sf)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"),
+        unix_micros(col("ts")).as("view_ts_us"))
+      .agg(max(col("event_id")).as("view_id"))
+    val clicksStream = EventStream.source(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_ts_us"),
+        col("event_id").as("click_id"))
+    graft.streaming.AsOfEnrich.run(spark, clicksStream, views,
+      s"$tmp/out", s"$tmp/ckpt")
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("user_id", "click_id", "click_ts_us", "view_id", "view_ts_us")
+      .collect().map(_.toSeq).toSet
+    val exp = SparkEntry.queries("q_asof_exec")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == exp,
+      "point-in-time streaming enrichment diverged from the batch as-of join")
+  }
+
   test("foreachBatch upsert is idempotent and only updates if better") {
     val tmp = Files.createTempDirectory("graftupsert").toFile.getAbsolutePath
     val store = s"$tmp/store"
