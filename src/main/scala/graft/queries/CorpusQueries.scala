@@ -570,7 +570,72 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  /** Declarative data-quality audit (the Deequ/expectations shape): a
+    * CONSTRAINT SUITE evaluated in ONE pass over the corpus — conditional
+    * counters per rule, then an unpivot to one row per constraint with
+    * its violation count and verdict. This is the contract gate a
+    * pipeline runs before promoting a batch: nulls, key uniqueness,
+    * derived-column consistency, value domains, emptiness, format
+    * patterns. Uniqueness (the one rule a row-local counter can't see)
+    * comes from count−countDistinct in the same aggregation. Violations
+    * are exact counts, so the audit itself hash-gates. */
+  private def dqAudit(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val d = Tables.documents(s, dir)
+    val agg = d.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_null_id"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("v_dup_id"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("v_len_drift"),
+      sum(when(!col("lang").isInCollection(langs), 1L).otherwise(0L))
+        .as("v_lang_domain"),
+      sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+        .as("v_empty_text"),
+      sum(when(!col("source").rlike("^src[0-9]+$"), 1L).otherwise(0L))
+        .as("v_source_format"))
+    val rules = Seq(
+      ("doc_id_not_null", "v_null_id"), ("doc_id_unique", "v_dup_id"),
+      ("n_chars_matches_text", "v_len_drift"), ("lang_in_domain", "v_lang_domain"),
+      ("text_nonempty", "v_empty_text"), ("source_format", "v_source_format"))
+    agg.select(col("n_rows"), explode(array(rules.map { case (name, c) =>
+        struct(lit(name).as("constraint"), col(c).as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.constraint").as("constraint"), col("n_rows"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations") === 0).as("pass"))
+      .orderBy("constraint")
+  }
+
+  /** k-anonymity privacy screen over quasi-identifiers: with quasi-id
+    * (lang, source, 50-char length band), every row whose combination
+    * appears fewer than k=5 times is re-identifiable by those attributes
+    * alone — the screen run before releasing or mixing corpora with
+    * user-adjacent metadata. One quasi-key aggregation (bounded by the
+    * attribute-combination space, not the corpus), then a |bands|-sized
+    * rollup; exact counts end to end. */
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 50").as("len_band"))
+      .groupBy("lang", "source", "len_band")
+      .agg(count(lit(1)).as("grp"))
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("grp") < 5, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("grp") < 5, col("grp")).otherwise(0L)).as("n_risky_rows"),
+        sum(col("grp")).as("n_rows"),
+        min(col("grp")).as("min_group"))
+      .select(col("n_groups"), col("n_risky_groups"), col("n_risky_rows"),
+        col("n_rows"), col("min_group"),
+        round(col("n_risky_rows").cast("double") / col("n_rows"), 6)
+          .as("risk_rate"),
+        (col("min_group") >= 5).as("k_anonymous"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_audit" -> dqAudit,
+    "q_k_anonymity" -> kAnonymity,
     "q_moments" -> moments,
     "q_warc_ingest" -> warcIngest,
     "q_line_dedup" -> lineDedup,
@@ -594,6 +659,45 @@ object CorpusQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_dq_audit" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null_id,
+        |    count(*) - count(DISTINCT doc_id) AS v_dup_id,
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |      AS v_len_drift,
+        |    sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1
+        |             ELSE 0 END) AS v_lang_domain,
+        |    sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+        |      AS v_empty_text,
+        |    sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1
+        |             ELSE 0 END) AS v_source_format
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'doc_id_not_null' AS constraint, v_null_id AS v FROM a
+        |  UNION ALL SELECT 'doc_id_unique', v_dup_id FROM a
+        |  UNION ALL SELECT 'n_chars_matches_text', v_len_drift FROM a
+        |  UNION ALL SELECT 'lang_in_domain', v_lang_domain FROM a
+        |  UNION ALL SELECT 'text_nonempty', v_empty_text FROM a
+        |  UNION ALL SELECT 'source_format', v_source_format FROM a)
+        |SELECT r.constraint, a.n_rows, CAST(r.v AS BIGINT) AS n_violations,
+        |  r.v = 0 AS pass
+        |FROM r, a ORDER BY r.constraint""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 50 AS len_band, count(*) AS grp
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_groups,
+        |  CAST(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows,
+        |  CAST(sum(grp) AS BIGINT) AS n_rows,
+        |  min(grp) AS min_group,
+        |  round(CAST(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS DOUBLE) /
+        |        CAST(sum(grp) AS BIGINT), 6) AS risk_rate,
+        |  min(grp) >= 5 AS k_anonymous
+        |FROM g""".stripMargin,
     // HUGEINT moment numerators; doubles only in the final division,
     // HUGEINT->DOUBLE routed through VARCHAR (correctly rounded; the
     // direct cast double-rounds above 2^63)
