@@ -54,6 +54,35 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule teaching Catalyst to push filters THROUGH the custom
+  * node: a deterministic predicate referencing only LEFT-side columns
+  * commutes with the as-of match (it removes whole left rows; the
+  * per-row match against the right side is untouched), so it moves below
+  * the join where `PhysicalOperation` can carry it into the scan's
+  * PushedFilters. RIGHT-side predicates must NOT push — filtering the
+  * right input changes which row is "latest at-or-before" and flips
+  * matches to nulls. Catalyst leaves unknown nodes alone by design; a
+  * custom operator that wants scan pruning under user filters has to
+  * bring its own rule — this is it (plan-guarded in ExtensionsSpec). */
+object AsOfJoinFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val leftOut = AttributeSet(j.left.output)
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(leftOut))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Planner rule: AsOfJoinPlan → AsOfJoinExec. Injected via
   * `experimental.extraStrategies` (the public strategy hook; same
   * mechanism `SparkSessionExtensions.injectPlannerStrategy` feeds). */
@@ -114,9 +143,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightWidth = right.output.length
     val tol = toleranceUs
     val fwd = forward
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
+      // parents (collect, exchanges) expect UnsafeRow — flatten the
+      // JoinedRow view through a result projection like SortMergeJoin
+      val resultProj =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(outAttrs, outAttrs)
       // lookahead on the right stream (copied: sort iterators reuse rows)
       var rHead: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
       // backward: latest right row consumed so far, with its (key, time)
@@ -139,7 +174,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           }
           val matched = rHead != null && rKey(rHead) == lk &&
             (tol < 0L || rTime(rHead) - lt <= tol)
-          joined(l, if (matched) rHead else nullRight)
+          resultProj(joined(l, if (matched) rHead else nullRight))
         } else {
           // consume right rows at-or-before (lk, lt); each becomes the
           // new best candidate (later time within the key wins)
@@ -155,7 +190,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           }
           val matched = cand != null && candKey == lk &&
             (tol < 0L || lt - candTime <= tol)
-          joined(l, if (matched) cand else nullRight)
+          resultProj(joined(l, if (matched) cand else nullRight))
         }
       }
     }

@@ -65,6 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // token_count; length(regexp_replace(x, '\s+', '')) -> chars_nospace
     ext.injectOptimizerRule(_ => TokenCountRewrite)
     ext.injectOptimizerRule(_ => CharsNospaceRewrite)
+    ext.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -112,7 +114,8 @@ object GraftExtensions {
     * hook only applies at construction): idempotent append to
     * experimental.extraOptimizations. */
   def installOptimizations(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val want = Seq(TokenCountRewrite, CharsNospaceRewrite)
+    val want = Seq(TokenCountRewrite, CharsNospaceRewrite,
+      AsOfJoinFilterPushdown)
     val cur = spark.experimental.extraOptimizations
     val missing = want.filterNot(cur.contains)
     if (missing.nonEmpty)

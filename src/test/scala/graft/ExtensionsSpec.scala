@@ -166,6 +166,49 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(tol == Set((10L, 21L), (11L, -1L), (12L, -1L)))
   }
 
+  test("left-side filters push through the as-of node into the scan") {
+    import org.apache.spark.sql.functions.unix_micros
+    val e = graft.core.Tables.events(spark, sf)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"),
+        unix_micros(col("ts")).as("view_ts_us"))
+      .agg(org.apache.spark.sql.functions.max(col("event_id")).as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_ts_us"),
+        col("event_id").as("click_id"))
+    val joined = graft.plans.AsOfJoin.join(clicks, views,
+        "user_id", "v_user", "click_ts_us", "view_ts_us")
+      .filter(col("user_id") < 100)
+    // the optimized LOGICAL plan: no Filter may remain above the as-of
+    // node (the left-only predicate commutes and must sink below it)
+    val opt = joined.queryExecution.optimizedPlan
+    val filterAboveJoin = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[graft.plans.AsOfJoinPlan] => f
+    }
+    assert(filterAboveJoin.isEmpty,
+      s"left-only filter was not pushed through the as-of node:\n$opt")
+    // ...and it reaches the parquet scan as a pushed filter
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") &&
+      phys.contains("LessThan(user_id,100)"),
+      s"pushed filter did not reach the scan:\n${phys.take(2000)}")
+    // correctness: pushed result equals filtering after the join
+    val got = joined.collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.forall(_ < 100))
+    // a RIGHT-side predicate must NOT push (it would change matches):
+    // the rule leaves a filter above the join for view_id predicates
+    val rightFiltered = graft.plans.AsOfJoin.join(clicks, views,
+        "user_id", "v_user", "click_ts_us", "view_ts_us")
+      .filter(col("view_id") > 0)
+    val stillAbove = rightFiltered.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[graft.plans.AsOfJoinPlan] => f
+    }
+    assert(stillAbove.nonEmpty,
+      "right-side predicate must stay above the as-of join")
+  }
+
   test("forward as-of picks the earliest at-or-after; backward law duality holds") {
     import spark.implicits._
     val clicks = Seq((1L, 1000L, 10L), (1L, 5000L, 11L), (2L, 100L, 12L))
