@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_scan_project", "q_star_join", "q_distress_scores", "q_dedup_minhash")
+      else Seq("q_scan_project", "q_star_join", "q_distress_scores",
+        "q_dedup_minhash", "q_asof_exec", "q_kmv_distinct")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -583,11 +583,17 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
 
   /** Unrolled peeling rounds e1..e`n` over the CTE `e0` (mirrors
-    * Graph.kCore: degree filter >= `k`, then restrict both endpoints). */
+    * Graph.kCore: degree filter >= `k`, then restrict both endpoints).
+    * Every CTE is MATERIALIZED: each round references the previous edge
+    * frame three times (degree agg + both endpoint joins), and DuckDB
+    * inlines plain CTEs per reference — without materialization the
+    * shingle self-join upstream re-expands 3^rounds times, which spills
+    * DuckDB to death at sf0.1 (observed: 80 GB of temp before ENOSPC). */
   private def kcoreRoundsSql(n: Int, k: Int): String =
     (1 to n).map { r =>
-      s"""k$r AS (SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= $k),
-         |e$r AS (
+      s"""k$r AS MATERIALIZED (
+         |  SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (
          |  SELECT e.src, e.dst FROM e${r - 1} e
          |  JOIN k$r a ON e.src = a.src
          |  JOIN k$r b ON e.dst = b.src)""".stripMargin
@@ -1070,11 +1076,11 @@ object DedupQueries extends QueryGroup {
     // (longest text, id tiebreak) per component
     "q_dedup_canonical" ->
       s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
@@ -1103,11 +1109,11 @@ object DedupQueries extends QueryGroup {
     // per-cluster counts -> size histogram over the same recursive closure
     "q_cluster_sizes" ->
       s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
@@ -1128,11 +1134,11 @@ object DedupQueries extends QueryGroup {
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
@@ -1156,18 +1162,18 @@ object DedupQueries extends QueryGroup {
     // reproduce the iterative Spark loop bit-for-bit
     "q_pagerank" ->
       s"""$shingleSqlPrefix,
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
          |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
          |          UNION SELECT id_b, id_a FROM jp),
-         |degs AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |degs AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
          |nn AS (SELECT count(*) AS n FROM degs),
          |r0 AS (SELECT src AS doc_id,
          |       1000000000000000 // (SELECT n FROM nn) AS pr FROM degs),
@@ -1196,11 +1202,11 @@ object DedupQueries extends QueryGroup {
     // because BFS levels only grow
     "q_contamination_hops" ->
       s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
@@ -1243,11 +1249,11 @@ object DedupQueries extends QueryGroup {
     // near-dup pair counts by unordered source pair over the same jp set
     "q_dup_source_matrix" ->
       s"""$shingleSqlPrefix,
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
@@ -1266,18 +1272,18 @@ object DedupQueries extends QueryGroup {
     // (c DESC, label ASC) == Spark's max(struct(c, -label))
     "q_communities" ->
       s"""$shingleSqlPrefix,
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
          |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
          |          UNION SELECT id_b, id_a FROM jp),
-         |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
          |${lpRoundsSql(LpIters)}
          |SELECT doc_id, label AS community
          |FROM l$LpIters ORDER BY doc_id""".stripMargin,
@@ -1287,22 +1293,22 @@ object DedupQueries extends QueryGroup {
     // cluster, the rest is noise
     "q_dbscan" ->
       s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
          |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
-         |und AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |und AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
          |        UNION ALL SELECT id_b, id_a FROM jp),
-         |deg AS (SELECT src, count(*) AS degree FROM und GROUP BY 1),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS degree FROM und GROUP BY 1),
          |core AS (SELECT src AS id FROM deg WHERE degree >= $DbscanMinPts),
          |ce AS (SELECT id_a, id_b FROM jp
          |       JOIN core a ON id_a = a.id JOIN core b2 ON id_b = b2.id),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM ce
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ce
          |          UNION SELECT id_b, id_a FROM ce),
          |reach AS (
          |  SELECT src, dst FROM edges
@@ -1333,16 +1339,16 @@ object DedupQueries extends QueryGroup {
     // horizon because both engines run exactly the same rounds
     "q_kcore" ->
       s"""$shingleSqlPrefix,
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
          |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
-         |e0 AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
          |       UNION SELECT id_b, id_a FROM jp),
          |${kcoreRoundsSql(CoreIters, CoreK)}
          |SELECT src AS doc_id, count(*) AS core_deg
@@ -1352,11 +1358,11 @@ object DedupQueries extends QueryGroup {
     // so the wedge+closure joins yield each triangle once with a < b < c
     "q_graph_triangles" ->
       s"""$shingleSqlPrefix,
-         |pairs0 AS (
+         |pairs0 AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |jp AS (
+         |jp AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs0
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
