@@ -361,7 +361,7 @@ object EventsQueries extends QueryGroup {
     * formulations are pinned to the same DuckDB native `ASOF LEFT JOIN`
     * oracle, and ExtensionsSpec proves the plan actually contains
     * AsOfJoinExec and that the two implementations agree row-for-row. */
-  private def asofExec(s: SparkSession, dir: String): DataFrame = {
+  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables.events(s, dir)
     val views = e.filter(col("event_type") === "view")
       .groupBy(col("user_id").as("v_user"),
@@ -370,8 +370,43 @@ object EventsQueries extends QueryGroup {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("click_ts_us"),
         col("event_id").as("click_id"))
+    (clicks, views)
+  }
+
+  private def asofExec(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = asofSides(s, dir)
     graft.plans.AsOfJoin.join(clicks, views,
         "user_id", "v_user", "click_ts_us", "view_ts_us")
+      .select("user_id", "click_id", "click_ts_us", "view_id", "view_ts_us")
+      .orderBy("user_id", "click_id")
+  }
+
+  /** The FORWARD direction of the native operator (earliest view
+    * at-or-after each click — attribution by the next impression), pinned
+    * to DuckDB's native forward ASOF (`c.ts <= v.ts`). Same merge, same
+    * plan shape; the direction only flips which side of the pointer the
+    * candidate sits on. */
+  private def asofFwd(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = asofSides(s, dir)
+    graft.plans.AsOfJoin.join(clicks, views,
+        "user_id", "v_user", "click_ts_us", "view_ts_us",
+        direction = "forward")
+      .select("user_id", "click_id", "click_ts_us", "view_id", "view_ts_us")
+      .orderBy("user_id", "click_id")
+  }
+
+  /** The TOLERANCE path of the native operator under the oracle gate:
+    * backward as-of bounded to 30 minutes — merge_asof semantics: the
+    * match is still the LATEST at-or-before; if it falls outside the
+    * tolerance the row gets NULLs (it does NOT fall back to an earlier
+    * view). The oracle is the native ASOF join with the window applied
+    * afterwards — exactly that semantics. */
+  private val AsofTolUs: Long = 30L * 60 * 1000000
+  private def asofTol(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = asofSides(s, dir)
+    graft.plans.AsOfJoin.join(clicks, views,
+        "user_id", "v_user", "click_ts_us", "view_ts_us",
+        toleranceUs = AsofTolUs)
       .select("user_id", "click_id", "click_ts_us", "view_id", "view_ts_us")
       .orderBy("user_id", "click_id")
   }
@@ -550,6 +585,8 @@ object EventsQueries extends QueryGroup {
     "q_stream_enrich" -> streamEnrich,
     "q_asof_event" -> asofEvent,
     "q_asof_exec" -> asofExec,
+    "q_asof_fwd" -> asofFwd,
+    "q_asof_tol" -> asofTol,
     "q_asof_nearest" -> asofNearest,
     "q_running_distinct" -> runningDistinct,
     "q_twap" -> twap,
@@ -827,6 +864,42 @@ object EventsQueries extends QueryGroup {
         |       WHEN f_ok THEN f_view_ts - click_ts_us END AS delta_us,
         |  CASE WHEN use_b THEN 'backward' WHEN f_ok THEN 'forward' END AS direction
         |FROM sel ORDER BY user_id, click_id""".stripMargin,
+
+    // forward direction: DuckDB's ASOF picks the NEAREST row in the
+    // inequality's direction — `<=` gives earliest-at-or-after
+    "q_asof_fwd" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_ts_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id AS user_id, c.click_id, c.click_ts_us,
+        |  v.view_id, v.ts_us AS view_ts_us
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.click_ts_us <= v.ts_us
+        |ORDER BY c.user_id, click_id""".stripMargin,
+
+    // tolerance: merge_asof semantics — the latest-at-or-before match is
+    // REJECTED (nulls), not replaced, when it falls outside the window
+    "q_asof_tol" ->
+      s"""WITH v AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (
+         |  SELECT user_id, epoch_us(ts) AS click_ts_us, event_id AS click_id
+         |  FROM events WHERE event_type = 'click'),
+         |j AS (
+         |  SELECT c.user_id AS user_id, c.click_id, c.click_ts_us,
+         |    v.view_id, v.ts_us AS view_ts_us
+         |  FROM c ASOF LEFT JOIN v
+         |    ON c.user_id = v.user_id AND c.click_ts_us >= v.ts_us)
+         |SELECT user_id, click_id, click_ts_us,
+         |  CASE WHEN click_ts_us - view_ts_us <= $AsofTolUs THEN view_id END
+         |    AS view_id,
+         |  CASE WHEN click_ts_us - view_ts_us <= $AsofTolUs THEN view_ts_us END
+         |    AS view_ts_us
+         |FROM j ORDER BY user_id, click_id""".stripMargin,
 
     // the native AsOfJoinExec operator answers to the SAME oracle as the
     // union+window encoding — DuckDB's native ASOF LEFT JOIN
