@@ -193,7 +193,44 @@ object SamplingQueries extends QueryGroup {
       .orderBy("decile")
   }
 
+  /** WEIGHTED corpus subsampling without replacement — priority sampling
+    * (Duffield, Lund & Thorup): each doc draws an integer priority
+    * q = h div w (h a 32-bit md5 slice, w its token count), and the k
+    * SMALLEST priorities form the sample. Inclusion probability is
+    * ≈ k·w/Σw, so longer (in production: higher-quality-weighted) docs
+    * are overrepresented — the standard upweighting draw, made a pure
+    * function of the data: md5-deterministic, so the realized sample
+    * hash-gates and is stable under reruns and cluster layouts where a
+    * rand()-based draw is not. The k-minimum selection rides the same
+    * bounded-heap aggregate as the KMV sketch (negated values turn max-k
+    * into min-k) — ≤ k rows per partition move, one small shuffle at any
+    * corpus size; the tiny sample then broadcasts back for its weights.
+    * Exactness law in SamplingSpec: max sampled priority ≤ min unsampled
+    * (the defining threshold property). */
+  private val PrioritySampleK = 64
+  private def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("w", greatest(
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long"), lit(1L)))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ps_"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+      .withColumn("priority", expr("h div w"))
+      .select("doc_id", "w", "priority")
+    val top = d.agg(graft.functions.TopK.topK(
+        (-col("priority")).cast("double"), col("doc_id"), PrioritySampleK)
+      .as("sel"))
+      .select(posexplode(col("sel")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"))
+    d.join(broadcast(top), Seq("doc_id")) // k-row sample is the broadcast side
+      .select("rank", "doc_id", "w", "priority")
+      .orderBy("rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priority_sample" -> prioritySample,
     "q_vocab_growth" -> vocabGrowth,
     "q_zorder" -> zorder,
     "q_source_cap" -> sourceCap,
@@ -205,6 +242,24 @@ object SamplingQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // priority sampling: k smallest h div w priorities, doc_id tiebreak
+    "q_priority_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1)
+         |      AS w
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, w,
+         |    CAST(('0x' || substr(md5('ps_' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) // w AS priority
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, w, priority,
+         |    row_number() OVER (ORDER BY priority, doc_id) AS rank
+         |  FROM p)
+         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, w, priority
+         |FROM r WHERE rank <= $PrioritySampleK ORDER BY rank""".stripMargin,
     // the shuffle-order rank replays as one row_number window; first-seen
     // decile per type is min(decile) (monotone in rank, so min over the
     // decile equals the decile of the min rank); HUGEINT cumsums cast out

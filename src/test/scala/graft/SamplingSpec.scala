@@ -163,4 +163,30 @@ class SamplingSpec extends SparkSuite {
       assert(mse <= scale * scale / 4 + 1e-9, s"vec ${r.get(0)}: mse=$mse scale=$scale")
     }
   }
+
+  test("priority sample: the threshold property and weight monotonicity hold") {
+    import org.apache.spark.sql.functions._
+    val sample = SparkEntry.queries("q_priority_sample")(spark, sf).collect()
+    assert(sample.length == 64)
+    // defining property of a k-minimum selection: every sampled priority
+    // is <= every unsampled one (ties resolved by doc_id, checked via the
+    // oracle hash; here the strict threshold suffices)
+    val maxSampled = sample.map(_.getAs[Long]("priority")).max
+    val sampledIds = sample.map(_.getAs[Long]("doc_id")).toSet
+    val minUnsampled = graft.core.Tables.documents(spark, sf)
+      .withColumn("w", greatest(
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long"), lit(1L)))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ps_"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+      .withColumn("priority", expr("h div w"))
+      .filter(!col("doc_id").isInCollection(sampledIds.toSeq))
+      .agg(min("priority")).head().getLong(0)
+    assert(maxSampled <= minUnsampled,
+      s"sample is not the k-minimum set: $maxSampled > $minUnsampled")
+    // determinism: a second run returns the identical sample
+    val again = SparkEntry.queries("q_priority_sample")(spark, sf).collect()
+    assert(sample.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
