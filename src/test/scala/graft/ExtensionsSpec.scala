@@ -209,6 +209,29 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
       "right-side predicate must stay above the as-of join")
   }
 
+  test("downstream aggregation reuses the as-of join's output partitioning") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, unix_micros}
+    val e = graft.core.Tables.events(spark, sf)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"),
+        unix_micros(col("ts")).as("view_ts_us"))
+      .agg(org.apache.spark.sql.functions.max(col("event_id")).as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_ts_us"),
+        col("event_id").as("click_id"))
+    // outputPartitioning = left's HashPartitioning(user_id), so a groupBy
+    // on the key must add NO exchange beyond what the join already plans
+    val joined = graft.plans.AsOfJoin.join(clicks, views,
+        "user_id", "v_user", "click_ts_us", "view_ts_us")
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val base = nExchanges(joined)
+    val agged = joined.groupBy("user_id").agg(cnt(lit(1)).as("n"))
+    assert(agged.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(nExchanges(agged) == base,
+      s"groupBy on the join key added an exchange (${nExchanges(agged)} vs $base)")
+  }
+
   test("forward as-of picks the earliest at-or-after; backward law duality holds") {
     import spark.implicits._
     val clicks = Seq((1L, 1000L, 10L), (1L, 5000L, 11L), (2L, 100L, 12L))
