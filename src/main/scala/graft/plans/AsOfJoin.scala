@@ -222,7 +222,10 @@ object AsOfJoin {
     * "backward"`, the default) or the EARLIEST at-or-after
     * (`"forward"`) its time — within `toleranceUs` (negative =
     * unbounded). Right columns are null on no match. Key/time columns
-    * must be LongType and non-null. Column names must be disjoint
+    * must be LongType and non-null, and the right side must be UNIQUE
+    * per (key, time) — among duplicate-time rows the sort leaves peer
+    * order unspecified, so dedup first (the event queries take
+    * max(event_id) per instant). Column names must be disjoint
     * across the sides (project/rename first — the operator concatenates
     * the schemas). */
   def join(leftDf: DataFrame, rightDf: DataFrame,

@@ -262,6 +262,42 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(bwdNeg == fwd, "forward must equal backward on negated time axes")
   }
 
+  test("as-of merge equals a brute-force reference on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xA50F)
+    for (trial <- 1 to 25) {
+      val nL = 1 + rnd.nextInt(40)
+      val nR = rnd.nextInt(40)
+      val clicks = (0 until nL).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, 1000L + i))
+      // right side unique per (key, time) — the operator's documented
+      // contract (production callers dedup, as the q_asof queries do)
+      val views = rnd.shuffle((0 until nR).map(i =>
+          (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, 2000L + i)))
+        .groupBy(v => (v._1, v._2)).map(_._2.head).toSeq
+      val tol = Seq(-1L, 0L, 5L, 50L)(rnd.nextInt(4))
+      val fwd = rnd.nextBoolean()
+      val got = graft.plans.AsOfJoin.join(
+          clicks.toDF("k", "ct", "cid"), views.toDF("vk", "vt", "vid"),
+          "k", "vk", "ct", "vt", toleranceUs = tol,
+          direction = if (fwd) "forward" else "backward")
+        .select("cid", "vid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val exp = clicks.map { case (k, ct, cid) =>
+        val cands = views.filter(v => v._1 == k &&
+          (if (fwd) v._2 >= ct && (tol < 0 || v._2 - ct <= tol)
+           else v._2 <= ct && (tol < 0 || ct - v._2 <= tol)))
+        val pick = if (fwd) cands.sortBy(_._2).headOption
+                   else cands.sortBy(_._2).lastOption
+        cid -> pick.map(_._3).getOrElse(-1L)
+      }.toMap
+      assert(got == exp,
+        s"trial $trial (fwd=$fwd tol=$tol): " +
+          s"diff=${(exp.toSet -- got.toSet).take(3)} vs ${(got.toSet -- exp.toSet).take(3)}")
+    }
+  }
+
   test("a fresh session built with the extension class resolves the functions") {
     // same SparkContext, new session with injected extensions (the static
     // spark.sql.extensions conf only applies when the context is built, so
