@@ -294,6 +294,16 @@ class PlanSpec extends SparkSuite {
       s"per-source cap regressed to a window sort:\n${plan.take(1500)}")
   }
 
+  test("q_priority_sample / q_kmv_distinct: min-k rides the aggregate, never a window") {
+    Seq("q_priority_sample", "q_kmv_distinct").foreach { q =>
+      val plan = formatted(q)
+      assert(plan.contains("top_k"),
+        s"$q lost its bounded-heap aggregate:\n${plan.take(1200)}")
+      assert(!plan.contains("Window"),
+        s"$q regressed to a window sort (the oracle's formulation):\n${plan.take(1200)}")
+    }
+  }
+
   test("q_span_cut: the cut is a (doc_id,pos) equi-join, windows doc-partitioned") {
     val plan = formatted("q_span_cut")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
