@@ -313,7 +313,37 @@ object DedupQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  /** LSH parameter-tuning report — the empirical S-CURVE of the
+    * production banding (k=8 slots, 4 bands × 2 rows): for every
+    * co-shingle pair, bucket its exact Jaccard into tenths and report
+    * what fraction of each bucket the band join actually surfaces as a
+    * candidate. This is the table an engineer reads before committing
+    * (bands, rows) at 100 TB: buckets far below the threshold should be
+    * ≈0 (wasted verify work), buckets above it ≈1 (recall). Truth pairs
+    * are the co-shingle pair space under the same df≤20 pruning as the
+    * detector (disjoint-shingle pairs have Jaccard 0 and nothing to
+    * surface); the bucket index is (common·10) div union — exact
+    * integers, no float boundary. */
+  private def lshCurve(s: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingles(s, dir)
+    val truth = Dedup.jaccardPairs(sh, 0.0)
+    val cands = Dedup.bandCandidates(
+        Dedup.withBands(Dedup.minhashSignatures(sh, 8), 8, 2), 4)
+      .withColumn("is_cand", lit(1L))
+    truth.join(cands, Seq("id_a", "id_b"), "left")
+      .withColumn("bucket",
+        expr("(common * 10) div (size_a + size_b - common)").cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_candidates"))
+      .select(col("bucket"), col("n_pairs"), col("n_candidates"),
+        round(col("n_candidates").cast("double") / col("n_pairs"), 6)
+          .as("candidate_rate"))
+      .orderBy("bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_curve" -> lshCurve,
     "q_kmv_distinct" -> kmvDistinct,
     "q_dedup_canonical" -> canonical,
     "q_dedup_incremental" -> incremental,
@@ -760,6 +790,51 @@ object DedupQueries extends QueryGroup {
   }
 
   override def oracle: Map[String, String] = Map(
+    // truth = every co-shingle pair (no threshold); candidates = the
+    // same sig/band CTEs as q_dedup_minhash; bucket = (common*10)//union
+    "q_lsh_curve" ->
+      s"""$shingleSqlPrefix,
+         |p AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b
+         |  FROM p JOIN sizes sa ON id_a = sa.doc_id
+         |         JOIN sizes sb ON id_b = sb.doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(substr(md5('mh1_' || shingle), 1, 16)) AS h1, min(substr(md5('mh2_' || shingle), 1, 16)) AS h2,
+         |    min(substr(md5('mh3_' || shingle), 1, 16)) AS h3, min(substr(md5('mh4_' || shingle), 1, 16)) AS h4,
+         |    min(substr(md5('mh5_' || shingle), 1, 16)) AS h5, min(substr(md5('mh6_' || shingle), 1, 16)) AS h6,
+         |    min(substr(md5('mh7_' || shingle), 1, 16)) AS h7, min(substr(md5('mh8_' || shingle), 1, 16)) AS h8
+         |  FROM sh GROUP BY doc_id),
+         |banded AS MATERIALIZED (
+         |  SELECT doc_id, md5(h1 || h2) AS band1, md5(h3 || h4) AS band2,
+         |    md5(h5 || h6) AS band3, md5(h7 || h8) AS band4
+         |  FROM sig),
+         |cands AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+         |      JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+         |      JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+         |      JOIN banded b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+         |      JOIN banded b ON a.band4 = b.band4 AND a.doc_id < b.doc_id))
+         |SELECT CAST((common * 10) // (size_a + size_b - common) AS INTEGER)
+         |    AS bucket,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_candidates,
+         |  round(CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS candidate_rate
+         |FROM t LEFT JOIN cands c USING (id_a, id_b)
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     // sh0 is the UNPRUNED shingle CTE; the k-th smallest hash via one
     // per-source rank window, the estimator in integer floor division
     "q_kmv_distinct" ->
