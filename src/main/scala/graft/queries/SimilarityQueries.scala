@@ -57,6 +57,34 @@ object SimilarityQueries extends QueryGroup {
        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)""".stripMargin
   }
 
+  /** `q_sim_curve` oracle: same inlined plane matrix, sampled vectors,
+    * all-pairs cosine bucketed by floor(c·10) (floor BEFORE the int cast
+    * — a bare integer cast truncates toward zero on the negative
+    * buckets). */
+  private def simCurveOracleSql: String = {
+    val ps = Similarity.planes(8, 64)
+    val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
+      val lst = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, ${lst}::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n     + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id % 5 = 0),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |b AS (SELECT vec_id, v, nrm, CAST($bucketExpr AS BIGINT) AS bucket
+       |      FROM n),
+       |pr AS (
+       |  SELECT a.bucket = c.bucket AS is_cand,
+       |    list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cosine
+       |  FROM b a JOIN b c ON a.vec_id < c.vec_id)
+       |SELECT CAST(floor(cosine * 10) AS INTEGER) AS cos_bucket,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_candidates,
+       |  round(CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS candidate_rate
+       |FROM pr GROUP BY 1 ORDER BY cos_bucket""".stripMargin
+  }
+
   private def lshOracleSql: String =
     s"""WITH $lshPairsSqlPrefix
        |SELECT id_a, id_b, bucket, cosine FROM pairs
@@ -592,7 +620,40 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Hyperplane-LSH tuning report — the semantic twin of `q_lsh_curve`:
+    * for every vector pair in a DETERMINISTIC sample (vec_id % 5 — the
+    * curve is a property of the geometry, not the corpus size, so a
+    * sample is how this diagnostic runs at 100 TB), bucket the exact
+    * cosine into tenths and report what fraction of each bucket the
+    * 8-plane sign bucket surfaces (identical signs on all planes). The
+    * ground truth is inherently all-pairs, so the sample side BROADCASTS
+    * (the cosineTopK pattern) — bounded by the sample, never a shuffle
+    * cartesian. Reads: high-cosine buckets should collide (recall),
+    * low/negative ones shouldn't (wasted verifies). */
+  private def simCurve(s: SparkSession, dir: String): DataFrame = {
+    val sampled = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+    val b = SharedFrames.register(
+      Similarity.withNorm(Similarity.withLshBucket(sampled, 8)))
+    val a = b.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"), col("bucket").as("bkt_a"))
+    val c = b.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"), col("bucket").as("bkt_b"))
+    a.crossJoin(broadcast(c))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("cos_bucket", floor(col("cosine") * 10).cast("int"))
+      .withColumn("is_cand", (col("bkt_a") === col("bkt_b")).cast("long"))
+      .groupBy("cos_bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum("is_cand").as("n_candidates"))
+      .select(col("cos_bucket"), col("n_pairs"), col("n_candidates"),
+        round(col("n_candidates").cast("double") / col("n_pairs"), 6)
+          .as("candidate_rate"))
+      .orderBy("cos_bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_curve" -> simCurve,
     "q_mm_exif" -> mmExif,
     "q_hash_embed" -> hashEmbed,
     "q_hash_embed_sim" -> hashEmbedSim,
@@ -835,6 +896,7 @@ object SimilarityQueries extends QueryGroup {
          |JOIN nrm nb ON pairs.source_b = nb.source
          |ORDER BY source_a, source_b""".stripMargin,
     "q_sim_lsh" -> lshOracleSql,
+    "q_sim_curve" -> simCurveOracleSql,
     "q_sim_clusters" -> simClustersOracleSql,
 
     // mirrors Similarity.pqCodes: per subspace j, codebook = the 4
