@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharsNospaceExpr, CharsNospaceRewrite, DotProductExpr, NfcExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, TopKAgg, WinnowExpr}
+import graft.functions.{CharsNospaceExpr, CharsNospaceRewrite, DotProductExpr, MisraGriesAgg, NfcExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, TopKAgg, WinnowExpr}
 
 /** SQL-surface registration for the library's native Catalyst expressions.
   *
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("top_k", "top_k(value, id, k) - bounded-heap per-group top-k " +
         "aggregate (value desc, id asc), map-side combined"),
       { args: Seq[Expression] => GraftExtensions.buildTopK(args) }))
+    ext.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(item, capacity) - Misra-Gries " +
+        "frequent-items summary (bounded-memory value_counts), map-side combined"),
+      { args: Seq[Expression] => GraftExtensions.buildHeavyHitters(args) }))
     ext.injectFunction(unary("nfc",
       "nfc(text) - Unicode NFC canonical composition", NfcExpr))
     ext.injectFunction(unary("chars_nospace",
@@ -96,6 +100,9 @@ object GraftExtensions {
       args => NfcExpr(args.head))
     reg("top_k", "top_k(value, id, k) - bounded-heap per-group top-k aggregate",
       buildTopK)
+    reg("heavy_hitters",
+      "heavy_hitters(item, capacity) - Misra-Gries frequent-items summary",
+      buildHeavyHitters)
     installOptimizations(spark)
   }
 
@@ -108,6 +115,18 @@ object GraftExtensions {
         s"top_k: k must be an integer literal, got $other")
     }
     TopKAgg(args.head, args(1), k)
+  }
+
+  /** heavy_hitters(item, capacity): capacity must be a foldable integer
+    * literal. */
+  private[plans] def buildHeavyHitters(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "heavy_hitters expects exactly 2 arguments")
+    val cap = args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"heavy_hitters: capacity must be an integer literal, got $other")
+    }
+    MisraGriesAgg(args.head, cap)
   }
 
   /** Install the plan rewrites on an EXISTING session (the extension-config

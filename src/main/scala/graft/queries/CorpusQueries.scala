@@ -461,6 +461,24 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-pruned exact index membership ([[graft.ops.Bloom.newRows]]):
+    * the same batch/resident split as `q_line_dedup_incr`, but the
+    * batch-vs-index question ("has the corpus seen this record?") is
+    * answered through the runtime-filter structure a 100 TB pipeline
+    * needs — bloom-NEGATIVE records (almost all of a typical batch) are
+    * emitted as new without entering any join, and both inputs of the
+    * exact verify join are bloom-pruned. The result is bit-identical to
+    * the plain anti-join; the oracle knows nothing about blooms. */
+  private def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val rec = sharedRecords(s, dir)
+    val isNew = col("doc_id") % 10 === 9
+    graft.ops.Bloom.newRows(
+        rec.filter(!isNew).select("record"),
+        rec.filter(isNew), key = "record")
+      .select(col("doc_id"), col("part_idx"), col("is_new"))
+      .orderBy("doc_id", "part_idx")
+  }
+
   /** GPT-3-style exact n-gram decontamination, next to the winnow-based
     * `q_contamination`: a corpus doc is flagged when ANY of its word
     * 13-grams appears verbatim in the benchmark set (doc_id < 10, the
@@ -640,6 +658,7 @@ object CorpusQueries extends QueryGroup {
     "q_warc_ingest" -> warcIngest,
     "q_line_dedup" -> lineDedup,
     "q_line_dedup_incr" -> lineDedupIncr,
+    "q_dedup_bloom" -> dedupBloom,
     "q_boilerplate" -> boilerplate,
     "q_corpus_drift" -> drift,
     "q_curation_e2e" -> curationE2E,
@@ -820,6 +839,19 @@ object CorpusQueries extends QueryGroup {
         |  coalesce(string_agg(CASE WHEN kept THEN record END, ' ' ORDER BY part_idx), '')
         |    AS cleaned_text
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bloom-independent truth: batch record new iff absent from the
+    // resident-corpus record set (the bloom is a pruning structure only)
+    "q_dedup_bloom" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+stream\s+') AS arr FROM documents),
+        |idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM parts),
+        |rec AS (SELECT doc_id, CAST(i AS INTEGER) AS part_idx, arr[i] AS record
+        |        FROM idx WHERE length(arr[i]) > 0),
+        |ix AS (SELECT DISTINCT record FROM rec WHERE doc_id % 10 <> 9)
+        |SELECT doc_id, part_idx,
+        |  record NOT IN (SELECT record FROM ix) AS is_new
+        |FROM rec WHERE doc_id % 10 = 9 ORDER BY doc_id, part_idx""".stripMargin,
 
     "q_boilerplate" ->
       s"""WITH parts AS (

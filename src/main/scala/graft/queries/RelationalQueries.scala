@@ -221,6 +221,25 @@ object RelationalQueries extends QueryGroup {
         col("t.value").as("acctbal"))
       .orderBy("c_mktsegment", "rank")
 
+  /** Frequent items per group via the Misra–Gries summary
+    * ([[graft.functions.MisraGriesAgg]]): bounded-memory value_counts —
+    * at most `capacity` counters move per group per partition even when
+    * the item space is unbounded (tokens, URLs, user agents at 100 TB).
+    * Here capacity (64) exceeds the brand space (25 per type), the regime
+    * where the summary provably equals the exact group-by counts at ANY
+    * partitioning — which is what the oracle pins; the approximation
+    * regime's error bounds are law-tested in HeavyHittersSpec. */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy("p_type")
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("p_brand"), 64).as("hh"))
+      .select(col("p_type"), posexplode(col("hh")).as(Seq("pos", "t")))
+      .select(col("p_type"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.item").as("p_brand"),
+        col("t.count_est").as("count_est"))
+      .orderBy("p_type", "rank")
+
   /** O4: argmax per group with deterministic tiebreak (`idxmax` takes first
     * occurrence, `..._ipeds_v5.py:411`). */
   private def argmax(s: SparkSession, dir: String): DataFrame = {
@@ -428,6 +447,62 @@ object RelationalQueries extends QueryGroup {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
       .orderBy("l_returnflag")
+
+  /** Exact equi-depth histogram ([[graft.ops.OrderStats]]): deciles of
+    * line-item price by exact global RANK, computed through the
+    * grid-bucketed two-level value rank instead of the single-reducer
+    * `row_number() OVER (ORDER BY ...)` the oracle uses — the hash match
+    * proves the distributed rank is bit-identical to the global window.
+    * Prices ride as integer cents (the decimal-cast house rule), so
+    * boundaries and totals carry no float anywhere. */
+  private def equidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(s, dir)
+      .select(
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").cast("long").as("cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("rid"))
+    graft.ops.OrderStats.equiDepthHistogram(v, "cents", "rid", buckets = 10)
+      .select(col("bucket"), col("n_rows"),
+        col("lo").as("lo_cents"), col("hi").as("hi_cents"),
+        col("total").cast("long").as("total_cents"),
+        round(col("total").cast("double") / col("n_rows"), 6).as("avg_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Exact per-group median + p90 by RANK arithmetic
+    * ([[graft.ops.OrderStats.valueRankedBy]]): the scale path for what
+    * `percentile(...)` computes by buffering every group value in one
+    * aggregate buffer. The grouped two-level rank spreads each nation
+    * over the grid cells, the quantile positions are integer formulas on
+    * the exact rank, and only ≤3 rows per group survive into the final
+    * aggregation. Median uses the (n+1)/2 + (n/2+1) twin-rank sum so odd
+    * and even group sizes share one exact integer path. */
+  private def groupMedian(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").cast("long").as("cents"),
+        col("c_custkey"))
+    val ranked = graft.ops.OrderStats.valueRankedBy(
+      v, Seq("c_nationkey"), "cents", "c_custkey")
+    val sizes = v.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(sizes), Seq("c_nationkey"))
+      .filter(col("val_rank") === expr("(n + 1) div 2") ||
+        col("val_rank") === expr("n div 2 + 1") ||
+        col("val_rank") === expr("(9 * n + 9) div 10"))
+      .groupBy("c_nationkey", "n")
+      .agg(
+        (sum(when(col("val_rank") === expr("(n + 1) div 2"), col("cents"))
+            .otherwise(0L)) +
+          sum(when(col("val_rank") === expr("n div 2 + 1"), col("cents"))
+            .otherwise(0L))).as("medx2"),
+        max(when(col("val_rank") === expr("(9 * n + 9) div 10"), col("cents")))
+          .as("p90_cents"))
+      .select(col("c_nationkey"), col("n"),
+        round(col("medx2").cast("double") / 200, 6).as("median"),
+        col("p90_cents"))
+      .orderBy("c_nationkey")
+  }
 
   /** Skew-safe salted aggregation: two-stage sum per returnflag (a
     * low-cardinality, skew-prone key). The oracle is the PLAIN group-by —
@@ -706,6 +781,8 @@ object RelationalQueries extends QueryGroup {
     "q_salted_agg" -> saltedAgg,
     "q_multipass_match" -> multipassMatch,
     "q_percentiles" -> percentiles,
+    "q_equidepth_hist" -> equidepthHist,
+    "q_group_median" -> groupMedian,
     "q_describe_stats" -> describeStats,
     "q_analyze_stats" -> analyzeStats,
     "q_subsidiary" -> subsidiary,
@@ -722,6 +799,7 @@ object RelationalQueries extends QueryGroup {
     "q_priority_sort" -> prioritySort,
     "q_topk_search" -> topkSearch,
     "q_topk_agg" -> topkAgg,
+    "q_heavy_hitters" -> heavyHitters,
     "q_argmax" -> argmax,
     "q_union_years" -> unionYears,
     "q_flag_compound" -> flagCompound,
@@ -951,6 +1029,48 @@ object RelationalQueries extends QueryGroup {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // the single-reducer global window IS the oracle for the two-level
+    // value rank; integer cents + HUGEINT->BIGINT cast per house rules
+    "q_equidepth_hist" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents, l_orderkey * 10 + l_linenumber AS rid FROM lineitem),
+        |r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents, rid) AS rn,
+        |    count(*) OVER () AS n FROM v),
+        |d AS (SELECT cents, CAST((rn - 1) * 10 // n AS INTEGER) + 1 AS bucket
+        |      FROM r)
+        |SELECT bucket, count(*) AS n_rows,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*), 6)
+        |    AS avg_cents
+        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // twin-rank median + discrete p90 on the partitioned window; integer
+    // cents, HUGEINT sums cast back to BIGINT before the double division
+    "q_group_median" ->
+      """WITH v AS (
+        |  SELECT c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    c_custkey
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_nationkey, cents,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY cents, c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n FROM v),
+        |m AS (
+        |  SELECT c_nationkey, n,
+        |    sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END) +
+        |    sum(CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END) AS medx2,
+        |    max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents
+        |  FROM r GROUP BY 1, 2)
+        |SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+        |  round(CAST(CAST(medx2 AS BIGINT) AS DOUBLE) / 200, 6) AS median,
+        |  p90_cents
+        |FROM m ORDER BY c_nationkey""".stripMargin,
+
     "q_describe_stats" ->
       """WITH agged AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
@@ -1101,6 +1221,20 @@ object RelationalQueries extends QueryGroup {
         |  c_custkey AS entity_id, c_acctbal AS acctbal
         |FROM ranked WHERE rn <= 3
         |ORDER BY c_mktsegment, rank""".stripMargin,
+
+    // exact-regime truth for the Misra-Gries summary: capacity exceeds
+    // the distinct-brand space, so the summary IS the group-by counts
+    "q_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT p_type, p_brand, count(*) AS cnt FROM part GROUP BY 1, 2),
+        |r AS (
+        |  SELECT p_type, p_brand, cnt,
+        |    row_number() OVER (PARTITION BY p_type
+        |      ORDER BY cnt DESC, p_brand ASC) AS rn
+        |  FROM c)
+        |SELECT p_type, CAST(rn AS INTEGER) AS rank, p_brand,
+        |  CAST(cnt AS BIGINT) AS count_est
+        |FROM r ORDER BY p_type, rank""".stripMargin,
 
     "q_argmax" ->
       """WITH ranked AS (

@@ -126,6 +126,25 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
       s"top_k did not plan as a partial object-hash aggregate:\n${plan.take(1200)}")
   }
 
+  test("heavy_hitters SQL registration: exact regime + partial object-hash plan") {
+    GraftExtensions.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("x", "x", "y", "x", "z", "y").toDF("item")
+    df.createOrReplaceTempView("hh_in")
+    val got = spark.sql(
+      "SELECT explode(heavy_hitters(item, 8)) AS t FROM hh_in")
+      .select("t.item", "t.count_est").as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
+    val plan = df.agg(
+        graft.functions.HeavyHitters.heavyHitters(col("item"), 8).as("hh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("partial_heavy_hitters"),
+      s"heavy_hitters did not plan as a partial object-hash aggregate:\n" +
+        plan.take(1200))
+  }
+
   test("as-of join plans through the native physical operator, two exchanges") {
     val df = SparkEntry.queries("q_asof_exec")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.OrderStats
+
+/** Laws for the two-level exact value rank ([[graft.ops.OrderStats]]). */
+class OrderStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def globalRank(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("truth_rank",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+
+  test("valueRanked is bit-identical to the global row_number window") {
+    val rnd = new scala.util.Random(11)
+    // heavy ties (mod 17) + spread values + negatives
+    val rows = (0 until 5000).map(i =>
+      (i.toLong, if (i % 3 == 0) (rnd.nextInt(17) - 8).toLong
+                 else rnd.nextInt(1000000).toLong - 500000))
+    for (cells <- Seq(1, 16, 512)) {
+      val df = rows.toDF("id", "v").repartition(7)
+      val got = OrderStats.valueRanked(df, "v", "id", cells)
+      val diff = globalRank(df).join(got, Seq("id", "v"))
+        .filter(col("truth_rank") =!= col("val_rank")).count()
+      assert(diff == 0L, s"cells=$cells: $diff ranks differ")
+    }
+  }
+
+  test("valueRankedBy matches the per-group row_number window") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, s"g${i % 5}", rnd.nextInt(200).toLong - 100))
+    val df = rows.toDF("id", "g", "v").repartition(6)
+    val truth = df.withColumn("truth_rank",
+      row_number().over(
+        Window.partitionBy("g").orderBy(col("v"), col("id"))).cast("long"))
+    val got = OrderStats.valueRankedBy(df, Seq("g"), "v", "id", cells = 64)
+    val diff = truth.join(got, Seq("id", "g", "v"))
+      .filter(col("truth_rank") =!= col("val_rank")).count()
+    assert(diff == 0L)
+  }
+
+  test("all-equal values: ranks are the id order") {
+    val df = (1L to 100L).map(i => (i, 42L)).toDF("id", "v")
+    val got = OrderStats.valueRanked(df, "v", "id")
+      .select("id", "val_rank").as[(Long, Long)].collect().toMap
+    assert((1L to 100L).forall(i => got(i) == i))
+  }
+
+  test("equi-depth buckets differ in size by at most 1 and cover value order") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 1003).map(i => (i.toLong, rnd.nextInt(5000).toLong))
+      .toDF("id", "v")
+    val h = OrderStats.equiDepthHistogram(df, "v", "id", buckets = 10)
+      .orderBy("bucket").collect()
+    assert(h.map(_.getAs[Long]("n_rows")).sum == 1003L)
+    val sizes = h.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1L)
+    // bucket value envelopes are non-overlapping in order
+    val bounds = h.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    bounds.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("plan: the only partition-less window runs on the tiny cell frame") {
+    val df = (0 until 1000).map(i => (i.toLong, (i % 37).toLong)).toDF("id", "v")
+    val plan = OrderStats.valueRanked(df, "v", "id")
+      .queryExecution.executedPlan.toString
+    // the data-side window must be keyed by the grid cell
+    assert(plan.contains("__cell"))
+  }
+}

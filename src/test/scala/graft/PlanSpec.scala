@@ -375,6 +375,33 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan.take(1200))
   }
 
+  test("q_dedup_bloom: definite-new branch is join-free; one pruned verify join") {
+    val plan = formatted("q_dedup_bloom")
+    // both the batch probe (2 union branches) and the reverse index-side
+    // prune must survive into the physical plan
+    assert("might_contain".r.findAllIn(plan).length >= 3,
+      s"bloom probes folded away:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_heavy_hitters: the summary is a bounded aggregate, never a per-item shuffle") {
+    val plan = formatted("q_heavy_hitters")
+    assert(plan.contains("heavy_hitters"),
+      s"Misra-Gries aggregate missing:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"frequent items regressed to the rank-window formulation:\n${plan.take(1200)}")
+  }
+
+  test("q_equidepth_hist: data windows are cell-keyed; offsets broadcast back") {
+    val plan = formatted("q_equidepth_hist")
+    // the data-side window must be partitioned by the grid cell — an
+    // empty PARTITION BY over the lineitem rows is the single-reducer cliff
+    assert(plan.contains("__cell"),
+      s"two-level value rank lost its grid bucketing:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell offsets no longer broadcast:\n${plan.take(1500)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
