@@ -61,10 +61,21 @@ object OrderStats {
     * spreads over `cells` reducers. Bit-identical to `row_number() OVER
     * (PARTITION BY strata ORDER BY v, id)` (OrderStatsSpec law). */
   def valueRankedBy(df: DataFrame, strata: Seq[String], value: String,
-                    id: String, cells: Int = GridCells): DataFrame = {
+                    id: String, cells: Int = GridCells): DataFrame =
+    rankedWithOffsets(df, strata, value, id, cells)._1
+
+  /** The rank plus the per-(strata, cell) count frame it was built from —
+    * the tiny frame doubles as a pre-aggregated total/size source, so
+    * consumers that need N (quantile positions, histogram buckets) read
+    * it instead of paying another full-data pass. */
+  private[graft] def rankedWithOffsets(
+      df: DataFrame, strata: Seq[String], value: String,
+      id: String, cells: Int = GridCells): (DataFrame, DataFrame) = {
     val Row2 = df.agg(min(col(value).cast("long")).as("lo"),
       max(col(value).cast("long")).as("hi")).head()
-    if (Row2.isNullAt(0)) return df.withColumn("val_rank", lit(null).cast("long"))
+    if (Row2.isNullAt(0))
+      return (df.withColumn("val_rank", lit(null).cast("long")),
+        df.sparkSession.emptyDataFrame)
     val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
     val span = hi - lo + 1
     require(span > 0 && span <= Long.MaxValue / cells,
@@ -83,12 +94,12 @@ object OrderStats {
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cell_n"))
       .withColumn("__offset",
         coalesce(sum(col("__cell_n")).over(offsetW), lit(0L)))
-      .drop("__cell_n")
-    withCell
+    val ranked = withCell
       .withColumn("__local", row_number().over(localW).cast("long"))
-      .join(broadcast(offsets), keys)
+      .join(broadcast(offsets.drop("__cell_n")), keys)
       .withColumn("val_rank", col("__offset") + col("__local"))
       .drop("__cell", "__local", "__offset")
+    (ranked, offsets)
   }
 
   /** Exact equi-depth histogram: rows land in `buckets` rank bands of
@@ -101,11 +112,13 @@ object OrderStats {
   def equiDepthHistogram(df: DataFrame, value: String, id: String,
                          buckets: Int = 10,
                          cells: Int = GridCells): DataFrame = {
-    val n = df.count()
-    require(n > 0, "equi-depth histogram over an empty frame")
-    valueRanked(df, value, id, cells)
+    val (ranked, offsets) = rankedWithOffsets(df, Nil, value, id, cells)
+    // N comes from the already-aggregated cell counts (a <=cells-row
+    // frame), not another full-data pass
+    val total = offsets.agg(sum(col("__cell_n")).as("__n"))
+    ranked.crossJoin(broadcast(total))
       .withColumn("bucket",
-        expr(s"CAST(((val_rank - 1) * ${buckets}L) div ${n}L AS INT) + 1"))
+        expr(s"CAST(((val_rank - 1) * ${buckets}L) div __n AS INT) + 1"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         min(col(value)).as("lo"),

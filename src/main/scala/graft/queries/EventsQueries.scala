@@ -315,6 +315,26 @@ object EventsQueries extends QueryGroup {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy("segment")
 
+  /** Batch twin of the streaming Misra–Gries frequent-items summary
+    * ([[graft.streaming.EventStream.hittersByType]]): per event_type, the
+    * props key values through the bounded-memory aggregate. Capacity
+    * (128) exceeds the key-value space (the 0..99 generator domain), so
+    * the summary equals the exact counts at any partitioning — the
+    * regime this oracle pins; StreamingSpec asserts the streaming
+    * complete-mode run over the same file is row-identical. */
+  private def streamHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .groupBy("event_type")
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("item"), 128).as("hh"))
+      .select(col("event_type"), posexplode(col("hh")).as(Seq("pos", "t")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.item").as("item"),
+        col("t.count_est").as("count_est"))
+      .orderBy("event_type", "rank")
+
   /** Event-time AS-OF join: every click matched to the LATEST view by
     * the same user at-or-before the click. Implemented with the
     * union-tag + carry-forward pattern — tag views 0 / clicks 1, one
@@ -583,6 +603,7 @@ object EventsQueries extends QueryGroup {
     "q_join_tumbling" -> joinTumbling,
     "q_conversion_lag" -> conversionLag,
     "q_stream_enrich" -> streamEnrich,
+    "q_stream_hitters" -> streamHitters,
     "q_asof_event" -> asofEvent,
     "q_asof_exec" -> asofExec,
     "q_asof_fwd" -> asofFwd,
@@ -936,6 +957,22 @@ object EventsQueries extends QueryGroup {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // exact-regime truth for the streaming Misra-Gries summary: capacity
+    // covers the props key-value domain, so summary == group-by counts
+    "q_stream_hitters" ->
+      """WITH i AS (
+        |  SELECT event_type, json_extract_string(props, '$.k') AS item
+        |  FROM events),
+        |c AS (SELECT event_type, item, count(*) AS cnt FROM i GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, item, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, item ASC) AS rn
+        |  FROM c)
+        |SELECT event_type, CAST(rn AS INTEGER) AS rank, item,
+        |  CAST(cnt AS BIGINT) AS count_est
+        |FROM r ORDER BY event_type, rank""".stripMargin,
 
     // session_window parity: interval ends are exclusive, so an event
     // arriving at EXACTLY prev_ts + gap starts a new session (>=, where

@@ -483,9 +483,11 @@ object RelationalQueries extends QueryGroup {
         (col("c_acctbal").cast("decimal(18,2)") * 100)
           .cast("decimal(38,0)").cast("long").as("cents"),
         col("c_custkey"))
-    val ranked = graft.ops.OrderStats.valueRankedBy(
+    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
       v, Seq("c_nationkey"), "cents", "c_custkey")
-    val sizes = v.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    // group sizes from the tiny per-cell count frame — no second data pass
+    val sizes = offsets.groupBy("c_nationkey")
+      .agg(sum(col("__cell_n")).as("n"))
     ranked.join(broadcast(sizes), Seq("c_nationkey"))
       .filter(col("val_rank") === expr("(n + 1) div 2") ||
         col("val_rank") === expr("n div 2 + 1") ||

@@ -170,6 +170,23 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
+  /** Streaming frequent items: a per-event-type Misra–Gries summary
+    * ([[graft.functions.MisraGriesAgg]]) over the props key value. The
+    * whole point on an unbounded stream is the STATE bound: the state
+    * store holds at most `capacity` counters per group forever, where an
+    * exact per-item streaming count's state grows with the item space
+    * (the top-URLs / top-user-agents dashboard over an unbounded ingest).
+    * Complete-mode output; exact whenever the item NDV stays within
+    * `capacity` — the regime the batch twin `q_stream_hitters` pins
+    * (StreamingSpec asserts stream == batch on the same events file). */
+  def hittersByType(events: DataFrame, capacity: Int = 128): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .groupBy("event_type")
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("item"), capacity)
+        .as("hh"))
+
   /** Run a streaming aggregation to a memory sink, synchronously, and
     * return the materialized result. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,

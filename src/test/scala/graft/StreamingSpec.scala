@@ -24,6 +24,21 @@ class StreamingSpec extends SparkSuite {
     assert(got == exp)
   }
 
+  test("streaming Misra-Gries summary equals the batch frequent-items twin") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("grafthh").toFile.getAbsolutePath
+    val agg = EventStream.hittersByType(EventStream.source(spark, sf))
+    val got = EventStream.runToMemory(spark, agg, "hh_out", s"$tmp/ckpt")
+      .select(col("event_type"), explode(col("hh")).as("t"))
+      .select("event_type", "t.item", "t.count_est")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exp = EventsQueries.queries("q_stream_hitters")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got == exp)
+  }
+
   test("streaming sliding counts equal the batch sliding query") {
     val tmp = Files.createTempDirectory("graftslide").toFile.getAbsolutePath
     val agg = EventStream.slidingCounts(EventStream.source(spark, sf))
