@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation and distribution-comparison statistics in exact
+  * distributed arithmetic. */
+object Eval {
+
+  /** Two-sample Kolmogorov–Smirnov distance between the distributions of
+    * `value` under `inA` = true/false — the distribution-shift test a
+    * pipeline runs between corpus snapshots or sources before a
+    * mixture-weight change. D = max_v |F_A(v) − F_B(v)|, computed
+    * entirely on the distinct-value frame: one aggregation to per-value
+    * counts, cumulative sums over that tiny frame, and the max gap in
+    * the INTEGER domain (|ca·n_b − cb·n_a|, denominators multiplied
+    * through) so no float comparison decides the argmax. Output: one row
+    * (n_a, n_b, d_num, at_value, d) where `at_value` is the smallest
+    * value attaining the max gap and d = d_num/(n_a·n_b). */
+  def ksDistance(df: DataFrame, value: String, inA: String): DataFrame = {
+    val g = df.groupBy(col(value).as("v"))
+      .agg(sum(when(col(inA), 1L).otherwise(0L)).as("na"),
+        sum(when(!col(inA), 1L).otherwise(0L)).as("nb"))
+    val wdw = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = g
+      .withColumn("ca", sum(col("na")).over(wdw))
+      .withColumn("cb", sum(col("nb")).over(wdw))
+    val tot = g.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    // DECIMAL interior: ca·n_b is count², past 2^63 at corpus scale
+    val gaps = c.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("ca").cast("decimal(38,0)") * col("n_b") -
+          col("cb").cast("decimal(38,0)") * col("n_a")))
+    val dmax = gaps.agg(max(col("gap")).as("d_num_max"))
+    gaps.crossJoin(broadcast(dmax))
+      .filter(col("gap") === col("d_num_max"))
+      .groupBy("n_a", "n_b", "d_num_max")
+      .agg(min(col("v")).as("at_value"))
+      .select(col("n_a"), col("n_b"),
+        col("d_num_max").cast("long").as("d_num"),
+        col("at_value"),
+        round(col("d_num_max").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
+  }
+
+  /** Rank-free exact AUC (Mann–Whitney U): `P(s_pos > s_neg) + ½·P(=)`.
+    *
+    * One aggregation collapses the data to its DISTINCT score values
+    * (bounded by the score domain, not the row count — integer
+    * classifier margins; grid-bucket first via [[OrderStats]] if the
+    * score were near-continuous), then U accumulates over that tiny
+    * frame with a cumulative-negatives window. Ties carry the standard
+    * half credit, kept integral via the doubled form
+    * `2U = Σ 2·np·cum_nn + np·nn` (law-tested against the O(n²)
+    * pairwise definition in PerceptronSpec). The partition-less window
+    * runs on the distinct-score frame only — the same envelope as
+    * OrderStats' offsets; interior products ride DECIMAL(38,0) because
+    * n_pos·n_neg crosses 2^63 at corpus scale.
+    *
+    * Input: `score` (integral), `isPos` (boolean) columns. Output: one
+    * row (n_pos, n_neg, u2, auc). */
+  def aucByScore(df: DataFrame, score: String, isPos: String): DataFrame = {
+    val byScore = df
+      .groupBy(col(score).as("s"))
+      .agg(sum(when(col(isPos), 1L).otherwise(0L)).as("np"),
+        sum(when(!col(isPos), 1L).otherwise(0L)).as("nn"))
+    val wdw = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(wdw), lit(0L)))
+      .agg(
+        sum((col("np") * col("cum_nn") * 2 + col("np") * col("nn"))
+          .cast("decimal(38,0)")).as("u2d"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2d").cast("long").as("u2"),
+        round(col("u2d").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"))
+  }
+}

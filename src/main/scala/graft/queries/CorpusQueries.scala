@@ -461,6 +461,19 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test ([[graft.ops.Eval.ksDistance]]):
+    * token-count distribution of the `src1` slice against the rest of
+    * the corpus — the CDF-level shift detector next to `q_corpus_drift`'s
+    * token-frequency L1. One aggregation to the distinct-length frame,
+    * integer max-gap with denominators multiplied through. */
+  private def ksDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.ksDistance(
+      Tables.documents(s, dir).select(
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long").as("v"),
+        (col("source") === "src1").as("in_a")),
+      "v", "in_a")
+
   /** Bloom-pruned exact index membership ([[graft.ops.Bloom.newRows]]):
     * the same batch/resident split as `q_line_dedup_incr`, but the
     * batch-vs-index question ("has the corpus seen this record?") is
@@ -661,6 +674,7 @@ object CorpusQueries extends QueryGroup {
     "q_dedup_bloom" -> dedupBloom,
     "q_boilerplate" -> boilerplate,
     "q_corpus_drift" -> drift,
+    "q_ks_drift" -> ksDrift,
     "q_curation_e2e" -> curationE2E,
     "q_token_histogram" -> tokenHistogram,
     "q_text_scrub" -> scrub,
@@ -839,6 +853,28 @@ object CorpusQueries extends QueryGroup {
         |  coalesce(string_agg(CASE WHEN kept THEN record END, ' ' ORDER BY part_idx), '')
         |    AS cleaned_text
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // KS over the distinct token-count frame; RANGE vs ROWS framing is
+    // equivalent because v is distinct after the GROUP BY
+    "q_ks_drift" ->
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v,
+        |    source = 'src1' AS in_a FROM documents),
+        |g AS (SELECT v,
+        |    sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS nb
+        |  FROM t GROUP BY v),
+        |c AS (SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+        |    sum(nb) OVER (ORDER BY v) AS cb FROM g),
+        |tot AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM g),
+        |gaps AS (SELECT v, abs(ca * n_b - cb * n_a) AS gap, n_a, n_b
+        |  FROM c, tot),
+        |m AS (SELECT max(gap) AS d_num FROM gaps)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(d_num AS BIGINT) AS d_num, min(v) AS at_value,
+        |  round(CAST(CAST(d_num AS BIGINT) AS DOUBLE) / (n_a * n_b), 6) AS d
+        |FROM gaps, m WHERE gap = d_num
+        |GROUP BY n_a, n_b, d_num""".stripMargin,
 
     // bloom-independent truth: batch record new iff absent from the
     // resident-corpus record set (the bloom is a pruning structure only)

@@ -475,6 +475,18 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Exact rank-free AUC ([[graft.ops.Eval.aucByScore]]) of the trained
+    * perceptron margin against its quality label — the classifier-eval
+    * statistic a distilled quality gate ships with. The corpus collapses
+    * to its distinct integer margins in one aggregation; no per-row
+    * ranking anywhere. */
+  private def auc(s: SparkSession, dir: String): DataFrame = {
+    val (f, w) = pcTrained(s, dir)
+    val m = graft.ops.Perceptron.margin(PcFeats, w)
+    graft.ops.Eval.aucByScore(
+      f.select(m.as("s"), (col("y") === 1L).as("pos")), "s", "pos")
+  }
+
   /** Cohen's kappa agreement audit between the EXACT length-quality
     * rule (the perceptron's training target) and the TRAINED decision —
     * the labeler-QA statistic a weak-supervision pipeline runs before
@@ -542,6 +554,7 @@ object TextQueries extends QueryGroup {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_perceptron_gate" -> perceptronGate,
     "q_annotator_kappa" -> annotatorKappa,
+    "q_auc" -> auc,
     "q_text_split" -> textSplitRecords,
     "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
@@ -574,6 +587,29 @@ object TextQueries extends QueryGroup {
          |  ($pcMarginSql) > 0 AS pred_keep,
          |  (($pcMarginSql) > 0) = (y = 1) AS correct
          |FROM f, w$PcRounds w ORDER BY doc_id""".stripMargin,
+
+    // rank-free Mann-Whitney U over the distinct-margin frame; ties get
+    // half credit through the integer U2 form; one double at the end
+    "q_auc" ->
+      s"""WITH $pcFeatsSql,
+         |${pcRoundsSql(PcRounds)},
+         |sc AS (SELECT CAST($pcMarginSql AS BIGINT) AS s, y
+         |       FROM f, w$PcRounds w),
+         |g AS (SELECT s,
+         |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS nn
+         |  FROM sc GROUP BY s),
+         |c AS (SELECT s, np, nn,
+         |    coalesce(sum(nn) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+         |  FROM g),
+         |a AS (SELECT sum(np * cum_nn * 2 + np * nn) AS u2,
+         |    sum(np) AS n_pos, sum(nn) AS n_neg FROM c)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST(u2 AS BIGINT) AS u2,
+         |  round(CAST(CAST(u2 AS BIGINT) AS DOUBLE)
+         |    / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+         |FROM a""".stripMargin,
 
     // integer confusion counts against the unrolled-perceptron decision;
     // kappa = (po_num - pe_num)/(n^2 - pe_num), one double at the end

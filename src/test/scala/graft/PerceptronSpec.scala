@@ -35,6 +35,23 @@ class PerceptronSpec extends SparkSuite {
     assert(w1.toSeq == Seq(1L, -2L)) // sum y*x0 = 1-1+1, sum y*x1 = 3-7+2
   }
 
+  test("aucByScore equals the O(n^2) pairwise definition, ties half-credited") {
+    val rnd = new scala.util.Random(23)
+    // heavy ties: scores from a small domain
+    val rows = (0 until 400).map(_ => (rnd.nextInt(12).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("s", "pos").repartition(5)
+    val r = graft.ops.Eval.aucByScore(df, "s", "pos").head()
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = pos.map(p => neg.map(n =>
+      if (p > n) 2L else if (p == n) 1L else 0L).sum).sum
+    assert(r.getAs[Long]("n_pos") == pos.size.toLong)
+    assert(r.getAs[Long]("n_neg") == neg.size.toLong)
+    assert(r.getAs[Long]("u2") == u2)
+    assert(math.abs(r.getAs[Double]("auc") -
+      u2.toDouble / (2.0 * pos.size * neg.size)) < 1e-6)
+  }
+
   test("weights are invariant to partitioning (integer sums commute)") {
     val rows = (0L until 500L).map(i =>
       (if (i % 3 == 0) 1L else -1L, 1L, i % 17, (i * i) % 23))
