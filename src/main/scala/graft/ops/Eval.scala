@@ -45,6 +45,32 @@ object Eval {
           (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
   }
 
+  /** Precision/recall curve at every distinct score threshold
+    * ("predict positive when score >= t"): the same collapse-to-
+    * distinct-scores shape as [[aucByScore]] — cumulative true/false
+    * positives accumulate DOWN the score order on the tiny frame, and
+    * precision/recall stay exact integer ratios until one final rounded
+    * division per row. Output: (threshold, n_pred, tp, precision,
+    * recall), one row per distinct score. */
+  def prCurve(df: DataFrame, score: String, isPos: String): DataFrame = {
+    val byScore = df.groupBy(col(score).as("threshold"))
+      .agg(sum(when(col(isPos), 1L).otherwise(0L)).as("np"),
+        sum(when(!col(isPos), 1L).otherwise(0L)).as("nn"))
+    val down = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = byScore.agg(sum(col("np")).as("n_pos"))
+    byScore
+      .withColumn("tp", sum(col("np")).over(down))
+      .withColumn("fp", sum(col("nn")).over(down))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        (col("tp") + col("fp")).as("n_pred"), col("tp"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"),
+          6).as("precision"),
+        round(col("tp").cast("double") / col("n_pos").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Rank-free exact AUC (Mann–Whitney U): `P(s_pos > s_neg) + ½·P(=)`.
     *
     * One aggregation collapses the data to its DISTINCT score values

@@ -487,6 +487,17 @@ object TextQueries extends QueryGroup {
       f.select(m.as("s"), (col("y") === 1L).as("pos")), "s", "pos")
   }
 
+  /** Operating-point table ([[graft.ops.Eval.prCurve]]): precision and
+    * recall at every distinct margin threshold — the table read to pick
+    * the gate's cut. Same distinct-margin collapse as `q_auc`. */
+  private def prCurve(s: SparkSession, dir: String): DataFrame = {
+    val (f, w) = pcTrained(s, dir)
+    val m = graft.ops.Perceptron.margin(PcFeats, w)
+    graft.ops.Eval.prCurve(
+        f.select(m.as("s"), (col("y") === 1L).as("pos")), "s", "pos")
+      .orderBy(col("threshold").desc)
+  }
+
   /** Cohen's kappa agreement audit between the EXACT length-quality
     * rule (the perceptron's training target) and the TRAINED decision —
     * the labeler-QA statistic a weak-supervision pipeline runs before
@@ -555,6 +566,7 @@ object TextQueries extends QueryGroup {
     "q_perceptron_gate" -> perceptronGate,
     "q_annotator_kappa" -> annotatorKappa,
     "q_auc" -> auc,
+    "q_pr_curve" -> prCurve,
     "q_text_split" -> textSplitRecords,
     "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
@@ -610,6 +622,28 @@ object TextQueries extends QueryGroup {
          |  round(CAST(CAST(u2 AS BIGINT) AS DOUBLE)
          |    / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
          |FROM a""".stripMargin,
+
+    // cumulative TP/FP down the distinct-margin order; integer ratios
+    // until the final rounded divisions
+    "q_pr_curve" ->
+      s"""WITH $pcFeatsSql,
+         |${pcRoundsSql(PcRounds)},
+         |sc AS (SELECT CAST($pcMarginSql AS BIGINT) AS threshold, y
+         |       FROM f, w$PcRounds w),
+         |g AS (SELECT threshold,
+         |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS nn
+         |  FROM sc GROUP BY threshold),
+         |c AS (SELECT threshold,
+         |    sum(np) OVER (ORDER BY threshold DESC) AS tp,
+         |    sum(nn) OVER (ORDER BY threshold DESC) AS fp
+         |  FROM g),
+         |tot AS (SELECT sum(np) AS n_pos FROM g)
+         |SELECT threshold, CAST(tp + fp AS BIGINT) AS n_pred,
+         |  CAST(tp AS BIGINT) AS tp,
+         |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+         |  round(CAST(tp AS DOUBLE) / n_pos, 6) AS recall
+         |FROM c, tot ORDER BY threshold DESC""".stripMargin,
 
     // integer confusion counts against the unrolled-perceptron decision;
     // kappa = (po_num - pe_num)/(n^2 - pe_num), one double at the end
