@@ -325,51 +325,61 @@ object Dedup {
     // advances instead of leaking one copy per round on durable storage.
     val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
     def truncate(df: DataFrame): DataFrame = cp.truncate(df)
-    // symmetric edges PLUS a self-loop per vertex: with (v, v) present,
-    // min over neighbor labels already includes v's own label, so each
-    // round is ONE join + ONE aggregation — the separate keep-own-label
-    // join that a no-self-loop formulation needs per round is folded away
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val edges = SharedFrames.register(
-      sym.unionByName(
-        sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
-        .distinct())
-    // round 0 folds the first neighbor-min in: lbl = min(id, min nbr)
-    var labels = truncate(edges.groupBy("src")
-      .agg(min(col("dst")).as("lbl"))
-      .select(col("src").as("id"), col("lbl")))
-    // sum over an EMPTY frame yields a null cell — coalesce it so a
-    // pair-free corpus converges to an empty result instead of an NPE
-    def changedCount(df: DataFrame): Long = {
-      val cell = df.agg(sum(col("chg"))).head().get(0)
-      if (cell == null) 0L else cell.asInstanceOf[Long]
+    // persist the input pair frame once (the symmetric build reads it
+    // twice) and size the round-planning policy by it: AQE off for
+    // sub-reducer-scale graphs — including the edge-frame BUILD, whose
+    // 3 shuffle stages otherwise each pay an AQE replan — and on (skew
+    // splitting) for real ones. |edges| <= 2|pairs| + |V|, so the pair
+    // count is an honest proxy for every frame the loop touches.
+    val p = SharedFrames.register(pairs.select(col("id_a"), col("id_b")))
+    val nPairs = p.count()
+    Rounds.scopedForSize(pairs.sparkSession, nPairs) {
+      // symmetric edges PLUS a self-loop per vertex: with (v, v) present,
+      // min over neighbor labels already includes v's own label, so each
+      // round is ONE join + ONE aggregation — the separate keep-own-label
+      // join that a no-self-loop formulation needs per round is folded away
+      val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val edges = SharedFrames.register(
+        sym.unionByName(
+          sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+          .distinct())
+      // round 0 folds the first neighbor-min in: lbl = min(id, min nbr)
+      var labels = truncate(edges.groupBy("src")
+        .agg(min(col("dst")).as("lbl"))
+        .select(col("src").as("id"), col("lbl")))
+      // sum over an EMPTY frame yields a null cell — coalesce it so a
+      // pair-free corpus converges to an empty result instead of an NPE
+      def changedCount(df: DataFrame): Long = {
+        val cell = df.agg(sum(col("chg"))).head().get(0)
+        if (cell == null) 0L else cell.asInstanceOf[Long]
+      }
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val before = cp.beginRound()
+        // the self-loop row carries each vertex's own label through the
+        // join, so min(lbl) is the next label and the own-label minimum
+        // (dst == src) detects change — one aggregation computes both
+        val next = truncate(edges
+          .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+          .groupBy("src")
+          .agg(min(col("lbl")).as("nlbl"),
+            min(when(col("dst") === col("src"), col("lbl"))).as("own"))
+          .select(col("src").as("id"), col("nlbl").as("lbl"),
+            (col("nlbl") < col("own")).cast("long").as("chg")))
+        converged = changedCount(next) == 0L
+        // `next` is now fully materialized on durable storage; every one of
+        // our checkpoints that predates this round is superseded — delete it
+        cp.endRound(before)
+        labels = next.select("id", "lbl")
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds maxIters; raise it for long-chain graphs")
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     }
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      val before = cp.beginRound()
-      // the self-loop row carries each vertex's own label through the
-      // join, so min(lbl) is the next label and the own-label minimum
-      // (dst == src) detects change — one aggregation computes both
-      val next = truncate(edges
-        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
-        .groupBy("src")
-        .agg(min(col("lbl")).as("nlbl"),
-          min(when(col("dst") === col("src"), col("lbl"))).as("own"))
-        .select(col("src").as("id"), col("nlbl").as("lbl"),
-          (col("nlbl") < col("own")).cast("long").as("chg")))
-      converged = changedCount(next) == 0L
-      // `next` is now fully materialized on durable storage; every one of
-      // our checkpoints that predates this round is superseded — delete it
-      cp.endRound(before)
-      labels = next.select("id", "lbl")
-      iter += 1
-    }
-    require(converged,
-      s"connectedComponents did not converge in $maxIters rounds — " +
-        "component diameter exceeds maxIters; raise it for long-chain graphs")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** Banded 64-bit SimHash fingerprint index: (doc_id, sh, b1..b4). This

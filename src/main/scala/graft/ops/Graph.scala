@@ -48,31 +48,42 @@ object Graph {
                reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 100)
     val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
-    val undirected = fwd.unionByName(rev).distinct()
-    val degs = undirected.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg_src), partitioned by src: every per-round join reuses
-    // this partitioning instead of re-shuffling the edge list
-    val edges = graft.core.SharedFrames.register(
-      undirected.join(degs, Seq("src")).repartition(col("src")))
-    val n = edges.select(countDistinct("src")).head().getLong(0)
-    val base = (scale * (100 - damp)) / (100 * n)
-    var ranks = degs.select(col("src").as("doc_id"),
-      lit(scale / n).as("pr_scaled"))
-    for (_ <- 1 to iters) {
-      val next = edges
-        .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .withColumn("share", expr("pr_scaled div deg"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(sum("share").as("in_mass"))
-        .select(col("doc_id"),
-          (lit(base) + expr(s"($damp * in_mass) div 100")).as("pr_scaled"))
-      // truncate lineage so the logical plan stays O(1) across rounds
-      ranks = cp.round(next)
+    // input persisted once, policy sized by it (|edges| <= 2|pairs|) so
+    // the edge-frame build runs under the scoped round planning too
+    val p = graft.core.SharedFrames.register(
+      pairs.select(col("id_a"), col("id_b")))
+    val nPairs = p.count()
+    Rounds.scopedForSize(pairs.sparkSession, nPairs) {
+      val fwd = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      val rev = p.select(col("id_b").as("src"), col("id_a").as("dst"))
+      val undirected = fwd.unionByName(rev).distinct()
+      val degs = undirected.groupBy("src").agg(count(lit(1)).as("deg"))
+      // (src, dst, deg_src), partitioned by src: every per-round join reuses
+      // this partitioning instead of re-shuffling the edge list
+      val edges = graft.core.SharedFrames.register(
+        undirected.join(degs, Seq("src")).repartition(col("src")))
+      val n = edges.select(countDistinct("src")).head().getLong(0)
+      val base = (scale * (100 - damp)) / (100 * n)
+      var ranks = degs.select(col("src").as("doc_id"),
+        lit(scale / n).as("pr_scaled"))
+      for (_ <- 1 to iters) {
+        val next = edges
+          .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .withColumn("share", expr("pr_scaled div deg"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(sum("share").as("in_mass"))
+          .select(col("doc_id"),
+            (lit(base) + expr(s"($damp * in_mass) div 100")).as("pr_scaled"))
+        // truncate lineage so the logical plan stays O(1) across rounds
+        ranks = cp.round(next)
+      }
+      // execute the horizon inside the scope (lazy local checkpoints
+      // materialize here, under the chosen round planning; blocks are
+      // reused by the caller's action)
+      ranks.count()
+      ranks.join(degs.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("deg"), col("pr_scaled"))
     }
-    ranks.join(degs.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
-      .select(col("doc_id"), col("deg"), col("pr_scaled"))
   }
 
   /** Synchronous label propagation (LPA) over an undirected pair frame —
@@ -100,22 +111,28 @@ object Graph {
                        reliable: Boolean = false): DataFrame = {
     require(iters >= 1)
     val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
-    val edges = graft.core.SharedFrames.register(
-      fwd.unionByName(rev).distinct().repartition(col("src")))
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-    for (_ <- 1 to iters) {
-      val next = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .groupBy("dst", "label").agg(count(lit(1)).as("c"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("doc_id"), (-col("m.nl")).as("label"))
-      labels = cp.round(next)
+    val p = graft.core.SharedFrames.register(
+      pairs.select(col("id_a"), col("id_b")))
+    val nPairs = p.count()
+    Rounds.scopedForSize(pairs.sparkSession, nPairs) {
+      val fwd = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      val rev = p.select(col("id_b").as("src"), col("id_a").as("dst"))
+      val edges = graft.core.SharedFrames.register(
+        fwd.unionByName(rev).distinct().repartition(col("src")))
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      for (_ <- 1 to iters) {
+        val next = edges
+          .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy("dst", "label").agg(count(lit(1)).as("c"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("doc_id"), (-col("m.nl")).as("label"))
+        labels = cp.round(next)
+      }
+      labels.count() // run the horizon under the scoped round planning
+      labels.select(col("doc_id"), col("label").as("community"))
     }
-    labels.select(col("doc_id"), col("label").as("community"))
   }
 
   /** Bounded-depth BFS hop distances from a seed set over an undirected
@@ -145,27 +162,33 @@ object Graph {
     // can drop a dir the other still needs (see RoundCheckpointer scaladoc)
     val cpFrontier = new RoundCheckpointer(pairs.sparkSession, reliable)
     val cpDist = new RoundCheckpointer(pairs.sparkSession, reliable)
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
-    val edges = graft.core.SharedFrames.register(
-      fwd.unionByName(rev).distinct().repartition(col("src")))
-    val nodes = edges.select(col("src").as("doc_id")).distinct()
-    var dist = nodes.join(seeds, Seq("doc_id"), "left_semi")
-      .withColumn("hops", lit(0L))
-    var frontier = dist
-    for (k <- 1 to maxHops) {
-      val next = edges
-        .join(frontier.select(col("doc_id").as("src")), Seq("src"))
-        .select(col("dst").as("doc_id")).distinct()
-        .join(dist.select("doc_id"), Seq("doc_id"), "left_anti")
-        .withColumn("hops", lit(k.toLong))
-      frontier = cpFrontier.round(next)
-      dist = cpDist.round(dist.unionByName(frontier))
+    val p = graft.core.SharedFrames.register(
+      pairs.select(col("id_a"), col("id_b")))
+    val nPairs = p.count()
+    Rounds.scopedForSize(pairs.sparkSession, nPairs) {
+      val fwd = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      val rev = p.select(col("id_b").as("src"), col("id_a").as("dst"))
+      val edges = graft.core.SharedFrames.register(
+        fwd.unionByName(rev).distinct().repartition(col("src")))
+      val nodes = edges.select(col("src").as("doc_id")).distinct()
+      var dist = nodes.join(seeds, Seq("doc_id"), "left_semi")
+        .withColumn("hops", lit(0L))
+      var frontier = dist
+      for (k <- 1 to maxHops) {
+        val next = edges
+          .join(frontier.select(col("doc_id").as("src")), Seq("src"))
+          .select(col("dst").as("doc_id")).distinct()
+          .join(dist.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("hops", lit(k.toLong))
+        frontier = cpFrontier.round(next)
+        dist = cpDist.round(dist.unionByName(frontier))
+      }
+      dist.count() // run the horizon under the scoped round planning
+      // the final frontier was folded into `dist` and materialized there —
+      // its own checkpoint data is no longer reachable from the result
+      cpFrontier.releaseAll()
+      dist
     }
-    // the final frontier was folded into `dist` and materialized there —
-    // its own checkpoint data is no longer reachable from the result
-    cpFrontier.releaseAll()
-    dist
   }
 
   /** k-core of an undirected pair frame — iterative peeling: drop every
@@ -195,19 +218,28 @@ object Graph {
             reliable: Boolean = false): DataFrame = {
     require(k >= 1 && iters >= 1)
     val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
-    var edges = fwd.unionByName(rev).distinct()
-    for (_ <- 1 to iters) {
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("src")
-      val next = edges
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-      edges = cp.round(next)
+    val pc = graft.core.SharedFrames.register(
+      pairs.select(col("id_a"), col("id_b")))
+    val nPairs = pc.count()
+    Rounds.scopedForSize(pairs.sparkSession, nPairs) {
+      val fwd = pc.select(col("id_a").as("src"), col("id_b").as("dst"))
+      val rev = pc.select(col("id_b").as("src"), col("id_a").as("dst"))
+      var edges = graft.core.SharedFrames.register(
+        fwd.unionByName(rev).distinct())
+      for (_ <- 1 to iters) {
+        val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("src")
+        val next = edges
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst")
+        edges = cp.round(next)
+      }
+      val out = edges.groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("core_deg"))
+      out.count() // run the peels under the scoped round planning
+      out
     }
-    edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("core_deg"))
   }
 
   /** Per-node triangle participation counts over an undirected pair frame

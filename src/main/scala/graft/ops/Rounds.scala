@@ -30,6 +30,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * materializes" — true within one lineage, false across lineages that
   * read each other's prior rounds.
   */
+/** Execution policy for iterative rounds. */
+private[graft] object Rounds {
+
+  /** Below this materialized row count, a round's shuffles are
+    * sub-reducer scale and AQE's per-query-stage replanning (each stage
+    * becomes its own job with a materialization barrier, plan pass, and
+    * codegen pass) is pure fixed cost — measured 5x wall-clock on the
+    * connected-components loop over a few hundred edges. Above it, AQE
+    * stays on: runtime skew-splitting of the per-round join is exactly
+    * what a 100 TB near-dup graph with a hot component needs. */
+  val SmallRoundRows: Long = 1L << 20
+
+  /** Run `f` with AQE disabled iff `nRows` (the iterated frame's
+    * MATERIALIZED size — an honest runtime stat, the op counts the frame
+    * it is about to iterate) is sub-reducer scale; always restores the
+    * prior setting. Session-conf scoping assumes the session runs
+    * queries sequentially (true of the driver harness, the bench, and
+    * scalatest); iterative ops do not nest scopes. */
+  def scopedForSize[A](spark: SparkSession, nRows: Long)(f: => A): A = {
+    if (nRows >= SmallRoundRows) f
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val old = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try f finally spark.conf.set(key, old)
+    }
+  }
+}
+
 private[graft] final class RoundCheckpointer(spark: SparkSession,
                                              reliable: Boolean) {
   private val sc = spark.sparkContext

@@ -107,7 +107,12 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     require(centroids.nonEmpty, "ivfTopK: empty embedding corpus")
     val dim = centroids.head.length
+    // round-planning policy: the per-iteration assignment+re-center job
+    // is a handful of sub-reducer stages at small corpus size, where
+    // AQE's per-stage replanning dominates; at real scale AQE stays on
+    val nRows = n.count()
     var it = 0
+    graft.ops.Rounds.scopedForSize(emb.sparkSession, nRows) {
     while (it < iterations) {
       val cs = centroids
       val centroidsLit = typedlit(cs.map(_.toSeq).toSeq)
@@ -133,6 +138,7 @@ object Similarity {
       centroids = next // lists with no members keep their old centroid
       it += 1
     }
+    } // scopedForSize
     ivfSearch(n, isQuery, k, centroids, nProbe, listSalt)
   }
 
@@ -177,6 +183,13 @@ object Similarity {
     * @return (vec_id, degree, role, cluster_id) — cluster_id null for noise
     */
   def dbscan(pairs: DataFrame, allIds: DataFrame, minPts: Int): DataFrame = {
+    // round-planning policy keyed on the LARGEST frame the op touches
+    // (the role join is corpus-wide, not pair-wide): below reducer scale
+    // the whole cascade runs without AQE's per-stage replanning; above
+    // it AQE stays on for the joins that need skew handling
+    val nBiggest = math.max(
+      graft.core.SharedFrames.register(pairs).count(), allIds.count())
+    Rounds.scopedForSize(pairs.sparkSession, nBiggest) {
     val p = pairs.select(col("id_a"), col("id_b"))
     val und = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -198,7 +211,7 @@ object Similarity {
       .join(coreClusters.withColumnRenamed("id", "dst"), Seq("dst"))
       .groupBy(col("src").as("vec_id"))
       .agg(min(col("cluster_id")).as("b_cluster"))
-    allIds.select(col("vec_id"))
+    val out = allIds.select(col("vec_id"))
       .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
       .join(coreClusters.withColumnRenamed("id", "vec_id")
         .withColumnRenamed("cluster_id", "c_cluster"), Seq("vec_id"), "left")
@@ -209,6 +222,12 @@ object Similarity {
           .when(col("b_cluster").isNotNull, "border")
           .otherwise("noise").as("role"),
         coalesce(col("c_cluster"), col("b_cluster")).as("cluster_id"))
+    // materialize inside the scope so the cascade actually executes under
+    // the chosen planning; the caller reads the persisted result
+    val kept = graft.core.SharedFrames.register(out)
+    kept.count()
+    kept
+    }
   }
 
   /** INCREMENTAL IVF: insert a batch into an EXISTING index without
@@ -598,6 +617,9 @@ object Similarity {
           .as("c")))
       val dim = cs.agg(max(col("i"))).head().getInt(0) + 1
       var v: Array[BigInt] = Array.fill(dim)(BigInt(1L << 20))
+      // the iterated frame is d^2-bounded — always sub-reducer scale, so
+      // the policy reliably picks plain planning for the power rounds
+      graft.ops.Rounds.scopedForSize(cnum.sparkSession, cs.count()) {
       for (_ <- 1 to iters) {
         val vLit = typedlit(v.map(_.toLong).toSeq)
         val w = cs
@@ -610,6 +632,7 @@ object Similarity {
         val m = wArr.map(_.abs).max
         v = wArr.map(x => if (x < 0) -((-x * 1048576) / m) else x * 1048576 / m)
       }
+      } // scopedForSize
       v
     })
 
