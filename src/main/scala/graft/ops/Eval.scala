@@ -71,6 +71,52 @@ object Eval {
           .as("recall"))
   }
 
+  /** Per-group KS drift matrix: for EVERY group g, the KS distance
+    * between `value`'s distribution inside g and outside g — the drift
+    * dashboard over all sources in one pass, not one [[ksDistance]] call
+    * per source. Works on the distinct (group, value) count frame: the
+    * within-group CDF is a per-group cumulative window, the
+    * complement's CDF is the global cumulative minus it, and the max
+    * gap is decided in the integer domain per group. Output: one row
+    * per group (group, n_in, n_out, d_num, d). */
+  def ksMatrix(df: DataFrame, group: String, value: String): DataFrame = {
+    val g = df.groupBy(col(group).as("g"), col(value).as("v"))
+      .agg(count(lit(1)).as("c"))
+    // per-(v) global counts ride the same tiny frame
+    val byV = g.groupBy("v").agg(sum(col("c")).as("c_all"))
+    val globalW = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cumAll = byV.withColumn("cum_all", sum(col("c_all")).over(globalW))
+      .select("v", "cum_all")
+    val inW = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g.groupBy("g").agg(sum(col("c")).as("n_in"))
+    val totAll = g.agg(sum(col("c")).as("n_total"))
+    // every group must be scored at every distinct v (a group with no
+    // mass at v still accumulates the complement's CDF there), so the
+    // group axis crosses the tiny distinct-value axis explicitly
+    val grid = g.select("g").distinct()
+      .crossJoin(byV.select("v"))
+      .join(g, Seq("g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    grid
+      .withColumn("cum_in", sum(col("c")).over(inW))
+      .join(broadcast(cumAll), Seq("v"))
+      .join(broadcast(tot), Seq("g"))
+      .crossJoin(broadcast(totAll))
+      .withColumn("cum_out", col("cum_all") - col("cum_in"))
+      .withColumn("n_out", col("n_total") - col("n_in"))
+      .withColumn("gap",
+        abs(col("cum_in").cast("decimal(38,0)") * col("n_out") -
+          col("cum_out").cast("decimal(38,0)") * col("n_in")))
+      .groupBy(col("g").as(group), col("n_in"), col("n_out"))
+      .agg(max(col("gap")).as("d_num_d"))
+      .select(col(group), col("n_in"), col("n_out"),
+        col("d_num_d").cast("long").as("d_num"),
+        round(col("d_num_d").cast("double") /
+          (col("n_in") * col("n_out")).cast("double"), 6).as("d"))
+  }
+
   /** Rank-free exact AUC (Mann–Whitney U): `P(s_pos > s_neg) + ½·P(=)`.
     *
     * One aggregation collapses the data to its DISTINCT score values

@@ -461,6 +461,66 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Per-source token-length decile report ([[graft.ops.OrderStats]]
+    * grouped rank): the corpus length-distribution table a mixture plan
+    * reads, computed with the grouped two-level value rank — a hot
+    * source still spreads over the grid cells — and group sizes off the
+    * tiny per-cell count frame. The oracle is the per-source
+    * single-reducer window the Spark plan provably avoids. */
+  private def lenDeciles(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(s, dir).select(col("source"),
+      size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+        .cast("long").as("v"),
+      col("doc_id"))
+    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
+      v, Seq("source"), "v", "doc_id")
+    val sizes = offsets.groupBy("source").agg(sum(col("__cell_n")).as("n"))
+    ranked.join(broadcast(sizes), Seq("source"))
+      .withColumn("bucket",
+        expr("CAST(((val_rank - 1) * 10) div n AS INT) + 1"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("v")).as("lo_tokens"), max(col("v")).as("hi_tokens"))
+      .orderBy("source", "bucket")
+  }
+
+  /** Token-weighted median document length per source: the smallest
+    * length L such that docs of length <= L hold at least half the
+    * source's TOKENS — the statistic that says where the token mass
+    * sits (a count median over-weights short docs). Entirely on the
+    * distinct-length frame: per-(source, len) token mass, cumulative
+    * sums and the 2·cum >= W pick in exact integers. */
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(s, dir).select(col("source"),
+      size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+        .cast("long").as("len"))
+    val g = lens.groupBy("source", "len")
+      .agg((col("len") * count(lit(1))).as("w"))
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("len")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = g.groupBy("source").agg(sum(col("w")).as("total_tokens"))
+    g.withColumn("cum", sum(col("w")).over(wdw))
+      .join(broadcast(tot), Seq("source"))
+      .filter(col("cum") * 2 >= col("total_tokens"))
+      .groupBy("source", "total_tokens")
+      .agg(min(col("len")).as("wmedian_len"))
+      .select("source", "total_tokens", "wmedian_len")
+      .orderBy("source")
+  }
+
+  /** Drift dashboard ([[graft.ops.Eval.ksMatrix]]): the per-source KS
+    * distance of token length vs the rest of the corpus, every source in
+    * ONE pass over the distinct (source, length) frame — the report
+    * `q_ks_drift` is a single row of. */
+  private def ksMatrixQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.ksMatrix(
+      Tables.documents(s, dir).select(col("source"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long").as("v")),
+      "source", "v")
+      .orderBy("source")
+
   /** Two-sample Kolmogorov–Smirnov drift test ([[graft.ops.Eval.ksDistance]]):
     * token-count distribution of the `src1` slice against the rest of
     * the corpus — the CDF-level shift detector next to `q_corpus_drift`'s
@@ -675,6 +735,9 @@ object CorpusQueries extends QueryGroup {
     "q_boilerplate" -> boilerplate,
     "q_corpus_drift" -> drift,
     "q_ks_drift" -> ksDrift,
+    "q_ks_matrix" -> ksMatrixQ,
+    "q_len_deciles" -> lenDeciles,
+    "q_weighted_median" -> weightedMedian,
     "q_curation_e2e" -> curationE2E,
     "q_token_histogram" -> tokenHistogram,
     "q_text_scrub" -> scrub,
@@ -853,6 +916,72 @@ object CorpusQueries extends QueryGroup {
         |  coalesce(string_agg(CASE WHEN kept THEN record END, ' ' ORDER BY part_idx), '')
         |    AS cleaned_text
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // every source scored at every distinct length (the complement's CDF
+    // accumulates where the source has no mass), gaps in integers
+    "q_ks_matrix" ->
+      """WITH lens AS (
+        |  SELECT source AS gq,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+        |  FROM documents),
+        |g AS (SELECT gq, v, count(*) AS c FROM lens GROUP BY 1, 2),
+        |vs AS (SELECT v, sum(c) AS c_all FROM g GROUP BY v),
+        |ca AS (SELECT v, sum(c_all) OVER (ORDER BY v) AS cum_all FROM vs),
+        |gs AS (SELECT DISTINCT gq FROM g),
+        |grid AS (
+        |  SELECT gs.gq, vs.v, coalesce(g.c, 0) AS c
+        |  FROM gs CROSS JOIN vs
+        |  LEFT JOIN g ON g.gq = gs.gq AND g.v = vs.v),
+        |ci AS (SELECT gq, v,
+        |    sum(c) OVER (PARTITION BY gq ORDER BY v) AS cum_in FROM grid),
+        |t AS (SELECT gq, sum(c) AS n_in FROM g GROUP BY gq),
+        |n AS (SELECT sum(c) AS n_total FROM g),
+        |gaps AS (
+        |  SELECT ci.gq, t.n_in, n.n_total - t.n_in AS n_out,
+        |    abs(ci.cum_in * (n.n_total - t.n_in)
+        |      - (ca.cum_all - ci.cum_in) * t.n_in) AS gap
+        |  FROM ci JOIN ca USING (v) JOIN t USING (gq), n)
+        |SELECT gq AS source, CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(n_out AS BIGINT) AS n_out,
+        |  CAST(max(gap) AS BIGINT) AS d_num,
+        |  round(CAST(CAST(max(gap) AS BIGINT) AS DOUBLE) / (n_in * n_out), 6)
+        |    AS d
+        |FROM gaps GROUP BY gq, n_in, n_out ORDER BY source""".stripMargin,
+
+    // the per-source single-reducer window IS the oracle for the grouped
+    // two-level rank
+    "q_len_deciles" ->
+      """WITH v AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v,
+        |    doc_id
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n FROM v),
+        |d AS (SELECT source, v,
+        |    CAST((rn - 1) * 10 // n AS INTEGER) + 1 AS bucket FROM r)
+        |SELECT source, bucket, count(*) AS n_docs,
+        |  min(v) AS lo_tokens, max(v) AS hi_tokens
+        |FROM d GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+
+    // token-weighted median on the distinct-length frame, all integers
+    "q_weighted_median" ->
+      """WITH lens AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS len
+        |  FROM documents),
+        |g AS (SELECT source, len, len * count(*) AS w
+        |      FROM lens GROUP BY source, len),
+        |c AS (SELECT source, len, w,
+        |    sum(w) OVER (PARTITION BY source ORDER BY len) AS cum FROM g),
+        |t AS (SELECT source, sum(w) AS total_tokens FROM g GROUP BY source)
+        |SELECT c.source, CAST(t.total_tokens AS BIGINT) AS total_tokens,
+        |  min(c.len) AS wmedian_len
+        |FROM c JOIN t ON c.source = t.source
+        |WHERE c.cum * 2 >= t.total_tokens
+        |GROUP BY c.source, t.total_tokens ORDER BY c.source""".stripMargin,
 
     // KS over the distinct token-count frame; RANGE vs ROWS framing is
     // equivalent because v is distinct after the GROUP BY

@@ -182,6 +182,22 @@ object RelationalQueries extends QueryGroup {
       .orderBy("o_custkey")
   }
 
+  /** U3 extension, MULTISET semantics: EXCEPT ALL / INTERSECT ALL over
+    * per-order supplier keys — duplicates carry multiplicity (a supplier
+    * appearing 5 times in A and 2 in B survives EXCEPT ALL 3 times),
+    * which the distinct-set forms destroy. Spark plans both as one
+    * aggregation per side on the key (counts), then a generate — the
+    * same single-shuffle-per-side shape as INTERSECT. */
+  private def multisetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_quantity") >= 45).select("l_suppkey")
+    val b = li.filter(col("l_returnflag") === "R").select("l_suppkey")
+    a.exceptAll(b).withColumn("op", lit("except_all"))
+      .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .select("op", "l_suppkey")
+      .orderBy("op", "l_suppkey")
+  }
+
   /** O1: custom priority sort via rank map (CRITICAL<HIGH<... work order,
     * `chat_acreage_bot.py:788-790`). */
   private def prioritySort(s: SparkSession, dir: String): DataFrame =
@@ -798,6 +814,7 @@ object RelationalQueries extends QueryGroup {
     "q_grouping_sets" -> groupingSets,
     "q_cube" -> cubeCounts,
     "q_intersect" -> intersectKeys,
+    "q_multiset_ops" -> multisetOps,
     "q_priority_sort" -> prioritySort,
     "q_topk_search" -> topkSearch,
     "q_topk_agg" -> topkAgg,
@@ -1200,6 +1217,16 @@ object RelationalQueries extends QueryGroup {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_multiset_ops" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT 'except_all' AS op, l_suppkey
+        |FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, l_suppkey
+        |FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+        |ORDER BY op, l_suppkey""".stripMargin,
 
     "q_priority_sort" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -58,6 +58,26 @@ class EvalSpec extends SparkSuite {
     }
   }
 
+  test("ksMatrix row for a group equals the standalone two-sample ksDistance") {
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 500).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(25).toLong))
+    val df = rows.toDF("g", "v").repartition(6)
+    val matrix = graft.ops.Eval.ksMatrix(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_out"),
+          r.getAs[Long]("d_num"))).toMap
+    Seq("g0", "g1", "g2", "g3").foreach { gq =>
+      val single = Eval.ksDistance(
+        df.withColumn("in_a", org.apache.spark.sql.functions.col("g") === gq),
+        "v", "in_a").head()
+      val (nIn, nOut, dNum) = matrix(gq)
+      assert(nIn == single.getAs[Long]("n_a"), gq)
+      assert(nOut == single.getAs[Long]("n_b"), gq)
+      assert(dNum == single.getAs[Long]("d_num"), gq)
+    }
+  }
+
   test("identical distributions: D collapses toward zero; disjoint: D = 1") {
     // block-alternating membership: each group sees the full 0..9 cycle
     val same = (0 until 200).map(i => ((i % 10).toLong, (i / 10) % 2 == 0))
