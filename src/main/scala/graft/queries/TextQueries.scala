@@ -487,6 +487,32 @@ object TextQueries extends QueryGroup {
       f.select(m.as("s"), (col("y") === 1L).as("pos")), "s", "pos")
   }
 
+  /** Calibration table: the distinct-margin frame bucketed into 8
+    * fixed-width integer bins over [min, max] (the OrderStats grid
+    * trick at report granularity), each bin reporting its doc count,
+    * observed positive rate, and margin envelope — the reliability
+    * diagram a gate owner reads before treating the margin as a
+    * confidence. Integer bin arithmetic; one rounded division per bin. */
+  private def calibration(s: SparkSession, dir: String): DataFrame = {
+    val (f, w) = pcTrained(s, dir)
+    val m = graft.ops.Perceptron.margin(PcFeats, w)
+    val scored = f.select(m.as("sv"), (col("y") === 1L).as("pos"))
+    val bounds = scored.agg(min(col("sv")).as("lo"), max(col("sv")).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1
+    scored
+      .withColumn("bin", expr(s"CAST(((sv - ${lo}L) * 8) div ${span}L AS INT) + 1"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        min(col("sv")).as("lo_margin"), max(col("sv")).as("hi_margin"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pos_rate"),
+        col("lo_margin"), col("hi_margin"))
+      .orderBy("bin")
+  }
+
   /** Operating-point table ([[graft.ops.Eval.prCurve]]): precision and
     * recall at every distinct margin threshold — the table read to pick
     * the gate's cut. Same distinct-margin collapse as `q_auc`. */
@@ -567,6 +593,7 @@ object TextQueries extends QueryGroup {
     "q_annotator_kappa" -> annotatorKappa,
     "q_auc" -> auc,
     "q_pr_curve" -> prCurve,
+    "q_calibration" -> calibration,
     "q_text_split" -> textSplitRecords,
     "q_text_chunks" -> textChunks,
     "q_bpe_pairs" -> bpePairs,
