@@ -42,7 +42,7 @@ object Eval {
         col("d_num_max").cast("long").as("d_num"),
         col("at_value"),
         round(col("d_num_max").cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("d"))
   }
 
   /** Precision/recall curve at every distinct score threshold
@@ -114,7 +114,7 @@ object Eval {
       .select(col(group), col("n_in"), col("n_out"),
         col("d_num_d").cast("long").as("d_num"),
         round(col("d_num_d").cast("double") /
-          (col("n_in") * col("n_out")).cast("double"), 6).as("d"))
+          (col("n_in").cast("double") * col("n_out").cast("double")), 6).as("d"))
   }
 
   /** Rank-free exact AUC (Mann–Whitney U): `P(s_pos > s_neg) + ½·P(=)`.
@@ -143,12 +143,13 @@ object Eval {
     byScore
       .withColumn("cum_nn", coalesce(sum(col("nn")).over(wdw), lit(0L)))
       .agg(
-        sum((col("np") * col("cum_nn") * 2 + col("np") * col("nn"))
-          .cast("decimal(38,0)")).as("u2d"),
+        sum(col("np").cast("decimal(38,0)") * col("cum_nn") * 2 +
+          col("np").cast("decimal(38,0)") * col("nn")).as("u2d"),
         sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
         col("u2d").cast("long").as("u2"),
         round(col("u2d").cast("double") /
-          (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"))
+          (col("n_pos").cast("double") * col("n_neg").cast("double") * 2),
+          6).as("auc"))
   }
 }

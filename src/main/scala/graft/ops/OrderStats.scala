@@ -73,9 +73,18 @@ object OrderStats {
       id: String, cells: Int = GridCells): (DataFrame, DataFrame) = {
     val Row2 = df.agg(min(col(value).cast("long")).as("lo"),
       max(col(value).cast("long")).as("hi")).head()
-    if (Row2.isNullAt(0))
-      return (df.withColumn("val_rank", lit(null).cast("long")),
-        df.sparkSession.emptyDataFrame)
+    if (Row2.isNullAt(0)) {
+      // Schema-correct empty offsets frame — the same groupBy shape over
+      // zero rows — so consumers (equiDepthHistogram's agg, lenDeciles'
+      // groupBy) resolve their columns instead of hitting the zero-column
+      // emptyDataFrame.
+      val offsets0 = df.limit(0)
+        .withColumn("__cell", lit(0))
+        .groupBy((strata :+ "__cell").map(col): _*)
+        .agg(count(lit(1)).as("__cell_n"))
+        .withColumn("__offset", lit(0L))
+      return (df.withColumn("val_rank", lit(null).cast("long")), offsets0)
+    }
     val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
     val span = hi - lo + 1
     require(span > 0 && span <= Long.MaxValue / cells,

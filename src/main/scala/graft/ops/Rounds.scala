@@ -47,7 +47,11 @@ private[graft] object Rounds {
     * it is about to iterate) is sub-reducer scale; always restores the
     * prior setting. Session-conf scoping assumes the session runs
     * queries sequentially (true of the driver harness, the bench, and
-    * scalatest); iterative ops do not nest scopes. */
+    * scalatest). Scopes MAY nest (e.g. Similarity.dbscan wrapping
+    * Dedup.connectedComponents): each scope saves and restores the conf
+    * value it observed on entry, so the inner scope hands back the outer
+    * scope's setting and the outermost restore reinstates the session
+    * default — do not replace the save/restore with a cached static. */
   def scopedForSize[A](spark: SparkSession, nRows: Long)(f: => A): A = {
     if (nRows >= SmallRoundRows) f
     else {

@@ -696,6 +696,22 @@ object TextQueries extends QueryGroup {
          |  END AS kappa
          |FROM conf""".stripMargin,
 
+    // 8 fixed-width integer bins over [min,max] of the unrolled margin;
+    // integer bin arithmetic, one rounded division per bin
+    "q_calibration" ->
+      s"""WITH $pcFeatsSql,
+         |${pcRoundsSql(PcRounds)},
+         |sc AS (SELECT CAST($pcMarginSql AS BIGINT) AS sv, (y = 1) AS pos
+         |       FROM f, w$PcRounds w),
+         |b AS (SELECT min(sv) AS lo, max(sv) AS hi FROM sc)
+         |SELECT CAST(((sv - lo) * 8) // (hi - lo + 1) AS INT) + 1 AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS pos_rate,
+         |  min(sv) AS lo_margin, max(sv) AS hi_margin
+         |FROM sc, b GROUP BY 1 ORDER BY bin""".stripMargin,
+
     // thresholds -- no float enters until the displayed score
     "q_lm_score" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),

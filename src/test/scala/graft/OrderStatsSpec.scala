@@ -65,6 +65,18 @@ class OrderStatsSpec extends SparkSuite {
     }
   }
 
+  test("empty input: consumers get schema-correct empty results, not an AnalysisException") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(OrderStats.equiDepthHistogram(empty, "v", "id").count() == 0L)
+    val allNull = Seq((1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "v")
+    assert(OrderStats.equiDepthHistogram(allNull.filter(col("v").isNotNull),
+      "v", "id").count() == 0L)
+    // the stratified form resolves its strata columns on the empty offsets
+    val emptyG = Seq.empty[(Long, String, Long)].toDF("id", "g", "v")
+    assert(OrderStats.valueRankedBy(emptyG, Seq("g"), "v", "id").count() == 0L)
+  }
+
   test("plan: the only partition-less window runs on the tiny cell frame") {
     val df = (0 until 1000).map(i => (i.toLong, (i % 37).toLong)).toDF("id", "v")
     val plan = OrderStats.valueRanked(df, "v", "id")
