@@ -43,9 +43,15 @@ object Bench {
       // one complete pass: shared frames first (their build cost reported
       // under "shared"), then every query — per-query numbers measure each
       // query's MARGINAL cost on top of the shared frames
+      // local-iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those
+      // queries (shared frames always run); the driver never sets it
+      val only: Option[Set[String]] =
+        sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
       def runPass(): (Seq[(String, Double)], Seq[(String, Double)]) = {
         val shared = SparkEntry.sharedFrames.map { case (n, fn) => n -> timed(fn) }
-        val queries = SparkEntry.queries.toSeq.map { case (n, fn) => n -> timed(fn) }
+        val queries = SparkEntry.queries.toSeq
+          .filter { case (n, _) => only.forall(_.contains(n)) }
+          .map { case (n, fn) => n -> timed(fn) }
         (shared, queries)
       }
       val (sharedA, qA) = runPass()

@@ -589,18 +589,31 @@ object RelationalQueries extends QueryGroup {
   /** Market-basket co-purchase pairs — the relational cousin of the
     * token collocation miner: parts bought together in one order,
     * ranked by integer-scaled lift support·N/(n_a·n_b) with min
-    * support, top-20 with deterministic tiebreak. The pair join is
-    * per-order (basket²-bounded fan-out, never a catalog self-join) and
-    * the ranking runs over the pair-count aggregate; floored lift keeps
-    * the ranking key out of floats, exactly like `q_collocations`. */
+    * support, top-20 with deterministic tiebreak. Pair generation is
+    * per-order and in-row (basket²-bounded fan-out over the sorted
+    * basket array, never a catalog self-join) and the ranking runs over
+    * the pair-count aggregate; floored lift keeps the ranking key out of
+    * floats, exactly like `q_collocations`. */
   private def copurchase(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val nOrders = li.select(countDistinct("ok").as("n_orders"))
-    val partN = li.groupBy("pk").agg(count(lit(1)).as("n_part"))
-    val pairs = li.alias("a").join(li.alias("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p_a"), col("b.pk").as("p_b"))
+    // one groupBy(order) shuffle builds the sorted-distinct basket; pair
+    // enumeration happens INSIDE the row (upper-triangle array transform —
+    // sorted + distinct makes p_a < p_b structural), replacing the
+    // distinct + ok-keyed self-join (three exchanges of the full lineitem
+    // projection) with a single exchange. Part counts and the order count
+    // read the same persisted basket frame, not the base table again.
+    val baskets = graft.core.SharedFrames.register(
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val partN = baskets.select(explode(col("parts")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_part"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |    y -> struct(x AS p_a, y AS p_b))))""".stripMargin)).as("t"))
+      .groupBy(col("t.p_a").as("p_a"), col("t.p_b").as("p_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 3)
     pairs

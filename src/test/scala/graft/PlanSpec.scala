@@ -182,6 +182,18 @@ class PlanSpec extends SparkSuite {
       s"d-bounded dimension sums fell back to a shuffle join:\n${plan.take(1500)}")
   }
 
+  test("q_copurchase: pairs generate in-row from the basket, no ok-keyed self-join") {
+    val plan = formatted("q_copurchase")
+    // one groupBy(order) exchange builds the sorted basket; the
+    // upper-triangle pair fan-out is an in-row explode — a lineitem
+    // self-join here would shuffle the (ok, pk) projection three times
+    assert(plan.contains("Generate"),
+      s"basket pair explode missing:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"co-purchase pair generation regressed to a self-join:\n${plan.take(1500)}")
+  }
+
   test("q_lm_score: only the 1-row vocab broadcast may nested-loop") {
     val plan = formatted("q_lm_score")
     assert(!plan.contains("CartesianProduct"))
