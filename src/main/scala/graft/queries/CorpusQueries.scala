@@ -245,6 +245,25 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** BM25 top-10 retrieval ([[graft.ops.Retrieval.bm25TopK]]): each doc
+    * with doc_id < 3 queries the corpus with its 5 highest-tf tokens —
+    * the eval-prompt / hard-negative retrieval pass, scored by the
+    * log-free rational-idf BM25 in exact integer arithmetic (broadcast
+    * postings probe + bounded-heap top-k; nothing per-query ever
+    * sorts the corpus). */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.bm25TopK(Tables.documents(s, dir), col("doc_id") < 3)
+      .orderBy("query_id", "rank")
+
+  /** Inverted-index size statistics
+    * ([[graft.ops.Retrieval.invertedIndexStats]]): block-delta postings
+    * (128-doc blocks, LEB128 gap cost) rolled up per term — df, cf,
+    * block count, encoded bytes — top-50 terms by df. The shard-size
+    * estimate an index planner reads before building the real index. */
+  private def invidxStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.invertedIndexStats(Tables.documents(s, dir))
+      .orderBy(col("df").desc, col("tok").asc)
+
   /** Corpus health report: keep counts/rates by language and by split in
     * ONE grouping-sets aggregation pass (plus the grand total), the
     * monitoring query a curation pipeline runs per batch. Rates divide two
@@ -752,7 +771,41 @@ object CorpusQueries extends QueryGroup {
     "q_contamination" -> contamination,
     "q_contamination_ngram" -> contaminationNgram,
     "q_dedup_apply" -> dedupApply,
+    "q_bm25_topk" -> bm25TopK,
+    "q_invidx_stats" -> invidxStats,
   )
+
+  /** BM25 pipeline CTEs (tokenize → tf/dl/df → corpus stats → top-5
+    * query terms for doc_id < 3 → integer per-term contribution →
+    * per-(query, doc) score → rank). Shared with the rank-fusion
+    * oracle in SimilarityQueries; final rank cut applied by callers. */
+  private[queries] def bm25CtesSql: String =
+    """bt AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+      |       FROM documents),
+      |btf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |        FROM bt GROUP BY 1, 2),
+      |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1),
+      |bst AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+      |               (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT) FROM bdl) AS t_total),
+      |bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+      |bqt AS (SELECT doc_id AS query_id, tok FROM (
+      |    SELECT doc_id, tok,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tf DESC, tok ASC) AS rn
+      |    FROM btf WHERE doc_id < 3) WHERE rn <= 5),
+      |contrib AS (
+      |  SELECT q.query_id, f.doc_id,
+      |    (CAST(2 * (s.n - d.df) + 1 AS HUGEINT) * 22 * f.tf * s.t_total * 1000000)
+      |      // (CAST(2 * d.df + 1 AS HUGEINT) *
+      |          (10 * f.tf * s.t_total + 3 * s.t_total + 9 * l.dl * s.n)) AS c
+      |  FROM bqt q JOIN btf f ON q.tok = f.tok
+      |  JOIN bdf d ON q.tok = d.tok
+      |  JOIN bdl l ON f.doc_id = l.doc_id
+      |  CROSS JOIN bst s),
+      |bsc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+      |        CAST(sum(c) AS BIGINT) AS score FROM contrib GROUP BY 1, 2),
+      |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |         ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM bsc)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q_dq_audit" ->
@@ -1314,5 +1367,31 @@ object CorpusQueries extends QueryGroup {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM dups)
          |ORDER BY doc_id""".stripMargin,
+
+    // log-free rational-idf BM25 (k1=6/5, b=3/4, tf term multiplied
+    // through by 10T): every per-term contribution is one HUGEINT
+    // floored division, the score a BIGINT sum — no float anywhere
+    "q_bm25_topk" ->
+      s"""WITH $bm25CtesSql
+        |SELECT query_id, doc_id, n_terms_hit, score, rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // 128-doc-id block-delta postings; per-gap varint cost
+    // ceil(bits/7) via length(bin(gap)); top-50 terms by df
+    "q_invidx_stats" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |g AS (SELECT tok, doc_id, tf, doc_id // 128 AS blk FROM tf),
+        |d AS (SELECT tok, tf, blk,
+        |    coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok, blk
+        |      ORDER BY doc_id), doc_id - blk * 128 + 1) AS gap
+        |  FROM g)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf,
+        |  CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+        |  CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT) AS encoded_bytes
+        |FROM d GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 50""".stripMargin,
   )
 }

@@ -20,6 +20,40 @@ object SimilarityQueries extends QueryGroup {
     Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 5, 5)
       .orderBy("query_id", "rank")
 
+  /** Embedding-space decontamination — the semantic sibling of the
+    * n-gram/winnow checks: flag corpus vectors whose cosine to ANY
+    * benchmark vector (modeled as vec_id < 8) reaches 0.3 (calibrated to
+    * the synthetic embeddings, max cross cosine ~0.49). Directional
+    * broadcast shape: the eval set is tiny and rides to every executor,
+    * the corpus never shuffles, and the per-vector argmax window
+    * partitions on vec_id with at most |eval| rows — the check costs one
+    * narrow pass over the corpus at any scale. Output per contaminated
+    * vector: hit count, best-matching benchmark id (cosine desc, id asc
+    * tiebreak on the ROUNDED cosine — the cross-engine comparison key),
+    * best cosine. */
+  private def contaminationEmbed(s: SparkSession, dir: String): DataFrame = {
+    val n = Similarity.withNorm(Tables.embeddings(s, dir))
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val hits = n.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(Similarity.dot(col("qv"), col("v")) /
+          (col("qn") * col("nrm")), 6))
+      .filter(col("cosine") >= 0.3)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+    val rw = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("eval_id").asc)
+    hits
+      .withColumn("n_eval_hits", count(lit(1)).over(cw))
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("n_eval_hits"),
+        col("eval_id").as("best_eval_id"), col("cosine").as("best_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** LSH near-dup pair frame (8 hyperplanes; cosine >= 0.35 — calibrated
     * to the synthetic embeddings, whose max pairwise cosine is ~0.51),
     * built once per (session, dir): the bucket-join + cosine-verify is the
@@ -92,8 +126,10 @@ object SimilarityQueries extends QueryGroup {
 
   /** Same recursive closure as q_dedup_clusters, over the LSH cosine
     * pair graph. */
-  private def simClustersOracleSql: String =
-    s"""WITH RECURSIVE $lshPairsSqlPrefix,
+  /** Shared recursive-closure preamble: LSH pairs → undirected edges →
+    * transitive reach → per-vector smallest-member component label. */
+  private def simCompSqlPrefix: String =
+    s"""$lshPairsSqlPrefix,
        |jp AS (SELECT id_a, id_b FROM pairs WHERE cosine >= 0.35),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
        |          UNION SELECT id_b, id_a FROM jp),
@@ -103,11 +139,31 @@ object SimilarityQueries extends QueryGroup {
        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
        |comp AS (
        |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
-       |  FROM reach GROUP BY src)
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  private def simClustersOracleSql: String =
+    s"""WITH RECURSIVE $simCompSqlPrefix
        |SELECT vec_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |  vec_id = cluster_id AS is_canonical
        |FROM comp ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup APPLY: drop every non-canonical member of a semantic
+    * near-dup cluster (keep the smallest vec_id per component plus all
+    * unclustered vectors) — the embedding-space mirror of
+    * `q_dedup_apply`. One anti-join of the corpus against the
+    * non-canonical side of the shared cluster frame; the LSH+CC subtree
+    * is the persisted [[sharedSimClusters]], so the apply costs one
+    * probe regardless of how many queries read the clusters. */
+  private def semdedupApply(s: SparkSession, dir: String): DataFrame = {
+    val dropIds = sharedSimClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    Tables.embeddings(s, dir)
+      .join(dropIds, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
 
   /** Multimodal decode: binary payloads -> typed features via partition-wise
     * stub codec (md5-derived, so fully oracle-checkable). */
@@ -559,6 +615,53 @@ object SimilarityQueries extends QueryGroup {
   private def hashEmbed(s: SparkSession, dir: String): DataFrame =
     hashEmbedVectors(s, dir).orderBy("doc_id", "dim")
 
+  /** Hybrid retrieval by reciprocal-rank fusion (RRF, k=60): the BM25
+    * top-20 (sparse list, [[graft.ops.Retrieval.bm25TopK]]) full-outer
+    * merged with the hash-embedding cosine top-20 (dense list, the same
+    * [[hashEmbedVectors]] features `q_hash_embed` gates), fused by
+    * integer-scaled 10^8 div (60 + rank) per list — RRF is already
+    * rational, so the fused ranking never compares floats. Top-10 per
+    * query, ties broken by doc id. Shape at scale: both candidate lists
+    * arrive as bounded-heap top-k aggregates (20 rows per query), so the
+    * fusion join and final window touch ≤40 rows per query no matter the
+    * corpus size; the dense side's query vectors broadcast against the
+    * (doc, dim) feature frame exactly like the BM25 postings probe. */
+  private def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    val sparse = graft.ops.Retrieval
+      .bm25TopK(Tables.documents(s, dir), col("doc_id") < 3, 5, 20)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val vecs = hashEmbedVectors(s, dir)
+    val norms = vecs.groupBy("doc_id").agg(sum(col("v") * col("v")).as("nrm2"))
+    val qv = vecs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("dim"), col("v").as("qv"))
+    val qn = norms.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("nrm2").as("qn2"))
+    val cosines = vecs.join(broadcast(qv), Seq("dim"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("v") * col("qv")).as("dot"))
+      .join(norms, Seq("doc_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .filter(col("nrm2") > 0 && col("qn2") > 0)
+      .withColumn("cosine", round(col("dot").cast("double") /
+        (sqrt(col("nrm2").cast("double")) * sqrt(col("qn2").cast("double"))), 6))
+    val dense = cosines.groupBy("query_id")
+      .agg(graft.functions.TopK.topK(col("cosine"), col("doc_id"), 20).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("cos_rank"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("rrf_scaled").desc, col("doc_id").asc)
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_scaled",
+        coalesce(expr("100000000 div (60 + bm25_rank)"), lit(0L)) +
+          coalesce(expr("100000000 div (60 + cos_rank)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(w).cast("int"))
+      .filter(col("fused_rank") <= 10)
+      .select("query_id", "doc_id", "bm25_rank", "cos_rank",
+        "rrf_scaled", "fused_rank")
+      .orderBy("query_id", "fused_rank")
+  }
+
   /** Source-centroid cosine matrix over the HASHED vectors — the lexical
     * source-similarity monitor, computed entirely from engine-generated
     * embeddings: per-(source, dim) sums (the un-normalized centroid — the
@@ -657,7 +760,9 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_exif" -> mmExif,
     "q_hash_embed" -> hashEmbed,
     "q_hash_embed_sim" -> hashEmbedSim,
+    "q_rank_fusion" -> rankFusion,
     "q_sim_clusters" -> simClusters,
+    "q_semdedup_apply" -> semdedupApply,
     "q_embed_quant" -> embedQuant,
     "q_embed_cov" -> embedCov,
     "q_label_cosine" -> labelCosine,
@@ -667,6 +772,7 @@ object SimilarityQueries extends QueryGroup {
     "q_sim_pq" -> simPq,
     "q_sim_ivf_pq" -> simIvfPq,
     "q_sim_topk" -> topk,
+    "q_contamination_embed" -> contaminationEmbed,
     "q_sim_lsh" -> lsh,
     "q_sim_ivf" -> ivf,
     "q_sim_ivf_incr" -> ivfIncr,
@@ -898,6 +1004,12 @@ object SimilarityQueries extends QueryGroup {
     "q_sim_lsh" -> lshOracleSql,
     "q_sim_curve" -> simCurveOracleSql,
     "q_sim_clusters" -> simClustersOracleSql,
+    // non-canonical cluster members dropped; singletons survive
+    "q_semdedup_apply" ->
+      s"""WITH RECURSIVE $simCompSqlPrefix
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> cluster_id)
+         |ORDER BY vec_id""".stripMargin,
 
     // mirrors Similarity.pqCodes: per subspace j, codebook = the 4
     // subvectors of the md5('pq<j>_'||vec_id)-first vectors; assignment =
@@ -1212,6 +1324,67 @@ object SimilarityQueries extends QueryGroup {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // sparse = the shared BM25 CTEs (rank <= 20); dense = hash-embedding
+    // cosine rank <= 20; RRF = integer-scaled 1/(60+rank) sums
+    "q_rank_fusion" ->
+      s"""WITH ${CorpusQueries.bm25CtesSql},
+         |ht AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+         |       FROM documents),
+         |hv AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('fh_' || tok), 1, 8)) AS BIGINT) AS h
+         |  FROM ht),
+         |dv AS (SELECT doc_id, CAST(h % $HashDim AS INTEGER) AS dim,
+         |    CAST(sum(1 - 2 * ((h // 16) % 2)) AS BIGINT) AS v
+         |  FROM hv GROUP BY 1, 2),
+         |nr AS (SELECT doc_id, sum(v * v) AS nrm2 FROM dv GROUP BY 1),
+         |qdv AS (SELECT doc_id AS query_id, dim, v AS qv FROM dv WHERE doc_id < 3),
+         |qnr AS (SELECT doc_id AS query_id, nrm2 AS qn2 FROM nr WHERE doc_id < 3),
+         |dots AS (SELECT q.query_id, d.doc_id, sum(d.v * q.qv) AS dot
+         |  FROM dv d JOIN qdv q ON d.dim = q.dim GROUP BY 1, 2),
+         |den AS (SELECT dots.query_id AS query_id, dots.doc_id AS doc_id,
+         |    round(CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(nrm2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6) AS cosine
+         |  FROM dots JOIN nr ON dots.doc_id = nr.doc_id
+         |  JOIN qnr ON dots.query_id = qnr.query_id
+         |  WHERE nrm2 > 0 AND qn2 > 0),
+         |dr AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS cos_rank
+         |  FROM den),
+         |sr AS (SELECT query_id, doc_id, rank AS bm25_rank FROM rk WHERE rank <= 20),
+         |dr20 AS (SELECT * FROM dr WHERE cos_rank <= 20),
+         |fu AS (SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |    s.bm25_rank, d.cos_rank,
+         |    CAST(coalesce(100000000 // (60 + s.bm25_rank), 0)
+         |       + coalesce(100000000 // (60 + d.cos_rank), 0) AS BIGINT) AS rrf_scaled
+         |  FROM sr s FULL OUTER JOIN dr20 d
+         |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+         |ff AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_scaled DESC, doc_id ASC) AS INTEGER) AS fused_rank FROM fu)
+         |SELECT query_id, doc_id, bm25_rank, cos_rank, rrf_scaled, fused_rank
+         |FROM ff WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin,
+
+    // eval set = vec_id < 8; flag/argmax on the ROUNDED cosine
+    "q_contamination_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS eval_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+        |hits AS (
+        |  SELECT n.vec_id, eval_id,
+        |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+        |  FROM q CROSS JOIN n WHERE n.vec_id >= 8),
+        |f AS (SELECT * FROM hits WHERE cosine >= 0.3),
+        |rk AS (
+        |  SELECT vec_id, eval_id, cosine,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, eval_id ASC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_eval_hits
+        |  FROM f)
+        |SELECT vec_id, n_eval_hits, eval_id AS best_eval_id,
+        |  cosine AS best_cosine
+        |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

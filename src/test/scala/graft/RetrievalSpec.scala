@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+
+/** Laws for the retrieval operators ([[graft.ops.Retrieval]]): the
+  * integer BM25 against a naive BigInt reimplementation, and the
+  * block-delta postings cost against a REAL LEB128 encoder. */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "apple banana apple cherry"),
+    (1L, "banana banana durian"),
+    (2L, "apple cherry cherry cherry fig grape"),
+    (3L, "durian fig"),
+    (4L, "apple apple apple banana cherry durian fig grape hazel iris"),
+    (5L, "hazel iris iris"),
+    (6L, ""),
+    (7L, "grape"))
+
+  /** Naive rational-idf BM25 in BigInt — the contribution formula
+    * restated independently from first principles. */
+  private def naiveBm25(query: Seq[String]): Map[Long, (Long, BigInt)] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = BigInt(corpus.size)
+    val tTot = BigInt(toks.values.map(_.size).sum)
+    val df = query.map(t => t -> BigInt(toks.count(_._2.contains(t)))).toMap
+    toks.toSeq.flatMap { case (id, ws) =>
+      val dl = BigInt(ws.size)
+      val hits = query.filter(ws.contains)
+      if (hits.isEmpty) None
+      else {
+        val score = hits.map { t =>
+          val tf = BigInt(ws.count(_ == t))
+          (BigInt(2) * (n - df(t)) + 1) * 22 * tf * tTot * 1000000 /
+            ((BigInt(2) * df(t) + 1) * (10 * tf * tTot + 3 * tTot + 9 * dl * n))
+        }.sum
+        Some(id -> (hits.size.toLong, score))
+      }
+    }.toMap
+  }
+
+  test("bm25TopK matches the naive BigInt scorer, rank ties broken by doc id") {
+    val docs = corpus.toDF("doc_id", "text").repartition(5)
+    // query doc 0's top-5 terms are all its distinct tokens
+    val got = Retrieval.bm25TopK(docs, col("doc_id") < 1, nTerms = 5, k = 10)
+      .orderBy("rank").collect()
+    val want = naiveBm25(Seq("apple", "banana", "cherry"))
+    assert(got.length == want.size)
+    val ranked = want.toSeq.sortBy { case (id, (_, s)) => (-s, id) }
+    got.zip(ranked).foreach { case (r, (id, (nHit, score))) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Long]("n_terms_hit") == nHit)
+      assert(BigInt(r.getAs[Long]("score")) == score)
+    }
+  }
+
+  /** Real LEB128: 7 value bits per byte. */
+  private def varintBytes(v: Long): Long = {
+    var x = v; var b = 0L
+    while ({ b += 1; x >>= 7; x != 0 }) ()
+    b
+  }
+
+  test("invertedIndexStats encoded_bytes equals a real LEB128 encoding of block gaps") {
+    // doc ids straddling several 128-blocks, repeated tokens
+    val docs = Seq(1L, 2L, 100L, 127L, 128L, 129L, 300L, 1000L, 1001L)
+      .map(id => (id, "tok filler" + (if (id % 2 == 0) " even" else "")))
+      .toDF("doc_id", "text").repartition(4)
+    val got = Retrieval.invertedIndexStats(docs, blockSize = 128, topN = 10)
+      .collect().map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("encoded_bytes"))).toMap
+    // naive: per token, per 128-block, LEB128 of (first: id - 128*blk + 1,
+    // rest: delta to previous)
+    def naive(ids: Seq[Long]): (Long, Long, Long) = {
+      val blocks = ids.sorted.groupBy(_ / 128)
+      val bytes = blocks.values.map { blk =>
+        val gaps = (blk.head - blk.head / 128 * 128 + 1) +:
+          blk.sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+        gaps.map(varintBytes).sum
+      }.sum
+      (ids.size.toLong, blocks.size.toLong, bytes)
+    }
+    val all = Seq(1L, 2L, 100L, 127L, 128L, 129L, 300L, 1000L, 1001L)
+    assert(got("tok") == naive(all))
+    assert(got("filler") == naive(all))
+    assert(got("even") == naive(all.filter(_ % 2 == 0)))
+  }
+
+  test("bm25 contributions are integer-exact: single-term self-retrieval ranks by the formula") {
+    // ensure no float sneaks in: every score must be reproducible from
+    // the integer formula exactly (checked above), and the plan contains
+    // no window sort over the corpus for the final top-k
+    val docs = corpus.toDF("doc_id", "text")
+    val plan = Retrieval.bm25TopK(docs, col("doc_id") < 1)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("TopKAgg") || plan.contains("topkagg") ||
+      plan.contains("top_k") || plan.contains("TopK"),
+      s"bm25 final selection lost the bounded-heap aggregate:\n${plan.take(1200)}")
+  }
+}
