@@ -626,17 +626,18 @@ object SimilarityQueries extends QueryGroup {
     * fusion join and final window touch ≤40 rows per query no matter the
     * corpus size; the dense side's query vectors broadcast against the
     * (doc, dim) feature frame exactly like the BM25 postings probe. */
-  private def rankFusion(s: SparkSession, dir: String): DataFrame = {
-    val sparse = graft.ops.Retrieval
-      .bm25TopK(Tables.documents(s, dir), col("doc_id") < 3, 5, 20)
-      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+  /** Dense-side retrieval scores: hash-embedding cosine of every doc
+    * against each query doc (doc_id < 3) — integer dots over the
+    * (doc, dim) feature frame with the query vectors broadcast, doubles
+    * only in the final rounded cosine. Zero-vector docs drop out. */
+  private def denseCosines(s: SparkSession, dir: String): DataFrame = {
     val vecs = hashEmbedVectors(s, dir)
     val norms = vecs.groupBy("doc_id").agg(sum(col("v") * col("v")).as("nrm2"))
     val qv = vecs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("dim"), col("v").as("qv"))
     val qn = norms.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("nrm2").as("qn2"))
-    val cosines = vecs.join(broadcast(qv), Seq("dim"))
+    vecs.join(broadcast(qv), Seq("dim"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("v") * col("qv")).as("dot"))
       .join(norms, Seq("doc_id"))
@@ -644,7 +645,13 @@ object SimilarityQueries extends QueryGroup {
       .filter(col("nrm2") > 0 && col("qn2") > 0)
       .withColumn("cosine", round(col("dot").cast("double") /
         (sqrt(col("nrm2").cast("double")) * sqrt(col("qn2").cast("double"))), 6))
-    val dense = cosines.groupBy("query_id")
+  }
+
+  private def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    val sparse = graft.ops.Retrieval
+      .bm25TopK(Tables.documents(s, dir), col("doc_id") < 3, 5, 20)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val dense = denseCosines(s, dir).groupBy("query_id")
       .agg(graft.functions.TopK.topK(col("cosine"), col("doc_id"), 20).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("doc_id"),
@@ -660,6 +667,88 @@ object SimilarityQueries extends QueryGroup {
       .select("query_id", "doc_id", "bm25_rank", "cos_rank",
         "rrf_scaled", "fused_rank")
       .orderBy("query_id", "fused_rank")
+  }
+
+  /** MMR diversity rerank (λ = 0.7) of the dense top-20: greedily pick 5
+    * results maximizing λ·rel − (1−λ)·max-sim-to-already-selected — the
+    * rerank step after [[rankFusion]]'s candidate fusion, which stops a
+    * result page (or a few-shot example set) from being five paraphrases
+    * of the same document. rel = query cosine, sim = candidate-pair
+    * cosine, both the rounded-6 cross-engine keys; λ-arithmetic runs in
+    * raw doubles (identical operand order both engines, so no fudge).
+    *
+    * Shape at scale: candidate generation (bounded-heap top-20) and the
+    * candidate-pair similarity matrix (≤ queries·k² rows via the dim
+    * equi-join) stay distributed; ONLY the queries·k candidate rows and
+    * queries·k²/2 sim rows — bounded by the report size, not the corpus —
+    * are pulled to the driver for the inherently sequential k-step
+    * greedy, the same bounded-collect envelope as the IVF centroid
+    * matrices. The greedy replays in the oracle as 5 unrolled SQL
+    * rounds. */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val (kCand, kSel) = (20, 5)
+    val cand = denseCosines(s, dir).groupBy("query_id")
+      .agg(graft.functions.TopK.topK(col("cosine"), col("doc_id"), kCand)
+        .as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.value").as("rel"))
+    val vecs = hashEmbedVectors(s, dir)
+    val norms = vecs.groupBy("doc_id").agg(sum(col("v") * col("v")).as("nrm2"))
+    val cd = cand.select("query_id", "doc_id")
+    val cv = cd.join(vecs, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("dim"), col("v"))
+    val dots = cv.alias("a").join(cv.alias("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.dim") === col("b.dim") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.query_id").as("query_id"), col("a.doc_id").as("d_a"),
+        col("b.doc_id").as("d_b"))
+      .agg(sum(col("a.v") * col("b.v")).as("dot"))
+    val sims = cd.alias("x").join(cd.alias("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.query_id").as("query_id"), col("x.doc_id").as("d_a"),
+        col("y.doc_id").as("d_b"))
+      .join(dots, Seq("query_id", "d_a", "d_b"), "left")
+      .join(norms.select(col("doc_id").as("d_a"), col("nrm2").as("na")),
+        Seq("d_a"))
+      .join(norms.select(col("doc_id").as("d_b"), col("nrm2").as("nb")),
+        Seq("d_b"))
+      .select(col("query_id"), col("d_a"), col("d_b"),
+        round(coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6).as("sim"))
+    // bounded driver pull: queries·k candidates + queries·k²/2 sims
+    val candRows = cand.select("query_id", "doc_id", "rel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simMap = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    def simOf(q: Long, a: Long, b: Long): Double =
+      if (a < b) simMap((q, a, b)) else simMap((q, b, a))
+    val out = candRows.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      var remaining = cs.map { case (_, d, rel) => (d, rel) }.toList
+      var selected = List.empty[Long]
+      (1 to kSel).flatMap { r =>
+        if (remaining.isEmpty) None
+        else {
+          val best = remaining.map { case (d, rel) =>
+            val ms =
+              if (selected.isEmpty) 0.0
+              else selected.map(sd => simOf(q, d, sd)).max
+            (d, rel, ms, 0.7 * rel - 0.3 * ms)
+          }.minBy { case (d, _, _, m) => (-m, d) }
+          selected ::= best._1
+          remaining = remaining.filterNot(_._1 == best._1)
+          Some((q, best._1, best._2, best._3, best._4, r))
+        }
+      }
+    }
+    import s.implicits._
+    out.toDF("query_id", "doc_id", "rel", "max_sim", "mmr", "sel_rank")
+      .withColumn("sel_rank", col("sel_rank").cast("int"))
+      .orderBy("query_id", "sel_rank")
   }
 
   /** Source-centroid cosine matrix over the HASHED vectors — the lexical
@@ -761,6 +850,7 @@ object SimilarityQueries extends QueryGroup {
     "q_hash_embed" -> hashEmbed,
     "q_hash_embed_sim" -> hashEmbedSim,
     "q_rank_fusion" -> rankFusion,
+    "q_mmr_rerank" -> mmrRerank,
     "q_sim_clusters" -> simClusters,
     "q_semdedup_apply" -> semdedupApply,
     "q_embed_quant" -> embedQuant,
@@ -941,6 +1031,64 @@ object SimilarityQueries extends QueryGroup {
   /** Shared oracle preamble: token occurrences hashed to (dim, sign).
     * `('0x'||substr(md5,1,8))::BIGINT` == Spark `conv(substring,16,10)`;
     * dim uses digest bits 0–3, the sign bit 4 — independent slices. */
+  /** Dense-retrieval CTEs: hash-embedding features → per-doc norms →
+    * query (doc_id < 3) dots → rounded cosine frame `den(query_id,
+    * doc_id, cosine)`. Shared by the rank-fusion and MMR oracles. */
+  private def denseCtesSql: String =
+    s"""ht AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+       |       FROM documents),
+       |hv2 AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5('fh_' || tok), 1, 8)) AS BIGINT) AS h
+       |  FROM ht),
+       |dv AS (SELECT doc_id, CAST(h % $HashDim AS INTEGER) AS dim,
+       |    CAST(sum(1 - 2 * ((h // 16) % 2)) AS BIGINT) AS v
+       |  FROM hv2 GROUP BY 1, 2),
+       |nr AS (SELECT doc_id, sum(v * v) AS nrm2 FROM dv GROUP BY 1),
+       |qdv AS (SELECT doc_id AS query_id, dim, v AS qv FROM dv WHERE doc_id < 3),
+       |qnr AS (SELECT doc_id AS query_id, nrm2 AS qn2 FROM nr WHERE doc_id < 3),
+       |dots AS (SELECT q.query_id, d.doc_id, sum(d.v * q.qv) AS dot
+       |  FROM dv d JOIN qdv q ON d.dim = q.dim GROUP BY 1, 2),
+       |den AS (SELECT dots.query_id AS query_id, dots.doc_id AS doc_id,
+       |    round(CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(nrm2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6) AS cosine
+       |  FROM dots JOIN nr ON dots.doc_id = nr.doc_id
+       |  JOIN qnr ON dots.query_id = qnr.query_id
+       |  WHERE nrm2 > 0 AND qn2 > 0)""".stripMargin
+
+  /** The unrolled MMR greedy: round 1 picks max rel; each later round
+    * anti-joins the picked set, takes max-sim-to-selected from the
+    * symmetric pair frame, and argmaxes 0.7·rel − 0.3·max_sim with a
+    * doc-id tiebreak — exactly the driver-side loop, replayed as SQL. */
+  private def mmrRoundsSql(kSel: Int): String = {
+    val b = new StringBuilder
+    b ++= """sel1 AS (SELECT query_id, doc_id, rel, CAST(0.0 AS DOUBLE) AS max_sim,
+            |    0.7 * rel - 0.3 * 0.0 AS mmr, 1 AS sel_rank
+            |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            |      ORDER BY 0.7 * rel - 0.3 * 0.0 DESC, doc_id ASC) AS rn FROM mcand)
+            |  WHERE rn = 1),
+            |selu1 AS (SELECT query_id, doc_id FROM sel1)""".stripMargin
+    for (r <- 2 to kSel) {
+      b ++= s""",
+               |cand$r AS (SELECT c.* FROM mcand c LEFT JOIN selu${r - 1} s
+               |    ON c.query_id = s.query_id AND c.doc_id = s.doc_id
+               |  WHERE s.doc_id IS NULL),
+               |sc$r AS (SELECT c.query_id, c.doc_id, c.rel, max(m.sim) AS max_sim
+               |  FROM cand$r c
+               |  JOIN ms2 m ON m.query_id = c.query_id AND m.d_a = c.doc_id
+               |  JOIN selu${r - 1} s ON s.query_id = m.query_id AND s.doc_id = m.d_b
+               |  GROUP BY 1, 2, 3),
+               |sel$r AS (SELECT query_id, doc_id, rel, max_sim,
+               |    0.7 * rel - 0.3 * max_sim AS mmr, $r AS sel_rank
+               |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               |      ORDER BY 0.7 * rel - 0.3 * max_sim DESC, doc_id ASC) AS rn
+               |    FROM sc$r)
+               |  WHERE rn = 1),
+               |selu$r AS (SELECT query_id, doc_id FROM selu${r - 1}
+               |  UNION ALL SELECT query_id, doc_id FROM sel$r)""".stripMargin
+    }
+    b.toString
+  }
+
   private def hashTokSql: String =
     """t AS (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
@@ -1329,25 +1477,7 @@ object SimilarityQueries extends QueryGroup {
     // cosine rank <= 20; RRF = integer-scaled 1/(60+rank) sums
     "q_rank_fusion" ->
       s"""WITH ${CorpusQueries.bm25CtesSql},
-         |ht AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
-         |       FROM documents),
-         |hv AS (SELECT doc_id,
-         |    CAST(('0x' || substr(md5('fh_' || tok), 1, 8)) AS BIGINT) AS h
-         |  FROM ht),
-         |dv AS (SELECT doc_id, CAST(h % $HashDim AS INTEGER) AS dim,
-         |    CAST(sum(1 - 2 * ((h // 16) % 2)) AS BIGINT) AS v
-         |  FROM hv GROUP BY 1, 2),
-         |nr AS (SELECT doc_id, sum(v * v) AS nrm2 FROM dv GROUP BY 1),
-         |qdv AS (SELECT doc_id AS query_id, dim, v AS qv FROM dv WHERE doc_id < 3),
-         |qnr AS (SELECT doc_id AS query_id, nrm2 AS qn2 FROM nr WHERE doc_id < 3),
-         |dots AS (SELECT q.query_id, d.doc_id, sum(d.v * q.qv) AS dot
-         |  FROM dv d JOIN qdv q ON d.dim = q.dim GROUP BY 1, 2),
-         |den AS (SELECT dots.query_id AS query_id, dots.doc_id AS doc_id,
-         |    round(CAST(dot AS DOUBLE) /
-         |      (sqrt(CAST(nrm2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6) AS cosine
-         |  FROM dots JOIN nr ON dots.doc_id = nr.doc_id
-         |  JOIN qnr ON dots.query_id = qnr.query_id
-         |  WHERE nrm2 > 0 AND qn2 > 0),
+         |$denseCtesSql,
          |dr AS (SELECT query_id, doc_id,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS cos_rank
@@ -1365,6 +1495,41 @@ object SimilarityQueries extends QueryGroup {
          |    ORDER BY rrf_scaled DESC, doc_id ASC) AS INTEGER) AS fused_rank FROM fu)
          |SELECT query_id, doc_id, bm25_rank, cos_rank, rrf_scaled, fused_rank
          |FROM ff WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin,
+
+    // dense top-20 candidates + symmetric pair-sim frame, then the
+    // 5-round unrolled greedy (mmrRoundsSql) — λ = 0.7, doc-id tiebreak
+    "q_mmr_rerank" ->
+      s"""WITH $denseCtesSql,
+         |mcand AS (SELECT query_id, doc_id, cosine AS rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, doc_id ASC) AS crn FROM den)
+         |  WHERE crn <= 20),
+         |cdv AS (SELECT c.query_id, c.doc_id, dv.dim, dv.v
+         |  FROM mcand c JOIN dv ON c.doc_id = dv.doc_id),
+         |pd AS (SELECT a.query_id, a.doc_id AS d_a, b.doc_id AS d_b,
+         |    sum(a.v * b.v) AS dot
+         |  FROM cdv a JOIN cdv b ON a.query_id = b.query_id
+         |    AND a.dim = b.dim AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3),
+         |msim AS (SELECT x.query_id, x.doc_id AS d_a, y.doc_id AS d_b,
+         |    round(CAST(coalesce(pd.dot, 0) AS DOUBLE) /
+         |      (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6)
+         |      AS sim
+         |  FROM mcand x JOIN mcand y
+         |    ON x.query_id = y.query_id AND x.doc_id < y.doc_id
+         |  LEFT JOIN pd ON pd.query_id = x.query_id
+         |    AND pd.d_a = x.doc_id AND pd.d_b = y.doc_id
+         |  JOIN nr na ON na.doc_id = x.doc_id
+         |  JOIN nr nb ON nb.doc_id = y.doc_id),
+         |ms2 AS (SELECT query_id, d_a, d_b, sim FROM msim
+         |  UNION ALL SELECT query_id, d_b, d_a, sim FROM msim),
+         |${mmrRoundsSql(5)}
+         |SELECT query_id, doc_id, rel, max_sim, mmr,
+         |  CAST(sel_rank AS INTEGER) AS sel_rank
+         |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+         |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+         |  UNION ALL SELECT * FROM sel5)
+         |ORDER BY query_id, sel_rank""".stripMargin,
 
     // eval set = vec_id < 8; flag/argmax on the ROUNDED cosine
     "q_contamination_embed" ->
