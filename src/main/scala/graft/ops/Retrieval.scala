@@ -52,9 +52,10 @@ object Retrieval {
     * bounded-heap [[graft.functions.TopK]] aggregate, so only k rows per
     * query survive to the driver-side ordering — no per-query sort of
     * the whole match set. */
-  def bm25TopK(docs: DataFrame, queryPred: Column, nTerms: Int = 5,
-               k: Int = 10): DataFrame = {
-    val tf = graft.core.SharedFrames.register(termFrequencies(docs))
+  def bm25Scores(docs: DataFrame, queryPred: Column, nTerms: Int = 5,
+                 tfOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = tfOpt.getOrElse(
+      graft.core.SharedFrames.register(termFrequencies(docs)))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"))
@@ -65,7 +66,7 @@ object Retrieval {
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= nTerms)
       .select(col("doc_id").as("query_id"), col("tok"))
-    val contrib = tf
+    tf
       .join(broadcast(qt), Seq("tok"))
       .join(broadcast(df_), Seq("tok"))
       .join(dl, Seq("doc_id"))
@@ -74,8 +75,14 @@ object Retrieval {
         """(CAST(2 * (n - df) + 1 AS DECIMAL(38,0)) * 22 * tf * t_total * 1000000)
           |div (CAST(2 * df + 1 AS DECIMAL(38,0)) *
           |     (10 * tf * t_total + 3 * t_total + 9 * dl * n))""".stripMargin))
-    val scored = contrib.groupBy("query_id", "doc_id")
+      .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
+  }
+
+  def bm25TopK(docs: DataFrame, queryPred: Column, nTerms: Int = 5,
+               k: Int = 10, tfOpt: Option[DataFrame] = None,
+               scoredOpt: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredOpt.getOrElse(bm25Scores(docs, queryPred, nTerms, tfOpt))
     val top = scored.groupBy("query_id")
       .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -102,8 +109,8 @@ object Retrieval {
     * a TakeOrderedAndProject (per-partition bounded heap), not a global
     * sort. */
   def invertedIndexStats(docs: DataFrame, blockSize: Int = 128,
-                         topN: Int = 50): DataFrame = {
-    val tf = termFrequencies(docs)
+                         topN: Int = 50, tfOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = tfOpt.getOrElse(termFrequencies(docs))
     val blk = tf.withColumn("blk", expr(s"doc_id div $blockSize"))
     val gapW = Window.partitionBy("tok", "blk").orderBy("doc_id")
     val gaps = blk.withColumn("gap",

@@ -251,8 +251,25 @@ object CorpusQueries extends QueryGroup {
     * log-free rational-idf BM25 in exact integer arithmetic (broadcast
     * postings probe + bounded-heap top-k; nothing per-query ever
     * sorts the corpus). */
+  /** Term-frequency frame shared by the BM25, inverted-index, and
+    * rank-fusion pipelines — built once per (session, dir). */
+  private[queries] def sharedTermFreqs(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"bm25tf:$dir") {
+      graft.ops.Retrieval.termFrequencies(Tables.documents(s, dir))
+    }
+
+  /** Per-(query, doc) BM25 scores, built once per (session, dir) —
+    * shared by the top-k query and the rank-fusion sparse side (they
+    * differ only in the final k cut). */
+  private[queries] def sharedBm25Scores(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"bm25sc:$dir") {
+      graft.ops.Retrieval.bm25Scores(Tables.documents(s, dir),
+        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)))
+    }
+
   private def bm25TopK(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Retrieval.bm25TopK(Tables.documents(s, dir), col("doc_id") < 3)
+    graft.ops.Retrieval.bm25TopK(Tables.documents(s, dir), col("doc_id") < 3,
+        scoredOpt = Some(sharedBm25Scores(s, dir)))
       .orderBy("query_id", "rank")
 
   /** Inverted-index size statistics
@@ -261,7 +278,8 @@ object CorpusQueries extends QueryGroup {
     * block count, encoded bytes — top-50 terms by df. The shard-size
     * estimate an index planner reads before building the real index. */
   private def invidxStats(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Retrieval.invertedIndexStats(Tables.documents(s, dir))
+    graft.ops.Retrieval.invertedIndexStats(Tables.documents(s, dir),
+        tfOpt = Some(sharedTermFreqs(s, dir)))
       .orderBy(col("df").desc, col("tok").asc)
 
   /** Corpus health report: keep counts/rates by language and by split in
@@ -597,6 +615,8 @@ object CorpusQueries extends QueryGroup {
 
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "corpus_records" -> sharedRecords,
+    "bm25_tf" -> (sharedTermFreqs(_, _)),
+    "bm25_scores" -> (sharedBm25Scores(_, _)),
   )
 
   /** WARC crawl-archive ingestion ([[graft.ops.Warc]]): the documents

@@ -557,6 +557,8 @@ object SimilarityQueries extends QueryGroup {
     "sim_lsh_pairs" -> sharedLshPairs,
     "sim_clusters" -> sharedSimClusters,
     "embed_cov_num" -> sharedCovNum,
+    "hash_embed_vecs" -> (hashEmbedVectors(_, _)),
+    "dense_cosines" -> (denseCosines(_, _)),
   )
 
   /** PQ codes + reconstruction error over the embedding corpus: 4
@@ -600,17 +602,19 @@ object SimilarityQueries extends QueryGroup {
     * one map-side-combined aggregation; md5-derived hash and sign, so the
     * vectors are a pure function of the data (rerun/layout stable). */
   private[queries] def hashEmbedVectors(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("h",
-        conv(substring(md5(concat(lit("fh_"), col("tok"))), 1, 8), 16, 10)
-          .cast("long"))
-      .withColumn("dim", pmod(col("h"), lit(HashDim)).cast("int"))
-      .withColumn("sgn", lit(1L) - lit(2L) * pmod(expr("h div 16"), lit(2)))
-      .groupBy("doc_id", "dim")
-      .agg(sum(col("sgn")).as("v"), count(lit(1)).as("n_occ"))
+    SharedFrames.cached(s, s"hashembed:$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("h",
+          conv(substring(md5(concat(lit("fh_"), col("tok"))), 1, 8), 16, 10)
+            .cast("long"))
+        .withColumn("dim", pmod(col("h"), lit(HashDim)).cast("int"))
+        .withColumn("sgn", lit(1L) - lit(2L) * pmod(expr("h div 16"), lit(2)))
+        .groupBy("doc_id", "dim")
+        .agg(sum(col("sgn")).as("v"), count(lit(1)).as("n_occ"))
+    }
 
   private def hashEmbed(s: SparkSession, dir: String): DataFrame =
     hashEmbedVectors(s, dir).orderBy("doc_id", "dim")
@@ -630,7 +634,10 @@ object SimilarityQueries extends QueryGroup {
     * against each query doc (doc_id < 3) — integer dots over the
     * (doc, dim) feature frame with the query vectors broadcast, doubles
     * only in the final rounded cosine. Zero-vector docs drop out. */
-  private def denseCosines(s: SparkSession, dir: String): DataFrame = {
+  private def denseCosines(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"densecos:$dir") { denseCosinesBuild(s, dir) }
+
+  private def denseCosinesBuild(s: SparkSession, dir: String): DataFrame = {
     val vecs = hashEmbedVectors(s, dir)
     val norms = vecs.groupBy("doc_id").agg(sum(col("v") * col("v")).as("nrm2"))
     val qv = vecs.filter(col("doc_id") < 3)
@@ -649,7 +656,8 @@ object SimilarityQueries extends QueryGroup {
 
   private def rankFusion(s: SparkSession, dir: String): DataFrame = {
     val sparse = graft.ops.Retrieval
-      .bm25TopK(Tables.documents(s, dir), col("doc_id") < 3, 5, 20)
+      .bm25TopK(Tables.documents(s, dir), col("doc_id") < 3, 5, 20,
+        scoredOpt = Some(CorpusQueries.sharedBm25Scores(s, dir)))
       .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
     val dense = denseCosines(s, dir).groupBy("query_id")
       .agg(graft.functions.TopK.topK(col("cosine"), col("doc_id"), 20).as("top"))
