@@ -46,7 +46,14 @@ object Bench {
       // local-iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those
       // queries (shared frames always run); the driver never sets it
       val only: Option[Set[String]] =
-        sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+        sys.env.get("SPARK_GRAFT_ONLY")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      only.foreach { names =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+            unknown.toSeq.sorted.mkString(", "))
+      }
       def runPass(): (Seq[(String, Double)], Seq[(String, Double)]) = {
         val shared = SparkEntry.sharedFrames.map { case (n, fn) => n -> timed(fn) }
         val queries = SparkEntry.queries.toSeq

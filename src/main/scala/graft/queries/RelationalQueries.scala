@@ -594,6 +594,16 @@ object RelationalQueries extends QueryGroup {
     * basket array, never a catalog self-join) and the ranking runs over
     * the pair-count aggregate; floored lift keeps the ranking key out of
     * floats, exactly like `q_collocations`. */
+  /** Integer-scaled lift ranking key support·N·10⁶ div (n_a·n_b),
+    * DECIMAL(38,0)-first: the raw BIGINT numerator crosses 2^63 at
+    * corpus scale (n_orders ~1e9 with a boilerplate pair's support
+    * ~1e6) and wraps silently in non-ANSI mode. `div` on decimals still
+    * floors to BIGINT, so the ranking key type is unchanged.
+    * Magnitude law in ScoringPropsSpec. */
+  private[graft] val liftScaledExpr: Column =
+    expr("""(CAST(support AS DECIMAL(38,0)) * n_orders * 1000000)
+           |div (CAST(n_a AS DECIMAL(38,0)) * n_b)""".stripMargin)
+
   private def copurchase(s: SparkSession, dir: String): DataFrame = {
     // one groupBy(order) shuffle builds the sorted-distinct basket; pair
     // enumeration happens INSIDE the row (upper-triangle array transform —
@@ -620,8 +630,7 @@ object RelationalQueries extends QueryGroup {
       .join(partN.select(col("pk").as("p_a"), col("n_part").as("n_a")), Seq("p_a"))
       .join(partN.select(col("pk").as("p_b"), col("n_part").as("n_b")), Seq("p_b"))
       .crossJoin(broadcast(nOrders))
-      .withColumn("lift_scaled",
-        expr("(support * n_orders * 1000000) div (n_a * n_b)"))
+      .withColumn("lift_scaled", liftScaledExpr)
       .orderBy(col("lift_scaled").desc, col("p_a"), col("p_b"))
       .limit(20)
       .select("p_a", "p_b", "support", "n_a", "n_b", "lift_scaled")
@@ -901,7 +910,8 @@ object RelationalQueries extends QueryGroup {
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT p_a, p_b, support, na.n_part AS n_a, nb.n_part AS n_b,
-        |  (support * n_orders * 1000000) // (na.n_part * nb.n_part) AS lift_scaled
+        |  CAST((CAST(support AS HUGEINT) * n_orders * 1000000)
+        |       // (CAST(na.n_part AS HUGEINT) * nb.n_part) AS BIGINT) AS lift_scaled
         |FROM pr JOIN pn na ON p_a = na.pk JOIN pn nb ON p_b = nb.pk
         |CROSS JOIN no
         |ORDER BY lift_scaled DESC, p_a, p_b LIMIT 20""".stripMargin,

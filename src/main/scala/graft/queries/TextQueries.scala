@@ -497,11 +497,13 @@ object TextQueries extends QueryGroup {
     val (f, w) = pcTrained(s, dir)
     val m = graft.ops.Perceptron.margin(PcFeats, w)
     val scored = f.select(m.as("sv"), (col("y") === 1L).as("pos"))
-    val bounds = scored.agg(min(col("sv")).as("lo"), max(col("sv")).as("hi")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = hi - lo + 1
+    // bounds stay IN the lazy plan (a broadcast 1-row cross join), so the
+    // whole query is one job and the oracle is a straight transcription —
+    // no eager driver pull in the query body
+    val bounds = scored.agg(min(col("sv")).as("lo"), max(col("sv")).as("hi"))
     scored
-      .withColumn("bin", expr(s"CAST(((sv - ${lo}L) * 8) div ${span}L AS INT) + 1"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("CAST(((sv - lo) * 8) div (hi - lo + 1) AS INT) + 1"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),

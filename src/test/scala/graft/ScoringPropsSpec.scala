@@ -47,6 +47,30 @@ class ScoringPropsSpec extends SparkSuite {
     })
   }
 
+  test("copurchase lift survives support·n_orders·10⁶ > 2^63 (decimal-first)") {
+    // adversarial magnitudes: numerator = 3e6·4e9·1e6 = 1.2e22 ≈ 2^73 —
+    // a raw BIGINT product wraps negative; the DECIMAL(38,0)-first form
+    // must floor-divide exactly
+    val big = Seq((3000000L, 1000000L, 2000000L, 4000000000L))
+      .toDF("support", "n_a", "n_b", "n_orders")
+    val got = big.select(
+      graft.queries.RelationalQueries.liftScaledExpr.as("lift")).head().getLong(0)
+    assert(BigInt(3000000L) * 4000000000L * 1000000L > BigInt(Long.MaxValue),
+      "law input no longer adversarial")
+    assert(got == (BigInt(3000000L) * 4000000000L * 1000000L /
+      (BigInt(1000000L) * 2000000L)).toLong)
+    // and the law over random magnitudes up to ~1e10
+    check(Prop.forAll(Gen.chooseNum(1L, 10000000000L),
+      Gen.chooseNum(1L, 10000000000L), Gen.chooseNum(1L, 10000000000L),
+      Gen.chooseNum(1L, 10000000000L)) {
+      (sp: Long, na: Long, nb: Long, no: Long) =>
+        val r = Seq((sp, na, nb, no)).toDF("support", "n_a", "n_b", "n_orders")
+          .select(graft.queries.RelationalQueries.liftScaledExpr.as("lift"))
+          .head().getLong(0)
+        r == (BigInt(sp) * no * 1000000L / (BigInt(na) * nb)).toLong
+    })
+  }
+
   test("applyFloor result is max(score, floor) when guarded, score otherwise") {
     check(Prop.forAll(Gen.chooseNum(0.0, 100.0), Gen.chooseNum(0.0, 100.0),
       Gen.oneOf(true, false)) { (s: Double, f: Double, g: Boolean) =>
