@@ -115,6 +115,99 @@ case class TopKAgg(
     copy(valueExpr = newChildren(0), idExpr = newChildren(1))
 }
 
+/** Exact-BIGINT sibling of [[TopKAgg]]: the value ranks as a Long, never
+  * a Double. Integer-exact ranking keys (BM25 scores, scaled lifts) above
+  * 2^53 collapse to equal doubles under [[TopKAgg]]'s cast and the top-k
+  * ordering can diverge from an exact-integer oracle; this variant keeps
+  * the comparison in Long end to end. Same bounded-heap shape: map-side
+  * partials of at most k entries per group, deterministic tiebreak
+  * (value desc, then id asc). */
+case class TopKLongAgg(
+    valueExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+
+  require(k >= 1, "top_k_long: k must be >= 1")
+
+  // heap max = WORST kept entry: smallest value, then largest id
+  private val worstFirst: Ordering[(Long, Long)] =
+    Ordering.by(t => (-t._1, t._2))
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def keeps(buf: mutable.PriorityQueue[(Long, Long)],
+                    cand: (Long, Long)): Boolean =
+    buf.size < k || worstFirst.lt(cand, buf.head)
+
+  override def update(buf: mutable.PriorityQueue[(Long, Long)],
+                      input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
+    val v = valueExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (v != null && id != null) {
+      val cand = (v.asInstanceOf[Long], id.asInstanceOf[Long])
+      if (keeps(buf, cand)) {
+        if (buf.size >= k) buf.dequeue()
+        buf.enqueue(cand)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Long, Long)],
+                     other: mutable.PriorityQueue[(Long, Long)])
+  : mutable.PriorityQueue[(Long, Long)] = {
+    other.foreach { cand =>
+      if (keeps(buf, cand)) {
+        if (buf.size >= k) buf.dequeue()
+        buf.enqueue(cand)
+      }
+    }
+    buf
+  }
+
+  /** Array of (value, id) structs, best first (value desc, id asc). */
+  override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any =
+    new GenericArrayData(
+      buf.toArray.sortBy(t => (-t._1, t._2))
+        .map(t => InternalRow(t._1, t._2): Any))
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (v, id) => bb.putLong(v); bb.putLong(id) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.enqueue((bb.getLong, bb.getLong)))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("value", LongType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(valueExpr, idExpr)
+  override def prettyName: String = "top_k_long"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKLongAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKLongAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKLongAgg =
+    copy(valueExpr = newChildren(0), idExpr = newChildren(1))
+}
+
 object TopK {
   /** Column API: `topK(value, id, k)` aggregate over doubles keyed by a
     * long id; value/id are cast so callers can pass any numeric column. */
@@ -122,6 +215,15 @@ object TopK {
     val shim = org.apache.spark.sql.graftshim.ColumnInterop
     shim.column(TopKAgg(
       shim.expression(value.cast("double")),
+      shim.expression(id.cast("bigint")), k).toAggregateExpression())
+  }
+
+  /** Exact-integer variant: value ranks as BIGINT (no double cast, so
+    * distinct keys above 2^53 still order exactly). */
+  def topKLong(value: Column, id: Column, k: Int): Column = {
+    val shim = org.apache.spark.sql.graftshim.ColumnInterop
+    shim.column(TopKLongAgg(
+      shim.expression(value.cast("bigint")),
       shim.expression(id.cast("bigint")), k).toAggregateExpression())
   }
 }

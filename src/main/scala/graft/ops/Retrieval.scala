@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the document corpus: BM25 scoring with exact
-  * integer arithmetic and block-delta inverted-index statistics — the
-  * query-side companion to the curation operators (a training-data
+  * integer arithmetic, block-delta inverted-index statistics, positional
+  * phrase match, and incremental (batch-vs-index) maintenance of both —
+  * the query-side companion to the curation operators (a training-data
   * pipeline retrieves near-matches of eval prompts, mines hard negatives,
   * and sizes its index before shipping it).
   *
@@ -28,7 +29,76 @@ object Retrieval {
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
 
-  /** BM25 top-k retrieval, EXACT: the log-free rational-idf BM25 variant
+  /** Positional postings (doc_id, tok, pos) with 1-based token position —
+    * the payload a phrase/proximity query needs that bag-of-words
+    * postings can't answer. Same tokenizer as [[termFrequencies]]; one
+    * posexplode, no aggregation (positions are already unique per doc). */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos0", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), col("tok"), (col("pos0") + 1).as("pos"))
+
+  /** Materialized BM25 index artifacts — what a shipped index persists,
+    * and what [[mergeBm25Index]] maintains incrementally:
+    *  - `tf`    postings (doc_id, tok, tf)
+    *  - `dl`    per-doc lengths (doc_id, dl)
+    *  - `df`    per-term document frequencies (tok, df)
+    *  - `stats` 1-row corpus totals (n docs, t_total tokens) */
+  final case class Bm25Index(tf: DataFrame, dl: DataFrame,
+                             df: DataFrame, stats: DataFrame)
+
+  /** Build the full index from a document frame (or a pre-computed tf). */
+  def buildBm25Index(docs: DataFrame,
+                     tfOpt: Option[DataFrame] = None): Bm25Index = {
+    val tf = tfOpt.getOrElse(termFrequencies(docs))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("t_total")))
+    Bm25Index(tf, dl, df_, stats)
+  }
+
+  /** Incremental index maintenance: fold a NEW batch of documents into an
+    * existing index WITHOUT rescanning the indexed corpus — only the
+    * delta is tokenized; postings and doc lengths append (doc ids are
+    * disjoint), df merges by term, and the 1-row stats add. At 100 TB a
+    * per-batch index rebuild is the exact anti-pattern the incremental
+    * dedup/ANN paths avoid; this is the retrieval-side analog of the
+    * reference's checkpoint/resume append pipeline
+    * (`chat_acreage_bot.py:793–837`). Result is law-equal to
+    * [[buildBm25Index]] over base ∪ delta (RetrievalSpec). */
+  def mergeBm25Index(base: Bm25Index, deltaDocs: DataFrame): Bm25Index = {
+    val dTf = termFrequencies(deltaDocs)
+    val dDl = dTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dDf = dTf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dStats = deltaDocs.agg(count(lit(1)).as("n"))
+      .crossJoin(dDl.agg(coalesce(sum(col("dl")), lit(0L)).as("t_total")))
+    Bm25Index(
+      base.tf.unionByName(dTf),
+      base.dl.unionByName(dDl),
+      base.df.unionByName(dDf).groupBy("tok").agg(sum(col("df")).as("df")),
+      base.stats.unionByName(dStats)
+        .agg(sum(col("n")).as("n"), sum(col("t_total")).as("t_total")))
+  }
+
+  /** Corpus-derived deterministic query terms: each doc matching
+    * `queryPred` contributes its `nTerms` highest-tf tokens (tf desc,
+    * tok asc) as a query. queries·nTerms rows — broadcast-sized. */
+  private def queryTerms(tf: DataFrame, queryPred: Column,
+                         nTerms: Int): DataFrame = {
+    val qw = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("tok").asc)
+    tf.filter(queryPred)
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= nTerms)
+      .select(col("doc_id").as("query_id"), col("tok"))
+  }
+
+  /** BM25 scoring against a (possibly incrementally-maintained) index,
+    * EXACT: the log-free rational-idf BM25 variant
     * (idf = (N − df + ½)/(df + ½) instead of its log — the same
     * document ordering within a single-term query and a deterministic,
     * integer-exact score for multi-term ones), with k1 = 6/5 and b = 3/4
@@ -43,34 +113,25 @@ object Retrieval {
     * scale), one floored division per (query-term, doc), and a BIGINT
     * score that ranks without ever touching a float.
     *
-    * Queries are corpus-derived and deterministic: each doc matching
-    * `queryPred` contributes its `nTerms` highest-tf tokens (tf desc, tok
-    * asc) as a query. Shape at scale: the query-term list is
-    * queries·nTerms rows → BROADCAST against the tf frame (the postings
-    * probe is a broadcast-hash join, the corpus side never shuffles);
-    * per-(query, doc) scores aggregate map-side; the final top-k is the
-    * bounded-heap [[graft.functions.TopK]] aggregate, so only k rows per
-    * query survive to the driver-side ordering — no per-query sort of
-    * the whole match set. */
-  def bm25Scores(docs: DataFrame, queryPred: Column, nTerms: Int = 5,
-                 tfOpt: Option[DataFrame] = None): DataFrame = {
-    val tf = tfOpt.getOrElse(
-      graft.core.SharedFrames.register(termFrequencies(docs)))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("t_total")))
-    val qw = Window.partitionBy("doc_id")
-      .orderBy(col("tf").desc, col("tok").asc)
-    val qt = tf.filter(queryPred)
-      .withColumn("rn", row_number().over(qw))
-      .filter(col("rn") <= nTerms)
-      .select(col("doc_id").as("query_id"), col("tok"))
-    tf
+    * Shape at scale: the query-term list is queries·nTerms rows →
+    * BROADCAST against the tf frame (the postings probe is a
+    * broadcast-hash join, the corpus side never shuffles for it); the
+    * df broadcast is SEMI-JOIN-PRUNED to the query tokens first — the
+    * full-vocabulary frame (1e8+ terms on a web corpus) would blow the
+    * broadcast limit, and Catalyst cannot prune it to the probe's
+    * tokens on its own. The dl join is the ONE corpus-cardinality
+    * exchange in the pipeline (dl is a narrow two-column frame, and
+    * only the matched postings shuffle to meet it); per-(query, doc)
+    * scores then aggregate map-side. */
+  def bm25ScoresFromIndex(idx: Bm25Index, queryPred: Column,
+                          nTerms: Int = 5): DataFrame = {
+    val qt = queryTerms(idx.tf, queryPred, nTerms)
+    val qdf = idx.df.join(qt.select("tok").distinct(), Seq("tok"), "left_semi")
+    idx.tf
       .join(broadcast(qt), Seq("tok"))
-      .join(broadcast(df_), Seq("tok"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+      .join(broadcast(qdf), Seq("tok"))
+      .join(idx.dl, Seq("doc_id"))
+      .crossJoin(broadcast(idx.stats))
       .withColumn("c", expr(
         """(CAST(2 * (n - df) + 1 AS DECIMAL(38,0)) * 22 * tf * t_total * 1000000)
           |div (CAST(2 * df + 1 AS DECIMAL(38,0)) *
@@ -79,12 +140,21 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
   }
 
-  def bm25TopK(docs: DataFrame, queryPred: Column, nTerms: Int = 5,
-               k: Int = 10, tfOpt: Option[DataFrame] = None,
-               scoredOpt: Option[DataFrame] = None): DataFrame = {
-    val scored = scoredOpt.getOrElse(bm25Scores(docs, queryPred, nTerms, tfOpt))
+  def bm25Scores(docs: DataFrame, queryPred: Column, nTerms: Int = 5,
+                 tfOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = tfOpt.getOrElse(
+      graft.core.SharedFrames.register(termFrequencies(docs)))
+    bm25ScoresFromIndex(buildBm25Index(docs, Some(tf)), queryPred, nTerms)
+  }
+
+  /** Top-k cut over [[bm25ScoresFromIndex]] output: the bounded-heap
+    * [[graft.functions.TopK.topKLong]] aggregate — k rows per query
+    * survive the exchange, and the BIGINT score ranks EXACTLY (the
+    * double-keyed heap would collapse distinct scores above 2^53, which
+    * idf ~ 0.67·N crosses around N ~ 1e10 docs). */
+  def bm25TopKFromScores(scored: DataFrame, k: Int = 10): DataFrame = {
     val top = scored.groupBy("query_id")
-      .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), k).as("top"))
+      .agg(graft.functions.TopK.topKLong(col("score"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"))
@@ -93,35 +163,123 @@ object Retrieval {
         col("score"), col("rank"))
   }
 
-  /** Block-delta inverted-index statistics: postings grouped into
-    * 128-doc-id blocks (the Lucene/PForDelta layout — block-local deltas
-    * mean a reader can skip whole blocks and decode each independently),
-    * per-posting cost = the LEB128/varint bytes of its gap
-    * (first-in-block gap is relative to the block base, so it stays
-    * ≤ blockSize), rolled up per term: document frequency, collection
-    * frequency, block count, and total encoded bytes — the index-size
-    * estimate a shard planner reads. Top-`topN` terms by df.
+  def bm25TopK(docs: DataFrame, queryPred: Column, nTerms: Int = 5,
+               k: Int = 10, tfOpt: Option[DataFrame] = None,
+               scoredOpt: Option[DataFrame] = None): DataFrame =
+    bm25TopKFromScores(
+      scoredOpt.getOrElse(bm25Scores(docs, queryPred, nTerms, tfOpt)), k)
+
+  /** Exact phrase match from positional postings — never a substring
+    * scan: phrase terms with their offsets broadcast against the
+    * postings frame (a broadcast-hash probe, like the BM25 one), each
+    * match anchored to its candidate start = pos − offset + 1, and a
+    * start survives iff ALL `phraseLen` offsets hit it (positions are
+    * unique per doc, so a plain count equals the distinct-offset
+    * count). Output: (query_id, doc_id, n_occ). Queries are
+    * corpus-derived and deterministic: each doc matching `queryPred`
+    * contributes its first `phraseLen` tokens as the phrase.
     *
-    * Scale shape: the gap window partitions by (term, block) — bounded
-    * at `blockSize` rows regardless of how hot the term is, so a
-    * stop-word's billion-row posting list never serializes through one
-    * reducer the way a plain per-term window would. The final top-N is
-    * a TakeOrderedAndProject (per-partition bounded heap), not a global
+    * This answers the reference's actual retrieval surface — substring/
+    * phrase search (`master_map2.html:682–699`) — at corpus scale:
+    * cost is the phrase terms' posting lists, not a full-text scan. */
+  def phraseMatch(docs: DataFrame, queryPred: Column, phraseLen: Int = 3,
+                  postingsOpt: Option[DataFrame] = None): DataFrame = {
+    val postings = postingsOpt.getOrElse(positionalPostings(docs))
+    val qp = postings.filter(queryPred && col("pos") <= phraseLen)
+      .select(col("doc_id").as("query_id"), col("tok"),
+        col("pos").as("off"))
+    postings
+      .join(broadcast(qp), Seq("tok"))
+      .withColumn("start", col("pos") - col("off") + 1)
+      .filter(col("start") >= 1)
+      .groupBy("query_id", "doc_id", "start")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === phraseLen)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** LEB128/varint byte cost of a positive gap: ceil(bits/7). */
+  private def varintBytes(gapCol: String): Column =
+    expr(s"(length(bin($gapCol)) + 6) div 7")
+
+  /** Per-(term, 128-doc-block) postings summaries — the physical unit of
+    * the block-delta index layout (the Lucene/PForDelta shape: block-
+    * local deltas mean a reader can skip whole blocks and decode each
+    * independently) and the unit [[mergeIndexBlocks]] maintains:
+    * df/cf/encoded-bytes per block plus the first/last doc id the merge
+    * arithmetic needs. The gap window partitions by (term, block) —
+    * bounded at `blockSize` rows regardless of how hot the term is, so
+    * a stop-word's billion-row posting list never serializes through
+    * one reducer the way a plain per-term window would. */
+  def indexBlocks(tf: DataFrame, blockSize: Int = 128): DataFrame = {
+    val blk = tf.withColumn("blk", expr(s"doc_id div $blockSize"))
+    val gapW = Window.partitionBy("tok", "blk").orderBy("doc_id")
+    blk.withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(gapW),
+          col("doc_id") - col("blk") * blockSize + 1))
+      .groupBy("tok", "blk")
+      .agg(count(lit(1)).as("df_blk"), sum(col("tf")).as("cf_blk"),
+        sum(varintBytes("gap")).as("bytes_blk"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Incremental block maintenance: fold a new batch's postings into an
+    * existing block index without re-walking the indexed postings.
+    * APPEND-ONLY CONTRACT (the Lucene segment model): new documents get
+    * doc ids STRICTLY GREATER than every indexed id, so within a shared
+    * boundary block the delta postings land after the base ones and the
+    * only correction is the first delta gap — provisionally encoded
+    * relative to the block base, re-priced relative to the base block's
+    * last doc id. Base-only and delta-only blocks pass through. One
+    * full-outer join on (term, block); law-equal to [[indexBlocks]]
+    * over the union (RetrievalSpec). */
+  def mergeIndexBlocks(base: DataFrame, deltaTf: DataFrame,
+                       blockSize: Int = 128): DataFrame = {
+    val d = indexBlocks(deltaTf, blockSize)
+    val b = base.select(col("tok"), col("blk"), col("df_blk").as("b_df"),
+      col("cf_blk").as("b_cf"), col("bytes_blk").as("b_bytes"),
+      col("first_doc").as("b_first"), col("last_doc").as("b_last"))
+    val dd = d.select(col("tok"), col("blk"), col("df_blk").as("d_df"),
+      col("cf_blk").as("d_cf"), col("bytes_blk").as("d_bytes"),
+      col("first_doc").as("d_first"), col("last_doc").as("d_last"))
+    b.join(dd, Seq("tok", "blk"), "full_outer")
+      .withColumn("bridge_gap", col("d_first") - col("b_last"))
+      .withColumn("provisional_gap",
+        col("d_first") - col("blk") * blockSize + 1)
+      .select(col("tok"), col("blk"),
+        (coalesce(col("b_df"), lit(0L)) + coalesce(col("d_df"), lit(0L)))
+          .as("df_blk"),
+        (coalesce(col("b_cf"), lit(0L)) + coalesce(col("d_cf"), lit(0L)))
+          .as("cf_blk"),
+        (coalesce(col("b_bytes"), lit(0L)) + coalesce(col("d_bytes"), lit(0L)) +
+          when(col("b_last").isNotNull && col("d_first").isNotNull,
+            varintBytes("bridge_gap") - varintBytes("provisional_gap"))
+            .otherwise(lit(0L))).as("bytes_blk"),
+        coalesce(col("b_first"), col("d_first")).as("first_doc"),
+        coalesce(col("d_last"), col("b_last")).as("last_doc"))
+  }
+
+  /** Per-term rollup of a block index: document frequency, collection
+    * frequency, block count, and total encoded bytes — the index-size
+    * estimate a shard planner reads. Top-`topN` terms by df via
+    * TakeOrderedAndProject (per-partition bounded heap), not a global
     * sort. */
+  def statsFromBlocks(blocks: DataFrame, topN: Int = 50): DataFrame =
+    blocks.groupBy("tok")
+      .agg(sum(col("df_blk")).as("df"),
+        sum(col("cf_blk")).as("cf"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("bytes_blk")).as("encoded_bytes"))
+      .orderBy(col("df").desc, col("tok").asc)
+      .limit(topN)
+
+  /** Block-delta inverted-index statistics over a full corpus: see
+    * [[indexBlocks]] / [[statsFromBlocks]] for the layout and the
+    * per-posting LEB128 gap cost. */
   def invertedIndexStats(docs: DataFrame, blockSize: Int = 128,
                          topN: Int = 50, tfOpt: Option[DataFrame] = None): DataFrame = {
     val tf = tfOpt.getOrElse(termFrequencies(docs))
-    val blk = tf.withColumn("blk", expr(s"doc_id div $blockSize"))
-    val gapW = Window.partitionBy("tok", "blk").orderBy("doc_id")
-    val gaps = blk.withColumn("gap",
-      coalesce(col("doc_id") - lag(col("doc_id"), 1).over(gapW),
-        col("doc_id") - col("blk") * blockSize + 1))
-    gaps.groupBy("tok")
-      .agg(count(lit(1)).as("df"),
-        sum(col("tf")).as("cf"),
-        countDistinct(col("blk")).as("n_blocks"),
-        sum(expr("(length(bin(gap)) + 6) div 7")).as("encoded_bytes"))
-      .orderBy(col("df").desc, col("tok").asc)
-      .limit(topN)
+    statsFromBlocks(indexBlocks(tf, blockSize), topN)
   }
 }

@@ -282,6 +282,60 @@ object CorpusQueries extends QueryGroup {
         tfOpt = Some(sharedTermFreqs(s, dir)))
       .orderBy(col("df").desc, col("tok").asc)
 
+  /** Append-batch split for the incremental-retrieval queries: documents
+    * above 4/5 of the max doc id play the ARRIVING segment — append-only
+    * ids, the Lucene segment model (new docs always get larger ids than
+    * anything indexed), which is the contract
+    * [[graft.ops.Retrieval.mergeIndexBlocks]] requires. The threshold
+    * stays in the lazy plan (1-row broadcast cross join). */
+  private def docsSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val thr = d.agg(expr("max(doc_id) * 4 div 5").as("thr"))
+    (d.crossJoin(broadcast(thr)).filter(col("doc_id") <= col("thr")).drop("thr"),
+      d.crossJoin(broadcast(thr)).filter(col("doc_id") > col("thr")).drop("thr"))
+  }
+
+  /** Incremental BM25 ([[graft.ops.Retrieval.mergeBm25Index]]): the base
+    * 4/5 of the corpus plays the shipped index (tf/dl/df/stats already
+    * materialized), the top 1/5 arrives as a new batch — only the batch
+    * is tokenized; postings and lengths append, df and the corpus totals
+    * merge. Scoring the merged index must reproduce the full-rebuild
+    * ranking EXACTLY (the oracle is the same full-corpus SQL as
+    * `q_bm25_topk`), closing the one family that still rebuilt its index
+    * per batch. */
+  private def bm25Incr(s: SparkSession, dir: String): DataFrame = {
+    val (base, delta) = docsSplit(s, dir)
+    val merged = graft.ops.Retrieval.mergeBm25Index(
+      graft.ops.Retrieval.buildBm25Index(base), delta)
+    graft.ops.Retrieval.bm25TopKFromScores(
+        graft.ops.Retrieval.bm25ScoresFromIndex(merged, col("doc_id") < 3, 5), 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Incremental inverted-index stats
+    * ([[graft.ops.Retrieval.mergeIndexBlocks]]): base blocks play the
+    * shipped block index; the arriving batch's postings fold in with
+    * ONE (term, block) outer join — boundary blocks re-price only the
+    * bridge gap, untouched blocks pass through byte-identical. Oracle:
+    * the full-rebuild SQL of `q_invidx_stats`. */
+  private def invidxIncr(s: SparkSession, dir: String): DataFrame = {
+    val (base, delta) = docsSplit(s, dir)
+    val merged = graft.ops.Retrieval.mergeIndexBlocks(
+      graft.ops.Retrieval.indexBlocks(graft.ops.Retrieval.termFrequencies(base)),
+      graft.ops.Retrieval.termFrequencies(delta))
+    graft.ops.Retrieval.statsFromBlocks(merged, 50)
+      .orderBy(col("df").desc, col("tok").asc)
+  }
+
+  /** Exact phrase match ([[graft.ops.Retrieval.phraseMatch]]): each query
+    * doc's first 3 tokens as the phrase, answered by positional-posting
+    * intersection (broadcast phrase terms, start-anchored adjacency
+    * count) — never a substring scan of the corpus. */
+  private def phraseMatchQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.phraseMatch(Tables.documents(s, dir),
+        col("doc_id") < 3, 3)
+      .orderBy("query_id", "doc_id")
+
   /** Corpus health report: keep counts/rates by language and by split in
     * ONE grouping-sets aggregation pass (plus the grand total), the
     * monitoring query a curation pipeline runs per batch. Rates divide two
@@ -793,6 +847,9 @@ object CorpusQueries extends QueryGroup {
     "q_dedup_apply" -> dedupApply,
     "q_bm25_topk" -> bm25TopK,
     "q_invidx_stats" -> invidxStats,
+    "q_bm25_incr" -> bm25Incr,
+    "q_invidx_incr" -> invidxIncr,
+    "q_phrase_match" -> phraseMatchQ,
   )
 
   /** BM25 pipeline CTEs (tokenize → tf/dl/df → corpus stats → top-5
@@ -1413,5 +1470,51 @@ object CorpusQueries extends QueryGroup {
         |  CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
         |  CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT) AS encoded_bytes
         |FROM d GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 50""".stripMargin,
+
+    // incremental (batch-vs-index) BM25 must equal the full rebuild —
+    // the oracle is exactly the full-corpus pipeline
+    "q_bm25_incr" ->
+      s"""WITH $bm25CtesSql
+        |SELECT query_id, doc_id, n_terms_hit, score, rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // incremental block-index merge must equal the full rebuild —
+    // same full-corpus SQL as q_invidx_stats
+    "q_invidx_incr" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |g AS (SELECT tok, doc_id, tf, doc_id // 128 AS blk FROM tf),
+        |d AS (SELECT tok, tf, blk,
+        |    coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok, blk
+        |      ORDER BY doc_id), doc_id - blk * 128 + 1) AS gap
+        |  FROM g)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf,
+        |  CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+        |  CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT) AS encoded_bytes
+        |FROM d GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 50""".stripMargin,
+
+    // positional-posting phrase intersection: every start position where
+    // ALL 3 phrase offsets hit (positions unique per doc, so count(*)
+    // counts offsets), then occurrences per (query, doc)
+    "q_phrase_match" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents),
+        |p AS (SELECT doc_id, words[i] AS tok, i AS pos
+        |      FROM (SELECT doc_id, words,
+        |              unnest(generate_series(1, len(words))) AS i FROM w)
+        |      WHERE len(words[i]) > 0),
+        |q AS (SELECT doc_id AS query_id, words[o] AS tok, o AS off
+        |      FROM (SELECT doc_id, words, unnest(generate_series(1, 3)) AS o
+        |            FROM w WHERE doc_id < 3)
+        |      WHERE len(words[o]) > 0),
+        |j AS (SELECT q.query_id, p.doc_id, p.pos - q.off + 1 AS start
+        |      FROM q JOIN p ON q.tok = p.tok),
+        |occ AS (SELECT query_id, doc_id, start FROM j WHERE start >= 1
+        |        GROUP BY 1, 2, 3 HAVING count(*) = 3)
+        |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM occ GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin,
   )
 }

@@ -90,6 +90,72 @@ class RetrievalSpec extends SparkSuite {
     assert(got("even") == naive(all.filter(_ % 2 == 0)))
   }
 
+  test("incremental BM25 index merge equals the full rebuild (restriction law)") {
+    // append-only split mid-corpus: ids <= 4 are the shipped index,
+    // ids >= 5 the arriving batch (larger than every indexed id)
+    val docs = corpus.toDF("doc_id", "text").repartition(5)
+    val base = docs.filter(col("doc_id") <= 4)
+    val delta = docs.filter(col("doc_id") > 4)
+    val merged = Retrieval.mergeBm25Index(Retrieval.buildBm25Index(base), delta)
+    val incr = Retrieval.bm25TopKFromScores(
+        Retrieval.bm25ScoresFromIndex(merged, col("doc_id") < 1, nTerms = 5), 10)
+      .orderBy("rank").collect()
+    val full = Retrieval.bm25TopK(docs, col("doc_id") < 1, nTerms = 5, k = 10)
+      .orderBy("rank").collect()
+    assert(incr.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+    // and the merged stats frame really added the batch
+    val st = merged.stats.head()
+    assert(st.getAs[Long]("n") == corpus.size)
+  }
+
+  test("incremental block merge equals the full rebuild, boundary block re-priced") {
+    // ids straddle a 128-block boundary AND the batch split lands
+    // mid-block (base ends at 129, delta starts at 300 in the same
+    // block-2-and-up range; block 1 gets delta-only id 135)
+    val all = Seq(1L, 2L, 100L, 127L, 128L, 129L, 135L, 300L, 1000L, 1001L)
+    def tfOf(ids: Seq[Long]) = Retrieval.termFrequencies(
+      ids.map(id => (id, "tok filler")).toDF("doc_id", "text"))
+    val (baseIds, deltaIds) = all.partition(_ <= 129)
+    val merged = Retrieval.mergeIndexBlocks(
+      Retrieval.indexBlocks(tfOf(baseIds)), tfOf(deltaIds))
+      .orderBy("tok", "blk").collect().map(_.toSeq).toSeq
+    val full = Retrieval.indexBlocks(tfOf(all))
+      .orderBy("tok", "blk").collect().map(_.toSeq).toSeq
+    assert(merged == full)
+    // delta lands mid-block for block 1 (135 after base 128, 129):
+    // the bridge-gap correction is exercised, not just block pass-through
+    assert(baseIds.exists(_ / 128 == 1) && deltaIds.exists(_ / 128 == 1))
+  }
+
+  test("phraseMatch equals a naive token-subsequence scan") {
+    val docs = (corpus :+ (8L, "apple banana apple apple banana apple cherry"))
+      .toDF("doc_id", "text").repartition(3)
+    val got = Retrieval.phraseMatch(docs, col("doc_id") < 1, phraseLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // query: doc 0's first 3 tokens = ["apple", "banana", "apple"]
+    val phrase = Seq("apple", "banana", "apple")
+    val want = (corpus :+ ((8L, "apple banana apple apple banana apple cherry")))
+      .flatMap { case (id, t) =>
+        val ws = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val n = ws.sliding(3).count(_ == phrase)
+        if (n > 0) Some((0L, id) -> n.toLong) else None
+      }.toMap
+    assert(got == want)
+    // doc 8 contains the phrase twice (overlapping occurrences at
+    // starts 1 and 4) — the start-anchored count must see both
+    assert(want((0L, 8L)) == 2L)
+  }
+
+  test("phraseMatch plans as a broadcast posting probe, never a substring scan") {
+    val docs = corpus.toDF("doc_id", "text")
+    val plan = Retrieval.phraseMatch(docs, col("doc_id") < 1)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase terms lost the broadcast probe:\n${plan.take(1200)}")
+    assert(!plan.toLowerCase.contains("rlike") && !plan.contains("Contains("),
+      s"phrase match degraded to a substring scan:\n${plan.take(1200)}")
+  }
+
   test("bm25 contributions are integer-exact: single-term self-retrieval ranks by the formula") {
     // ensure no float sneaks in: every score must be reproducible from
     // the integer formula exactly (checked above), and the plan contains
@@ -97,8 +163,8 @@ class RetrievalSpec extends SparkSuite {
     val docs = corpus.toDF("doc_id", "text")
     val plan = Retrieval.bm25TopK(docs, col("doc_id") < 1)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(plan.contains("TopKAgg") || plan.contains("topkagg") ||
-      plan.contains("top_k") || plan.contains("TopK"),
-      s"bm25 final selection lost the bounded-heap aggregate:\n${plan.take(1200)}")
+    assert(plan.contains("top_k_long") || plan.contains("TopKLong"),
+      s"bm25 final selection lost the EXACT-BIGINT bounded-heap aggregate " +
+        s"(double-keyed top_k collapses scores above 2^53):\n${plan.take(1200)}")
   }
 }
