@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.Bpe
+import graft.ops.{Bpe, Unigram}
 
 /** Tokenizer-training queries: the iterative BPE merge loop
   * ([[graft.ops.Bpe]]) and its apply side. Extends the single-step
@@ -121,15 +121,57 @@ object TokenizerQueries extends QueryGroup {
       .orderBy("doc_id", "pos", "sym_idx")
   }
 
+  /** Unigram-LM trained vocabulary ([[graft.ops.Unigram]]): the EM
+    * companion to `q_bpe_train` — seed substrings, 3 (Viterbi-segment →
+    * re-score → prune) rounds under the float-free MDL objective, final
+    * scored vocab with deterministic ranks. The oracle replays seed +
+    * every EM round with the per-position DP unrolled as materialized
+    * CTE stages — the `q_bpe_train` discipline, position-wise instead
+    * of merge-wise. */
+  private def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    val vw = Window.orderBy(col("usage").desc, col("piece"))
+    // deliberate partition-less window: the final vocab is bounded by
+    // the prune schedule + alphabet (~60 rows)
+    Unigram.trained(s, dir)
+      .select(col("piece"), length(col("piece")).cast("int").as("n_chars"),
+        col("score").as("usage"))
+      .withColumn("rank", row_number().over(vw).cast("int"))
+      .orderBy("rank")
+  }
+
+  /** Apply side: per-doc word/piece counts under the trained unigram
+    * vocab — the fertility report ([[bpeSegment]]'s shape). The
+    * word→pieces lookup is the Heaps-bounded word frame (broadcast);
+    * words beyond the trainer's length cap drop out of the stats on
+    * both sides. */
+  private def unigramSegment(s: SparkSession, dir: String): DataFrame = {
+    val seg = Unigram
+      .segments(Unigram.trainedWords(s, dir), Unigram.trained(s, dir))
+      .select(col("word"), size(col("segs")).as("n_pieces"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces").cast("double") / col("n_words"), 6))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> bpeTrain,
     "q_bpe_segment" -> bpeSegment,
     "q_bpe_coverage" -> bpeCoverage,
     "q_bpe_encode" -> bpeEncode,
+    "q_unigram_train" -> unigramTrain,
+    "q_unigram_segment" -> unigramSegment,
   )
 
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq("bpe_repr" -> ((s, dir) => Bpe.trained(s, dir)._2))
+    Seq("bpe_repr" -> ((s, dir) => Bpe.trained(s, dir)._2),
+      "unigram_vocab" -> ((s, dir) => Unigram.trained(s, dir)))
 
   /** WITH-prefix replaying the training loop: wc -> r0, then per round
     * p{r} (pair counts) / b{r} (argmax) / r{r+1} (merge applied). */
@@ -159,6 +201,90 @@ object TokenizerQueries extends QueryGroup {
          |  FROM r$r, b$r b)""".stripMargin
     }
     (head +: stages).mkString(",\n")
+  }
+
+  /** DuckDB replay of one unigram E-step: the per-word Viterbi DP
+    * unrolled position-wise — stage `s{r}_{d}` holds the best state for
+    * every word of length ≥ d (fewest pieces, then largest score, then
+    * longest piece: ORDER BY k, negs, negl under QUALIFY), built from
+    * the ≤ [[graft.ops.Unigram.MaxPieceLen]] prior stages. MATERIALIZED
+    * is load-bearing: each stage is referenced by up to 4 later ones
+    * and plain CTE inlining would re-expand the upstream tree
+    * exponentially (the q_kcore lesson). */
+  private def unigramDpSql(r: Int): String = {
+    val L = Unigram.MaxWordLen
+    val P = Unigram.MaxPieceLen
+    val s0 =
+      s"""s${r}_0 AS MATERIALIZED (
+         |  SELECT word, cnt, wl, 0 AS k, CAST(0 AS BIGINT) AS negs,
+         |         CAST([] AS VARCHAR[]) AS segs
+         |  FROM uwords)""".stripMargin
+    val stages = (1 to L).map { d =>
+      val l1 =
+        s"""    SELECT p.word, p.cnt, p.wl, p.k + 1 AS k,
+           |      p.negs - coalesce(v.score, 0) AS negs, -1 AS negl,
+           |      list_append(p.segs, p.word[$d:$d]) AS segs
+           |    FROM s${r}_${d - 1} p
+           |    LEFT JOIN v${r - 1} v ON v.piece = p.word[$d:$d]
+           |    WHERE p.wl >= $d""".stripMargin
+      val rest = (2 to math.min(P, d)).map { l =>
+        s"""    SELECT p.word, p.cnt, p.wl, p.k + 1, p.negs - v.score, -$l,
+           |      list_append(p.segs, p.word[${d - l + 1}:$d])
+           |    FROM s${r}_${d - l} p
+           |    JOIN v${r - 1} v ON v.piece = p.word[${d - l + 1}:$d]
+           |    WHERE p.wl >= $d""".stripMargin
+      }
+      s"""s${r}_$d AS MATERIALIZED (
+         |  SELECT word, cnt, wl, k, negs, segs FROM (
+         |${(l1 +: rest).mkString("\n    UNION ALL\n")}
+         |  ) QUALIFY row_number() OVER (PARTITION BY word ORDER BY k, negs, negl) = 1)""".stripMargin
+    }
+    val seg =
+      s"""seg$r AS MATERIALIZED (
+         |  SELECT word, cnt, segs FROM (
+         |${(1 to L).map(d => s"    SELECT word, cnt, segs FROM s${r}_$d WHERE wl = $d")
+          .mkString("\n    UNION ALL\n")}
+         |  ))""".stripMargin
+    (s0 +: stages :+ seg).mkString(",\n")
+  }
+
+  /** WITH-prefix replaying unigram training: word counts (length-capped)
+    * → substring seed → per round the DP stages + usage re-score +
+    * prune-keeping-singles. `rounds` EM rounds leave vocab `v{rounds}`
+    * and segmentations `seg{r}`. */
+  private def unigramSqlPrefix(rounds: Int): String = {
+    val L = Unigram.MaxWordLen
+    val P = Unigram.MaxPieceLen
+    def pruneSql(src: String, name: String, keep: Int): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, score FROM (
+         |    SELECT piece, score FROM $src WHERE length(piece) >= 2
+         |    ORDER BY score DESC, piece LIMIT $keep)
+         |  UNION ALL
+         |  SELECT piece, score FROM $src WHERE length(piece) = 1)""".stripMargin
+    val head =
+      s"""WITH utok AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |  FROM documents),
+         |uwc AS (SELECT word, count(*) AS cnt FROM utok WHERE word <> '' GROUP BY 1),
+         |uwords AS MATERIALIZED (
+         |  SELECT word, cnt, length(word) AS wl FROM uwc WHERE length(word) <= $L),
+         |usd AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS score FROM (
+         |${(1 to P).map(l =>
+            s"    SELECT w.word[i:i+${l - 1}] AS piece, cnt FROM uwords w, " +
+              s"unnest(generate_series(1, w.wl - ${l - 1})) AS t(i)")
+          .mkString("\n    UNION ALL\n")}
+         |  ) GROUP BY 1),
+         |${pruneSql("usd", "v0", Unigram.SeedSize)}""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""${unigramDpSql(r)},
+         |u$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS score
+         |  FROM (SELECT cnt, unnest(segs) AS piece FROM seg$r) GROUP BY 1),
+         |${pruneSql(s"u$r", s"v$r", Unigram.PruneSchedule(r - 1))}""".stripMargin
+    }
+    (head +: roundsSql).mkString(",\n")
   }
 
   override def oracle: Map[String, String] = {
@@ -236,6 +362,35 @@ object TokenizerQueries extends QueryGroup {
            |FROM dt JOIN seg USING (word)
            |WHERE word <> ''
            |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_unigram_train" -> {
+        val r = Unigram.PruneSchedule.size
+        s"""${unigramSqlPrefix(r)}
+           |SELECT piece, CAST(length(piece) AS INTEGER) AS n_chars,
+           |  score AS usage,
+           |  CAST(row_number() OVER (ORDER BY score DESC, piece) AS INTEGER)
+           |    AS rank
+           |FROM v$r ORDER BY rank""".stripMargin
+      },
+
+      // one more DP pass under the FINAL vocab (stage r+1), then the
+      // per-doc fertility rollup; words past the trainer's length cap
+      // drop out of the join on both sides
+      "q_unigram_segment" -> {
+        val r = Unigram.PruneSchedule.size
+        s"""${unigramSqlPrefix(r)},
+           |${unigramDpSql(r + 1)},
+           |useg AS (SELECT word, len(segs) AS np FROM seg${r + 1}),
+           |dt AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents)
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(np) AS BIGINT) AS n_pieces,
+           |  round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS pieces_per_word
+           |FROM dt JOIN useg USING (word)
+           |WHERE word <> ''
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
     )
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Bpe
+import graft.ops.{Bpe, Unigram}
 import graft.queries.TokenizerQueries
 
 /** Laws for the BPE trainer beyond its oracle rows: merging never
@@ -77,5 +77,71 @@ class TokenizerSpec extends SparkSuite {
       idVals.distinct.length == idVals.length,
       "token ids must be dense and unique")
     enc.unpersist()
+  }
+
+  // ---- unigram-LM trainer laws ([[graft.ops.Unigram]]) ----
+
+  /** The Viterbi objective restated independently: fewest pieces, then
+    * largest score sum, then longest piece — over a plain Scala DP. */
+  private def naiveSegment(word: String, vm: Map[String, Long]): List[String] = {
+    val best = new Array[(Int, Long, List[String])](word.length + 1)
+    best(0) = (0, 0L, Nil)
+    for (i <- 1 to word.length) {
+      val cands = (1 to math.min(i, Unigram.MaxPieceLen)).flatMap { l =>
+        val piece = word.substring(i - l, i)
+        if (l == 1 || vm.contains(piece))
+          Some((best(i - l)._1 + 1, best(i - l)._2 - vm.getOrElse(piece, 0L),
+            -l, best(i - l)._3 :+ piece))
+        else None
+      }
+      val b = cands.minBy(c => (c._1, c._2, c._3))
+      best(i) = (b._1, b._2, b._4)
+    }
+    best(word.length)._3
+  }
+
+  private def naivePrune(v: Map[String, Long], keep: Int): Map[String, Long] = {
+    val multi = v.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, s) => (-s, p) }.take(keep)
+    (multi ++ v.filter(_._1.length == 1).toSeq).toMap
+  }
+
+  private def naiveTrain(wc: Map[String, Long]): Map[String, Long] = {
+    val words = wc.filter(_._1.length <= Unigram.MaxWordLen)
+    val seed = naivePrune(
+      (for { (w, c) <- words.toSeq; l <- 1 to Unigram.MaxPieceLen
+             i <- 0 to w.length - l } yield (w.substring(i, i + l), c))
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum },
+      Unigram.SeedSize)
+    Unigram.PruneSchedule.foldLeft(seed) { (v, keep) =>
+      naivePrune(
+        (for ((w, c) <- words.toSeq; p <- naiveSegment(w, v)) yield (p, c))
+          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum },
+        keep)
+    }
+  }
+
+  test("unigram: Viterbi segmentation round-trips every corpus word") {
+    val segs = Unigram.segments(
+      Unigram.trainedWords(spark, sf), Unigram.trained(spark, sf))
+    val broken = segs
+      .filter(concat_ws("", col("segs")) =!= col("word")).count()
+    assert(broken == 0L, "pieces must concatenate back to the word")
+  }
+
+  test("unigram EM equals a naive in-memory reimplementation") {
+    import spark.implicits._
+    val raw = Seq("banana", "banana", "bandana", "cabana", "ana", "banana",
+      "nab", "an", "na", "ban", "supercalifragilistic")
+    // the 20-char word is past MaxWordLen: the cap must exclude it from
+    // the EM statistics on both paths
+    val docs = Seq((0L, raw.take(6).mkString(" ")),
+      (1L, raw.drop(6).mkString(" "))).toDF("doc_id", "text")
+    val got = Unigram.train(Unigram.wordCounts(docs)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = naiveTrain(
+      raw.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong })
+    assert(got == want)
+    assert(!got.keys.exists(_.length > Unigram.MaxPieceLen))
   }
 }
