@@ -315,6 +315,46 @@ object Multimodal {
     }
   }
 
+  case class Mp4PixelFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      chunk_idx: Int,
+      n_chunks: Int,
+      codec: String,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      luma_sum: Long)
+
+  /** PIXEL-level MJPEG-in-MP4 decode: [[VideoHeaders.mp4Track]] walks the
+    * stsd/stsc/stsz/stco sample tables to every sample's absolute byte
+    * range, and each `jpeg`-fourcc sample goes through the full baseline
+    * JPEG decoder ([[Jpeg.decode]] — Huffman + dequant + IDCT). This
+    * closes the last md5 stand-in: MP4 frame payloads now real-decode
+    * via the same codec the AVI family uses; H.264 entropy decode stays
+    * documented out of scope. Frames the decoder refuses are skipped —
+    * the honest degradation at corpus scale. Same partition shape as
+    * every decoder here: walk + codec inside the partition, a frame row
+    * carries numbers only. */
+  def decodeMp4PixelFrames(spark: SparkSession, media: DataFrame): Dataset[Mp4PixelFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        VideoHeaders.mp4Track(r.payload).iterator.flatMap { t =>
+          if (t.codec != "jpeg") Iterator.empty
+          else t.samples.iterator.zipWithIndex.flatMap { case (sm, i) =>
+            Jpeg.decode(java.util.Arrays.copyOfRange(
+              r.payload, sm.start, sm.end)).map { img =>
+              Mp4PixelFrame(r.doc_id, i, sm.chunkIdx, t.nChunks, "jpeg",
+                img.width, img.height,
+                img.gray.length.toLong, img.gray.map(_.toLong).sum)
+            }
+          }
+        }
+      }
+    }
+  }
+
   case class AviAudioTrack(
       doc_id: Long,
       n_chunks: Int,
@@ -611,6 +651,147 @@ object VideoHeaders {
       }
       if info._1 > 0 && info._2 >= 0
     } yield info
+  }
+
+  /** One sample located purely via the stbl tables: its chunk index and
+    * [start, end) byte range in the file. */
+  case class Mp4Sample(chunkIdx: Int, start: Int, end: Int)
+  case class Mp4Track(codec: String, nChunks: Int, samples: Vector[Mp4Sample])
+
+  /** Sample-table walk — the part of ISO-BMFF that actually locates
+    * media bytes: moov/trak/mdia/minf/stbl, then stsd (codec fourcc of
+    * sample entry 1), stsc (sample-to-chunk runs), stsz (per-sample
+    * sizes, or one fixed size), stco (chunk file offsets), expanded to
+    * per-sample ABSOLUTE byte ranges: chunk c's samples lie back to
+    * back from stco[c], sample counts per chunk from the stsc run in
+    * effect. A miscounted byte anywhere in the walk shifts a sample
+    * range and the downstream codec fails — which is what makes the
+    * walk oracle-gateable. */
+  def mp4Track(b: Array[Byte]): Option[Mp4Track] = for {
+    (moovS, moovE) <- findBox(b, 0, b.length, "moov")
+    (trakS, trakE) <- findBox(b, moovS, moovE, "trak")
+    (mdiaS, mdiaE) <- findBox(b, trakS, trakE, "mdia")
+    (minfS, minfE) <- findBox(b, mdiaS, mdiaE, "minf")
+    (stblS, stblE) <- findBox(b, minfS, minfE, "stbl")
+    (stsd, stsdE) <- findBox(b, stblS, stblE, "stsd")
+    (stsc, stscE) <- findBox(b, stblS, stblE, "stsc")
+    (stsz, stszE) <- findBox(b, stblS, stblE, "stsz")
+    (stco, stcoE) <- findBox(b, stblS, stblE, "stco")
+    track <- expandSamples(b, stsd, stsdE, stsc, stscE, stsz, stszE,
+      stco, stcoE)
+  } yield track
+
+  private def expandSamples(b: Array[Byte], stsd: Int, stsdE: Int,
+                            stsc: Int, stscE: Int, stsz: Int, stszE: Int,
+                            stco: Int, stcoE: Int): Option[Mp4Track] = {
+    // stsd: FullBox ver/flags(4) entry_count(4), entry 1: size(4) fourcc(4)
+    if (stsd + 16 > stsdE || be32(b, stsd + 4) < 1) return None
+    val codec = tag(b, stsd + 12)
+    // stsc: runs of (first_chunk 1-based, samples_per_chunk, desc_idx)
+    val nRuns = be32(b, stsc + 4).toInt
+    if (stsc + 8 + 12 * nRuns > stscE || nRuns < 1) return None
+    val runs = (0 until nRuns).map(k =>
+      (be32(b, stsc + 8 + 12 * k).toInt, be32(b, stsc + 12 + 12 * k).toInt))
+    // stsz: fixed sample_size (0 = per-sample table follows)
+    if (stsz + 12 > stszE) return None
+    val fixed = be32(b, stsz + 4).toInt
+    val nSamples = be32(b, stsz + 8).toInt
+    if (fixed == 0 && stsz + 12 + 4 * nSamples > stszE) return None
+    val sizes =
+      if (fixed != 0) Vector.fill(nSamples)(fixed)
+      else (0 until nSamples).map(k => be32(b, stsz + 12 + 4 * k).toInt).toVector
+    // stco: chunk offsets (absolute file positions)
+    val nChunks = be32(b, stco + 4).toInt
+    if (stco + 8 + 4 * nChunks > stcoE) return None
+    val offs = (0 until nChunks).map(k => be32(b, stco + 8 + 4 * k).toInt)
+    val out = Vector.newBuilder[Mp4Sample]
+    var si = 0
+    var c = 0
+    while (c < nChunks && si < nSamples) {
+      // the stsc run in effect for 1-based chunk c+1
+      val spc = runs.filter(_._1 <= c + 1).lastOption.map(_._2).getOrElse(0)
+      var off = offs(c)
+      var k = 0
+      while (k < spc && si < nSamples) {
+        if (off < 0 || off + sizes(si) > b.length) return None
+        out += Mp4Sample(c, off, off + sizes(si))
+        off += sizes(si); si += 1; k += 1
+      }
+      c += 1
+    }
+    if (si != nSamples) None else Some(Mp4Track(codec, nChunks, out.result()))
+  }
+}
+
+/** Independent MJPEG-in-MP4 fixture muxer: ftyp + mdat (frame JPEGs back
+  * to back) + moov with a REAL sample table — stsd `jpeg` (the QuickTime
+  * Photo-JPEG fourcc), stts, a 2-run stsc (first chunk holds 2 samples,
+  * every later chunk 1 — so the run expansion is exercised, not just a
+  * constant), per-sample stsz, absolute stco offsets. Frame i is the
+  * SAME independently-encoded block-constant baseline JPEG the AVI pixel
+  * family uses ([[JpegFixtures.synthJpeg]] at [[AviFixtures.pxSeed]]),
+  * so the oracle replays decoded luma from the closed form without
+  * touching a byte while the offsets/sizes must be recovered from the
+  * tables alone. */
+private[graft] object Mp4Fixtures {
+
+  def nFrames(docId: Long): Int = (docId % 4).toInt + 2
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(be32(8L + payload.map(_.length).sum))
+    out.write(tpe.getBytes(StandardCharsets.US_ASCII))
+    payload.foreach(out.write)
+    out.toByteArray
+  }
+
+  def synthMjpegMp4(docId: Long): Array[Byte] = {
+    val n = nFrames(docId)
+    val frames = (0 until n).map(i =>
+      JpegFixtures.synthJpeg(AviFixtures.pxSeed(docId, i)))
+    val ftyp = box("ftyp",
+      "isom".getBytes(StandardCharsets.US_ASCII), be32(0),
+      "isom".getBytes(StandardCharsets.US_ASCII))
+    // chunk plan: chunk 0 = samples 0,1; chunk c>0 = sample c+1
+    val nChunks = n - 1
+    val mdatDataOff = ftyp.length + 8
+    val chunkOffs = (0 until nChunks).map { c =>
+      val firstSample = if (c == 0) 0 else c + 1
+      mdatDataOff + frames.take(firstSample).map(_.length).sum
+    }
+    val full = new Array[Byte](0)
+    val mvhd = box("mvhd",
+      be32(0), be32(0), be32(0), be32(90000), be32(3000L * n),
+      new Array[Byte](80)) // rate/volume/matrix/predefined/next_track
+    val tkhd = box("tkhd", be32(0), new Array[Byte](80))
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(90000),
+      be32(3000L * n), be32(0))
+    val hdlr = box("hdlr", be32(0), be32(0),
+      "vide".getBytes(StandardCharsets.US_ASCII), new Array[Byte](13))
+    val stsd = box("stsd", be32(0), be32(1),
+      box("jpeg", new Array[Byte](78))) // VisualSampleEntry body, unread
+    val stts = box("stts", be32(0), be32(1), be32(n.toLong), be32(3000))
+    val stsc =
+      if (n > 2)
+        box("stsc", be32(0), be32(2),
+          be32(1), be32(2), be32(1), // chunks >= 1: 2 samples
+          be32(2), be32(1), be32(1)) // chunks >= 2: 1 sample
+      else box("stsc", be32(0), be32(1), be32(1), be32(2), be32(1))
+    val stsz = box("stsz", be32(0), be32(0), be32(n.toLong),
+      frames.map(f => be32(f.length.toLong)).foldLeft(full)(_ ++ _))
+    val stco = box("stco", be32(0), be32(nChunks.toLong),
+      chunkOffs.map(o => be32(o.toLong)).foldLeft(full)(_ ++ _))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    val mdat = box("mdat", frames.foldLeft(full)(_ ++ _))
+    ftyp ++ mdat ++ moov
   }
 }
 

@@ -311,6 +311,25 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Per-frame MP4 PIXEL decode ([[graft.ops.Multimodal.decodeMp4PixelFrames]]):
+    * MJPEG-in-MP4 containers from the independent fixture muxer
+    * ([[graft.ops.Mp4Fixtures]] — real ftyp/mdat/moov with a 2-run stsc,
+    * per-sample stsz, absolute stco), every sample located purely via
+    * the stsd/stsc/stsz/stco walk and decoded by the full baseline JPEG
+    * chain. The oracle replays the decoded luma from the closed form and
+    * the chunk assignment from the stsc plan — a shifted offset or
+    * miscounted size anywhere in the table walk breaks the hash. */
+  private def mmMp4Frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 400).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.Mp4Fixtures.synthMjpegMp4(id), "video"))
+      .toDF()
+    Multimodal.decodeMp4PixelFrames(s, media).toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** ANN index EVALUATION: recall@5 of the seeded IVF against the
     * brute-force exact top-5, per query — the accept/reject number an
     * index rollout is judged by, produced by the engine itself instead
@@ -881,6 +900,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_png" -> mmPng,
     "q_mm_jpeg_px" -> mmJpegPx,
     "q_mm_video_px" -> mmVideoPx,
+    "q_mm_mp4_frames" -> mmMp4Frames,
     "q_mm_avi_audio" -> mmAviAudio,
     "q_mm_phash" -> mmPhash,
     "q_mm_phash_dup" -> mmPhashDup,
@@ -1692,6 +1712,38 @@ object SimilarityQueries extends QueryGroup {
         |        * least(8, w - bx * 8) * least(8, h - byy * 8)) AS luma_sum
         |  FROM bl GROUP BY 1, 2, 3, 4)
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels, CAST(luma_sum AS BIGINT) AS luma_sum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // same decoded-luma closed form as q_mm_video_px (identical frame
+    // JPEGs at pxSeed = doc_id*7 + frame_idx); the chunk columns replay
+    // the fixture's stsc plan (chunk 0 = samples 0,1; then 1 sample per
+    // chunk), which the Spark side must RECOVER from the sample tables
+    "q_mm_mp4_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS nf
+        |           FROM documents WHERE doc_id < 400),
+        |fr AS (SELECT doc_id, nf,
+        |    unnest(generate_series(0, nf - 1)) AS frame_idx FROM d),
+        |g AS (SELECT doc_id, nf, frame_idx,
+        |    doc_id * 7 + frame_idx AS fid FROM fr),
+        |dim AS (SELECT *,
+        |    (2 + fid % 3) * 8 - (fid % 3) AS w,
+        |    (2 + fid % 4) * 8 - (fid % 5) AS h FROM g),
+        |bxs AS (SELECT unnest(generate_series(0, 3)) AS bx),
+        |bys AS (SELECT unnest(generate_series(0, 4)) AS byy),
+        |bl AS (SELECT dim.*, bx, byy FROM dim CROSS JOIN bxs CROSS JOIN bys
+        |       WHERE bx < 2 + fid % 3 AND byy < 2 + fid % 4),
+        |s AS (SELECT doc_id, nf, frame_idx, w, h,
+        |    sum((least(255,
+        |          ((11 * fid + 23 * bx + 37 * byy + bx * byy) % 256)
+        |          + ((11 * fid + 23 * bx + 37 * byy + bx * byy) % 256) % 2))
+        |        * least(8, w - bx * 8) * least(8, h - byy * 8)) AS luma_sum
+        |  FROM bl GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(CASE WHEN frame_idx < 2 THEN 0 ELSE frame_idx - 1 END
+        |    AS INTEGER) AS chunk_idx,
+        |  CAST(nf - 1 AS INTEGER) AS n_chunks, 'jpeg' AS codec,
         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  CAST(w * h AS BIGINT) AS n_pixels, CAST(luma_sum AS BIGINT) AS luma_sum
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,

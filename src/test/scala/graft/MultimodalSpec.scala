@@ -89,6 +89,27 @@ class MultimodalSpec extends SparkSuite {
     assert(VideoHeaders.mp4Info(good.take(good.length - 60)) === None) // cut mvhd
   }
 
+  test("mp4 sample-table walk recovers each frame's exact byte range and chunk") {
+    // doc 7: 5 frames, 4 chunks (chunk 0 = samples 0,1 per the 2-run stsc)
+    val b = graft.ops.Mp4Fixtures.synthMjpegMp4(7L)
+    val t = VideoHeaders.mp4Track(b).get
+    assert(t.codec == "jpeg" && t.nChunks == 4 && t.samples.length == 5)
+    assert(t.samples.map(_.chunkIdx) == Vector(0, 0, 1, 2, 3))
+    // independent re-location: every recovered range is a complete JPEG
+    // (SOI first, EOI last) — a one-byte offset/size slip fails this
+    t.samples.foreach { s =>
+      assert((b(s.start) & 0xff) == 0xff && (b(s.start + 1) & 0xff) == 0xd8)
+      assert((b(s.end - 2) & 0xff) == 0xff && (b(s.end - 1) & 0xff) == 0xd9)
+    }
+    // samples tile the mdat payload exactly: contiguous, no gap, no overlap
+    val sorted = t.samples.sortBy(_.start)
+    sorted.sliding(2).foreach { case Seq(a, c) => assert(a.end == c.start)
+      case _ => () }
+    // truncated moov (cut into the sample tables) is rejected, not misread
+    assert(VideoHeaders.mp4Track(b.take(b.length - 12)).isEmpty)
+    assert(VideoHeaders.mp4Track("plain text".getBytes).isEmpty)
+  }
+
   test("decodeVideo: real mvhd values, md5 stand-in otherwise") {
     import spark.implicits._
     val rows = Seq(
