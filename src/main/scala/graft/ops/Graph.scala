@@ -73,6 +73,9 @@ object Graph {
           .groupBy(col("dst").as("doc_id"))
           .agg(sum("share").as("in_mass"))
           .select(col("doc_id"),
+            // overflow-audited: mass conservation bounds in_mass by the
+            // TOTAL rank mass ~scale (1e15) at any graph size, so
+            // damp·in_mass <= ~8.5e16 — three orders under 2^63
             (lit(base) + expr(s"($damp * in_mass) div 100")).as("pr_scaled"))
         // truncate lineage so the logical plan stays O(1) across rounds
         ranks = cp.round(next)

@@ -187,8 +187,12 @@ object CorpusQueries extends QueryGroup {
       .join(broadcast(cs), Seq("source"))
       .join(ct, Seq("token"))
       .crossJoin(broadcast(nt))
+      // decimal-first: c_st/n_total are unbounded corpus counts — the raw
+      // BIGINT triple product wraps past 2^63 at ~1e12 tokens; `div`
+      // floors back to BIGINT so the ranking key type is unchanged
       .withColumn("lift_scaled",
-        expr("(c_st * n_total * 1000000) div (c_s * c_t)"))
+        expr("""(CAST(c_st AS DECIMAL(38,0)) * n_total * 1000000)
+               |div (CAST(c_s AS DECIMAL(38,0)) * c_t)""".stripMargin))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("source", "rank", "token", "c_st", "lift_scaled")
@@ -1340,7 +1344,8 @@ object CorpusQueries extends QueryGroup {
         |nt AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_total FROM cst),
         |lifted AS (
         |  SELECT cst.source, cst.token, c_st,
-        |    (c_st * n_total * 1000000) // (c_s * c_t) AS lift_scaled
+        |    CAST((CAST(c_st AS HUGEINT) * n_total * 1000000)
+        |         // (CAST(c_s AS HUGEINT) * c_t) AS BIGINT) AS lift_scaled
         |  FROM cst JOIN cs USING (source) JOIN ct USING (token) CROSS JOIN nt
         |  WHERE c_st >= 5),
         |r AS (

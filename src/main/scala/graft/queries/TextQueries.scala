@@ -248,7 +248,12 @@ object TextQueries extends QueryGroup {
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
     bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("p_scaled", expr("(1000000000000L * (n12 + 1)) div (n1 + v)"))
+      // decimal-first: n12 is an unbounded corpus count (~1e12 bigrams at
+      // 100 TB), so the 1e12-scaled numerator must widen before the
+      // product; `div` floors back to BIGINT. Per-doc sums stay < 1e18
+      // (p_scaled <= ~1e12, n_bigrams doc-length-bounded).
+      .withColumn("p_scaled",
+        expr("(1000000000000L * CAST(n12 + 1 AS DECIMAL(38,0))) div (n1 + v)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("p_scaled").as("ps"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -307,8 +312,12 @@ object TextQueries extends QueryGroup {
       .crossJoin(broadcast(vocab))
       .withColumn("n12t", coalesce(col("n12t"), lit(0L)))
       .withColumn("n1t", coalesce(col("n1t"), lit(0L)))
-      .withColumn("pt", expr("(1000000000000L * (n12t + 1)) div (n1t + v)"))
-      .withColumn("pr", expr("(1000000000000L * (n12r + 1)) div (n1r + v)"))
+      // decimal-first for the same reason as lmScore's p_scaled: n12r is
+      // an unbounded corpus count
+      .withColumn("pt",
+        expr("(1000000000000L * CAST(n12t + 1 AS DECIMAL(38,0))) div (n1t + v)"))
+      .withColumn("pr",
+        expr("(1000000000000L * CAST(n12r + 1 AS DECIMAL(38,0))) div (n1r + v)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("pt").as("st"), sum("pr").as("sr"))
       .withColumn("imp_scaled",
@@ -365,9 +374,12 @@ object TextQueries extends QueryGroup {
       .join(toks.select(col("tok").as("w1"), col("c1").as("ca")), Seq("w1"))
       .join(toks.select(col("tok").as("w2"), col("c1").as("cb")), Seq("w2"))
       .crossJoin(broadcast(nTotal))
+      // per-FACTOR double casts: each count is exactly representable in a
+      // double, while the raw BIGINT products n_total*c12 / ca*cb wrap
+      // past 2^63 at corpus scale (~1e12 * 1e12)
       .withColumn("lift",
-        round((col("n_total") * col("c12")).cast("double") /
-          (col("ca") * col("cb")).cast("double"), 6))
+        round((col("n_total").cast("double") * col("c12").cast("double")) /
+          (col("ca").cast("double") * col("cb").cast("double")), 6))
       .select("w1", "w2", "c12", "ca", "cb", "lift")
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(20)
@@ -724,7 +736,8 @@ object TextQueries extends QueryGroup {
         |c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
         |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
         |terms AS (SELECT bi.doc_id,
-        |    (1000000000000 * (n12 + 1)) // (n1 + (SELECT v FROM vocab)) AS p_scaled
+        |    CAST((1000000000000 * CAST(n12 + 1 AS HUGEINT))
+        |      // (n1 + (SELECT v FROM vocab)) AS BIGINT) AS p_scaled
         |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
         |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_scaled) AS ps FROM terms GROUP BY 1)
         |SELECT doc_id, n_bigrams,
@@ -752,9 +765,10 @@ object TextQueries extends QueryGroup {
         |c1r AS (SELECT w1, count(*) AS n1r FROM bi GROUP BY 1),
         |terms AS (
         |  SELECT bi.doc_id,
-        |    (1000000000000 * (COALESCE(n12t, 0) + 1))
-        |      // (COALESCE(n1t, 0) + (SELECT v FROM vocab)) AS pt,
-        |    (1000000000000 * (n12r + 1)) // (n1r + (SELECT v FROM vocab)) AS pr
+        |    CAST((1000000000000 * CAST(COALESCE(n12t, 0) + 1 AS HUGEINT))
+        |      // (COALESCE(n1t, 0) + (SELECT v FROM vocab)) AS BIGINT) AS pt,
+        |    CAST((1000000000000 * CAST(n12r + 1 AS HUGEINT))
+        |      // (n1r + (SELECT v FROM vocab)) AS BIGINT) AS pr
         |  FROM bi JOIN c12r USING (w1, w2) JOIN c1r USING (w1)
         |  LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1)),
         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
@@ -811,8 +825,8 @@ object TextQueries extends QueryGroup {
          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2
          |        HAVING count(*) >= $CollocMinSupport)
          |SELECT w1, w2, c12, ca.c AS ca, cb.c AS cb,
-         |  round(CAST((SELECT n_total FROM n) * c12 AS DOUBLE)
-         |    / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+         |  round((CAST((SELECT n_total FROM n) AS DOUBLE) * CAST(c12 AS DOUBLE))
+         |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
          |FROM c12
          |JOIN c1 ca ON c12.w1 = ca.tok
          |JOIN c1 cb ON c12.w2 = cb.tok
