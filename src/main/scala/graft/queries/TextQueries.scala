@@ -265,6 +265,69 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing the KenLM
+    * perplexity filters of CCNet-style curation actually use (Kneser &
+    * Ney 1995; Chen & Goodman 1999), next to [[lmScore]]'s Laplace
+    * baseline:
+    *
+    *   P(w2|w1) = (c12 − D)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/N1+(·,·)
+    *
+    * with absolute discount D = 3/4 — a RATIONAL constant on purpose, so
+    * the whole probability clears denominators into exact integers:
+    *
+    *   p_scaled = ⌊1e12 · ((4·c12−3)·T + 3·f1·b2) / (4·c1·T)⌋
+    *
+    * where f1 = distinct continuations of w1, b2 = distinct histories of
+    * w2, T = distinct bigram types. The model is trained on the corpus
+    * being scored, so every scored bigram has c12 ≥ 1 and the discounted
+    * numerator 4·c12−3 ≥ 1 — the max(·,0) clamp of the general formula
+    * is vacuous and omitted. Like [[lmScore]], fixed point end to end:
+    * no float enters until the displayed score, so the per-doc sum is
+    * order-independent under any partitioning and the bucket compare is
+    * exact.
+    *
+    * Overflow discipline (the `q_copurchase` audit class): c12 and T are
+    * unbounded corpus counts (~1e12 bigram types at 100 TB), so both the
+    * (4·c12−3)·T product (~4e24) and its 1e12 scaling (~4e36) widen to
+    * DECIMAL(38,0)/HUGEINT before multiplying; `div` floors back to a
+    * ≤1e12 BIGINT. Plan shape at scale: the same narrow bigram explode
+    * as [[lmScore]], then ALL model statistics (c12, the left/right
+    * continuation counts, T) aggregate over the bigram-TYPE frame —
+    * vocab-bounded, map-side combined — and only the two equi-joins back
+    * to the corpus bigrams touch corpus cardinality. */
+  private def knScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+    val bi = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    // left/right continuation statistics from the TYPE frame, not the
+    // corpus: n1 = c(w1,·) recovered as sum(n12), f1 = N1+(w1,·)
+    val left = c12.groupBy("w1")
+      .agg(sum("n12").as("n1"), count(lit(1)).as("f1"))
+    val right = c12.groupBy("w2").agg(count(lit(1)).as("b2"))
+    val types = c12.agg(count(lit(1)).as("t"))
+    bi.join(c12, Seq("w1", "w2")).join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("p_scaled", expr(
+        """(1000000000000L * ((4 * CAST(n12 AS DECIMAL(38,0)) - 3) * t
+          |   + 3 * CAST(f1 AS DECIMAL(38,0)) * b2))
+          | div (4 * CAST(n1 AS DECIMAL(38,0)) * t)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_scaled").as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ps").cast("double") / col("n_bigrams") / lit(1e12), 6)
+          .as("kn_score"),
+        when(col("ps") >= lit(36000000000L) * col("n_bigrams"), "high")
+          .when(col("ps") >= lit(32000000000L) * col("n_bigrams"), "mid")
+          .otherwise("low").as("kn_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Importance-resampling data selection (the DSIR shape — Xie et al.
     * 2023, "Data Selection for Language Models via Importance
     * Resampling"): train one n-gram LM on a small TARGET domain (here
@@ -613,6 +676,7 @@ object TextQueries extends QueryGroup {
     "q_bpe_pairs" -> bpePairs,
     "q_collocations" -> collocations,
     "q_lm_score" -> lmScore,
+    "q_kn_score" -> knScore,
     "q_dsir_select" -> dsirSelect,
     "q_quality_prune" -> qualityPrune,
     "q_word_rarity" -> wordRarity,
@@ -745,6 +809,29 @@ object TextQueries extends QueryGroup {
         |  CASE WHEN ps >= 36000000000 * n_bigrams THEN 'high'
         |       WHEN ps >= 32000000000 * n_bigrams THEN 'mid'
         |       ELSE 'low' END AS lm_bucket
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // interpolated Kneser-Ney with rational discount D=3/4: every term
+    // clears denominators into exact integers; HUGEINT mirrors Spark's
+    // DECIMAL(38,0) widening of the count products
+    "q_kn_score" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |bi AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+        |       FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w)),
+        |c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1, count(*) AS f1 FROM c12 GROUP BY 1),
+        |rgt AS (SELECT w2, count(*) AS b2 FROM c12 GROUP BY 1),
+        |ty AS (SELECT count(*) AS t FROM c12),
+        |terms AS (SELECT bi.doc_id,
+        |    CAST((1000000000000 * ((4 * CAST(n12 AS HUGEINT) - 3) * t
+        |                           + 3 * CAST(f1 AS HUGEINT) * b2))
+        |      // (4 * CAST(n1 AS HUGEINT) * t) AS BIGINT) AS p_scaled
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN lft USING (w1) JOIN rgt USING (w2), ty),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_scaled) AS ps FROM terms GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(ps AS DOUBLE) / n_bigrams / 1000000000000.0, 6) AS kn_score,
+        |  CASE WHEN ps >= 36000000000 * n_bigrams THEN 'high'
+        |       WHEN ps >= 32000000000 * n_bigrams THEN 'mid'
+        |       ELSE 'low' END AS kn_bucket
         |FROM agg ORDER BY doc_id""".stripMargin,
     // DSIR importance weights: target-vs-raw LM term ratios kept integer
     // (HUGEINT product mirrors Spark's DECIMAL(38,0)); bi is MATERIALIZED

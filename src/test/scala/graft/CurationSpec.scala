@@ -60,4 +60,40 @@ class CurationSpec extends SparkSuite {
     }
     graft.core.SharedFrames.clear()
   }
+
+  test("KN score: probabilities in (0,1], bigram counts tie to the corpus") {
+    val kn = queries.TextQueries.queries("q_kn_score")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(kn.nonEmpty)
+    kn.foreach { case (id, nb, score) =>
+      assert(nb >= 1, s"doc $id has $nb bigrams")
+      assert(score > 0.0 && score <= 1.0, s"doc $id kn_score $score")
+    }
+    // n_bigrams is exactly (word count - 1) for every multi-word doc, and
+    // single-word docs are absent
+    val expected = core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (size(split(trim(col("text")), "\\s+")) - 1).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    kn.foreach { case (id, nb, _) =>
+      assert(expected(id) == nb, s"doc $id bigrams $nb vs ${expected(id)}")
+    }
+    assert(expected.count(_._2 >= 1) == kn.size)
+  }
+
+  test("KN p_scaled arithmetic survives corpus-scale counts (no 2^63 wrap)") {
+    // adversarial magnitudes: ~1e12 bigram types, Zipf-head n12 ~ 1e12 —
+    // the raw long product would wrap; DECIMAL(38,0) must not
+    val (n12, t, f1, b2, n1) = (BigInt("1000000000000"),
+      BigInt("1000000000000"), BigInt(100000000), BigInt(100000000),
+      BigInt("4000000000000"))
+    val want = (BigInt("1000000000000") *
+      ((4 * n12 - 3) * t + 3 * f1 * b2)) / (4 * n1 * t)
+    val got = spark.sql(
+      s"""SELECT (1000000000000L * ((4 * CAST(${n12} AS DECIMAL(38,0)) - 3) * ${t}L
+         |   + 3 * CAST(${f1} AS DECIMAL(38,0)) * ${b2}L))
+         | div (4 * CAST(${n1} AS DECIMAL(38,0)) * ${t}L) AS p""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(got == want.toLong && got > 0, s"$got vs $want")
+  }
 }
