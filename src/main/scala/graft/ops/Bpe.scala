@@ -61,7 +61,7 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** `[h][e][l][l][o]` initial representation. */
-  private def initialRepr(wc: DataFrame): DataFrame =
+  private[ops] def initialRepr(wc: DataFrame): DataFrame =
     wc.withColumn("repr",
       concat(lit("["),
         concat_ws("][", transform(sequence(lit(1), length(col("word"))),
@@ -72,7 +72,7 @@ object Bpe {
     * word count. Single-symbol words (fully merged) drop out — Spark's
     * `sequence(1, 0)` DESCENDS instead of returning empty, so the
     * size >= 2 guard is correctness, not just economy. */
-  private def pairCounts(repr: DataFrame): DataFrame =
+  private[ops] def pairCounts(repr: DataFrame): DataFrame =
     repr.select(col("cnt"),
         split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\[").as("syms"))
       .filter(size(col("syms")) >= 2)

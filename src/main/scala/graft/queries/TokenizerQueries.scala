@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Bpe, Unigram}
+import graft.ops.{Bpe, Unigram, WordPiece}
 
 /** Tokenizer-training queries: the iterative BPE merge loop
   * ([[graft.ops.Bpe]]) and its apply side. Extends the single-step
@@ -160,6 +160,45 @@ object TokenizerQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** WordPiece trained merge table ([[graft.ops.WordPiece]]): one row
+    * per round with the exact scaled likelihood-gain score — the BERT
+    * trainer's argmax criterion next to `q_bpe_train`'s raw-frequency
+    * one. The oracle replays the rounds as unrolled CTE stages with the
+    * same HUGEINT-widened score arithmetic. */
+  private def wordpieceTrain(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = WordPiece.trained(s, dir)
+    s.createDataFrame(merges)
+      .select(col("round"), col("w1"), col("w2"), col("n"),
+        col("ca"), col("cb"), col("scoreScaled").as("score_scaled"),
+        concat(col("w1"), col("w2")).as("merged"))
+      .orderBy("round")
+  }
+
+  /** Apply side: per-doc fertility under greedy maximum-munch
+    * segmentation with the trained WordPiece vocabulary — genuinely
+    * different from `q_bpe_segment`'s merge replay (max-munch can pick
+    * a longer piece than the merge order ever built at that position).
+    * The greedy scan is IN-ROW ([[graft.ops.WordPiece.segmentExpr]]);
+    * the oracle unrolls it position-wise, one stage per character, the
+    * `q_unigram_segment` DP discipline. Words beyond the trainer's
+    * length cap drop from the stats on both sides. */
+  private def wordpieceSegment(s: SparkSession, dir: String): DataFrame = {
+    val words = WordPiece.trainedWords(s, dir)
+    val (_, repr) = WordPiece.trained(s, dir)
+    val seg = WordPiece.segments(words, WordPiece.vocabulary(words, repr))
+      .select(col("word"), col("n_pieces"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces").cast("double") / col("n_words"), 6))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> bpeTrain,
     "q_bpe_segment" -> bpeSegment,
@@ -167,11 +206,14 @@ object TokenizerQueries extends QueryGroup {
     "q_bpe_encode" -> bpeEncode,
     "q_unigram_train" -> unigramTrain,
     "q_unigram_segment" -> unigramSegment,
+    "q_wordpiece_train" -> wordpieceTrain,
+    "q_wordpiece_segment" -> wordpieceSegment,
   )
 
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("bpe_repr" -> ((s, dir) => Bpe.trained(s, dir)._2),
-      "unigram_vocab" -> ((s, dir) => Unigram.trained(s, dir)))
+      "unigram_vocab" -> ((s, dir) => Unigram.trained(s, dir)),
+      "wordpiece_repr" -> ((s, dir) => WordPiece.trained(s, dir)._2))
 
   /** WITH-prefix replaying the training loop: wc -> r0, then per round
     * p{r} (pair counts) / b{r} (argmax) / r{r+1} (merge applied). */
@@ -287,6 +329,82 @@ object TokenizerQueries extends QueryGroup {
     (head +: roundsSql).mkString(",\n")
   }
 
+  /** WITH-prefix replaying WordPiece training: length-capped word
+    * counts → bracketed repr, then per round symbol counts `wps{r}` /
+    * pair counts `wpp{r}` / likelihood-gain argmax `wpb{r}` (HUGEINT-
+    * widened exact score) / merge applied `wpr{r+1}`. */
+  private def wpSqlPrefix(rounds: Int): String = {
+    val head =
+      s"""WITH wptok AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |  FROM documents),
+         |wpwc AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt FROM wptok
+         |  WHERE word <> '' AND length(word) <= ${WordPiece.MaxWordLen}
+         |  GROUP BY 1),
+         |wpr0 AS (
+         |  SELECT word, cnt,
+         |    '[' || array_to_string(
+         |      list_transform(generate_series(1, length(word)), i -> word[i]),
+         |      '][') || ']' AS repr
+         |  FROM wpwc)""".stripMargin
+    val stages = (0 until rounds).map { r =>
+      s"""wpx$r AS MATERIALIZED (
+         |  SELECT cnt, string_split(repr[2:-2], '][') AS syms FROM wpr$r),
+         |wps$r AS MATERIALIZED (
+         |  SELECT syms[i] AS sym, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM wpx$r, unnest(generate_series(1, len(syms))) AS t(i)
+         |  GROUP BY 1),
+         |wpp$r AS (
+         |  SELECT syms[i] AS w1, syms[i+1] AS w2, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM wpx$r, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |wpb$r AS (
+         |  SELECT w1, w2, n, a.c AS ca, b.c AS cb,
+         |    CAST((1000000000000 * CAST(n AS HUGEINT))
+         |      // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score_scaled
+         |  FROM wpp$r JOIN wps$r a ON a.sym = w1 JOIN wps$r b ON b.sym = w2
+         |  ORDER BY score_scaled DESC, w1, w2 LIMIT 1),
+         |wpr${r + 1} AS (
+         |  SELECT word, cnt,
+         |    replace(repr, '[' || b.w1 || '][' || b.w2 || ']',
+         |                  '[' || b.w1 || b.w2 || ']') AS repr
+         |  FROM wpr$r, wpb$r b)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  /** DuckDB replay of the greedy maximum-munch scan, unrolled one stage
+    * per character position: `wpg{d}` advances exactly the words whose
+    * cursor sits at position d (longest vocab piece wins, single-char
+    * fallback), everything else carries. */
+  private def wpGreedySql(rounds: Int): String = {
+    val L = WordPiece.MaxWordLen
+    val voc =
+      s"""wpvoc AS MATERIALIZED (
+         |  SELECT DISTINCT piece FROM (
+         |    SELECT unnest(string_split(repr[2:-2], '][')) AS piece FROM wpr$rounds
+         |    UNION ALL
+         |    SELECT word[i:i] AS piece
+         |    FROM wpwc, unnest(generate_series(1, length(word))) AS t(i))),
+         |wpg0 AS (
+         |  SELECT word, cnt, length(word) AS wl, 1 AS pos, 0 AS np FROM wpwc)""".stripMargin
+    val stages = (1 to L).map { d =>
+      s"""wpg$d AS MATERIALIZED (
+         |  SELECT word, cnt, wl, pos, np FROM wpg${d - 1}
+         |  WHERE pos <> $d OR $d > wl
+         |  UNION ALL
+         |  SELECT g.word, g.cnt, g.wl,
+         |    $d + coalesce(max(length(v.piece)), 1) AS pos, g.np + 1 AS np
+         |  FROM wpg${d - 1} g LEFT JOIN wpvoc v
+         |    ON $d + length(v.piece) - 1 <= g.wl
+         |   AND v.piece = g.word[$d:$d + length(v.piece) - 1]
+         |  WHERE g.pos = $d AND $d <= g.wl
+         |  GROUP BY g.word, g.cnt, g.wl, g.np)""".stripMargin
+    }
+    (voc +: stages).mkString(",\n")
+  }
+
   override def oracle: Map[String, String] = {
     val k = Bpe.Rounds
     val mergeRows = (0 until k)
@@ -388,6 +506,32 @@ object TokenizerQueries extends QueryGroup {
            |  CAST(sum(np) AS BIGINT) AS n_pieces,
            |  round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS pieces_per_word
            |FROM dt JOIN useg USING (word)
+           |WHERE word <> ''
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      "q_wordpiece_train" -> {
+        val wk = WordPiece.Rounds
+        val mergeRows = (0 until wk)
+          .map(r => s"SELECT $r AS round, w1, w2, n, ca, cb, score_scaled, " +
+            s"w1 || w2 AS merged FROM wpb$r")
+          .mkString("\nUNION ALL ")
+        s"""${wpSqlPrefix(wk)}
+           |SELECT * FROM ($mergeRows) ORDER BY round""".stripMargin
+      },
+
+      "q_wordpiece_segment" -> {
+        val wk = WordPiece.Rounds
+        s"""${wpSqlPrefix(wk)},
+           |${wpGreedySql(wk)},
+           |wpseg AS (SELECT word, np FROM wpg${WordPiece.MaxWordLen}),
+           |wpdt AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents)
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(np) AS BIGINT) AS n_pieces,
+           |  round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS pieces_per_word
+           |FROM wpdt JOIN wpseg USING (word)
            |WHERE word <> ''
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },

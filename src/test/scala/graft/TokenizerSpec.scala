@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bpe, Unigram}
+import graft.ops.{Bpe, Unigram, WordPiece}
 import graft.queries.TokenizerQueries
 
 /** Laws for the BPE trainer beyond its oracle rows: merging never
@@ -143,5 +143,56 @@ class TokenizerSpec extends SparkSuite {
       raw.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong })
     assert(got == want)
     assert(!got.keys.exists(_.length > Unigram.MaxPieceLen))
+  }
+
+  test("wordpiece: likelihood-gain merges on a hand-traced corpus") {
+    import spark.implicits._
+    // words ab(x2), abc(x1): pair (a,b) n=3 ca=3 cb=3 and (b,c) n=1
+    // ca=3 cb=1 TIE at floor(1e12/3); (w1,w2) tiebreak picks (a,b).
+    // round 1: symbols ab(3), c(1); only pair (ab,c) merges.
+    val docs = Seq((0L, "ab ab abc")).toDF("doc_id", "text")
+    val (merges, repr) = WordPiece.train(docs, WordPiece.Rounds)
+    assert(merges == Seq(
+      WordPiece.Merge(0, "a", "b", 3L, 3L, 3L, 333333333333L),
+      WordPiece.Merge(1, "ab", "c", 1L, 3L, 1L, 333333333333L)))
+    val reprs = repr.select("word", "repr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reprs == Map("ab" -> "[ab]", "abc" -> "[abc]"))
+  }
+
+  test("wordpiece: max-munch takes the longest piece, not the merge order") {
+    import spark.implicits._
+    // structural laws of leftmost-longest: piece counts land in
+    // [ceil(len/maxlen), len], and a word that is itself a vocab piece
+    // must segment to exactly 1 (the merge REPLAY can split such a word
+    // when the merge order never built it at that position — max-munch
+    // cannot)
+    val words = WordPiece.trainedWords(spark, sf)
+    val (_, repr) = WordPiece.trained(spark, sf)
+    val vocab = WordPiece.vocabulary(words, repr)
+    val maxLen = vocab.select(max(length(col("piece")))).collect()(0).getInt(0)
+    val segs = WordPiece.segments(words, vocab)
+      .select(col("word"), col("n_pieces")).collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    assert(segs.nonEmpty)
+    val vocabSet = vocab.select("piece").collect().map(_.getString(0)).toSet
+    segs.foreach { case (w, np) =>
+      assert(np >= (w.length + maxLen - 1) / maxLen && np <= w.length,
+        s"word $w pieces $np maxlen $maxLen")
+      if (vocabSet(w)) assert(np == 1, s"in-vocab word $w split into $np")
+    }
+  }
+
+  test("wordpiece score product survives corpus-scale counts (no 2^63 wrap)") {
+    // ca=cb=3e12 occurrences: the raw long product 9e24 wraps; the
+    // DECIMAL(38,0) path must not
+    val (n, ca, cb) = (BigInt("2000000000000"), BigInt("3000000000000"),
+      BigInt("3000000000000"))
+    val want = (BigInt("1000000000000") * n) / (ca * cb)
+    val got = spark.sql(
+      s"""SELECT (1000000000000L * CAST(${n} AS DECIMAL(38,0)))
+         | div (CAST(${ca} AS DECIMAL(38,0)) * ${cb}L) AS s""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(got == want.toLong, s"$got vs $want")
   }
 }
