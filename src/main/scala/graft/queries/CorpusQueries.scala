@@ -20,6 +20,122 @@ object CorpusQueries extends QueryGroup {
           "[0-9]+", "<NUM>").as("props_objmasked"))
       .orderBy("event_id")
 
+  /** Deterministic PII-bearing fixture text, built from customer keys —
+    * the synthetic corpus carries no natural emails/phones/IPs, so the
+    * detector is exercised against a constructed blob with a VARYING
+    * number of hits per row (second email every 3rd key, no IP every
+    * 5th). The snippet is engine-portable SQL: both the Spark query and
+    * the DuckDB oracle evaluate this exact string, so the fixture can
+    * never drift between the two sides. */
+  private val PiiFixtureSql: String =
+    """concat('Reach ', c_name,
+      |  ' at ', lower(replace(c_name, '#', '.')), '@example.com',
+      |  CASE WHEN c_custkey % 3 = 0
+      |       THEN concat(' or ', lower(replace(c_name, '#', '_')),
+      |                   '@corp.example.org')
+      |       ELSE '' END,
+      |  ' phone ', CAST(c_custkey % 90 + 10 AS STRING),
+      |  '-', CAST(c_custkey % 900 + 100 AS STRING),
+      |  '-', CAST((c_custkey * 7) % 900 + 100 AS STRING),
+      |  '-', CAST((c_custkey * 13) % 9000 + 1000 AS STRING),
+      |  CASE WHEN c_custkey % 5 <> 0
+      |       THEN concat(' last seen ', CAST(c_custkey % 254 + 1 AS STRING),
+      |                   '.', CAST((c_custkey * 3) % 256 AS STRING),
+      |                   '.', CAST((c_custkey * 5) % 256 AS STRING),
+      |                   '.', CAST(c_custkey % 100 + 1 AS STRING))
+      |       ELSE '' END,
+      |  ' segment ', c_mktsegment)""".stripMargin
+
+  /** RE2-and-Java-compatible pattern subset (no lookarounds, no \b):
+    * category structure anchors each match instead. */
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  private val PhoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** PII detection + redaction — the scrub pass a training-data
+    * pipeline runs before release (emails, phone numbers, IPv4
+    * addresses → category tokens, plus per-category hit counts on the
+    * ORIGINAL text). Email redacts first so its dotted local part can
+    * never feed the IP pattern; counts are computed per category
+    * independently, which the fixture keeps unambiguous (no category
+    * matches inside another's span). Pure codegen projection — at
+    * 100 TB this runs at scan speed with zero shuffles. */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("blob", expr(PiiFixtureSql))
+      .select(col("c_custkey"),
+        size(regexp_extract_all(col("blob"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("blob"), lit(PhoneRe), lit(0)))
+          .as("n_phones"),
+        size(regexp_extract_all(col("blob"), lit(IpRe), lit(0)))
+          .as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("blob"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>").as("redacted"))
+      .orderBy("c_custkey")
+
+  /** Deterministic URL fixture over order keys: case-jittered scheme and
+    * host, a default :80 port on every even key, utm_* tracking params,
+    * shuffled param order, and a fragment every 5th key — each a variant
+    * the canonicalizer must collapse. Engine-portable SQL like
+    * [[PiiFixtureSql]]. */
+  private val UrlFixtureSql: String =
+    """concat(
+      |  CASE WHEN k % 2 = 0 THEN 'http' ELSE 'HTTP' END, '://',
+      |  CASE WHEN k % 3 = 0 THEN 'example.com'
+      |       WHEN k % 3 = 1 THEN 'EXAMPLE.COM' ELSE 'Example.Com' END,
+      |  CASE WHEN k % 2 = 0 THEN ':80' ELSE '' END,
+      |  '/p/', CAST(k % 50 AS STRING),
+      |  CASE WHEN k % 4 = 0 THEN ''
+      |       WHEN k % 4 = 1 THEN '?utm_source=feed'
+      |       WHEN k % 4 = 2 THEN '?b=2&a=1'
+      |       ELSE '?a=1&b=2&utm_campaign=mail' END,
+      |  CASE WHEN k % 5 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+
+  /** URL canonicalization + dedup — the crawl-frontier normalizer
+    * (lowercase scheme/host, strip default port, drop fragment, remove
+    * utm_* tracking params, sort the survivors) followed by a group-by
+    * on the canonical form: the exact first stage of web-corpus URL
+    * dedup. All string surgery is regexp/split projections (codegen,
+    * scan-speed at 100 TB); the only shuffle is the final canonical-key
+    * aggregation, which is the dedup itself. */
+  private def urlNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"))
+      .withColumn("raw", expr(UrlFixtureSql))
+      .withColumn("nofrag", regexp_replace(col("raw"), "#.*$", ""))
+      .withColumn("scheme",
+        lower(regexp_extract(col("nofrag"), "^([a-zA-Z]+)://", 1)))
+      .withColumn("hostport",
+        regexp_extract(col("nofrag"), "^[a-zA-Z]+://([^/?#]+)", 1))
+      .withColumn("path",
+        regexp_extract(col("nofrag"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1))
+      .withColumn("qs", regexp_extract(col("nofrag"), "\\?(.*)$", 1))
+      .withColumn("host", lower(expr("split_part(hostport, ':', 1)")))
+      .withColumn("port", expr(
+        "CASE WHEN hostport LIKE '%:%' THEN split_part(hostport, ':', 2) " +
+          "ELSE '' END"))
+      .withColumn("portpart", expr(
+        """CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+          |       OR (scheme = 'https' AND port = '443') THEN ''
+          |     ELSE concat(':', port) END""".stripMargin))
+      .withColumn("params", expr(
+        """array_join(array_sort(filter(split(qs, '&'),
+          |  p -> p != '' AND NOT startswith(p, 'utm_'))), '&')""".stripMargin))
+      .withColumn("canonical_url", expr(
+        """concat(scheme, '://', host, portpart, path,
+          |  CASE WHEN params = '' THEN '' ELSE concat('?', params) END)"""
+          .stripMargin))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("raw")).as("n_variants"),
+        min(col("raw")).as("min_raw"),
+        min(col("k")).as("min_key"))
+      .orderBy("canonical_url")
+
   /** Quality gate: language + token-count band + stopword-density cut;
     * emits the keep decision per document plus corpus-level keep stats. */
   private def qualityFilter(s: SparkSession, dir: String): DataFrame =
@@ -838,6 +954,8 @@ object CorpusQueries extends QueryGroup {
     "q_curation_e2e" -> curationE2E,
     "q_token_histogram" -> tokenHistogram,
     "q_text_scrub" -> scrub,
+    "q_pii_redact" -> piiRedact,
+    "q_url_normalize" -> urlNormalize,
     "q_corpus_filter" -> qualityFilter,
     "q_corpus_split" -> split,
     "q_split_leakage_safe" -> splitLeakageSafe,
@@ -1249,6 +1367,56 @@ object CorpusQueries extends QueryGroup {
         |  regexp_replace(regexp_replace(props, '\{[^}]*\}', '<OBJ>', 'g'),
         |                 '[0-9]+', '<NUM>', 'g') AS props_objmasked
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // same fixture snippet, same RE2-safe patterns; DuckDB needs the
+    // explicit 'g' flag where Spark's regexp_replace is global
+    "q_pii_redact" ->
+      s"""WITH blobbed AS (
+         |  SELECT c_custkey, $PiiFixtureSql AS blob FROM customer)
+         |SELECT c_custkey,
+         |  CAST(len(regexp_extract_all(blob, '$EmailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(blob, '$PhoneRe')) AS INTEGER) AS n_phones,
+         |  CAST(len(regexp_extract_all(blob, '$IpRe')) AS INTEGER) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(blob,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g'),
+         |    '$IpRe', '<IP>', 'g') AS redacted
+         |FROM blobbed ORDER BY c_custkey""".stripMargin,
+
+    // same fixture snippet; DuckDB spellings for the list surgery
+    // (list_sort/list_filter/array_to_string vs Spark's
+    // array_sort/filter/array_join)
+    "q_url_normalize" ->
+      s"""WITH u AS (SELECT o_orderkey AS k FROM orders),
+         |b AS (SELECT k, $UrlFixtureSql AS raw FROM u),
+         |p AS (SELECT k, raw, regexp_replace(raw, '#.*$$', '') AS nofrag FROM b),
+         |c AS (SELECT k, raw,
+         |  lower(regexp_extract(nofrag, '^([a-zA-Z]+)://', 1)) AS scheme,
+         |  regexp_extract(nofrag, '^[a-zA-Z]+://([^/?#]+)', 1) AS hostport,
+         |  regexp_extract(nofrag, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+         |  coalesce(regexp_extract(nofrag, '\\?(.*)$$', 1), '') AS qs
+         |  FROM p),
+         |d AS (SELECT k, raw, scheme, path, qs,
+         |  lower(split_part(hostport, ':', 1)) AS host,
+         |  CASE WHEN contains(hostport, ':')
+         |       THEN split_part(hostport, ':', 2) ELSE '' END AS port
+         |  FROM c),
+         |e AS (SELECT k, raw, scheme, host, path,
+         |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         |         OR (scheme = 'https' AND port = '443') THEN ''
+         |       ELSE ':' || port END AS portpart,
+         |  coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+         |    q -> q <> '' AND NOT starts_with(q, 'utm_'))), '&'), '') AS params
+         |  FROM d),
+         |f AS (SELECT k, raw,
+         |  scheme || '://' || host || portpart || path ||
+         |    CASE WHEN params = '' THEN '' ELSE '?' || params END
+         |    AS canonical_url
+         |  FROM e)
+         |SELECT canonical_url, count(*) AS n_raw,
+         |  count(DISTINCT raw) AS n_variants,
+         |  min(raw) AS min_raw, min(k) AS min_key
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_corpus_filter" ->
       """WITH base AS (

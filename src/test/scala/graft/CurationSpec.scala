@@ -81,6 +81,46 @@ class CurationSpec extends SparkSuite {
     assert(expected.count(_._2 >= 1) == kn.size)
   }
 
+  test("PII redaction leaves no residual matches and counts the fixture") {
+    val rows = CorpusQueries.queries("q_pii_redact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    val email = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+".r
+    val phone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}".r
+    val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+".r
+    rows.foreach { case (k, ne, np, ni, red) =>
+      // counts follow the fixture's variation rules
+      assert(ne == (if (k % 3 == 0) 2 else 1), s"key $k emails $ne")
+      assert(np == 1, s"key $k phones $np")
+      assert(ni == (if (k % 5 == 0) 0 else 1), s"key $k ips $ni")
+      // nothing sensitive survives redaction
+      assert(email.findFirstIn(red).isEmpty, s"residual email in: $red")
+      assert(phone.findFirstIn(red).isEmpty, s"residual phone in: $red")
+      assert(ip.findFirstIn(red).isEmpty, s"residual ip in: $red")
+    }
+  }
+
+  test("URL canonical forms are normalized and conserve the raw mass") {
+    val rows = CorpusQueries.queries("q_url_normalize")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (url, nRaw, nVariants) =>
+      assert(url == url.toLowerCase, s"case survived: $url")
+      assert(!url.contains("#") && !url.contains("utm_") &&
+        !url.contains(":80/"), s"uncanonical: $url")
+      // sorted params: a=1 before b=2 when both present
+      if (url.contains("?"))
+        assert(url.endsWith("?a=1&b=2"), s"params unsorted: $url")
+      assert(nVariants >= 1L && nVariants <= nRaw)
+    }
+    // mass conservation: every order key lands in exactly one group
+    val total = core.Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == total)
+    // the fixture guarantees real merging: more raws than groups
+    assert(total > rows.length)
+  }
+
   test("KN p_scaled arithmetic survives corpus-scale counts (no 2^63 wrap)") {
     // adversarial magnitudes: ~1e12 bigram types, Zipf-head n12 ~ 1e12 —
     // the raw long product would wrap; DECIMAL(38,0) must not
