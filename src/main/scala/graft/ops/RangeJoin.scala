@@ -37,4 +37,34 @@ object RangeJoin {
       .filter(col(pCol) >= col(startCol) && col(pCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: one output row per (a, b) pair whose
+    * inclusive ranges intersect ([aStart,aEnd] ∩ [bStart,bEnd] ≠ ∅).
+    * Both sides explode to their touched buckets and meet on an
+    * equi-key; a pair spanning several common buckets would match in
+    * each, so every pair is CLAIMED exactly once — in the bucket that
+    * contains the overlap's start, max(aStart, bStart). That dedup is a
+    * pure predicate (no distinct, no second shuffle), the standard
+    * interval-join trick.
+    *
+    * Bounds must be non-negative (epoch-day / epoch-second domains):
+    * integral `div` truncates toward zero, so negative starts would
+    * disagree with the floor-bucket assignment. Enforced here rather
+    * than silently mis-bucketed. */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+                      b: DataFrame, bStart: String, bEnd: String,
+                      bucketWidth: Long,
+                      extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, s: String, e: String) = df
+      .filter(col(s) >= 0 && col(e) >= col(s))
+      .withColumn("__bucket",
+        explode(sequence(expr(s"$s div $bucketWidth"),
+          expr(s"$e div $bucketWidth"))))
+    buckets(a, aStart, aEnd)
+      .join(buckets(b, bStart, bEnd), Seq("__bucket") ++ extraKeys)
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("__bucket") === expr(s"greatest($aStart, $bStart) div $bucketWidth"))
+      .drop("__bucket")
+  }
 }

@@ -555,6 +555,38 @@ object RelationalQueries extends QueryGroup {
       .orderBy("urgent_orderkey")
   }
 
+  /** Interval-OVERLAP join ([[graft.ops.RangeJoin.intervalOverlap]]) —
+    * the two-sided sibling of [[rangeJoin]]'s point probe: order service
+    * windows vs shipment handling windows, any intersection. A bare
+    * overlap theta-join plans as a nested loop; both sides bucketize to
+    * a 16-day grid and meet on an equi-key, with each pair claimed
+    * exactly once in the bucket holding the overlap start (predicate
+    * dedup — no distinct, no second shuffle). Per service window:
+    * overlap count and total/max overlap days, all exact day
+    * integers. */
+  private def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("a_id"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("a_s"))
+      .withColumn("a_e", col("a_s") + col("a_id") % 7 + 1)
+    val b = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 17 === 0)
+      .select((col("l_orderkey") * 100 + col("l_linenumber")).as("b_id"),
+        unix_date(to_date(col("l_shipdate"))).cast("long").as("b_s"),
+        col("l_linenumber").cast("long").as("ln"))
+      .withColumn("b_e", col("b_s") + col("ln") % 5 + 2)
+    RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e",
+        bucketWidth = 16L)
+      .withColumn("ov",
+        least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")) + 1)
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum("ov").as("total_overlap_days"),
+        max("ov").as("max_overlap_days"))
+      .orderBy("a_id")
+  }
+
   /** A5 extension: per-group IQR outlier detection (Tukey fences) over
     * per-customer total spend by nation — the data-quality monitor that
     * flags anomalous records before they pollute a training aggregate.
@@ -818,6 +850,7 @@ object RelationalQueries extends QueryGroup {
     "q_copurchase" -> copurchase,
     "q_benford" -> benford,
     "q_range_join" -> rangeJoin,
+    "q_interval_join" -> intervalJoin,
     "q_salted_agg" -> saltedAgg,
     "q_multipass_match" -> multipassMatch,
     "q_percentiles" -> percentiles,
@@ -1017,6 +1050,29 @@ object RelationalQueries extends QueryGroup {
         |  AND o.d BETWEEN u.start_d AND u.end_d
         |  AND o.o_orderkey <> u.urgent_orderkey
         |GROUP BY 1 ORDER BY urgent_orderkey""".stripMargin,
+
+    // the oracle states overlap as the plain theta-join; bucket+claim on
+    // the Spark side must be result-invariant
+    "q_interval_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_id,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS a_s,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      + o_orderkey % 7 + 1 AS a_e
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |b AS (
+        |  SELECT l_orderkey * 100 + l_linenumber AS b_id,
+        |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS b_s,
+        |    CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+        |      + l_linenumber % 5 + 2 AS b_e
+        |  FROM lineitem WHERE l_orderkey % 17 = 0)
+        |SELECT a_id, count(*) AS n_overlaps,
+        |  CAST(sum(least(a_e, b_e) - greatest(a_s, b_s) + 1) AS BIGINT)
+        |    AS total_overlap_days,
+        |  CAST(max(least(a_e, b_e) - greatest(a_s, b_s) + 1) AS BIGINT)
+        |    AS max_overlap_days
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        |GROUP BY 1 ORDER BY a_id""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,
