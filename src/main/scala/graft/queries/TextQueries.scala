@@ -171,6 +171,70 @@ object TextQueries extends QueryGroup {
         when(col("n_grams") > 0, col("rep_ratio") > 0.2))
       .orderBy("doc_id")
 
+  /** The full Gopher repetition bundle (Rae et al. 2021, Table A1) next
+    * to [[repetition]]'s single repeated-3-gram cut: per doc, the
+    * fraction of characters covered by the single most frequent n-gram
+    * for n = 2..4, and by ALL duplicated n-grams for n = 5..6, each
+    * gated at the paper's thresholds (0.20/0.18/0.16 and 0.15/0.14).
+    * "Covered chars" uses the standard count·len(gram) estimate (the
+    * published reimplementation convention — exact position marking
+    * needs per-char state the filter doesn't justify).
+    *
+    * EXACTNESS: the keep gates compare 100·count·len against
+    * threshold·total_chars — pure integers, so no boundary ever sits on
+    * a float (the displayed fractions are rounded doubles, the
+    * DECISIONS are exact). Argmax per (doc, n) is min(struct(−cnt,
+    * gram)): largest count, lexicographically-smallest gram tiebreak.
+    *
+    * Shape at scale: one flattened n-gram explode (5 gram lengths in a
+    * single Generate), one (doc, n, gram) count with map-side combine,
+    * one (doc, n) argmax/sum aggregation, one doc-row pivot — all
+    * doc-keyed aggregations, no windows, no joins. Products are
+    * doc-length-bounded (≤ len²·100), never corpus counts. */
+  private def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("total_chars", length(trim(col("text"))).cast("long"))
+      .select(col("doc_id"), col("total_chars"), explode(expr(
+        """flatten(transform(sequence(2, 6), n ->
+          |  CASE WHEN size(words) >= n THEN
+          |    transform(sequence(1, size(words) - n + 1),
+          |      i -> struct(n AS n, concat_ws(' ', slice(words, i, n)) AS gram))
+          |  ELSE CAST(array() AS array<struct<n: int, gram: string>>)
+          |  END))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("total_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+    val counted = grams.groupBy("doc_id", "total_chars", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("covered", col("cnt") * length(col("gram")).cast("long"))
+    val perN = counted.groupBy("doc_id", "total_chars", "n")
+      .agg(
+        min(struct((-col("cnt")).as("negc"), col("gram").as("gram"),
+          col("covered").as("covered"))).as("top"),
+        sum(when(col("cnt") > 1, col("covered")).otherwise(0L)).as("dupc"))
+      .select(col("doc_id"), col("total_chars"), col("n"),
+        col("top.covered").as("topc"), col("dupc"))
+    perN.groupBy("doc_id", "total_chars")
+      .agg(
+        sum(when(col("n") === 2, col("topc")).otherwise(0L)).as("top2"),
+        sum(when(col("n") === 3, col("topc")).otherwise(0L)).as("top3"),
+        sum(when(col("n") === 4, col("topc")).otherwise(0L)).as("top4"),
+        sum(when(col("n") === 5, col("dupc")).otherwise(0L)).as("dup5"),
+        sum(when(col("n") === 6, col("dupc")).otherwise(0L)).as("dup6"))
+      .select(col("doc_id"),
+        round(least(col("top2").cast("double") / col("total_chars"), lit(1.0)), 6).as("top2_frac"),
+        round(least(col("top3").cast("double") / col("total_chars"), lit(1.0)), 6).as("top3_frac"),
+        round(least(col("top4").cast("double") / col("total_chars"), lit(1.0)), 6).as("top4_frac"),
+        round(least(col("dup5").cast("double") / col("total_chars"), lit(1.0)), 6).as("dup5_frac"),
+        round(least(col("dup6").cast("double") / col("total_chars"), lit(1.0)), 6).as("dup6_frac"),
+        (col("top2") * 100 <= col("total_chars") * 20 &&
+          col("top3") * 100 <= col("total_chars") * 18 &&
+          col("top4") * 100 <= col("total_chars") * 16 &&
+          col("dup5") * 100 <= col("total_chars") * 15 &&
+          col("dup6") * 100 <= col("total_chars") * 14).as("gopher_keep"))
+      .orderBy("doc_id")
+  }
+
   /** Percentile-threshold quality pruning: the corpus-relative keep rule
     * ("drop the worst 30% by quality score") used when an absolute
     * threshold would over- or under-prune a drifting corpus. The
@@ -681,6 +745,7 @@ object TextQueries extends QueryGroup {
     "q_quality_prune" -> qualityPrune,
     "q_word_rarity" -> wordRarity,
     "q_text_repetition" -> repetition,
+    "q_gopher_repetition" -> gopherRepetition,
     "q_regex_extract" -> regexExtract,
     "q_json_export" -> jsonExport,
     "q_text_tokens" -> tokens,
@@ -984,6 +1049,45 @@ object TextQueries extends QueryGroup {
         |       THEN (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > 0.2 END AS repetitive
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Gopher bundle: keep gates compared in the 100*covered vs pct*total
+    // INTEGER domain; only the display fractions are doubles
+    "q_gopher_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words,
+        |       CAST(length(trim(text)) AS BIGINT) AS total_chars FROM documents),
+        |g AS (SELECT doc_id, total_chars, n,
+        |    array_to_string(words[i:i+n-1], ' ') AS gram
+        |  FROM w,
+        |    unnest(generate_series(2, 6)) AS tn(n),
+        |    unnest(generate_series(1, len(words) - n + 1)) AS ti(i)),
+        |c AS (SELECT doc_id, total_chars, n, gram, count(*) AS cnt,
+        |    CAST(count(*) * length(gram) AS BIGINT) AS covered
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |top AS (SELECT doc_id, total_chars, n, covered AS topc FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id, n
+        |    ORDER BY cnt DESC, gram) = 1),
+        |dup AS (SELECT doc_id, n,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN covered ELSE 0 END) AS BIGINT) AS dupc
+        |  FROM c GROUP BY 1, 2),
+        |pn AS (SELECT t.doc_id, t.total_chars, t.n, t.topc, d.dupc
+        |  FROM top t JOIN dup d USING (doc_id, n)),
+        |pv AS (SELECT doc_id, total_chars,
+        |    CAST(sum(CASE WHEN n = 2 THEN topc ELSE 0 END) AS BIGINT) AS top2,
+        |    CAST(sum(CASE WHEN n = 3 THEN topc ELSE 0 END) AS BIGINT) AS top3,
+        |    CAST(sum(CASE WHEN n = 4 THEN topc ELSE 0 END) AS BIGINT) AS top4,
+        |    CAST(sum(CASE WHEN n = 5 THEN dupc ELSE 0 END) AS BIGINT) AS dup5,
+        |    CAST(sum(CASE WHEN n = 6 THEN dupc ELSE 0 END) AS BIGINT) AS dup6
+        |  FROM pn GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  round(least(CAST(top2 AS DOUBLE) / total_chars, 1.0), 6) AS top2_frac,
+        |  round(least(CAST(top3 AS DOUBLE) / total_chars, 1.0), 6) AS top3_frac,
+        |  round(least(CAST(top4 AS DOUBLE) / total_chars, 1.0), 6) AS top4_frac,
+        |  round(least(CAST(dup5 AS DOUBLE) / total_chars, 1.0), 6) AS dup5_frac,
+        |  round(least(CAST(dup6 AS DOUBLE) / total_chars, 1.0), 6) AS dup6_frac,
+        |  (top2 * 100 <= total_chars * 20 AND top3 * 100 <= total_chars * 18
+        |   AND top4 * 100 <= total_chars * 16 AND dup5 * 100 <= total_chars * 15
+        |   AND dup6 * 100 <= total_chars * 14) AS gopher_keep
+        |FROM pv ORDER BY doc_id""".stripMargin,
 
     "q_regex_extract" ->
       """WITH matches AS (

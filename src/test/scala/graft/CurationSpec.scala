@@ -121,6 +121,46 @@ class CurationSpec extends SparkSuite {
     assert(total > rows.length)
   }
 
+  test("Gopher repetition equals a naive in-memory reimplementation") {
+    val got = queries.TextQueries.queries("q_gopher_repetition")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    val docs = core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val t = text.trim
+      val words = t.split("\\s+")
+      val total = t.length.toLong
+      def gramCounts(n: Int): Map[String, Long] =
+        words.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def topCovered(n: Int): Long = {
+        val c = gramCounts(n)
+        if (c.isEmpty) 0L
+        else { val (g, cnt) = c.minBy { case (g, cnt) => (-cnt, g) }
+          cnt * g.length }
+      }
+      def dupCovered(n: Int): Long =
+        gramCounts(n).collect { case (g, cnt) if cnt > 1 => cnt * g.length }
+          .sum
+      val (t2, t3, t4, d5, d6) = (topCovered(2), topCovered(3), topCovered(4),
+        dupCovered(5), dupCovered(6))
+      val (g2, g3, g4, g5, g6, keep) = got(id)
+      def frac(x: Long) = math.min(x.toDouble / total, 1.0)
+      assert(math.abs(g2 - frac(t2)) < 1e-6, s"doc $id top2")
+      assert(math.abs(g3 - frac(t3)) < 1e-6, s"doc $id top3")
+      assert(math.abs(g4 - frac(t4)) < 1e-6, s"doc $id top4")
+      assert(math.abs(g5 - frac(d5)) < 1e-6, s"doc $id dup5")
+      assert(math.abs(g6 - frac(d6)) < 1e-6, s"doc $id dup6")
+      val wantKeep = t2 * 100 <= total * 20 && t3 * 100 <= total * 18 &&
+        t4 * 100 <= total * 16 && d5 * 100 <= total * 15 && d6 * 100 <= total * 14
+      assert(keep == wantKeep, s"doc $id keep")
+    }
+  }
+
   test("KN p_scaled arithmetic survives corpus-scale counts (no 2^63 wrap)") {
     // adversarial magnitudes: ~1e12 bigram types, Zipf-head n12 ~ 1e12 —
     // the raw long product would wrap; DECIMAL(38,0) must not
