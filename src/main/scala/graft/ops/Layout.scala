@@ -99,4 +99,47 @@ object Layout {
       .repartitionByRange(nFiles, col("zval"))
       .sortWithinPartitions("zval")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction plan — the OPTIMIZE step every long-lived
+    * lakehouse table needs: within each partition directory, files below
+    * `target` bytes are packed size-descending (first-fit-decreasing
+    * order) into bins via cumulative division — bin
+    * ⌊(cumsum − size) / target⌋, the greedy fill real table formats
+    * plan with (each bin lands in [target, target + max small size));
+    * files already ≥ `target` are left alone and reported as one
+    * `bin_id = −1` summary row per partition. Deterministic: the fill
+    * order is (size desc, file id asc), a total order.
+    *
+    * Scale shape: the only non-aggregation step is the per-PARTITION
+    * cumulative window — keyed by the partition directory, so no
+    * single-reducer cliff; per-directory file counts are retention-
+    * bounded in any real table. Output is bin-granular (≪ file count). */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     bytesCol: String, target: Long): DataFrame = {
+    require(target > 0, "target must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCol)
+      .orderBy(col(bytesCol).desc, col(fileCol))
+    val bins = files.filter(col(bytesCol) < target)
+      .withColumn("__cum", sum(col(bytesCol)).over(w))
+      .withColumn("bin_id",
+        expr(s"(__cum - $bytesCol) div ${target}L"))
+      .groupBy(col(partCol), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("total_bytes"),
+        min(col(fileCol)).as("min_file"),
+        max(col(fileCol)).as("max_file"))
+    val skipped = files.filter(col(bytesCol) >= target)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("total_bytes"),
+        min(col(fileCol)).as("min_file"),
+        max(col(fileCol)).as("max_file"))
+      .withColumn("bin_id", lit(-1L))
+      .select(col(partCol), col("bin_id"), col("n_files"),
+        col("total_bytes"), col("min_file"), col("max_file"))
+    bins.unionByName(skipped)
+      .withColumn("fill_pct", expr(s"(total_bytes * 100) div ${target}L"))
+      .withColumn("compacted", col("bin_id") >= 0)
+  }
 }

@@ -145,6 +145,27 @@ object SamplingQueries extends QueryGroup {
         "l_partkey", "l_suppkey"),
       "l_partkey", "l_suppkey", filesLog2 = 6)
 
+  /** Small-file compaction plan ([[graft.ops.Layout.compactionPlan]])
+    * over a deterministic file inventory derived from the part table:
+    * heavy-tailed sizes (70% small, 20% mid, 10% already-compact) in
+    * 25 brand partitions, 128 MB target. Bins pack size-descending via
+    * cumulative division; ≥target files pass through as the `-1`
+    * summary row. fill_pct stays integral (total·100 div target) so the
+    * gate never compares floats. */
+  private def compact(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.part(s, dir)
+      .withColumn("h", (col("p_partkey") * 37 + 11) % 100)
+      .select(col("p_brand").as("part_dir"),
+        col("p_partkey").as("file_id"),
+        when(col("h") < 70, lit(1) + col("h") % 24)
+          .when(col("h") < 90, lit(32) + (col("h") - 70) * 3)
+          .otherwise(lit(128) + (col("h") - 90) * 16)
+          .cast("long").as("size_mb"))
+    graft.ops.Layout
+      .compactionPlan(files, "part_dir", "file_id", "size_mb", target = 128L)
+      .orderBy("part_dir", "bin_id")
+  }
+
   /** Vocabulary growth along the training shuffle order — the Heaps-law
     * monitor: as the corpus is consumed in [[shuffleOrder]]'s
     * deterministic epoch order, how many token TYPES has the model seen
@@ -233,6 +254,7 @@ object SamplingQueries extends QueryGroup {
     "q_priority_sample" -> prioritySample,
     "q_vocab_growth" -> vocabGrowth,
     "q_zorder" -> zorder,
+    "q_compact_plan" -> compact,
     "q_source_cap" -> sourceCap,
     "q_mix_weights" -> mixWeights,
     "q_mix_upsample" -> mixUpsample,
@@ -242,6 +264,36 @@ object SamplingQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // compaction plan: FFD-order cumulative-division bin packing; the
+    // cum window's (size desc, file_id) order is total, so RANGE = ROWS
+    "q_compact_plan" ->
+      """WITH f AS (
+        |  SELECT p_brand AS part_dir, p_partkey AS file_id,
+        |    CAST(CASE WHEN h < 70 THEN 1 + h % 24
+        |              WHEN h < 90 THEN 32 + (h - 70) * 3
+        |              ELSE 128 + (h - 90) * 16 END AS BIGINT) AS size_mb
+        |  FROM (SELECT *, (p_partkey * 37 + 11) % 100 AS h FROM part)),
+        |small AS (
+        |  SELECT part_dir, file_id, size_mb,
+        |    sum(size_mb) OVER (PARTITION BY part_dir
+        |      ORDER BY size_mb DESC, file_id) AS cum
+        |  FROM f WHERE size_mb < 128),
+        |bins AS (
+        |  SELECT part_dir, CAST((cum - size_mb) // 128 AS BIGINT) AS bin_id,
+        |    count(*) AS n_files, CAST(sum(size_mb) AS BIGINT) AS total_bytes,
+        |    min(file_id) AS min_file, max(file_id) AS max_file
+        |  FROM small GROUP BY 1, 2),
+        |skip AS (
+        |  SELECT part_dir, CAST(-1 AS BIGINT) AS bin_id, count(*) AS n_files,
+        |    CAST(sum(size_mb) AS BIGINT) AS total_bytes,
+        |    min(file_id) AS min_file, max(file_id) AS max_file
+        |  FROM f WHERE size_mb >= 128 GROUP BY 1),
+        |u AS (SELECT * FROM bins UNION ALL SELECT * FROM skip)
+        |SELECT part_dir, bin_id, n_files, total_bytes, min_file, max_file,
+        |  CAST((total_bytes * 100) // 128 AS BIGINT) AS fill_pct,
+        |  bin_id >= 0 AS compacted
+        |FROM u ORDER BY part_dir, bin_id""".stripMargin,
+
     // priority sampling: k smallest h div w priorities, doc_id tiebreak
     "q_priority_sample" ->
       s"""WITH d AS (

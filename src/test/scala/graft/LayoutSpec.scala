@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ops.Layout
+import graft.queries.SamplingQueries
 
 /** Z-order layout: the Morton-code expression must match a bit-twiddled
   * reference, and the layout must deliver the multi-dimensional pruning
@@ -89,5 +90,52 @@ class LayoutSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(exp.nonEmpty)
     assert(got === exp)
+  }
+
+  test("compaction plan equals a naive in-memory bin packer") {
+    val target = 128L
+    // the same deterministic inventory q_compact_plan derives
+    val inv = core.Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_partkey")).collect()
+      .map { r =>
+        val k = r.getLong(1)
+        val h = (k * 37 + 11) % 100
+        val mb = if (h < 70) 1 + h % 24
+          else if (h < 90) 32 + (h - 70) * 3
+          else 128 + (h - 90) * 16
+        (r.getString(0), k, mb)
+      }
+    // naive plan: per partition, smalls size-desc/id-asc, cum-div bins
+    val want = inv.groupBy(_._1).flatMap { case (part, fs) =>
+      val smalls = fs.filter(_._3 < target).sortBy(f => (-f._3, f._2))
+      var cum = 0L
+      val binned = smalls.map { case (_, id, mb) =>
+        cum += mb; (((cum - mb) / target), id, mb)
+      }
+      val bins = binned.groupBy(_._1).map { case (b, xs) =>
+        (part, b, xs.length.toLong, xs.map(_._3).sum,
+          xs.map(_._2).min, xs.map(_._2).max)
+      }
+      val skipped = fs.filter(_._3 >= target)
+      val skipRow = if (skipped.nonEmpty)
+        Seq((part, -1L, skipped.length.toLong, skipped.map(_._3).sum,
+          skipped.map(_._2).min, skipped.map(_._2).max))
+      else Nil
+      bins ++ skipRow
+    }.toSet
+    val got = SamplingQueries.queries("q_compact_plan")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    // greedy-fill guarantee: every non-last bin in a partition holds at
+    // least target - (max small size - 1) bytes and at most target +
+    // (max small size - 1)
+    val rows = got.toSeq.filter(_._2 >= 0)
+    val lastBin = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    rows.foreach { case (part, bin, _, total, _, _) =>
+      assert(total <= target + 88, s"$part/$bin overfilled: $total")
+      if (bin < lastBin(part))
+        assert(total >= target - 88, s"$part/$bin underfilled: $total")
+    }
   }
 }
