@@ -235,6 +235,126 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Deterministic multi-line page fixture for the line-level curation
+    * rules (the `q_html_to_text` convention: `documents.text` has no
+    * newlines or punctuation, so the page structure those rules act on
+    * is REBUILT identically in Spark and in the oracle SQL from the
+    * row's own words). Each doc's words chunk into 7-word lines; line i
+    * gets a bullet prefix when (doc_id+3i)%7=0, the stop words
+    * ` and that with` when (doc_id+i)%9=0 (the synthetic vocabulary has
+    * only "the" from Gopher's reference list — without this the stop
+    * gate never fires), a ` javascript` token when (doc_id+i)%13=0,
+    * ` lorem ipsum` / ` {` on line 1 for
+    * doc_id%17=0 / %19=0, and a terminator cycling through
+    * {none, ., !, ?, ., ...} by (doc_id+i)%6 — so every C4/Gopher gate
+    * sees both passing and failing lines. Escape-free SQL on purpose
+    * (Spark and DuckDB disagree about backslashes in string literals). */
+  private val pageLinesExpr =
+    """transform(sequence(1, CAST((size(words) + 6) div 7 AS INT)), i -> concat(
+      |  CASE WHEN (doc_id + 3*i) % 7 = 0 THEN '- ' ELSE '' END,
+      |  concat_ws(' ', slice(words, (i-1)*7 + 1, 7)),
+      |  CASE WHEN (doc_id + i) % 9 = 0 THEN ' and that with' ELSE '' END,
+      |  CASE WHEN (doc_id + i) % 13 = 0 THEN ' javascript' ELSE '' END,
+      |  CASE WHEN i = 1 AND doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END,
+      |  CASE WHEN i = 1 AND doc_id % 19 = 0 THEN ' {' ELSE '' END,
+      |  element_at(array('', '.', '!', '?', '.', '...'),
+      |    CAST((doc_id + i) % 6 AS INT) + 1)))""".stripMargin
+
+  /** (doc_id, lang, lines, page) — the fixture page per document. */
+  private[queries] def curationPages(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("lines", expr(pageLinesExpr))
+      .withColumn("page", array_join(col("lines"), "\n"))
+      .select("doc_id", "lang", "lines", "page")
+
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2) over the fixture
+    * page: keep only lines ending in terminal punctuation, with >= 5
+    * words, and without the word "javascript"; drop any page containing
+    * "lorem ipsum" or a curly brace, or whose cleaned text has fewer
+    * than 3 sentences (sentence count = terminal-punctuation marks in
+    * the KEPT lines — the published-reimplementation convention, so a
+    * `...` terminator counts 3). The cleaned text is reassembled from
+    * the surviving lines, newline-joined.
+    *
+    * Shape at scale: pure projection — the line filter, sentence count,
+    * and reassembly all run in-row on the line array (no explode, no
+    * shuffle except the presentation sort); at 100 TB this is
+    * scan-bound, the same envelope as `q_text_scrub`. */
+  private def c4Filters(s: SparkSession, dir: String): DataFrame =
+    curationPages(s, dir)
+      .withColumn("kept", filter(col("lines"), l =>
+        substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+          (size(regexp_extract_all(l, lit("""\S+"""), lit(0))) >= 5) &&
+          !l.contains("javascript")))
+      .withColumn("clean_text", array_join(col("kept"), "\n"))
+      .withColumn("n_sentences",
+        size(regexp_extract_all(col("clean_text"), lit("""[.!?]"""), lit(0))))
+      .withColumn("has_lorem", col("page").contains("lorem ipsum"))
+      .withColumn("has_brace", col("page").contains("{"))
+      .select(col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        size(col("kept")).as("n_kept"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        (!col("has_lorem") && !col("has_brace") && col("n_sentences") >= 3)
+          .as("page_keep"),
+        col("clean_text"))
+      .orderBy("doc_id")
+
+  /** The full Gopher quality gate (Rae et al. 2021, Table A1 — the
+    * non-repetition half, completing [[gopherRepetition]]): word count
+    * in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    * (# or ellipsis) <= 0.1, <= 90% of lines bullet-started, <= 30% of
+    * lines ellipsis-ended, >= 80% of words containing an alphabetic
+    * character, and >= 2 of the 8 reference stop words present.
+    *
+    * EXACTNESS: every gate compares in the INTEGER domain (10·n_sym <=
+    * n_words, 10·n_alpha >= 8·n_words, ...) so no keep decision sits on
+    * a float boundary; the displayed mean word length is a rounded
+    * double, the DECISIONS are exact — the q_gopher_repetition
+    * discipline.
+    *
+    * Shape at scale: pure projection over the line/word arrays (filters
+    * and intersects in-row, no explode); scan-bound at 100 TB. */
+  private def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    curationPages(s, dir)
+      .withColumn("pwords",
+        regexp_extract_all(col("page"), lit("""\S+"""), lit(0)))
+      .withColumn("n_words", size(col("pwords")).cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("chars_nospace",
+        length(regexp_replace(col("page"), """\s+""", "")).cast("long"))
+      .withColumn("n_sym", size(regexp_extract_all(col("page"),
+        lit("""#|\.\.\."""), lit(0))).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(col("lines"), l => l.startsWith("- "))).cast("long"))
+      .withColumn("n_ellipsis",
+        size(filter(col("lines"), l => l.endsWith("..."))).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("pwords"), w => w.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("stop_hits", size(array_intersect(
+        array_distinct(regexp_extract_all(lower(col("page")),
+          lit("[a-z]+"), lit(0))), stops)).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        round(col("chars_nospace").cast("double") / col("n_words"), 6)
+          .as("mean_word_len"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("gate_words"),
+        (col("chars_nospace") >= col("n_words") * 3 &&
+          col("chars_nospace") <= col("n_words") * 10).as("gate_mean_len"),
+        (col("n_sym") * 10 <= col("n_words")).as("gate_symbol"),
+        (col("n_bullet") * 10 <= col("n_lines") * 9).as("gate_bullet"),
+        (col("n_ellipsis") * 10 <= col("n_lines") * 3).as("gate_ellipsis"),
+        (col("n_alpha") * 10 >= col("n_words") * 8).as("gate_alpha"),
+        (col("stop_hits") >= 2).as("gate_stop"))
+      .withColumn("gopher_quality_keep",
+        col("gate_words") && col("gate_mean_len") && col("gate_symbol") &&
+          col("gate_bullet") && col("gate_ellipsis") && col("gate_alpha") &&
+          col("gate_stop"))
+      .orderBy("doc_id")
+  }
+
   /** Percentile-threshold quality pruning: the corpus-relative keep rule
     * ("drop the worst 30% by quality score") used when an absolute
     * threshold would over- or under-prune a drifting corpus. The
@@ -297,17 +417,34 @@ object TextQueries extends QueryGroup {
     * the Zipf head), two equi-joins back — c12/c1 are vocab-bounded, so
     * broadcastable on natural-language vocabularies — one scalar V
     * broadcast, one final doc-key aggregation. */
-  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+  private def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmMass(s, dir)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ps").cast("double") / col("n_bigrams") / lit(1e12), 6)
+          .as("lm_score"),
+        when(col("ps") >= lit(36000000000L) * col("n_bigrams"), "high")
+          .when(col("ps") >= lit(32000000000L) * col("n_bigrams"), "mid")
+          .otherwise("low").as("lm_bucket"))
+      .orderBy("doc_id")
+
+  /** Per-doc fixed-point LM probability mass — the shared interior of
+    * [[lmScore]] and [[pplBuckets]]: (doc_id, lang, n_bigrams, ps) with
+    * ps = Σ floor(1e12·(c12+1)/(c1+V)) over the doc's bigrams. `lang`
+    * rides the groupBy key (functionally dependent on doc_id, so the
+    * aggregation is unchanged — it just saves a join back for the
+    * per-language consumers). */
+  private def lmMass(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .withColumn("w", split(trim(col("text")), "\\s+"))
     val toks = docs.select(col("doc_id"), explode(col("w")).as("tok"))
     val vocab = toks.agg(countDistinct("tok").as("v"))
     val bi = docs.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id"), col("lang"), explode(transform(
         sequence(lit(1), size(col("w")) - 1), i =>
           struct(element_at(col("w"), i).as("w1"),
             element_at(col("w"), i + 1).as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
     bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -318,14 +455,41 @@ object TextQueries extends QueryGroup {
       // (p_scaled <= ~1e12, n_bigrams doc-length-bounded).
       .withColumn("p_scaled",
         expr("(1000000000000L * CAST(n12 + 1 AS DECIMAL(38,0))) div (n1 + v)"))
-      .groupBy("doc_id")
+      .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), sum("p_scaled").as("ps"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("ps").cast("double") / col("n_bigrams") / lit(1e12), 6)
-          .as("lm_score"),
-        when(col("ps") >= lit(36000000000L) * col("n_bigrams"), "high")
-          .when(col("ps") >= lit(32000000000L) * col("n_bigrams"), "mid")
-          .otherwise("low").as("lm_bucket"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): every doc
+    * ranked WITHIN ITS LANGUAGE by the fixed-point LM score and split
+    * into head / middle / tail terciles — the standard web-corpus triage
+    * where "head" (most fluent third per language) trains first and
+    * "tail" is dropped or down-weighted. Per-language cutoffs, not
+    * global: a global threshold would grade every non-dominant language
+    * against the dominant one's fluency distribution.
+    *
+    * EXACTNESS: the ranking key is the integer floor(ps/n_bigrams)
+    * (doc_id tiebreak), so bucket boundaries never sit on a float; the
+    * tercile is pure rank arithmetic, bucket = ((rank−1)·3) div n.
+    *
+    * Shape at scale: the rank is [[graft.ops.OrderStats.valueRankedBy]]'s
+    * two-level grid rank — a hot language still spreads over the grid
+    * cells, no per-language single-reducer sort (the oracle's
+    * row_number() window IS the single-reducer formulation, kept oracle-
+    * side only); per-language sizes are a |langs|-row broadcast. */
+  private def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sc = lmMass(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("ps div n_bigrams").as("score"))
+    val ranked = graft.ops.OrderStats.valueRankedBy(
+      sc, Seq("lang"), "score", "doc_id")
+    val sizes = sc.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    ranked.join(broadcast(sizes), Seq("lang"))
+      .withColumn("bidx", expr("((val_rank - 1) * 3) div n_lang"))
+      .select(col("doc_id"), col("lang"), col("score"),
+        col("val_rank").as("ppl_rank"),
+        when(col("bidx") === 2, "head")
+          .when(col("bidx") === 1, "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }
 
@@ -746,6 +910,9 @@ object TextQueries extends QueryGroup {
     "q_word_rarity" -> wordRarity,
     "q_text_repetition" -> repetition,
     "q_gopher_repetition" -> gopherRepetition,
+    "q_gopher_quality" -> gopherQuality,
+    "q_c4_filters" -> c4Filters,
+    "q_ppl_buckets" -> pplBuckets,
     "q_regex_extract" -> regexExtract,
     "q_json_export" -> jsonExport,
     "q_text_tokens" -> tokens,
@@ -755,6 +922,24 @@ object TextQueries extends QueryGroup {
     "q_status_classify" -> statusClassify,
     "q_notes_extract" -> notesExtract,
   )
+
+  /** DuckDB mirror of [[pageLinesExpr]]/[[curationPages]] — terminal CTE
+    * `pp` = (doc_id, lang, lines, page). Kept character-identical to the
+    * Spark construction: same chunking, same injection rules, same
+    * terminator cycle. */
+  private def pageSql: String =
+    """w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS words FROM documents),
+      |pg AS (SELECT doc_id, lang,
+      |    list_transform(generate_series(1, (len(words) + 6) // 7), i ->
+      |      (CASE WHEN (doc_id + 3*i) % 7 = 0 THEN '- ' ELSE '' END) ||
+      |      array_to_string(words[(i-1)*7 + 1:(i-1)*7 + 7], ' ') ||
+      |      (CASE WHEN (doc_id + i) % 9 = 0 THEN ' and that with' ELSE '' END) ||
+      |      (CASE WHEN (doc_id + i) % 13 = 0 THEN ' javascript' ELSE '' END) ||
+      |      (CASE WHEN i = 1 AND doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END) ||
+      |      (CASE WHEN i = 1 AND doc_id % 19 = 0 THEN ' {' ELSE '' END) ||
+      |      (['', '.', '!', '?', '.', '...'])[(doc_id + i) % 6 + 1]) AS lines
+      |  FROM w),
+      |pp AS (SELECT doc_id, lang, lines, array_to_string(lines, chr(10)) AS page FROM pg)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     // fixed-point LM scoring: integer // keeps every term exact, the HUGEINT
@@ -1088,6 +1273,89 @@ object TextQueries extends QueryGroup {
         |   AND top4 * 100 <= total_chars * 16 AND dup5 * 100 <= total_chars * 15
         |   AND dup6 * 100 <= total_chars * 14) AS gopher_keep
         |FROM pv ORDER BY doc_id""".stripMargin,
+
+    // page fixture rebuilt verbatim (the q_html_to_text convention) + every
+    // keep gate compared in the integer domain; only mean_word_len displays
+    // as a double
+    "q_gopher_quality" ->
+      s"""WITH $pageSql,
+         |m AS (SELECT doc_id, lines, page,
+         |    regexp_extract_all(page, '\\S+') AS pwords,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(length(regexp_replace(page, '\\s+', '', 'g')) AS BIGINT) AS chars_nospace,
+         |    CAST(len(regexp_extract_all(page, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(lines, l -> l LIKE '- %')) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
+         |    CAST(len(list_intersect(
+         |      list_distinct(regexp_extract_all(lower(page), '[a-z]+')),
+         |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM pp),
+         |g AS (SELECT doc_id, CAST(len(pwords) AS BIGINT) AS n_words, n_lines,
+         |    chars_nospace, n_sym, n_bullet, n_ellipsis, stop_hits,
+         |    CAST(len(list_filter(pwords, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha
+         |  FROM m)
+         |SELECT doc_id, n_words, n_lines,
+         |  round(CAST(chars_nospace AS DOUBLE) / n_words, 6) AS mean_word_len,
+         |  (n_words >= 50 AND n_words <= 100000) AS gate_words,
+         |  (chars_nospace >= n_words * 3 AND chars_nospace <= n_words * 10) AS gate_mean_len,
+         |  (n_sym * 10 <= n_words) AS gate_symbol,
+         |  (n_bullet * 10 <= n_lines * 9) AS gate_bullet,
+         |  (n_ellipsis * 10 <= n_lines * 3) AS gate_ellipsis,
+         |  (n_alpha * 10 >= n_words * 8) AS gate_alpha,
+         |  (stop_hits >= 2) AS gate_stop,
+         |  ((n_words >= 50 AND n_words <= 100000)
+         |   AND (chars_nospace >= n_words * 3 AND chars_nospace <= n_words * 10)
+         |   AND (n_sym * 10 <= n_words) AND (n_bullet * 10 <= n_lines * 9)
+         |   AND (n_ellipsis * 10 <= n_lines * 3) AND (n_alpha * 10 >= n_words * 8)
+         |   AND (stop_hits >= 2)) AS gopher_quality_keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // C4 line rules over the same fixture page; sentence count = terminal
+    // marks in the KEPT lines (documented convention: '...' counts 3)
+    "q_c4_filters" ->
+      s"""WITH $pageSql,
+         |k AS (SELECT doc_id, lines, page,
+         |    list_filter(lines, l -> right(l, 1) IN ('.', '!', '?', '"')
+         |      AND len(regexp_extract_all(l, '\\S+')) >= 5
+         |      AND NOT contains(l, 'javascript')) AS kept
+         |  FROM pp),
+         |c AS (SELECT doc_id, lines, kept, page,
+         |    coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS INTEGER) AS n_lines,
+         |  CAST(len(kept) AS INTEGER) AS n_kept,
+         |  CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INTEGER) AS n_sentences,
+         |  contains(page, 'lorem ipsum') AS has_lorem,
+         |  contains(page, '{') AS has_brace,
+         |  (NOT contains(page, 'lorem ipsum') AND NOT contains(page, '{')
+         |   AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3) AS page_keep,
+         |  clean_text
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // per-language tercile by the integer LM score; the row_number window
+    // is the oracle-side single-reducer formulation of the grid rank
+    "q_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS tok FROM w),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM tok),
+        |bi AS (SELECT doc_id, lang, words[i] AS w1, words[i+1] AS w2
+        |       FROM (SELECT doc_id, lang, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w)),
+        |c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+        |terms AS (SELECT bi.doc_id, bi.lang,
+        |    CAST((1000000000000 * CAST(n12 + 1 AS HUGEINT))
+        |      // (n1 + (SELECT v FROM vocab)) AS BIGINT) AS p_scaled
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+        |agg AS (SELECT doc_id, lang, count(*) AS n_bigrams, sum(p_scaled) AS ps
+        |  FROM terms GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, lang, CAST(ps // n_bigrams AS BIGINT) AS score FROM agg),
+        |r AS (SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM sc)
+        |SELECT doc_id, lang, score, CAST(rnk AS BIGINT) AS ppl_rank,
+        |  CASE CAST(((rnk - 1) * 3) // n AS INT) WHEN 2 THEN 'head'
+        |       WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_regex_extract" ->
       """WITH matches AS (
