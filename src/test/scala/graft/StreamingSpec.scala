@@ -516,6 +516,42 @@ class StreamingSpec extends SparkSuite {
       "point-in-time streaming enrichment diverged from the batch as-of join")
   }
 
+  test("streaming index maintenance equals the batch full rebuild") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graftidx").toFile.getAbsolutePath
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(docs.length >= 3)
+    val src = MemoryStream[(Long, String)]
+    val stream = src.toDF().toDF("doc_id", "text")
+    def run(): Unit = graft.streaming.IndexStream.runIndexMaintenance(
+      spark, stream, s"$tmp/store", s"$tmp/ckpt")
+    // three arrival batches — df/stats must merge across segments
+    val cuts = Seq(docs.length / 3, 2 * docs.length / 3, docs.length)
+    var lo = 0
+    cuts.foreach { hi => src.addData(docs.slice(lo, hi).toSeq); run(); lo = hi }
+    val streamed = graft.streaming.IndexStream.loadIndex(spark, s"$tmp/store")
+    val full = graft.ops.Retrieval.buildBm25Index(
+      graft.core.Tables.documents(spark, sf))
+    // df and stats sum-merge to the batch-rebuild values exactly
+    assert(streamed.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == full.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(streamed.stats.collect().map(_.toSeq).toSeq
+      == full.stats.collect().map(_.toSeq).toSeq)
+    // and the index ANSWERS QUERIES identically: same BM25 top-k
+    def topk(i: graft.ops.Retrieval.Bm25Index) =
+      graft.ops.Retrieval.bm25TopKFromScores(
+          graft.ops.Retrieval.bm25ScoresFromIndex(i, col("doc_id") < 3, 5), 10)
+        .collect().map(_.toSeq).toSet
+    val (g, e) = (topk(streamed), topk(full))
+    assert(g.nonEmpty && g == e,
+      "streamed index diverged from the batch rebuild")
+  }
+
   test("foreachBatch upsert is idempotent and only updates if better") {
     val tmp = Files.createTempDirectory("graftupsert").toFile.getAbsolutePath
     val store = s"$tmp/store"
