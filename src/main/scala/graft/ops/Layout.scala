@@ -100,6 +100,74 @@ object Layout {
       .sortWithinPartitions("zval")
       .write.mode("overwrite").parquet(path)
 
+  /** Hilbert-curve distance for rank-scaled coords `xb`, `yb` in
+    * [0, 2^bits) — the locality curve Delta and Iceberg moved to after
+    * Z-order: consecutive Hilbert positions are ALWAYS Manhattan-adjacent
+    * cells (the Z curve jumps across the domain at every power-of-two
+    * boundary), so range-partitioned files get strictly tighter bounding
+    * boxes for the same file count (LayoutSpec measures both on the same
+    * data).
+    *
+    * The classic per-level rotate/reflect walk (the public xy→d
+    * formulation): at each bit level i, the quadrant (rx, ry) contributes
+    * 4^i · q with q = ry if rx = 0 else 3 − ry (the (3·rx) XOR ry table
+    * written as pure arithmetic — no engine-specific xor operator), and
+    * the lower bits reflect/swap into the rotated frame. Expressed as ONE
+    * `aggregate` higher-order expression over the bit levels: the
+    * accumulator is a bound variable, so the expression stays LINEAR in
+    * `bits` (a column-substitution unrolling would double the tree at
+    * every level), and the whole thing is codegen'd integer arithmetic —
+    * no UDF. Reflection is n−1−coord (n = 2^bits, all-ones mask): low
+    * bits complement exactly regardless of not-yet-consumed high bits,
+    * which s−1−coord would get wrong whenever coord >= s. */
+  def hilbertD(bits: Int = ZBits): Column = expr(
+    s"""aggregate(
+       |  sequence(${bits - 1}, 0, -1),
+       |  struct(CAST(xb AS BIGINT) AS x, CAST(yb AS BIGINT) AS y,
+       |         CAST(0 AS BIGINT) AS d),
+       |  (a, i) -> struct(
+       |    CASE WHEN (shiftright(a.y, i) & 1) = 0 THEN
+       |      CASE WHEN (shiftright(a.x, i) & 1) = 1
+       |           THEN ${(1L << bits) - 1}L - a.y ELSE a.y END
+       |    ELSE a.x END AS x,
+       |    CASE WHEN (shiftright(a.y, i) & 1) = 0 THEN
+       |      CASE WHEN (shiftright(a.x, i) & 1) = 1
+       |           THEN ${(1L << bits) - 1}L - a.x ELSE a.x END
+       |    ELSE a.y END AS y,
+       |    a.d + shiftleft(shiftleft(CAST(1 AS BIGINT), i), i) *
+       |      (CASE WHEN (shiftright(a.x, i) & 1) = 0
+       |            THEN (shiftright(a.y, i) & 1)
+       |            ELSE 3 - (shiftright(a.y, i) & 1) END) AS d),
+       |  a -> a.d)""".stripMargin)
+
+  /** Add `xb`, `yb` and the Hilbert distance `hval` for (`xCol`, `yCol`)
+    * — [[withZValue]]'s twin with the better curve. Same broadcast 1-row
+    * extremes, same NULL-dimension caveat. */
+  def withHilbertValue(df: DataFrame, xCol: String, yCol: String,
+                       bits: Int = ZBits): DataFrame = {
+    val ext = df.agg(
+      min(col(xCol).cast("long")).as("z_xmin"), max(col(xCol).cast("long")).as("z_xmax"),
+      min(col(yCol).cast("long")).as("z_ymin"), max(col(yCol).cast("long")).as("z_ymax"))
+    df.crossJoin(broadcast(ext))
+      .withColumn("xb", scaleTo(col(xCol), col("z_xmin"), col("z_xmax"), bits))
+      .withColumn("yb", scaleTo(col(yCol), col("z_ymin"), col("z_ymax"), bits))
+      .withColumn("hval", hilbertD(bits))
+      .drop("z_xmin", "z_xmax", "z_ymin", "z_ymax")
+  }
+
+  /** Per-file layout summary for the Hilbert layout: files = top
+    * `filesLog2` bits of the distance (the [[fileByPrefix]] rule on
+    * `hval`), each with row count and (x, y) bounding box. */
+  def hilbertSummary(withH: DataFrame, xCol: String, yCol: String,
+                     filesLog2: Int, bits: Int = ZBits): DataFrame =
+    withH
+      .withColumn("file_id", fileByPrefix(col("hval"), filesLog2, bits))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol).cast("long")).as("x_min"), max(col(xCol).cast("long")).as("x_max"),
+        min(col(yCol).cast("long")).as("y_min"), max(col(yCol).cast("long")).as("y_max"))
+      .orderBy("file_id")
+
   /** Small-file compaction plan — the OPTIMIZE step every long-lived
     * lakehouse table needs: within each partition directory, files below
     * `target` bytes are packed size-descending (first-fit-decreasing

@@ -145,6 +145,21 @@ object SamplingQueries extends QueryGroup {
         "l_partkey", "l_suppkey"),
       "l_partkey", "l_suppkey", filesLog2 = 6)
 
+  /** Hilbert-curve layout ([[graft.ops.Layout.withHilbertValue]]) over
+    * the same (l_partkey, l_suppkey) plane as `q_zorder` — the locality
+    * curve Delta/Iceberg OPTIMIZE moved to after Z-order (no power-of-two
+    * jumps, so file bounding boxes come out strictly tighter; LayoutSpec
+    * measures the pruning win head to head on this data). The per-level
+    * rotate/reflect walk runs as one codegen'd `aggregate` expression;
+    * the oracle replays it as {bits} unrolled column-transform stages —
+    * each stage referenced once, so plain CTE inlining stays linear. */
+  private def hilbertOrder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.hilbertSummary(
+      graft.ops.Layout.withHilbertValue(
+        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", filesLog2 = 6)
+
   /** Small-file compaction plan ([[graft.ops.Layout.compactionPlan]])
     * over a deterministic file inventory derived from the part table:
     * heavy-tailed sizes (70% small, 20% mid, 10% already-compact) in
@@ -254,6 +269,7 @@ object SamplingQueries extends QueryGroup {
     "q_priority_sample" -> prioritySample,
     "q_vocab_growth" -> vocabGrowth,
     "q_zorder" -> zorder,
+    "q_hilbert_order" -> hilbertOrder,
     "q_compact_plan" -> compact,
     "q_source_cap" -> sourceCap,
     "q_mix_weights" -> mixWeights,
@@ -262,6 +278,27 @@ object SamplingQueries extends QueryGroup {
     "q_stratified_sample" -> stratified,
     "q_pack_plan" -> pack,
   )
+
+  /** Unrolled Hilbert rotate/reflect stages h1..h`bits` over h0 —
+    * mirrors [[graft.ops.Layout.hilbertD]] level by level (stage k
+    * consumes bit level bits−k). Linear: each stage is referenced
+    * exactly once, so DuckDB's plain-CTE inlining cannot re-expand. */
+  private def hilbertRoundsSql(bits: Int): String = {
+    val nMask = (1L << bits) - 1
+    (bits - 1 to 0 by -1).zipWithIndex.map { case (i, k) =>
+      s"""h${k + 1} AS (SELECT rid, x0, y0,
+         |    CASE WHEN ((y >> $i) & 1) = 0 THEN
+         |      CASE WHEN ((x >> $i) & 1) = 1 THEN $nMask - y ELSE y END
+         |    ELSE x END AS x,
+         |    CASE WHEN ((y >> $i) & 1) = 0 THEN
+         |      CASE WHEN ((x >> $i) & 1) = 1 THEN $nMask - x ELSE x END
+         |    ELSE y END AS y,
+         |    d + (CAST(1 AS BIGINT) << ${2 * i}) *
+         |      (CASE WHEN ((x >> $i) & 1) = 0 THEN ((y >> $i) & 1)
+         |            ELSE 3 - ((y >> $i) & 1) END) AS d
+         |  FROM h$k)""".stripMargin
+    }.mkString(",\n")
+  }
 
   override def oracle: Map[String, String] = Map(
     // compaction plan: FFD-order cumulative-division bin packing; the
@@ -380,6 +417,26 @@ object SamplingQueries extends QueryGroup {
          |  round(quality_score, 6) AS quality_score
          |FROM ranked WHERE rn <= $SourceCapK
          |ORDER BY source, rank""".stripMargin,
+    // rotate/reflect walk unrolled to 16 column-transform stages, each
+    // referenced once (linear CTE inlining); reflection mask and quadrant
+    // arithmetic identical to Layout.hilbertD
+    "q_hilbert_order" ->
+      s"""WITH ext AS (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS xmin, CAST(max(l_partkey) AS BIGINT) AS xmax,
+         |         CAST(min(l_suppkey) AS BIGINT) AS ymin, CAST(max(l_suppkey) AS BIGINT) AS ymax
+         |  FROM lineitem),
+         |h0 AS (
+         |  SELECT row_number() OVER () AS rid,
+         |    CAST(l_partkey AS BIGINT) AS x0, CAST(l_suppkey AS BIGINT) AS y0,
+         |    ((CAST(l_partkey AS BIGINT) - xmin) * 65536) // (xmax - xmin + 1) AS x,
+         |    ((CAST(l_suppkey AS BIGINT) - ymin) * 65536) // (ymax - ymin + 1) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem CROSS JOIN ext),
+         |${hilbertRoundsSql(16)}
+         |SELECT d >> 26 AS file_id, COUNT(*) AS n_rows,
+         |  min(x0) AS x_min, max(x0) AS x_max, min(y0) AS y_min, max(y0) AS y_max
+         |FROM h16 GROUP BY 1 ORDER BY file_id""".stripMargin,
+
     // bit interleave replayed as a sum over a 16-row bit-index table;
     // integer scaling with // matches Spark's div exactly
     "q_zorder" ->

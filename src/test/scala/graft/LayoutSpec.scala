@@ -31,6 +31,68 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  /** Wikipedia xy→d transcription (the public-domain reference walk). */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    val n = 1L << bits
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbert distance: bijective on the full grid, unit-step adjacent") {
+    import spark.implicits._
+    val bits = 4
+    val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val got = cells.toDF("xb", "yb")
+      .withColumn("d", Layout.hilbertD(bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // matches the reference walk everywhere
+    cells.foreach { case (x, y) =>
+      assert(got((x, y)) === hilbertRef(bits, x, y), s"($x, $y)")
+    }
+    // bijection onto [0, n^2)
+    val ds = got.values.toSeq.sorted
+    assert(ds === (0L until n.toLong * n).toSeq)
+    // THE Hilbert property Z-order lacks: consecutive distances are
+    // Manhattan-adjacent cells — no jumps anywhere on the curve
+    val byD = got.map(_.swap)
+    (0L until n.toLong * n - 1).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L, s"jump at d=$d")
+    }
+  }
+
+  test("hilbert layout boxes are no worse than z-order on the same data") {
+    val li = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_suppkey"))
+    val filesLog2 = 6
+    def areaSum(rows: Array[org.apache.spark.sql.Row]): BigInt =
+      rows.map(r => BigInt(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") + 1) *
+        BigInt(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") + 1)).sum
+    val z = Layout.layoutSummary(
+      Layout.withZValue(li, "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", filesLog2).collect()
+    val h = Layout.hilbertSummary(
+      Layout.withHilbertValue(li, "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", filesLog2).collect()
+    // same rows land in both layouts
+    assert(z.map(_.getAs[Long]("n_rows")).sum === h.map(_.getAs[Long]("n_rows")).sum)
+    // summed bounding-box area = expected files touched by a uniform
+    // point query; hilbert must not regress z-order's locality
+    assert(areaSum(h) <= areaSum(z),
+      s"hilbert boxes ${areaSum(h)} worse than z ${areaSum(z)}")
+  }
+
   test("z layout prunes on the secondary dimension; single-column sort cannot") {
     val li = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_suppkey"))
     val filesLog2 = 6
