@@ -55,6 +55,44 @@ object SamplingQueries extends QueryGroup {
     * aggregates (per-lang counts, 1-row min) — the plan costs one scan
     * regardless of corpus size, and the quotas feed the same rank-based
     * apply as the stratified sample. */
+  /** Temperature-scaled language sampling (the mT5/XLM-R recipe: sample
+    * language l with probability ∝ n_l^α) at α = 1/2 — the one
+    * temperature where the power is EXACTLY computable in integers:
+    * w_l = isqrt(n_l), with the double-sqrt candidate corrected by the
+    * integer envelope test s² ≤ n < (s+1)² so no libm rounding can leak
+    * into the weights (floor(sqrt(x::DOUBLE)) alone is off by one near
+    * perfect squares above 2^52). Shares and quotas are ppm-scaled
+    * integer divisions; only the reported sample_rate (which exceeds 1
+    * for upsampled tail languages — the point of the recipe) is a
+    * rounded double. Count products widen DECIMAL(38,0)-first: n_docs
+    * and the sqrt-weight sum are unbounded corpus counts. One
+    * |langs|-row frame end to end after the single count aggregation. */
+  private def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val w = c
+      .withColumn("cand",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        """CASE WHEN CAST(cand + 1 AS DECIMAL(38,0)) * (cand + 1) <= n_docs
+          |     THEN cand + 1
+          |     WHEN CAST(cand AS DECIMAL(38,0)) * cand > n_docs THEN cand - 1
+          |     ELSE cand END""".stripMargin))
+      .drop("cand")
+    val tot = w.agg(sum(col("w")).as("w_tot"), sum(col("n_docs")).as("n_tot"))
+    w.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("w").as("w_sqrt"),
+        expr("(CAST(n_docs AS DECIMAL(38,0)) * 1000000) div n_tot")
+          .as("raw_share_ppm"),
+        expr("(CAST(w AS DECIMAL(38,0)) * 1000000) div w_tot")
+          .as("temp_share_ppm"),
+        expr("(CAST(n_tot div 2 AS DECIMAL(38,0)) * w) div w_tot")
+          .as("quota"))
+      .withColumn("sample_rate",
+        round(col("quota").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("lang")
+  }
+
   private def mixWeights(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(s, dir)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
@@ -273,6 +311,7 @@ object SamplingQueries extends QueryGroup {
     "q_compact_plan" -> compact,
     "q_source_cap" -> sourceCap,
     "q_mix_weights" -> mixWeights,
+    "q_mix_temperature" -> mixTemperature,
     "q_mix_upsample" -> mixUpsample,
     "q_shuffle_order" -> shuffleOrder,
     "q_stratified_sample" -> stratified,
@@ -458,6 +497,27 @@ object SamplingQueries extends QueryGroup {
         |SELECT zval >> 26 AS file_id, COUNT(*) AS n_rows,
         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
         |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    // isqrt via double candidate + integer envelope correction; HUGEINT
+    // mirrors Spark's DECIMAL(38,0) widening of the count products
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |cd AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS cand FROM c),
+        |w2 AS (SELECT lang, n_docs,
+        |    CASE WHEN CAST(cand + 1 AS HUGEINT) * (cand + 1) <= n_docs THEN cand + 1
+        |         WHEN CAST(cand AS HUGEINT) * cand > n_docs THEN cand - 1
+        |         ELSE cand END AS w
+        |  FROM cd),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot,
+        |             CAST(sum(n_docs) AS BIGINT) AS n_tot FROM w2)
+        |SELECT lang, n_docs, w AS w_sqrt,
+        |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // n_tot AS BIGINT) AS raw_share_ppm,
+        |  CAST(CAST(w AS HUGEINT) * 1000000 // w_tot AS BIGINT) AS temp_share_ppm,
+        |  CAST(CAST(n_tot // 2 AS HUGEINT) * w // w_tot AS BIGINT) AS quota,
+        |  round(CAST(CAST(CAST(n_tot // 2 AS HUGEINT) * w // w_tot AS BIGINT) AS DOUBLE)
+        |    / n_docs, 6) AS sample_rate
+        |FROM w2 CROSS JOIN t ORDER BY lang""".stripMargin,
 
     "q_mix_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

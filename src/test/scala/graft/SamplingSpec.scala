@@ -144,6 +144,43 @@ class SamplingSpec extends SparkSuite {
     assert(out.distinct().count() == out.count())
   }
 
+  test("temperature mix: exact isqrt under adversarial magnitudes; sqrt flattens") {
+    // the envelope-corrected isqrt must be exact where floor(sqrt(double))
+    // alone is off by one: perfect squares and their neighbors up at the
+    // 2^62 scale where a 53-bit mantissa cannot represent n
+    val bigRoot = 3037000499L // isqrt(Long.MaxValue)
+    val probes = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L,
+      (1L << 52) - 1, 1L << 52, (1L << 52) + 1,
+      bigRoot * bigRoot - 1, bigRoot * bigRoot, bigRoot * bigRoot + 1)
+    import spark.implicits._
+    val got = probes.toDF("n_docs")
+      .withColumn("cand",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        """CASE WHEN CAST(cand + 1 AS DECIMAL(38,0)) * (cand + 1) <= n_docs
+          |     THEN cand + 1
+          |     WHEN CAST(cand AS DECIMAL(38,0)) * cand > n_docs THEN cand - 1
+          |     ELSE cand END""".stripMargin))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    probes.foreach { n =>
+      val s = BigInt(got(n))
+      assert(s * s <= BigInt(n) && (s + 1) * (s + 1) > BigInt(n),
+        s"isqrt($n) = $s")
+    }
+    // and on the corpus: sqrt compresses shares toward uniform — the
+    // dominant language gives up share, the rarest gains, order preserved
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.length >= 2)
+    val byRaw = rows.sortBy(_._2)
+    assert(byRaw.last._4 <= byRaw.last._3,
+      "dominant language did not give up share under temperature")
+    assert(byRaw.head._4 >= byRaw.head._3,
+      "rarest language did not gain share under temperature")
+    assert(byRaw.map(_._4).sorted.toSeq == byRaw.map(_._4).toSeq,
+      "temperature scaling reordered the languages")
+  }
+
   test("quality prune keeps ~70% of the corpus") {
     val rows = graft.queries.TextQueries.queries("q_quality_prune")(spark, sf)
       .collect()
