@@ -124,7 +124,17 @@ object Retrieval {
     * only the matched postings shuffle to meet it); per-(query, doc)
     * scores then aggregate map-side. */
   def bm25ScoresFromIndex(idx: Bm25Index, queryPred: Column,
-                          nTerms: Int = 5): DataFrame = {
+                          nTerms: Int = 5): DataFrame =
+    bm25TermContribs(idx, queryPred, nTerms)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
+
+  /** The pre-aggregation (query_id, tok, doc_id, c) contribution frame —
+    * [[bm25ScoresFromIndex]] sums it per (query, doc); [[maxScorePrune]]
+    * maxes it per (query, term) for the impact upper bounds. Same probe
+    * shape either way (see the scoring scaladoc above). */
+  def bm25TermContribs(idx: Bm25Index, queryPred: Column,
+                       nTerms: Int = 5): DataFrame = {
     val qt = queryTerms(idx.tf, queryPred, nTerms)
     val qdf = idx.df.join(qt.select("tok").distinct(), Seq("tok"), "left_semi")
     idx.tf
@@ -136,8 +146,57 @@ object Retrieval {
         """(CAST(2 * (n - df) + 1 AS DECIMAL(38,0)) * 22 * tf * t_total * 1000000)
           |div (CAST(2 * df + 1 AS DECIMAL(38,0)) *
           |     (10 * tf * t_total + 3 * t_total + 9 * dl * n))""".stripMargin))
-      .groupBy("query_id", "doc_id")
+      .select("query_id", "tok", "doc_id", "c")
+  }
+
+  /** MaxScore pruning report (Turtle & Flood 1995; the impact-ordering
+    * statistic every production retrieval engine precomputes): per query
+    * term, the UPPER BOUND of its BM25 contribution over its posting
+    * list; terms whose ascending-bound prefix sums stay STRICTLY below
+    * the top-k heap floor are "non-essential" — a document containing
+    * only those terms provably cannot enter the top-k (its score is at
+    * most the prefix bound sum), so a scorer skips their postings except
+    * where an essential term already hit. The report quantifies the
+    * skip: per query, how many of the matched postings a MaxScore
+    * traversal never touches.
+    *
+    * Strict < on purpose: at cum == threshold a doc could still tie the
+    * heap floor and enter on the doc_id tiebreak. All arithmetic stays
+    * on exact BIGINTs (bounds and thresholds are the integer BM25
+    * scores; skip_pct's postings·100 product is bounded by corpus
+    * postings — ~1e14 at 100 TB — times 100, far under 2^63).
+    *
+    * Shape at scale: bounds aggregate the SAME probe frame the scores
+    * use (map-side max per (query, term)), the threshold is the
+    * bounded-heap top-k's floor, and the cum-bound window runs over the
+    * ≤ queries·nTerms bound frame — nothing corpus-sized reaches the
+    * window. RetrievalSpec pins the safety law: every top-k doc
+    * contains at least one essential term. */
+  def maxScorePrune(idx: Bm25Index, queryPred: Column,
+                    nTerms: Int = 5, k: Int = 10): DataFrame = {
+    val contribs = bm25TermContribs(idx, queryPred, nTerms)
+    val scored = contribs.groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
+    val thr = bm25TopKFromScores(scored, k)
+      .groupBy("query_id").agg(min(col("score")).as("threshold"))
+    val bounds = contribs.groupBy("query_id", "tok")
+      .agg(max(col("c")).as("ub"), count(lit(1)).as("postings"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ub").asc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .join(broadcast(thr), Seq("query_id"))
+      .withColumn("cum_ub", sum(col("ub")).over(w))
+      .withColumn("ne", col("cum_ub") < col("threshold"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("ne"), 1L).otherwise(0L)).as("n_nonessential"),
+        sum(col("postings")).as("postings_total"),
+        sum(when(col("ne"), col("postings")).otherwise(0L))
+          .as("postings_skippable"),
+        min(col("threshold")).as("threshold"))
+      .withColumn("skip_pct",
+        expr("(postings_skippable * 100) div postings_total"))
   }
 
   def bm25Scores(docs: DataFrame, queryPred: Column, nTerms: Int = 5,

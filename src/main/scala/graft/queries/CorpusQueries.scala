@@ -415,6 +415,18 @@ object CorpusQueries extends QueryGroup {
       d.crossJoin(broadcast(thr)).filter(col("doc_id") > col("thr")).drop("thr"))
   }
 
+  /** MaxScore pruning report ([[graft.ops.Retrieval.maxScorePrune]]):
+    * per-term BM25 impact upper bounds vs the top-10 heap floor — how
+    * many matched postings a MaxScore traversal provably skips for each
+    * query. Rides the shared tf frame; the bounds aggregate the same
+    * broadcast probe the scores use. */
+  private def maxscorePrune(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.maxScorePrune(
+        graft.ops.Retrieval.buildBm25Index(Tables.documents(s, dir),
+          Some(sharedTermFreqs(s, dir))),
+        col("doc_id") < 3, 5, 10)
+      .orderBy("query_id")
+
   /** Incremental BM25 ([[graft.ops.Retrieval.mergeBm25Index]]): the base
     * 4/5 of the corpus plays the shipped index (tf/dl/df/stats already
     * materialized), the top 1/5 arrives as a new batch — only the batch
@@ -968,6 +980,7 @@ object CorpusQueries extends QueryGroup {
     "q_contamination_ngram" -> contaminationNgram,
     "q_dedup_apply" -> dedupApply,
     "q_bm25_topk" -> bm25TopK,
+    "q_maxscore_prune" -> maxscorePrune,
     "q_invidx_stats" -> invidxStats,
     "q_bm25_incr" -> bm25Incr,
     "q_invidx_incr" -> invidxIncr,
@@ -1625,6 +1638,41 @@ object CorpusQueries extends QueryGroup {
       s"""WITH $bm25CtesSql
         |SELECT query_id, doc_id, n_terms_hit, score, rank
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // MaxScore impact bounds: per-term max contribution over its matched
+    // postings, ascending-bound prefix sums STRICTLY below the top-10
+    // heap floor mark non-essential terms; the ct CTE is the contrib
+    // probe with the term kept
+    "q_maxscore_prune" ->
+      s"""WITH $bm25CtesSql,
+        |ct AS (
+        |  SELECT q.query_id, q.tok, f.doc_id,
+        |    (CAST(2 * (s.n - d.df) + 1 AS HUGEINT) * 22 * f.tf * s.t_total * 1000000)
+        |      // (CAST(2 * d.df + 1 AS HUGEINT) *
+        |          (10 * f.tf * s.t_total + 3 * s.t_total + 9 * l.dl * s.n)) AS c
+        |  FROM bqt q JOIN btf f ON q.tok = f.tok
+        |  JOIN bdf d ON q.tok = d.tok
+        |  JOIN bdl l ON f.doc_id = l.doc_id
+        |  CROSS JOIN bst s),
+        |thr AS (SELECT query_id, CAST(min(score) AS BIGINT) AS threshold
+        |        FROM rk WHERE rank <= 10 GROUP BY 1),
+        |b AS (SELECT query_id, tok, CAST(max(c) AS BIGINT) AS ub,
+        |        CAST(count(*) AS BIGINT) AS postings
+        |      FROM ct GROUP BY 1, 2),
+        |cb AS (SELECT b.query_id, tok, ub, postings, threshold,
+        |    CAST(sum(ub) OVER (PARTITION BY b.query_id ORDER BY ub, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ub
+        |  FROM b JOIN thr USING (query_id))
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(CASE WHEN cum_ub < threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonessential,
+        |  CAST(sum(postings) AS BIGINT) AS postings_total,
+        |  CAST(sum(CASE WHEN cum_ub < threshold THEN postings ELSE 0 END) AS BIGINT)
+        |    AS postings_skippable,
+        |  CAST(min(threshold) AS BIGINT) AS threshold,
+        |  CAST(sum(CASE WHEN cum_ub < threshold THEN postings ELSE 0 END) * 100
+        |    // sum(postings) AS BIGINT) AS skip_pct
+        |FROM cb GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     // 128-doc-id block-delta postings; per-gap varint cost
     // ceil(bits/7) via length(bin(gap)); top-50 terms by df

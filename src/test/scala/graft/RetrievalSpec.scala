@@ -156,6 +156,52 @@ class RetrievalSpec extends SparkSuite {
       s"phrase match degraded to a substring scan:\n${plan.take(1200)}")
   }
 
+  test("maxscore safety: every top-k doc contains at least one essential term") {
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val idx = Retrieval.buildBm25Index(docs)
+    val pred = col("doc_id") < 3
+    val contribs = Retrieval.bm25TermContribs(idx, pred, 5).cache()
+    val scored = contribs.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
+    val thr = Retrieval.bm25TopKFromScores(scored, 10)
+      .groupBy("query_id").agg(min(col("score")).as("threshold"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per (query, term): bound + postings; essential = NOT in the
+    // ascending-bound prefix whose cum stays strictly below the floor
+    val bounds = contribs.groupBy("query_id", "tok")
+      .agg(max(col("c")).as("ub")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val essential = bounds.groupBy(_._1).toSeq.flatMap { case (q, ts) =>
+      var cum = BigInt(0)
+      ts.sortBy(t => (t._3, t._2)).toSeq.flatMap { case (_, tok, ub) =>
+        cum += ub
+        if (cum < thr(q)) None else Some((q, tok))
+      }
+    }.toSet
+    // the report's counts agree with this recomputation
+    val report = SparkEntry.queries("q_maxscore_prune")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    report.foreach { case (q, (nTerms, nNon)) =>
+      val ess = essential.count(_._1 == q)
+      assert(nTerms - nNon == ess, s"query $q essential count")
+      assert(nNon > 0, s"query $q: pruning degenerate (no skippable terms)")
+    }
+    // safety: a doc in the final top-k always matched an essential term
+    val termsByDoc = contribs.select("query_id", "doc_id", "tok").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getString(2)).toSet).toMap
+    val topk = Retrieval.bm25TopKFromScores(scored, 10).collect()
+    assert(topk.nonEmpty)
+    topk.foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(1))
+      assert(termsByDoc((q, d)).exists(t => essential((q, t))),
+        s"top-k doc $d of query $q has only non-essential terms")
+    }
+    contribs.unpersist()
+    graft.core.SharedFrames.clear()
+  }
+
   test("bm25 contributions are integer-exact: single-term self-retrieval ranks by the formula") {
     // ensure no float sneaks in: every score must be reproducible from
     // the integer formula exactly (checked above), and the plan contains
