@@ -160,6 +160,41 @@ object TokenizerQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Model-ready token-id stream under the trained UNIGRAM vocabulary —
+    * `q_bpe_encode`'s twin for the EM tokenizer: every in-cap word's
+    * Viterbi pieces mapped to dense integer ids from the usage-ranked
+    * vocab (score desc, piece tiebreak — the q_unigram_train rank minus
+    * one). Both lookups broadcast (Heaps-bounded word frame, ~60-row
+    * vocab); one corpus posexplode bounded at {{EncodeMaxPos}} positions
+    * per doc. Words past the trainer's length cap drop from the stream
+    * on both sides (same contract as the segment query); single-char
+    * FALLBACK pieces the Viterbi DP emits for characters outside the
+    * pruned vocabulary encode as UNK = −1 (the SentencePiece unk_id
+    * convention) — an inner id join would silently cut them from the
+    * stream and break losslessness (TokenizerSpec round-trip law). */
+  private def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val segs = Unigram
+      .segments(Unigram.trainedWords(s, dir), Unigram.trained(s, dir))
+      .select("word", "segs")
+    // deliberate partition-less window: vocab is prune-schedule-bounded
+    val vw = Window.orderBy(col("score").desc, col("piece"))
+    val vocabIds = Unigram.trained(s, dir)
+      .withColumn("token_id", (row_number().over(vw) - 1).cast("int"))
+      .select(col("piece"), col("token_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "word")))
+      .filter(col("word") =!= "" && col("p") < EncodeMaxPos)
+      .join(broadcast(segs), Seq("word"))
+      .select(col("doc_id"), (col("p") + 1).cast("int").as("pos"),
+        posexplode(col("segs")).as(Seq("si", "piece")))
+      .join(broadcast(vocabIds), Seq("piece"), "left")
+      .select(col("doc_id"), col("pos"),
+        (col("si") + 1).cast("int").as("piece_idx"),
+        coalesce(col("token_id"), lit(-1)).as("token_id"), col("piece"))
+      .orderBy("doc_id", "pos", "piece_idx")
+  }
+
   /** WordPiece trained merge table ([[graft.ops.WordPiece]]): one row
     * per round with the exact scaled likelihood-gain score — the BERT
     * trainer's argmax criterion next to `q_bpe_train`'s raw-frequency
@@ -206,6 +241,7 @@ object TokenizerQueries extends QueryGroup {
     "q_bpe_encode" -> bpeEncode,
     "q_unigram_train" -> unigramTrain,
     "q_unigram_segment" -> unigramSegment,
+    "q_unigram_encode" -> unigramEncode,
     "q_wordpiece_train" -> wordpieceTrain,
     "q_wordpiece_segment" -> wordpieceSegment,
   )
@@ -508,6 +544,33 @@ object TokenizerQueries extends QueryGroup {
            |FROM dt JOIN useg USING (word)
            |WHERE word <> ''
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      // one more DP pass under the final vocab, ids from the train rank
+      "q_unigram_encode" -> {
+        val r = Unigram.PruneSchedule.size
+        s"""${unigramSqlPrefix(r)},
+           |${unigramDpSql(r + 1)},
+           |uvid AS (
+           |  SELECT piece,
+           |    CAST(row_number() OVER (ORDER BY score DESC, piece) - 1
+           |      AS INTEGER) AS token_id
+           |  FROM v$r),
+           |useg AS (SELECT word, segs FROM seg${r + 1}),
+           |udt AS (
+           |  SELECT doc_id, CAST(i AS INTEGER) AS pos, words[i] AS word
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+           |        FROM documents),
+           |       unnest(generate_series(1, len(words))) AS t(i)
+           |  WHERE words[i] <> '' AND i <= $EncodeMaxPos),
+           |uenc AS (
+           |  SELECT doc_id, pos, segs,
+           |    unnest(generate_series(1, len(segs))) AS si
+           |  FROM udt JOIN useg USING (word))
+           |SELECT doc_id, pos, CAST(si AS INTEGER) AS piece_idx,
+           |  coalesce(token_id, -1) AS token_id, segs[si] AS piece
+           |FROM uenc LEFT JOIN uvid ON segs[si] = uvid.piece
+           |ORDER BY doc_id, pos, piece_idx""".stripMargin
       },
 
       "q_wordpiece_train" -> {

@@ -79,6 +79,46 @@ class TokenizerSpec extends SparkSuite {
     enc.unpersist()
   }
 
+  test("unigram encode: pieces reconstruct in-cap words, ids match the train rank") {
+    val enc = TokenizerQueries.queries("q_unigram_encode")(spark, sf).cache()
+    val rebuilt = enc.groupBy("doc_id", "pos")
+      .agg(concat_ws("", org.apache.spark.sql.functions.array_sort(
+        collect_list(struct(col("piece_idx"), col("piece"))))
+        .getField("piece")).as("word"))
+    // in-cap words only: the encode contract drops words past the
+    // trainer's length cap (same as q_unigram_segment)
+    val expected = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "w")))
+      .filter(col("w") =!= "" && col("p") < 10 &&
+        length(col("w")) <= graft.ops.Unigram.MaxWordLen)
+    val exp = expected
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("w"))
+    val broken = rebuilt.join(exp, Seq("doc_id", "pos"))
+      .filter(col("word") =!= col("w")).count()
+    assert(broken == 0, "unigram stream does not reconstruct the corpus")
+    assert(rebuilt.count() == exp.count(), "stream covers every in-cap word")
+    // ids: injective over pieces, and equal to train rank - 1
+    val trainIds = TokenizerQueries.queries("q_unigram_train")(spark, sf)
+      .select(col("piece"), (col("rank") - 1).as("tid")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val ids = enc.select("piece", "token_id").distinct().collect()
+    assert(ids.map(_.getString(0)).distinct.length == ids.length)
+    var sawUnk = false
+    ids.foreach { r =>
+      val (piece, tid) = (r.getString(0), r.getInt(1))
+      trainIds.get(piece) match {
+        case Some(want) => assert(tid == want, s"piece $piece id mismatch")
+        case None => // Viterbi single-char fallback outside the vocab
+          assert(tid == -1 && piece.length == 1, s"piece $piece not UNK")
+          sawUnk = true
+      }
+    }
+    assert(sawUnk, "fixture never exercised the UNK path")
+    enc.unpersist()
+    graft.core.SharedFrames.clear()
+  }
+
   // ---- unigram-LM trainer laws ([[graft.ops.Unigram]]) ----
 
   /** The Viterbi objective restated independently: fewest pieces, then
