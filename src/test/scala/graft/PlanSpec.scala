@@ -414,6 +414,34 @@ class PlanSpec extends SparkSuite {
       s"cell offsets no longer broadcast:\n${plan.take(1500)}")
   }
 
+  test("q_gopher_quality / q_c4_filters: pure projections — no join, no window, no explode") {
+    Seq("q_gopher_quality", "q_c4_filters").foreach { name =>
+      val plan = formatted(name)
+      assert(!plan.contains("Join"), s"$name planned a join:\n${plan.take(1200)}")
+      assert(!plan.contains("Window"), s"$name planned a window:\n${plan.take(1200)}")
+      assert(!plan.contains("Generate"),
+        s"$name exploded instead of staying in-row:\n${plan.take(1200)}")
+      // the only exchange is the presentation sort's range partitioning
+      assert(!plan.contains("hashpartitioning"),
+        s"$name shuffled a projection-only pipeline:\n${plan.take(1500)}")
+    }
+  }
+
+  test("q_ppl_buckets: rank windows are (lang, cell)-keyed; sizes broadcast") {
+    val plan = formatted("q_ppl_buckets")
+    assert(plan.contains("__cell"),
+      s"per-language rank lost its grid bucketing:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets/sizes no longer broadcast:\n${plan.take(1500)}")
+  }
+
+  test("q_maxscore_prune: probe and threshold broadcast; no nested loop beyond scalars") {
+    val plan = formatted("q_maxscore_prune")
+    val bc = "BroadcastExchange".r.findAllIn(plan).size
+    assert(bc >= 3, s"expected qt/qdf/threshold broadcasts, saw $bc:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("no registered query plans a cartesian product") {
     // the two deliberate scalar-broadcast crossJoins in the library are
     // 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin with
