@@ -119,26 +119,41 @@ object Layout {
     * every level), and the whole thing is codegen'd integer arithmetic —
     * no UDF. Reflection is n−1−coord (n = 2^bits, all-ones mask): low
     * bits complement exactly regardless of not-yet-consumed high bits,
-    * which s−1−coord would get wrong whenever coord >= s. */
-  def hilbertD(bits: Int = ZBits): Column = expr(
-    s"""aggregate(
-       |  sequence(${bits - 1}, 0, -1),
-       |  struct(CAST(xb AS BIGINT) AS x, CAST(yb AS BIGINT) AS y,
-       |         CAST(0 AS BIGINT) AS d),
-       |  (a, i) -> struct(
-       |    CASE WHEN (shiftright(a.y, i) & 1) = 0 THEN
-       |      CASE WHEN (shiftright(a.x, i) & 1) = 1
-       |           THEN ${(1L << bits) - 1}L - a.y ELSE a.y END
-       |    ELSE a.x END AS x,
-       |    CASE WHEN (shiftright(a.y, i) & 1) = 0 THEN
-       |      CASE WHEN (shiftright(a.x, i) & 1) = 1
-       |           THEN ${(1L << bits) - 1}L - a.x ELSE a.x END
-       |    ELSE a.y END AS y,
-       |    a.d + shiftleft(shiftleft(CAST(1 AS BIGINT), i), i) *
-       |      (CASE WHEN (shiftright(a.x, i) & 1) = 0
-       |            THEN (shiftright(a.y, i) & 1)
-       |            ELSE 3 - (shiftright(a.y, i) & 1) END) AS d),
-       |  a -> a.d)""".stripMargin)
+    * which s−1−coord would get wrong whenever coord >= s.
+    *
+    * UNROLLED into one pair of projections per bit level rather than an
+    * `aggregate` higher-order expression: HOFs are CodegenFallback —
+    * interpreted per row with a struct allocation per level, the HOF
+    * form benched 15× slower than z-order on the same rows. Each
+    * level's rotate/reflect CASE is non-cheap and referenced more than
+    * once by the next level, so CollapseProject keeps the levels as
+    * separate whole-stage-codegen'd projections instead of inlining
+    * them into a 3^bits-node expression tree. Input columns `xb`, `yb`;
+    * appends `hval`. */
+  def withHilbertD(df: DataFrame, bits: Int = ZBits): DataFrame = {
+    val nMask = lit((1L << bits) - 1)
+    var cur = df
+      .withColumn("__hx", col("xb").cast("long"))
+      .withColumn("__hy", col("yb").cast("long"))
+      .withColumn("hval", lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val rx = shiftright(col("__hx"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("__hy"), i).bitwiseAND(lit(1L))
+      val refl = rx === 1L && ry === 0L
+      cur = cur
+        .withColumn("__nx", when(ry === 0L,
+          when(refl, nMask - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__ny", when(ry === 0L,
+          when(refl, nMask - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("hval", col("hval") + lit(1L << (2 * i)) *
+          when(rx === 0L, ry).otherwise(lit(3L) - ry))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny")
+    }
+    cur.drop("__hx", "__hy")
+  }
 
   /** Add `xb`, `yb` and the Hilbert distance `hval` for (`xCol`, `yCol`)
     * — [[withZValue]]'s twin with the better curve. Same broadcast 1-row
@@ -148,10 +163,11 @@ object Layout {
     val ext = df.agg(
       min(col(xCol).cast("long")).as("z_xmin"), max(col(xCol).cast("long")).as("z_xmax"),
       min(col(yCol).cast("long")).as("z_ymin"), max(col(yCol).cast("long")).as("z_ymax"))
-    df.crossJoin(broadcast(ext))
-      .withColumn("xb", scaleTo(col(xCol), col("z_xmin"), col("z_xmax"), bits))
-      .withColumn("yb", scaleTo(col(yCol), col("z_ymin"), col("z_ymax"), bits))
-      .withColumn("hval", hilbertD(bits))
+    withHilbertD(
+      df.crossJoin(broadcast(ext))
+        .withColumn("xb", scaleTo(col(xCol), col("z_xmin"), col("z_xmax"), bits))
+        .withColumn("yb", scaleTo(col(yCol), col("z_ymin"), col("z_ymax"), bits)),
+      bits)
       .drop("z_xmin", "z_xmax", "z_ymin", "z_ymax")
   }
 

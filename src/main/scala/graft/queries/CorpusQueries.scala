@@ -427,6 +427,16 @@ object CorpusQueries extends QueryGroup {
         col("doc_id") < 3, 5, 10)
       .orderBy("query_id")
 
+  /** Block-Max WAND report ([[graft.ops.Retrieval.blockMaxPrune]]): the
+    * per-(term, 128-doc-block) maxima vs the heap floor — what the block
+    * skip structure buys INSIDE the essential terms MaxScore must walk. */
+  private def blockmaxPrune(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.blockMaxPrune(
+        graft.ops.Retrieval.buildBm25Index(Tables.documents(s, dir),
+          Some(sharedTermFreqs(s, dir))),
+        col("doc_id") < 3, 5, 10)
+      .orderBy("query_id")
+
   /** Incremental BM25 ([[graft.ops.Retrieval.mergeBm25Index]]): the base
     * 4/5 of the corpus plays the shipped index (tf/dl/df/stats already
     * materialized), the top 1/5 arrives as a new batch — only the batch
@@ -437,8 +447,15 @@ object CorpusQueries extends QueryGroup {
     * per batch. */
   private def bm25Incr(s: SparkSession, dir: String): DataFrame = {
     val (base, delta) = docsSplit(s, dir)
+    // the base tf is the SESSION-SHARED tf restricted to base doc ids
+    // (tf rows are per-doc, so the restriction is exact) — rebuilding it
+    // re-tokenized 4/5 of the corpus and benched 3x the merged scoring
+    val thr = Tables.documents(s, dir)
+      .agg(expr("max(doc_id) * 4 div 5").as("thr"))
+    val baseTf = sharedTermFreqs(s, dir)
+      .crossJoin(broadcast(thr)).filter(col("doc_id") <= col("thr")).drop("thr")
     val merged = graft.ops.Retrieval.mergeBm25Index(
-      graft.ops.Retrieval.buildBm25Index(base), delta)
+      graft.ops.Retrieval.buildBm25Index(base, Some(baseTf)), delta)
     graft.ops.Retrieval.bm25TopKFromScores(
         graft.ops.Retrieval.bm25ScoresFromIndex(merged, col("doc_id") < 3, 5), 10)
       .orderBy("query_id", "rank")
@@ -981,6 +998,7 @@ object CorpusQueries extends QueryGroup {
     "q_dedup_apply" -> dedupApply,
     "q_bm25_topk" -> bm25TopK,
     "q_maxscore_prune" -> maxscorePrune,
+    "q_blockmax_prune" -> blockmaxPrune,
     "q_invidx_stats" -> invidxStats,
     "q_bm25_incr" -> bm25Incr,
     "q_invidx_incr" -> invidxIncr,
@@ -1673,6 +1691,49 @@ object CorpusQueries extends QueryGroup {
         |  CAST(sum(CASE WHEN cum_ub < threshold THEN postings ELSE 0 END) * 100
         |    // sum(postings) AS BIGINT) AS skip_pct
         |FROM cb GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // per-(term, block) maxima vs the heap floor; a block skips when its
+    // best doc plus every OTHER term's global bound stays strictly below
+    "q_blockmax_prune" ->
+      s"""WITH $bm25CtesSql,
+        |ct AS (
+        |  SELECT q.query_id, q.tok, f.doc_id,
+        |    (CAST(2 * (s.n - d.df) + 1 AS HUGEINT) * 22 * f.tf * s.t_total * 1000000)
+        |      // (CAST(2 * d.df + 1 AS HUGEINT) *
+        |          (10 * f.tf * s.t_total + 3 * s.t_total + 9 * l.dl * s.n)) AS c
+        |  FROM bqt q JOIN btf f ON q.tok = f.tok
+        |  JOIN bdf d ON q.tok = d.tok
+        |  JOIN bdl l ON f.doc_id = l.doc_id
+        |  CROSS JOIN bst s),
+        |thr AS (SELECT query_id, CAST(min(score) AS BIGINT) AS threshold
+        |        FROM rk WHERE rank <= 10 GROUP BY 1),
+        |b AS (SELECT query_id, tok, CAST(max(c) AS BIGINT) AS ub
+        |      FROM ct GROUP BY 1, 2),
+        |tt AS (SELECT query_id, CAST(sum(ub) AS BIGINT) AS tot_ub
+        |       FROM b GROUP BY 1),
+        |bm AS (SELECT query_id, tok, doc_id // 128 AS blk,
+        |    CAST(max(c) AS BIGINT) AS blk_max
+        |  FROM ct GROUP BY 1, 2, 3),
+        |cs AS (SELECT bm.query_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN (blk_max + (tot_ub - ub)) < threshold
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable_blocks
+        |  FROM bm JOIN b USING (query_id, tok)
+        |  JOIN tt USING (query_id) JOIN thr USING (query_id)
+        |  GROUP BY 1),
+        |du AS (SELECT ct.query_id, ct.doc_id,
+        |    CAST(sum(blk_max) AS BIGINT) AS ub_doc
+        |  FROM ct JOIN bm ON ct.query_id = bm.query_id AND ct.tok = bm.tok
+        |    AND ct.doc_id // 128 = bm.blk
+        |  GROUP BY 1, 2),
+        |dr AS (SELECT du.query_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN ub_doc < threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_docs_rejected,
+        |    CAST(min(threshold) AS BIGINT) AS threshold
+        |  FROM du JOIN thr USING (query_id) GROUP BY 1)
+        |SELECT cs.query_id, n_blocks, n_skippable_blocks, n_docs,
+        |  n_docs_rejected, threshold,
+        |  CAST(n_docs_rejected * 100 // n_docs AS BIGINT) AS reject_pct
+        |FROM cs JOIN dr USING (query_id) ORDER BY query_id""".stripMargin,
 
     // 128-doc-id block-delta postings; per-gap varint cost
     // ceil(bits/7) via length(bin(gap)); top-50 terms by df

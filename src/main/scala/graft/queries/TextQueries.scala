@@ -191,7 +191,10 @@ object TextQueries extends QueryGroup {
     * one (doc, n) argmax/sum aggregation, one doc-row pivot — all
     * doc-keyed aggregations, no windows, no joins. Products are
     * doc-length-bounded (≤ len²·100), never corpus counts. */
-  private def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+  private def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherRepetitionFlags(s, dir).orderBy("doc_id")
+
+  private def gopherRepetitionFlags(s: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(s, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .withColumn("total_chars", length(trim(col("text"))).cast("long"))
@@ -232,7 +235,6 @@ object TextQueries extends QueryGroup {
           col("top4") * 100 <= col("total_chars") * 16 &&
           col("dup5") * 100 <= col("total_chars") * 15 &&
           col("dup6") * 100 <= col("total_chars") * 14).as("gopher_keep"))
-      .orderBy("doc_id")
   }
 
   /** Deterministic multi-line page fixture for the line-level curation
@@ -282,6 +284,9 @@ object TextQueries extends QueryGroup {
     * shuffle except the presentation sort); at 100 TB this is
     * scan-bound, the same envelope as `q_text_scrub`. */
   private def c4Filters(s: SparkSession, dir: String): DataFrame =
+    c4Flags(s, dir).orderBy("doc_id")
+
+  private def c4Flags(s: SparkSession, dir: String): DataFrame =
     curationPages(s, dir)
       .withColumn("kept", filter(col("lines"), l =>
         substring(l, -1, 1).isin(".", "!", "?", "\"") &&
@@ -299,7 +304,6 @@ object TextQueries extends QueryGroup {
         (!col("has_lorem") && !col("has_brace") && col("n_sentences") >= 3)
           .as("page_keep"),
         col("clean_text"))
-      .orderBy("doc_id")
 
   /** The full Gopher quality gate (Rae et al. 2021, Table A1 — the
     * non-repetition half, completing [[gopherRepetition]]): word count
@@ -316,7 +320,10 @@ object TextQueries extends QueryGroup {
     *
     * Shape at scale: pure projection over the line/word arrays (filters
     * and intersects in-row, no explode); scan-bound at 100 TB. */
-  private def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+  private def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    gopherQualityFlags(s, dir).orderBy("doc_id")
+
+  private def gopherQualityFlags(s: SparkSession, dir: String): DataFrame = {
     val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
       "with").map(lit): _*)
     curationPages(s, dir)
@@ -352,7 +359,55 @@ object TextQueries extends QueryGroup {
         col("gate_words") && col("gate_mean_len") && col("gate_symbol") &&
           col("gate_bullet") && col("gate_ellipsis") && col("gate_alpha") &&
           col("gate_stop"))
-      .orderBy("doc_id")
+  }
+
+  /** The composed curation funnel — the attrition report a pipeline
+    * owner reads before shipping a filter stack: every doc through the
+    * four round-8 gates IN SEQUENCE (Gopher repetition → Gopher quality
+    * → C4 page rules → perplexity-tail drop), one row per stage with
+    * the docs passing that gate ALONE (n_pass) and the docs surviving
+    * the stack so far (n_survivors). Docs the LM cannot score (no
+    * bigrams) fail the perplexity gate — an unscorable doc does not
+    * pass a perplexity filter.
+    *
+    * Shape at scale: the gates are the already-audited pipelines (three
+    * projections + the grid rank); the funnel itself is four narrow
+    * left joins on doc_id and ONE 9-counter aggregation unpivoted to 5
+    * rows — the `q_dq_audit` shape. */
+  private def curationGate(s: SparkSession, dir: String): DataFrame = {
+    val g1 = gopherRepetitionFlags(s, dir)
+      .select(col("doc_id"), col("gopher_keep").as("k1"))
+    val g2 = gopherQualityFlags(s, dir)
+      .select(col("doc_id"), col("gopher_quality_keep").as("k2"))
+    val g3 = c4Flags(s, dir).select(col("doc_id"), col("page_keep").as("k3"))
+    val g4 = pplBucketFrame(s, dir)
+      .select(col("doc_id"), (col("bucket") =!= "tail").as("k4"))
+    val j = Tables.documents(s, dir).select("doc_id")
+      .join(g1, Seq("doc_id"), "left").join(g2, Seq("doc_id"), "left")
+      .join(g3, Seq("doc_id"), "left").join(g4, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("k1"), lit(false)).as("k1"),
+        coalesce(col("k2"), lit(false)).as("k2"),
+        coalesce(col("k3"), lit(false)).as("k3"),
+        coalesce(col("k4"), lit(false)).as("k4"))
+    j.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("k1"), 1L).otherwise(0L)).as("p1"),
+        sum(when(col("k2"), 1L).otherwise(0L)).as("p2"),
+        sum(when(col("k3"), 1L).otherwise(0L)).as("p3"),
+        sum(when(col("k4"), 1L).otherwise(0L)).as("p4"),
+        sum(when(col("k1") && col("k2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("k1") && col("k2") && col("k3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("k1") && col("k2") && col("k3") && col("k4"), 1L)
+          .otherwise(0L)).as("c4"))
+      .select(expr(
+        """stack(5,
+          |  '0_total', n_total, n_total,
+          |  '1_gopher_repetition', p1, p1,
+          |  '2_gopher_quality', p2, c2,
+          |  '3_c4_rules', p3, c3,
+          |  '4_ppl_tail', p4, c4) AS (stage, n_pass, n_survivors)""".stripMargin))
+      .orderBy("stage")
   }
 
   /** Percentile-threshold quality pruning: the corpus-relative keep rule
@@ -480,7 +535,10 @@ object TextQueries extends QueryGroup {
     * cells, no per-language single-reducer sort (the oracle's
     * row_number() window IS the single-reducer formulation, kept oracle-
     * side only); per-language sizes are a |langs|-row broadcast. */
-  private def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+  private def pplBuckets(s: SparkSession, dir: String): DataFrame =
+    pplBucketFrame(s, dir).orderBy("doc_id")
+
+  private def pplBucketFrame(s: SparkSession, dir: String): DataFrame = {
     val sc = lmMass(s, dir)
       .select(col("doc_id"), col("lang"),
         expr("ps div n_bigrams").as("score"))
@@ -494,7 +552,6 @@ object TextQueries extends QueryGroup {
         when(col("bidx") === 2, "head")
           .when(col("bidx") === 1, "middle")
           .otherwise("tail").as("bucket"))
-      .orderBy("doc_id")
   }
 
   /** Interpolated Kneser–Ney bigram scoring — the smoothing the KenLM
@@ -923,6 +980,7 @@ object TextQueries extends QueryGroup {
     "q_gopher_quality" -> gopherQuality,
     "q_c4_filters" -> c4Filters,
     "q_ppl_buckets" -> pplBuckets,
+    "q_curation_gate" -> curationGate,
     "q_regex_extract" -> regexExtract,
     "q_json_export" -> jsonExport,
     "q_text_tokens" -> tokens,
@@ -1341,6 +1399,109 @@ object TextQueries extends QueryGroup {
          |   AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3) AS page_keep,
          |  clean_text
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the four gates recomputed in one WITH (page fixture shared; the
+    // repetition gate runs on RAW text, rw-prefixed), then one 9-counter
+    // aggregation unpivoted to the 5 funnel rows
+    "q_curation_gate" ->
+      s"""WITH $pageSql,
+         |m AS (SELECT doc_id, lines, page,
+         |    regexp_extract_all(page, '\\S+') AS pwords,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(length(regexp_replace(page, '\\s+', '', 'g')) AS BIGINT) AS chars_nospace,
+         |    CAST(len(regexp_extract_all(page, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(lines, l -> l LIKE '- %')) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
+         |    CAST(len(list_intersect(
+         |      list_distinct(regexp_extract_all(lower(page), '[a-z]+')),
+         |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM pp),
+         |gk2 AS (SELECT doc_id,
+         |    (CAST(len(pwords) AS BIGINT) BETWEEN 50 AND 100000
+         |     AND chars_nospace >= CAST(len(pwords) AS BIGINT) * 3
+         |     AND chars_nospace <= CAST(len(pwords) AS BIGINT) * 10
+         |     AND n_sym * 10 <= CAST(len(pwords) AS BIGINT)
+         |     AND n_bullet * 10 <= n_lines * 9
+         |     AND n_ellipsis * 10 <= n_lines * 3
+         |     AND CAST(len(list_filter(pwords, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) * 10
+         |         >= CAST(len(pwords) AS BIGINT) * 8
+         |     AND stop_hits >= 2) AS k2
+         |  FROM m),
+         |gk3 AS (SELECT doc_id,
+         |    (NOT contains(page, 'lorem ipsum') AND NOT contains(page, '{')
+         |     AND len(regexp_extract_all(coalesce(array_to_string(
+         |       list_filter(lines, l -> right(l, 1) IN ('.', '!', '?', '"')
+         |         AND len(regexp_extract_all(l, '\\S+')) >= 5
+         |         AND NOT contains(l, 'javascript')), chr(10)), ''), '[.!?]')) >= 3) AS k3
+         |  FROM pp),
+         |rw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words,
+         |       CAST(length(trim(text)) AS BIGINT) AS total_chars FROM documents),
+         |rg AS (SELECT doc_id, total_chars, n,
+         |    array_to_string(words[i:i+n-1], ' ') AS gram
+         |  FROM rw,
+         |    unnest(generate_series(2, 6)) AS tn(n),
+         |    unnest(generate_series(1, len(words) - n + 1)) AS ti(i)),
+         |rc AS (SELECT doc_id, total_chars, n, gram, count(*) AS cnt,
+         |    CAST(count(*) * length(gram) AS BIGINT) AS covered
+         |  FROM rg GROUP BY 1, 2, 3, 4),
+         |rtop AS (SELECT doc_id, total_chars, n, covered AS topc FROM rc
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id, n
+         |    ORDER BY cnt DESC, gram) = 1),
+         |rdup AS (SELECT doc_id, n,
+         |    CAST(sum(CASE WHEN cnt > 1 THEN covered ELSE 0 END) AS BIGINT) AS dupc
+         |  FROM rc GROUP BY 1, 2),
+         |rpv AS (SELECT t.doc_id, t.total_chars,
+         |    CAST(sum(CASE WHEN t.n = 2 THEN topc ELSE 0 END) AS BIGINT) AS top2,
+         |    CAST(sum(CASE WHEN t.n = 3 THEN topc ELSE 0 END) AS BIGINT) AS top3,
+         |    CAST(sum(CASE WHEN t.n = 4 THEN topc ELSE 0 END) AS BIGINT) AS top4,
+         |    CAST(sum(CASE WHEN d.n = 5 THEN dupc ELSE 0 END) AS BIGINT) AS dup5,
+         |    CAST(sum(CASE WHEN d.n = 6 THEN dupc ELSE 0 END) AS BIGINT) AS dup6
+         |  FROM rtop t JOIN rdup d USING (doc_id, n) GROUP BY 1, 2),
+         |gk1 AS (SELECT doc_id,
+         |    (top2 * 100 <= total_chars * 20 AND top3 * 100 <= total_chars * 18
+         |     AND top4 * 100 <= total_chars * 16 AND dup5 * 100 <= total_chars * 15
+         |     AND dup6 * 100 <= total_chars * 14) AS k1
+         |  FROM rpv),
+         |tok AS (SELECT doc_id, unnest(words) AS tok FROM w),
+         |vocab AS (SELECT count(DISTINCT tok) AS v FROM tok),
+         |bi AS (SELECT doc_id, lang, words[i] AS w1, words[i+1] AS w2
+         |       FROM (SELECT doc_id, lang, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w)),
+         |c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+         |terms AS (SELECT bi.doc_id, bi.lang,
+         |    CAST((1000000000000 * CAST(n12 + 1 AS HUGEINT))
+         |      // (n1 + (SELECT v FROM vocab)) AS BIGINT) AS p_scaled
+         |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+         |agg2 AS (SELECT doc_id, lang, count(*) AS n_bigrams, sum(p_scaled) AS ps
+         |  FROM terms GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, lang, CAST(ps // n_bigrams AS BIGINT) AS score FROM agg2),
+         |rr AS (SELECT doc_id, lang, score,
+         |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY lang) AS n FROM sc),
+         |gk4 AS (SELECT doc_id, ((rnk - 1) * 3) // n >= 1 AS k4 FROM rr),
+         |jj AS (SELECT d.doc_id,
+         |    coalesce(k1, false) AS k1, coalesce(k2, false) AS k2,
+         |    coalesce(k3, false) AS k3, coalesce(k4, false) AS k4
+         |  FROM documents d LEFT JOIN gk1 USING (doc_id)
+         |  LEFT JOIN gk2 USING (doc_id) LEFT JOIN gk3 USING (doc_id)
+         |  LEFT JOIN gk4 USING (doc_id)),
+         |a AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         |    CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+         |    CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+         |    CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+         |    CAST(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |    CAST(sum(CASE WHEN k1 AND k2 AND k3 AND k4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+         |  FROM jj)
+         |SELECT * FROM (
+         |  SELECT '0_total' AS stage, n_total AS n_pass, n_total AS n_survivors FROM a
+         |  UNION ALL SELECT '1_gopher_repetition', p1, p1 FROM a
+         |  UNION ALL SELECT '2_gopher_quality', p2, c2 FROM a
+         |  UNION ALL SELECT '3_c4_rules', p3, c3 FROM a
+         |  UNION ALL SELECT '4_ppl_tail', p4, c4 FROM a)
+         |ORDER BY stage""".stripMargin,
 
     // per-language tercile by the integer LM score; the row_number window
     // is the oracle-side single-reducer formulation of the grid rank

@@ -54,8 +54,7 @@ class LayoutSpec extends SparkSuite {
     val bits = 4
     val n = 1 << bits
     val cells = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
-    val got = cells.toDF("xb", "yb")
-      .withColumn("d", Layout.hilbertD(bits))
+    val got = Layout.withHilbertD(cells.toDF("xb", "yb"), bits)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // matches the reference walk everywhere
     cells.foreach { case (x, y) =>

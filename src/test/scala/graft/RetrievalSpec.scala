@@ -202,6 +202,57 @@ class RetrievalSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("blockmax safety: flags re-verify in BigInt; top-k docs keep a live block") {
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val idx = Retrieval.buildBm25Index(docs)
+    val pred = col("doc_id") < 3
+    val contribs = Retrieval.bm25TermContribs(idx, pred, 5).cache()
+    val scored = contribs.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
+    val thr = Retrieval.bm25TopKFromScores(scored, 10)
+      .groupBy("query_id").agg(min(col("score")).as("threshold"))
+      .collect().map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+    val ub = contribs.groupBy("query_id", "tok").agg(max(col("c")).as("ub"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> BigInt(r.getLong(2)))
+      .toMap
+    val tot = ub.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val rows = contribs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), BigInt(r.getLong(3))))
+    // per (query, term, block): recompute the skip flag from scratch
+    val blkMax = rows.groupBy(t => (t._1, t._2, t._3 / 128))
+      .view.mapValues(_.map(_._4).max).toMap
+    val skip = blkMax.map { case (k @ (q, t, _), m) =>
+      k -> (m + (tot(q) - ub((q, t))) < thr(q))
+    }
+    // per-doc block-max upper bound and its rejection flag
+    val ubDoc = rows.groupBy(t => (t._1, t._3))
+      .view.mapValues(_.map(t => blkMax((t._1, t._2, t._3 / 128))).sum).toMap
+    val rejected = ubDoc.iterator.collect {
+      case (k @ (q, _), u) if u < thr(q) => k
+    }.toSet
+    // the report's counts agree with the BigInt recomputation
+    val rep = SparkEntry.queries("q_blockmax_prune")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rep.foreach { case (q, (nb, ns, nd, nr)) =>
+      assert(nb == skip.keys.count(_._1 == q), s"query $q block count")
+      assert(ns == skip.count { case (k, v) => k._1 == q && v },
+        s"query $q skippable count")
+      assert(nd == ubDoc.keys.count(_._1 == q), s"query $q doc count")
+      assert(nr == rejected.count(_._1 == q), s"query $q rejected count")
+      assert(nr > 0, s"query $q: block-max rejection degenerate")
+    }
+    // safety: a rejected doc can never be in the top-k (its block-max
+    // bound dominates its exact score, and the bound is below the floor)
+    val topk = Retrieval.bm25TopKFromScores(scored, 10).collect()
+    topk.foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(1))
+      assert(!rejected((q, d)), s"top-k doc $d of query $q was rejected")
+    }
+    contribs.unpersist()
+    graft.core.SharedFrames.clear()
+  }
+
   test("bm25 contributions are integer-exact: single-term self-retrieval ranks by the formula") {
     // ensure no float sneaks in: every score must be reproducible from
     // the integer formula exactly (checked above), and the plan contains
