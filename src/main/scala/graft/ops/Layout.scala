@@ -131,28 +131,38 @@ object Layout {
     * them into a 3^bits-node expression tree. Input columns `xb`, `yb`;
     * appends `hval`. */
   def withHilbertD(df: DataFrame, bits: Int = ZBits): DataFrame = {
-    val nMask = lit((1L << bits) - 1)
+    // State-machine form of the same walk: the rotate/reflect mutations
+    // compose in the abelian group {identity, swap, complement, both}
+    // (swap and bitwise complement commute), so instead of rewriting the
+    // coordinates each level the state is TWO booleans (__w swap, __n
+    // complement) applied to the RAW bits — effective bits
+    //   ex = __n xor bit_i(__w ? yb : xb), ey = __n xor bit_i(__w ? xb : yb)
+    // digit = (3·ex) xor ey, and the transitions xor in the level's
+    // mutation: __w flips when ey = 0, __n flips when additionally
+    // ex = 1. One select per level keeps the chain as separate
+    // codegen'd projections (each level's CASEs are non-cheap and
+    // multiply-referenced, so CollapseProject cannot inline the chain
+    // into an exponential tree). Bit-identical to the coordinate-
+    // rewriting walk (LayoutSpec full-grid law vs the reference).
     var cur = df
-      .withColumn("__hx", col("xb").cast("long"))
-      .withColumn("__hy", col("yb").cast("long"))
+      .withColumn("__w", lit(false))
+      .withColumn("__n", lit(false))
       .withColumn("hval", lit(0L))
     for (i <- bits - 1 to 0 by -1) {
-      val rx = shiftright(col("__hx"), i).bitwiseAND(lit(1L))
-      val ry = shiftright(col("__hy"), i).bitwiseAND(lit(1L))
-      val refl = rx === 1L && ry === 0L
-      cur = cur
-        .withColumn("__nx", when(ry === 0L,
-          when(refl, nMask - col("__hy")).otherwise(col("__hy")))
-          .otherwise(col("__hx")))
-        .withColumn("__ny", when(ry === 0L,
-          when(refl, nMask - col("__hx")).otherwise(col("__hx")))
-          .otherwise(col("__hy")))
-        .withColumn("hval", col("hval") + lit(1L << (2 * i)) *
-          when(rx === 0L, ry).otherwise(lit(3L) - ry))
-        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
-        .drop("__nx", "__ny")
+      val rx = shiftright(col("xb").cast("long"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("yb").cast("long"), i).bitwiseAND(lit(1L))
+      val ex = when(col("__n"), lit(1L) - when(col("__w"), ry).otherwise(rx))
+        .otherwise(when(col("__w"), ry).otherwise(rx))
+      val ey = when(col("__n"), lit(1L) - when(col("__w"), rx).otherwise(ry))
+        .otherwise(when(col("__w"), rx).otherwise(ry))
+      val pass = cur.columns.filterNot(Set("__w", "__n", "hval")).map(col)
+      cur = cur.select(pass ++ Seq(
+        (col("__w") =!= (ey === 0L)).as("__w"),
+        (col("__n") =!= (ey === 0L && ex === 1L)).as("__n"),
+        (col("hval") + lit(1L << (2 * i)) *
+          when(ex === 0L, ey).otherwise(lit(3L) - ey)).as("hval")): _*)
     }
-    cur.drop("__hx", "__hy")
+    cur.drop("__w", "__n")
   }
 
   /** Add `xb`, `yb` and the Hilbert distance `hval` for (`xCol`, `yCol`)

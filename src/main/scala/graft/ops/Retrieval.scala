@@ -172,11 +172,8 @@ object Retrieval {
     * ≤ queries·nTerms bound frame — nothing corpus-sized reaches the
     * window. RetrievalSpec pins the safety law: every top-k doc
     * contains at least one essential term. */
-  def maxScorePrune(idx: Bm25Index, queryPred: Column,
-                    nTerms: Int = 5, k: Int = 10): DataFrame = {
-    val contribs = bm25TermContribs(idx, queryPred, nTerms)
-    val scored = contribs.groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
+  def maxScorePrune(contribs: DataFrame, scored: DataFrame,
+                    k: Int = 10): DataFrame = {
     val thr = bm25TopKFromScores(scored, k)
       .groupBy("query_id").agg(min(col("score")).as("threshold"))
     val bounds = contribs.groupBy("query_id", "tok")
@@ -258,12 +255,10 @@ object Retrieval {
     * ≤ queries·nTerms broadcast frames — nothing corpus-sized beyond
     * the probe itself. RetrievalSpec re-checks every flag in BigInt and
     * pins that no rejected doc reaches the top-k. */
-  def blockMaxPrune(idx: Bm25Index, queryPred: Column, nTerms: Int = 5,
+  def blockMaxPrune(contribs0: DataFrame, scored: DataFrame,
                     k: Int = 10, blockSize: Int = 128): DataFrame = {
-    val contribs = bm25TermContribs(idx, queryPred, nTerms)
+    val contribs = contribs0
       .withColumn("blk", expr(s"doc_id div ${blockSize}L"))
-    val scored = contribs.groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
     val thr = bm25TopKFromScores(scored, k)
       .groupBy("query_id").agg(min(col("score")).as("threshold"))
     val bounds = contribs.groupBy("query_id", "tok")

@@ -422,19 +422,88 @@ object CorpusQueries extends QueryGroup {
     * broadcast probe the scores use. */
   private def maxscorePrune(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.maxScorePrune(
+        sharedBm25Contribs(s, dir), sharedBm25Scores(s, dir), 10)
+      .orderBy("query_id")
+
+  /** Session-shared per-term contribution frame — the probe the prune
+    * reports max-aggregate; the scores frame sums the same rows. */
+  private[queries] def sharedBm25Contribs(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"bm25ct:$dir") {
+      graft.ops.Retrieval.bm25TermContribs(
         graft.ops.Retrieval.buildBm25Index(Tables.documents(s, dir),
           Some(sharedTermFreqs(s, dir))),
-        col("doc_id") < 3, 5, 10)
+        col("doc_id") < 3, 5)
+    }
+
+  /** Retrieval quality metrics over the BM25 top-10 — P@10, R@10, and
+    * MRR per query, the eval loop every retrieval deployment closes
+    * (the `q_ann_recall` pairing for the sparse side). Relevance label:
+    * same `source` as the query doc (a deterministic metadata stand-in
+    * for graded judgments — the synthetic corpus has no gold labels, so
+    * the metric VALUES are near-random; the computation is the
+    * operator). MRR is exact-rational as ppm (10^6 div first relevant
+    * rank); only the displayed P/R are rounded doubles. Rides the
+    * session-shared scored frame; every join side beyond the corpus
+    * lookup is queries-bounded and broadcasts. */
+  private def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val qsrc = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("source").as("q_source"))
+    val topk = graft.ops.Retrieval
+      .bm25TopKFromScores(sharedBm25Scores(s, dir), 10)
+    val labeled = topk
+      .join(broadcast(qsrc), Seq("query_id"))
+      .join(docs, Seq("doc_id"))
+      .withColumn("rel",
+        col("source") === col("q_source") && col("doc_id") =!= col("query_id"))
+    val relTotals = docs.join(broadcast(qsrc),
+        docs("source") === qsrc("q_source"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    labeled.groupBy("query_id")
+      .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("rel"), col("rank"))).as("first_rel_rank"))
+      .join(broadcast(relTotals), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"), col("first_rel_rank"),
+        round(col("hits").cast("double") / 10d, 6).as("p_at_10"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          round(col("hits").cast("double") / col("n_rel"), 6))
+          .as("recall_at_10"),
+        coalesce(expr("1000000L div first_rel_rank"), lit(0L)).as("mrr_ppm"))
       .orderBy("query_id")
+  }
+
+  /** Hard-negative mining: per query, the top-5 HIGHEST-scoring
+    * non-relevant documents (different `source`) — the contrastive-
+    * training companion of [[retrievalEval]]: what an embedding model
+    * trains AGAINST is exactly the lexically-close-but-wrong tail.
+    * The negatives cut rides the same bounded-heap top-k aggregate as
+    * the main ranking (k rows per query cross the exchange, never a
+    * window over the match set). */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val qsrc = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("source").as("q_source"))
+    val negScored = sharedBm25Scores(s, dir)
+      .join(broadcast(qsrc), Seq("query_id"))
+      .join(docs, Seq("doc_id"))
+      .filter(col("source") =!= col("q_source"))
+      .select("query_id", "doc_id", "n_terms_hit", "score")
+    graft.ops.Retrieval.bm25TopKFromScores(negScored, 5)
+      .join(docs, Seq("doc_id"))
+      .select(col("query_id"), col("rank").as("neg_rank"),
+        col("doc_id"), col("score"), col("source"))
+      .orderBy("query_id", "neg_rank")
+  }
 
   /** Block-Max WAND report ([[graft.ops.Retrieval.blockMaxPrune]]): the
     * per-(term, 128-doc-block) maxima vs the heap floor — what the block
     * skip structure buys INSIDE the essential terms MaxScore must walk. */
   private def blockmaxPrune(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.blockMaxPrune(
-        graft.ops.Retrieval.buildBm25Index(Tables.documents(s, dir),
-          Some(sharedTermFreqs(s, dir))),
-        col("doc_id") < 3, 5, 10)
+        sharedBm25Contribs(s, dir), sharedBm25Scores(s, dir), 10)
       .orderBy("query_id")
 
   /** Incremental BM25 ([[graft.ops.Retrieval.mergeBm25Index]]): the base
@@ -820,6 +889,7 @@ object CorpusQueries extends QueryGroup {
     "corpus_records" -> sharedRecords,
     "bm25_tf" -> (sharedTermFreqs(_, _)),
     "bm25_scores" -> (sharedBm25Scores(_, _)),
+    "bm25_contribs" -> (sharedBm25Contribs(_, _)),
   )
 
   /** WARC crawl-archive ingestion ([[graft.ops.Warc]]): the documents
@@ -999,6 +1069,8 @@ object CorpusQueries extends QueryGroup {
     "q_bm25_topk" -> bm25TopK,
     "q_maxscore_prune" -> maxscorePrune,
     "q_blockmax_prune" -> blockmaxPrune,
+    "q_retrieval_eval" -> retrievalEval,
+    "q_hard_negatives" -> hardNegatives,
     "q_invidx_stats" -> invidxStats,
     "q_bm25_incr" -> bm25Incr,
     "q_invidx_incr" -> invidxIncr,
@@ -1691,6 +1763,47 @@ object CorpusQueries extends QueryGroup {
         |  CAST(sum(CASE WHEN cum_ub < threshold THEN postings ELSE 0 END) * 100
         |    // sum(postings) AS BIGINT) AS skip_pct
         |FROM cb GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // same-source relevance label; MRR exact-rational as ppm
+    "q_retrieval_eval" ->
+      s"""WITH $bm25CtesSql,
+        |qsrc AS (SELECT doc_id AS query_id, source AS q_source
+        |         FROM documents WHERE doc_id < 3),
+        |lab AS (SELECT rk.query_id, rk.doc_id, rk.rank,
+        |    (d.source = q.q_source AND rk.doc_id <> rk.query_id) AS rel
+        |  FROM rk JOIN qsrc q USING (query_id)
+        |  JOIN documents d ON rk.doc_id = d.doc_id
+        |  WHERE rk.rank <= 10),
+        |rt AS (SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM documents d JOIN qsrc q ON d.source = q.q_source
+        |  WHERE d.doc_id <> q.query_id GROUP BY 1),
+        |ag AS (SELECT query_id,
+        |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    min(CASE WHEN rel THEN rank END) AS first_rel_rank
+        |  FROM lab GROUP BY 1)
+        |SELECT ag.query_id, CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+        |  hits, first_rel_rank,
+        |  round(CAST(hits AS DOUBLE) / 10, 6) AS p_at_10,
+        |  CASE WHEN coalesce(n_rel, 0) > 0
+        |       THEN round(CAST(hits AS DOUBLE) / n_rel, 6) END AS recall_at_10,
+        |  CAST(coalesce(1000000 // first_rel_rank, 0) AS BIGINT) AS mrr_ppm
+        |FROM ag LEFT JOIN rt USING (query_id) ORDER BY query_id""".stripMargin,
+
+    // highest-scoring different-source docs; the oracle's window is the
+    // single-reducer formulation of the bounded-heap negatives cut
+    "q_hard_negatives" ->
+      s"""WITH $bm25CtesSql,
+        |qsrc AS (SELECT doc_id AS query_id, source AS q_source
+        |         FROM documents WHERE doc_id < 3),
+        |neg AS (SELECT b.query_id, b.doc_id, b.score, d.source,
+        |    row_number() OVER (PARTITION BY b.query_id
+        |      ORDER BY b.score DESC, b.doc_id ASC) AS neg_rank
+        |  FROM bsc b JOIN qsrc q USING (query_id)
+        |  JOIN documents d ON b.doc_id = d.doc_id
+        |  WHERE d.source <> q.q_source)
+        |SELECT query_id, CAST(neg_rank AS INTEGER) AS neg_rank, doc_id,
+        |  score, source
+        |FROM neg WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
 
     // per-(term, block) maxima vs the heap floor; a block skips when its
     // best doc plus every OTHER term's global bound stays strictly below
