@@ -55,6 +55,43 @@ object SamplingQueries extends QueryGroup {
     * aggregates (per-lang counts, 1-row min) — the plan costs one scan
     * regardless of corpus size, and the quotas feed the same rank-based
     * apply as the stratified sample. */
+  /** Span-corruption mask plan (the T5 pretraining objective, Raffel et
+    * al. 2020 §3.1.4): ~15% of each document's tokens masked in
+    * mean-length-3 spans, each span replaced by a sentinel. Spans are
+    * chosen NON-OVERLAPPING BY CONSTRUCTION: tokens partition into
+    * 20-token blocks, and each block with >= 4 tokens masks one 3-token
+    * span at an md5-derived offset (3/20 = the 15% target on full
+    * blocks) — deterministic, so the realized mask hash-gates and a
+    * re-run reproduces the exact training batch (the q_corpus_split
+    * stability discipline). One row per span with the doc-absolute
+    * token range, the per-doc sentinel index, and the masked text.
+    *
+    * Shape at scale: pure projection + one bounded in-row transform
+    * (nblocks = ceil(n/20) elements) + explode; no joins, no windows —
+    * the q_text_chunks envelope. */
+  private def spanMask(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), col("words"), expr(
+        """explode(filter(transform(sequence(0, (size(words) - 1) div 20), b ->
+          |  CASE WHEN least(size(words) - b * 20, 20) >= 4 THEN
+          |    named_struct(
+          |      'block_id', b,
+          |      'off', 1 + CAST(conv(substring(md5(concat('mask_',
+          |          CAST(doc_id AS STRING), '_', CAST(b AS STRING))), 1, 8),
+          |          16, 10) AS BIGINT)
+          |        % (least(size(words) - b * 20, 20) - 2))
+          |  END), x -> x IS NOT NULL))""".stripMargin).as("m"))
+      .select(col("doc_id"),
+        col("m.block_id").cast("int").as("block_id"),
+        (col("m.block_id") * 20 + col("m.off")).as("span_start"),
+        lit(3).as("span_len"),
+        col("m.block_id").cast("int").as("sentinel_id"),
+        concat_ws(" ",
+          expr("slice(words, CAST(m.block_id * 20 + m.off AS INT), 3)"))
+          .as("masked_text"))
+      .orderBy("doc_id", "block_id")
+
   /** Temperature-scaled language sampling (the mT5/XLM-R recipe: sample
     * language l with probability ∝ n_l^α) at α = 1/2 — the one
     * temperature where the power is EXACTLY computable in integers:
@@ -312,6 +349,7 @@ object SamplingQueries extends QueryGroup {
     "q_source_cap" -> sourceCap,
     "q_mix_weights" -> mixWeights,
     "q_mix_temperature" -> mixTemperature,
+    "q_span_mask" -> spanMask,
     "q_mix_upsample" -> mixUpsample,
     "q_shuffle_order" -> shuffleOrder,
     "q_stratified_sample" -> stratified,
@@ -497,6 +535,23 @@ object SamplingQueries extends QueryGroup {
         |SELECT zval >> 26 AS file_id, COUNT(*) AS n_rows,
         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
         |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    // md5-derived in-block offsets; spans non-overlapping by construction
+    "q_span_mask" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents),
+        |m AS (SELECT doc_id, words, b,
+        |    1 + CAST(('0x' || substr(md5('mask_' || CAST(doc_id AS VARCHAR)
+        |        || '_' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % (least(len(words) - b * 20, 20) - 2) AS off
+        |  FROM w, unnest(generate_series(0, (len(words) - 1) // 20)) AS t(b)
+        |  WHERE least(len(words) - b * 20, 20) >= 4)
+        |SELECT doc_id, CAST(b AS INTEGER) AS block_id,
+        |  CAST(b * 20 + off AS BIGINT) AS span_start,
+        |  3 AS span_len,
+        |  CAST(b AS INTEGER) AS sentinel_id,
+        |  array_to_string(words[b*20+off : b*20+off+2], ' ') AS masked_text
+        |FROM m ORDER BY doc_id, block_id""".stripMargin,
 
     // isqrt via double candidate + integer envelope correction; HUGEINT
     // mirrors Spark's DECIMAL(38,0) widening of the count products

@@ -181,6 +181,39 @@ class SamplingSpec extends SparkSuite {
       "temperature scaling reordered the languages")
   }
 
+  test("span mask: in-bounds, non-overlapping, ~15% corruption, reproducible") {
+    val rows = SamplingQueries.queries("q_span_mask")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getString(5)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    var masked = 0L; var total = 0L
+    rows.groupBy(_._1).foreach { case (id, spans) =>
+      val words = docs(id)
+      // every span inside its own 20-token block, text matches the corpus
+      spans.foreach { case (_, b, start, len, text) =>
+        assert(len == 3 && start >= b * 20 + 1 && start + 2 <= (b + 1) * 20
+          && start + 2 <= words.size, s"doc $id block $b out of bounds")
+        assert(text == words.slice(start.toInt - 1, start.toInt + 2).mkString(" "),
+          s"doc $id block $b text mismatch")
+      }
+      // non-overlap: distinct blocks imply distinct, disjoint spans
+      assert(spans.map(_._2).distinct.length == spans.length)
+      masked += spans.length * 3L; total += words.size
+    }
+    // corruption rate near the 3/20 target: full blocks mask exactly 15%,
+    // a trailing partial block of 4-19 tokens masks 3 of them, so the
+    // corpus rate lands in (0.10, 0.25] depending on doc-length mix
+    val rate = masked.toDouble / total
+    assert(rate > 0.10 && rate <= 0.25, s"corruption rate $rate")
+    // determinism: identical plan re-run yields the identical mask
+    val again = SamplingQueries.queries("q_span_mask")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq == again.toSeq)
+  }
+
   test("quality prune keeps ~70% of the corpus") {
     val rows = graft.queries.TextQueries.queries("q_quality_prune")(spark, sf)
       .collect()
