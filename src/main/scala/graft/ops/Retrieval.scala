@@ -320,6 +320,76 @@ object Retrieval {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** Pairwise min-window proximity ranking from positional postings —
+    * the term-proximity signal (Büttcher/Clarke-style) that bag-of-words
+    * BM25 cannot express and phrase match only answers for exact
+    * adjacency: for every unordered pair of distinct query terms a
+    * document contains, the minimum token distance between their
+    * occurrences, scored `Σ_pairs 10^6 div min_gap` — closer co-occurring
+    * pairs dominate, and the score stays an exact BIGINT (≤ C(nTerms,2)
+    * · 10^6, far under 2^53, so the double-keyed heap would also have
+    * been safe; the long-keyed one keeps the invariant uniform).
+    *
+    * The min gap of two sorted position lists is computed IN-ROW by a
+    * tagged merge: tag each list, `array_sort` the union, and fold once
+    * keeping the last position seen from each side — every adjacent
+    * opposite-side pair is a candidate gap, so the fold's minimum is the
+    * true minimum in O((n1+n2) log) per pair, never the n1·n2 position
+    * cross product (a hot term in a long document makes the quadratic
+    * form the scale hazard; positions are unique per doc, so the merged
+    * order is total and gaps are strictly positive).
+    *
+    * Shape at scale: the queries·nTerms term list broadcasts against the
+    * postings (broadcast-hash probe, corpus never shuffles for it); only
+    * MATCHED postings reach the two aggregations — (query, doc, tok)
+    * position-list collect, then (query, doc) pair fold over ≤ nTerms
+    * entries — and the top-k cut is the bounded-heap long aggregate
+    * (k rows per query per partition cross the exchange). */
+  def proximityRank(docs: DataFrame, queryPred: Column, nTerms: Int = 5,
+                    k: Int = 10, tfOpt: Option[DataFrame] = None,
+                    postingsOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = tfOpt.getOrElse(termFrequencies(docs))
+    val qt = queryTerms(tf, queryPred, nTerms)
+    val postings = postingsOpt.getOrElse(positionalPostings(docs))
+    val perTerm = postings
+      .join(broadcast(qt), Seq("tok"))
+      .groupBy("query_id", "doc_id", "tok")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val scored = perTerm
+      .groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("ps")))).as("terms"))
+      .withColumn("gaps", expr(
+        """flatten(transform(terms, (x, i) ->
+          |  transform(slice(terms, i + 2, size(terms)), y ->
+          |    aggregate(
+          |      array_sort(concat(
+          |        transform(x.ps, p -> struct(p AS pos, 0 AS side)),
+          |        transform(y.ps, p -> struct(p AS pos, 1 AS side)))),
+          |      struct(CAST(NULL AS BIGINT) AS la, CAST(NULL AS BIGINT) AS lb,
+          |             CAST(NULL AS BIGINT) AS best),
+          |      (a, e) -> struct(
+          |        IF(e.side = 0, CAST(e.pos AS BIGINT), a.la) AS la,
+          |        IF(e.side = 1, CAST(e.pos AS BIGINT), a.lb) AS lb,
+          |        least(a.best,
+          |          IF(e.side = 0, CAST(e.pos AS BIGINT) - a.lb,
+          |                         CAST(e.pos AS BIGINT) - a.la)) AS best),
+          |      a -> a.best))))""".stripMargin))
+      .filter(size(col("gaps")) >= 1)
+      .select(col("query_id"), col("doc_id"),
+        size(col("gaps")).cast("long").as("n_pairs_hit"),
+        expr("aggregate(gaps, 0L, (s, g) -> s + 1000000L div g)")
+          .as("prox_score"))
+    val top = scored.groupBy("query_id")
+      .agg(graft.functions.TopK.topKLong(
+        col("prox_score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+    top.join(scored, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("n_pairs_hit"),
+        col("prox_score"), col("rank"))
+  }
+
   /** LEB128/varint byte cost of a positive gap: ceil(bits/7). */
   private def varintBytes(gapCol: String): Column =
     expr(s"(length(bin($gapCol)) + 6) div 7")

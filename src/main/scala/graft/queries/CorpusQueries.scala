@@ -554,6 +554,87 @@ object CorpusQueries extends QueryGroup {
         col("doc_id") < 3, 3)
       .orderBy("query_id", "doc_id")
 
+  /** Pairwise min-window proximity ranking
+    * ([[graft.ops.Retrieval.proximityRank]]): per (query, doc), the
+    * minimum token distance between every co-occurring pair of query
+    * terms, scored Σ 10^6 div min_gap — the positional signal between
+    * bag-of-words BM25 and exact phrase match. Rides the shared tf
+    * frame; the in-row tagged-merge fold replaces the quadratic
+    * position cross product (see the op scaladoc). */
+  private def proximityRankQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.proximityRank(Tables.documents(s, dir),
+        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)))
+      .orderBy("query_id", "rank")
+
+  /** Standard log2-discount nDCG@10 over the BM25 top-10 with graded
+    * metadata relevance (2 = same source AND lang as the query doc,
+    * 1 = same source only, 0 otherwise; the query doc itself gains 0).
+    * The ten rank discounts are PRECOMPUTED integer constants
+    * floor(10^12 / log2(r+1)) — identical literals in the Spark plan and
+    * the oracle SQL, so the one transcendental in the metric never
+    * crosses an engine boundary and every sum/division is exact (the
+    * ndcg product rides DECIMAL(38,0): dcg·10^6 tops 2·10^19 > 2^63).
+    * IDCG needs only the per-query gain-2/gain-1 counts — a broadcast
+    * metadata aggregation plus a 10-row discount cross join, never a
+    * sort of the relevance set. */
+  private def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "lang")
+    val qm = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        col("source").as("q_source"), col("lang").as("q_lang"))
+    val disc = {
+      import s.implicits._
+      NdcgDiscounts.toDF("rank", "w")
+    }
+    val dcg = graft.ops.Retrieval
+      .bm25TopKFromScores(sharedBm25Scores(s, dir), 10)
+      .join(broadcast(qm), Seq("query_id"))
+      .join(docs, Seq("doc_id"))
+      .withColumn("gain",
+        when(col("doc_id") === col("query_id"), 0L)
+          .when(col("source") === col("q_source") &&
+            col("lang") === col("q_lang"), 2L)
+          .when(col("source") === col("q_source"), 1L)
+          .otherwise(0L))
+      .join(broadcast(disc), Seq("rank"))
+      .groupBy("query_id")
+      .agg(sum(col("gain") * col("w")).as("dcg"))
+    val idcg = docs
+      .join(broadcast(qm), docs("source") === qm("q_source"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(sum(when(col("lang") === col("q_lang"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("lang") =!= col("q_lang"), 1L).otherwise(0L)).as("n1"))
+      .crossJoin(broadcast(disc)) // queries-bounded × 10 discount rows
+      .withColumn("g",
+        when(col("rank") <= col("n2"), 2L)
+          .when(col("rank") <= col("n2") + col("n1"), 1L)
+          .otherwise(0L))
+      .groupBy("query_id", "n2", "n1")
+      .agg(sum(col("g") * col("w")).as("idcg"))
+    dcg.join(broadcast(idcg), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        col("dcg"),
+        coalesce(col("idcg"), lit(0L)).as("idcg"),
+        when(coalesce(col("idcg"), lit(0L)) > 0,
+          expr("CAST(CAST(dcg AS DECIMAL(38,0)) * 1000000 div idcg AS BIGINT)"))
+          .otherwise(0L).as("ndcg_ppm"))
+      .orderBy("query_id")
+  }
+
+  /** floor(10^12 / log2(r+1)) for r = 1..10 — the published constant
+    * table both engines read (computed once at 40-digit precision). */
+  private val NdcgDiscounts: Seq[(Int, Long)] = Seq(
+    1 -> 1000000000000L, 2 -> 630929753571L, 3 -> 500000000000L,
+    4 -> 430676558073L, 5 -> 386852807234L, 6 -> 356207187108L,
+    7 -> 333333333333L, 8 -> 315464876785L, 9 -> 301029995663L,
+    10 -> 289064826317L)
+
+  private def ndcgDiscountValuesSql: String =
+    NdcgDiscounts.map { case (r, w) => s"($r, ${w}::BIGINT)" }.mkString(", ")
+
   /** Corpus health report: keep counts/rates by language and by split in
     * ONE grouping-sets aggregation pass (plus the grand total), the
     * monitoring query a curation pipeline runs per batch. Rates divide two
@@ -1075,6 +1156,8 @@ object CorpusQueries extends QueryGroup {
     "q_bm25_incr" -> bm25Incr,
     "q_invidx_incr" -> invidxIncr,
     "q_phrase_match" -> phraseMatchQ,
+    "q_proximity_rank" -> proximityRankQ,
+    "q_ndcg" -> ndcgEval,
   )
 
   /** BM25 pipeline CTEs (tokenize → tf/dl/df → corpus stats → top-5
@@ -1911,5 +1994,75 @@ object CorpusQueries extends QueryGroup {
         |        GROUP BY 1, 2, 3 HAVING count(*) = 3)
         |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
         |FROM occ GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin,
+
+    // pairwise min-window proximity: query terms from the BM25 bqt CTE,
+    // positions from the phrase-match p CTE; the oracle may pay the
+    // quadratic position cross product the Spark fold avoids
+    "q_proximity_rank" ->
+      s"""WITH $bm25CtesSql,
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        |      FROM documents),
+        |p AS (SELECT doc_id, words[i] AS tok, i AS pos
+        |      FROM (SELECT doc_id, words,
+        |              unnest(generate_series(1, len(words))) AS i FROM w)
+        |      WHERE len(words[i]) > 0),
+        |mp AS (SELECT q.query_id, p.doc_id, q.tok, p.pos
+        |       FROM bqt q JOIN p ON q.tok = p.tok),
+        |pg AS (SELECT a.query_id, a.doc_id, a.tok AS t1, b.tok AS t2,
+        |         min(abs(a.pos - b.pos)) AS min_gap
+        |       FROM mp a JOIN mp b
+        |         ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+        |         AND a.tok < b.tok
+        |       GROUP BY 1, 2, 3, 4),
+        |sc2 AS (SELECT query_id, doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_pairs_hit,
+        |         CAST(sum(1000000 // min_gap) AS BIGINT) AS prox_score
+        |       FROM pg GROUP BY 1, 2),
+        |rk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY prox_score DESC, doc_id ASC) AS INTEGER) AS rank
+        |       FROM sc2)
+        |SELECT query_id, doc_id, n_pairs_hit, prox_score, rank
+        |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // standard log2-discount nDCG@10 with the precomputed integer
+    // discount table (identical literals on the Spark side); graded
+    // gains from source/lang metadata; HUGEINT only for the final
+    // ppm product (mirrors the Spark DECIMAL(38,0) interior)
+    "q_ndcg" ->
+      s"""WITH $bm25CtesSql,
+        |disc AS (SELECT * FROM (VALUES $ndcgDiscountValuesSql) AS t(rank, w)),
+        |qm AS (SELECT doc_id AS query_id, source AS q_source, lang AS q_lang
+        |       FROM documents WHERE doc_id < 3),
+        |g AS (SELECT r.query_id, r.rank,
+        |        CASE WHEN d.doc_id = r.query_id THEN 0
+        |             WHEN d.source = q.q_source AND d.lang = q.q_lang THEN 2
+        |             WHEN d.source = q.q_source THEN 1 ELSE 0 END AS gain
+        |      FROM rk r
+        |      JOIN qm q ON r.query_id = q.query_id
+        |      JOIN documents d ON r.doc_id = d.doc_id
+        |      WHERE r.rank <= 10),
+        |dcg AS (SELECT query_id, CAST(sum(gain * w) AS BIGINT) AS dcg
+        |        FROM g JOIN disc USING (rank) GROUP BY 1),
+        |c AS (SELECT q.query_id,
+        |        CAST(sum(CASE WHEN d.lang = q.q_lang THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n2,
+        |        CAST(sum(CASE WHEN d.lang <> q.q_lang THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n1
+        |      FROM documents d
+        |      JOIN qm q ON d.source = q.q_source AND d.doc_id <> q.query_id
+        |      GROUP BY 1),
+        |i AS (SELECT c.query_id, c.n2, c.n1,
+        |        CAST(sum(CASE WHEN disc.rank <= c.n2 THEN 2 * w
+        |                 WHEN disc.rank <= c.n2 + c.n1 THEN w
+        |                 ELSE 0 END) AS BIGINT) AS idcg
+        |      FROM c CROSS JOIN disc GROUP BY 1, 2, 3)
+        |SELECT dcg.query_id,
+        |  coalesce(i.n2, 0) AS n2, coalesce(i.n1, 0) AS n1, dcg.dcg,
+        |  coalesce(i.idcg, 0) AS idcg,
+        |  CASE WHEN coalesce(i.idcg, 0) > 0 THEN
+        |    CAST((CAST(dcg.dcg AS HUGEINT) * 1000000) // i.idcg AS BIGINT)
+        |  ELSE 0 END AS ndcg_ppm
+        |FROM dcg LEFT JOIN i ON dcg.query_id = i.query_id
+        |ORDER BY dcg.query_id""".stripMargin,
   )
 }

@@ -253,6 +253,80 @@ class RetrievalSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("proximityRank equals a naive quadratic min-gap scorer") {
+    val docs = corpus.toDF("doc_id", "text").repartition(3)
+    val got = Retrieval.proximityRank(docs, col("doc_id") < 1, nTerms = 5, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    // query terms: doc 0's top-5 by (tf desc, tok asc)
+    val q = toks(0L).groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(5).map(_._1)
+    // naive: per doc, min |p1 - p2| over the FULL position cross product
+    // for every term pair present — the quadratic form the in-row tagged
+    // merge must reproduce exactly
+    val want = toks.toSeq.flatMap { case (id, ws) =>
+      val pos = ws.zipWithIndex.map { case (w, i) => (w, i + 1L) }
+      val gaps = (for {
+        i <- q.indices
+        j <- q.indices
+        if q(i) < q(j)
+        ps1 = pos.filter(_._1 == q(i)).map(_._2)
+        ps2 = pos.filter(_._1 == q(j)).map(_._2)
+        if ps1.nonEmpty && ps2.nonEmpty
+      } yield (for (a <- ps1; b <- ps2) yield math.abs(a - b)).min).toSeq
+      if (gaps.isEmpty) None
+      else Some(id -> (gaps.size.toLong, gaps.map(g => 1000000L / g).sum))
+    }
+    val ranked = want.sortBy { case (id, (_, s)) => (-s, id) }.take(10)
+      .zipWithIndex
+      .map { case ((id, (np, s)), i) => (0L, id, np, s, i + 1) }.toSet
+    assert(got == ranked)
+    // the multi-occurrence term (apple twice in doc 0, thrice in doc 4)
+    // exercises the merge fold beyond single-position pairs
+    assert(ranked.exists(_._2 == 4L))
+  }
+
+  test("proximityRank plans as a broadcast posting probe with the exact-BIGINT heap") {
+    val docs = corpus.toDF("doc_id", "text")
+    val plan = Retrieval.proximityRank(docs, col("doc_id") < 1)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms lost the broadcast probe:\n${plan.take(1200)}")
+    assert(plan.contains("top_k_long") || plan.contains("TopKLong"),
+      s"proximity top-k lost the bounded-heap aggregate:\n${plan.take(1200)}")
+  }
+
+  test("ndcg: DCG never exceeds the ideal; ppm bounded; discounts are the true floors") {
+    val rows = SparkEntry.queries("q_ndcg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dcg = r.getAs[Long]("dcg")
+      val idcg = r.getAs[Long]("idcg")
+      val ppm = r.getAs[Long]("ndcg_ppm")
+      // rearrangement law: the ideal ordering dominates ANY ranking —
+      // fails if the IDCG counts or the discount join are wrong
+      assert(dcg >= 0 && idcg >= 0 && dcg <= idcg,
+        s"query ${r.getLong(0)}: dcg $dcg > idcg $idcg")
+      assert(ppm >= 0 && ppm <= 1000000, s"ndcg_ppm $ppm out of [0, 1e6]")
+      if (idcg > 0)
+        assert(ppm == (BigInt(dcg) * 1000000 / BigInt(idcg)).toLong)
+    }
+    // the published constants really are floor(1e12 / log2(r+1)) —
+    // interval check with double slack far above the fp error (~3e-4)
+    val ds = Seq(1000000000000L, 630929753571L, 500000000000L,
+      430676558073L, 386852807234L, 356207187108L, 333333333333L,
+      315464876785L, 301029995663L, 289064826317L)
+    ds.zipWithIndex.foreach { case (w, i) =>
+      val l2 = math.log(i + 2) / math.log(2)
+      assert(w * l2 <= 1e12 + 0.01, s"rank ${i + 1} discount too large")
+      assert((w + 1) * l2 > 1e12 - 0.01, s"rank ${i + 1} discount not the floor")
+    }
+    graft.core.SharedFrames.clear()
+  }
+
   test("bm25 contributions are integer-exact: single-term self-retrieval ranks by the formula") {
     // ensure no float sneaks in: every score must be reproducible from
     // the integer formula exactly (checked above), and the plan contains
