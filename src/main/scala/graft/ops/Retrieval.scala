@@ -134,8 +134,13 @@ object Retrieval {
     * maxes it per (query, term) for the impact upper bounds. Same probe
     * shape either way (see the scoring scaladoc above). */
   def bm25TermContribs(idx: Bm25Index, queryPred: Column,
-                       nTerms: Int = 5): DataFrame = {
-    val qt = queryTerms(idx.tf, queryPred, nTerms)
+                       nTerms: Int = 5): DataFrame =
+    bm25TermContribsFromTerms(idx, queryTerms(idx.tf, queryPred, nTerms))
+
+  /** Same probe from an EXPLICIT (query_id, tok) term frame — the entry
+    * point query expansion needs (its second pass scores a term set no
+    * predicate derives). */
+  def bm25TermContribsFromTerms(idx: Bm25Index, qt: DataFrame): DataFrame = {
     val qdf = idx.df.join(qt.select("tok").distinct(), Seq("tok"), "left_semi")
     idx.tf
       .join(broadcast(qt), Seq("tok"))
@@ -224,6 +229,119 @@ object Retrieval {
                scoredOpt: Option[DataFrame] = None): DataFrame =
     bm25TopKFromScores(
       scoredOpt.getOrElse(bm25Scores(docs, queryPred, nTerms, tfOpt)), k)
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 shape,
+    * Abdul-Jaleel et al. 2004, integer-exact): each query's BM25
+    * top-`fbDocs` play the feedback set; the `fbTerms` heaviest
+    * NON-QUERY terms across that set (weight = total tf, tok asc
+    * tiebreak — exact integers, no λ-smoothed float mixture) join the
+    * original terms, and a SECOND BM25 pass scores the expanded query.
+    * Output: new top-k with each doc's original rank alongside (null =
+    * surfaced only by expansion — the recall the technique exists for).
+    *
+    * Shape at scale: the feedback set is queries·fbDocs rows
+    * (broadcast); term mining probes the tf frame with those ids
+    * (BHJ — the corpus never shuffles for it) and its rank window
+    * partitions by query over a feedback-vocab-bounded frame; the
+    * second pass is the same broadcast-probe scoring as the first with
+    * queries·(nTerms+fbTerms) terms. Two passes total — the price of
+    * expansion in any engine. */
+  def prfExpand(docs: DataFrame, queryPred: Column, k: Int = 10,
+                nTerms: Int = 5, fbDocs: Int = 5, fbTerms: Int = 3,
+                tfOpt: Option[DataFrame] = None,
+                scoredOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = tfOpt.getOrElse(termFrequencies(docs))
+    val idx = buildBm25Index(docs, Some(tf))
+    val scored = scoredOpt.getOrElse(bm25ScoresFromIndex(idx, queryPred, nTerms))
+    val qt = queryTerms(tf, queryPred, nTerms)
+    val fb = bm25TopKFromScores(scored, fbDocs).select("query_id", "doc_id")
+    val mined = tf.join(broadcast(fb), Seq("doc_id"))
+      .groupBy("query_id", "tok").agg(sum(col("tf")).as("wt"))
+      .join(qt, Seq("query_id", "tok"), "left_anti")
+    val ew = Window.partitionBy("query_id")
+      .orderBy(col("wt").desc, col("tok").asc)
+    val expTerms = mined.withColumn("rn", row_number().over(ew))
+      .filter(col("rn") <= fbTerms).select("query_id", "tok")
+    val scored2 = bm25TermContribsFromTerms(idx, qt.union(expTerms))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("c")).as("score"))
+    val orig = bm25TopKFromScores(scored, k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("orig_rank"))
+    bm25TopKFromScores(scored2, k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("new_rank"),
+        col("score").as("exp_score"))
+      .join(orig, Seq("query_id", "doc_id"), "left")
+      .select("query_id", "doc_id", "new_rank", "exp_score", "orig_rank")
+  }
+
+  /** Late-interaction (MaxSim) rerank of a first-stage candidate list —
+    * the ColBERT scoring shape (Khattab & Zaharia, SIGIR 2020): every
+    * QUERY token keeps its own vector, a candidate's score is
+    * Σ_{q tok} max_{doc tok} ⟨v_q, v_d⟩, and the sum rewards documents
+    * that cover ALL query aspects where a single pooled vector blurs
+    * them. Token vectors here are engine-generated char-3-gram hashed
+    * embeddings (the `q_hash_embed` feature-hashing trick one level
+    * down: token → its 3-grams → ±1 signed counts in 16 dims), so
+    * morphologically close tokens score > 0 and the whole pipeline is
+    * exact-integer — no external model, no floats. Non-interacting
+    * token pairs contribute 0, so each per-query-token max is clamped
+    * at 0 (`greatest(max(dot), 0)`).
+    *
+    * SCALE SHAPE — rerank, not search: candidates come from the BM25
+    * top-k (queries·k rows, broadcast), so the ONLY corpus-cardinality
+    * step is the tf probe against the broadcast candidate ids (BHJ, no
+    * corpus shuffle); token vectors are built for the BOUNDED involved
+    * vocabulary (queries·nTerms + candidate-doc tokens), and every
+    * frame after that is ≤ queries·k·|doc vocab|·nTerms rows. The
+    * final rerank window sees k rows per query. */
+  def maxSimRerank(docs: DataFrame, queryPred: Column, k: Int = 10,
+                   nTerms: Int = 5, hashDim: Int = 16,
+                   tfOpt: Option[DataFrame] = None,
+                   scoredOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = tfOpt.getOrElse(termFrequencies(docs))
+    val scored = scoredOpt.getOrElse(
+      bm25ScoresFromIndex(buildBm25Index(docs, Some(tf)), queryPred, nTerms))
+    val cands = bm25TopKFromScores(scored, k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qt = queryTerms(tf, queryPred, nTerms)
+    val dt = tf
+      .join(broadcast(cands.select("doc_id").distinct()), Seq("doc_id"))
+      .select(col("doc_id"), col("tok"))
+    // char-3-gram hashed token vectors for the involved vocabulary only
+    // (substr clamps, so a 1–2 char token contributes itself as its gram)
+    val vecs = qt.select(col("tok")).union(dt.select(col("tok"))).distinct()
+      .select(col("tok"), explode(transform(
+        sequence(lit(1), greatest(length(col("tok")) - 2, lit(1))),
+        i => col("tok").substr(i, lit(3)))).as("g"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("fh3_"), col("g"))), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy(col("tok"), pmod(col("h"), lit(hashDim)).cast("int").as("dim"))
+      .agg(sum(lit(1L) - lit(2L) * pmod(expr("h div 16"), lit(2))).as("v"))
+    val qv = qt.join(vecs, Seq("tok"))
+      .select(col("query_id"), col("tok").as("qtok"), col("dim"),
+        col("v").as("vq"))
+    val dv = dt.join(vecs, Seq("tok"))
+      .select(col("doc_id"), col("tok").as("dtok"), col("dim"),
+        col("v").as("vd"))
+    val dots = cands
+      .join(qv, Seq("query_id"))
+      .join(dv, Seq("doc_id", "dim"))
+      .groupBy("query_id", "doc_id", "rank", "qtok", "dtok")
+      .agg(sum(col("vq") * col("vd")).as("dot"))
+    val maxsim = dots
+      .groupBy("query_id", "doc_id", "rank", "qtok")
+      .agg(greatest(max(col("dot")), lit(0L)).as("mx"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("mx")).as("maxsim"))
+    cands.join(maxsim, Seq("query_id", "doc_id"), "left")
+      .withColumn("maxsim", coalesce(col("maxsim"), lit(0L)))
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"),
+        col("maxsim"))
+      .withColumn("new_rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("maxsim").desc, col("bm25_rank").asc)))
+  }
 
   /** Block-Max WAND pruning report (Ding & Suel 2011) — [[maxScorePrune]]
     * at block granularity, composing the same 128-doc blocks the

@@ -392,6 +392,28 @@ object CorpusQueries extends QueryGroup {
         scoredOpt = Some(sharedBm25Scores(s, dir)))
       .orderBy("query_id", "rank")
 
+  /** Late-interaction (MaxSim/ColBERT-style) rerank of the BM25 top-10
+    * ([[graft.ops.Retrieval.maxSimRerank]]): per-query-token char-3-gram
+    * hashed vectors, Σ_q max_d ⟨v_q, v_d⟩ over the candidate set, exact
+    * integers end to end. Rides the session-shared tf + scored frames;
+    * everything past the broadcast candidate probe is queries·k-bounded. */
+  private def maxsimRerank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.maxSimRerank(Tables.documents(s, dir),
+        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)),
+        scoredOpt = Some(sharedBm25Scores(s, dir)))
+      .orderBy("query_id", "new_rank")
+
+  /** RM3-style pseudo-relevance-feedback expansion
+    * ([[graft.ops.Retrieval.prfExpand]]): top-5 feedback docs per query,
+    * 3 heaviest non-query terms mined, second BM25 pass over the
+    * expanded term set. Null `orig_rank` marks docs only expansion
+    * surfaces. Rides the shared tf + scored frames. */
+  private def prfExpandQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.prfExpand(Tables.documents(s, dir),
+        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)),
+        scoredOpt = Some(sharedBm25Scores(s, dir)))
+      .orderBy("query_id", "new_rank")
+
   /** Inverted-index size statistics
     * ([[graft.ops.Retrieval.invertedIndexStats]]): block-delta postings
     * (128-doc blocks, LEB128 gap cost) rolled up per term — df, cf,
@@ -1148,6 +1170,8 @@ object CorpusQueries extends QueryGroup {
     "q_contamination_ngram" -> contaminationNgram,
     "q_dedup_apply" -> dedupApply,
     "q_bm25_topk" -> bm25TopK,
+    "q_maxsim_rerank" -> maxsimRerank,
+    "q_prf_expand" -> prfExpandQ,
     "q_maxscore_prune" -> maxscorePrune,
     "q_blockmax_prune" -> blockmaxPrune,
     "q_retrieval_eval" -> retrievalEval,
@@ -1811,6 +1835,91 @@ object CorpusQueries extends QueryGroup {
       s"""WITH $bm25CtesSql
         |SELECT query_id, doc_id, n_terms_hit, score, rank
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // MaxSim over the BM25 top-10: char-3-gram hashed token vectors
+    // (substr clamps short tokens to themselves), integer dots, per-qtok
+    // max clamped at 0, candidates with no interacting grams keep 0
+    "q_maxsim_rerank" ->
+      s"""WITH $bm25CtesSql,
+        |cand AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10),
+        |itok AS (SELECT DISTINCT tok FROM (
+        |    SELECT tok FROM bqt
+        |    UNION ALL
+        |    SELECT f.tok FROM btf f
+        |      JOIN (SELECT DISTINCT doc_id FROM cand) cd USING (doc_id))),
+        |g AS (SELECT tok, substr(tok, CAST(i AS INTEGER), 3) AS g
+        |      FROM (SELECT tok,
+        |              unnest(generate_series(1, greatest(length(tok) - 2, 1))) AS i
+        |            FROM itok)),
+        |vec AS (SELECT tok, CAST(h % 16 AS INTEGER) AS dim,
+        |          CAST(sum(1 - 2 * ((h // 16) % 2)) AS BIGINT) AS v
+        |        FROM (SELECT tok,
+        |            CAST(('0x' || substr(md5('fh3_' || g), 1, 8)) AS BIGINT) AS h
+        |          FROM g)
+        |        GROUP BY 1, 2),
+        |qv AS (SELECT q.query_id, q.tok AS qtok, v.dim, v.v AS vq
+        |       FROM bqt q JOIN vec v ON v.tok = q.tok),
+        |dv AS (SELECT f.doc_id, f.tok AS dtok, v.dim, v.v AS vd
+        |       FROM btf f
+        |       JOIN (SELECT DISTINCT doc_id FROM cand) cd USING (doc_id)
+        |       JOIN vec v ON v.tok = f.tok),
+        |dots AS (SELECT c.query_id, c.doc_id, q.qtok, d.dtok,
+        |           sum(q.vq * d.vd) AS dot
+        |         FROM cand c
+        |         JOIN qv q ON q.query_id = c.query_id
+        |         JOIN dv d ON d.doc_id = c.doc_id AND d.dim = q.dim
+        |         GROUP BY 1, 2, 3, 4),
+        |mx AS (SELECT query_id, doc_id, qtok, greatest(max(dot), 0) AS m
+        |       FROM dots GROUP BY 1, 2, 3),
+        |ms AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS maxsim
+        |       FROM mx GROUP BY 1, 2)
+        |SELECT c.query_id, c.doc_id, c.rank AS bm25_rank,
+        |  coalesce(ms.maxsim, 0) AS maxsim,
+        |  CAST(row_number() OVER (PARTITION BY c.query_id
+        |    ORDER BY coalesce(ms.maxsim, 0) DESC, c.rank ASC) AS INTEGER)
+        |    AS new_rank
+        |FROM cand c
+        |LEFT JOIN ms ON ms.query_id = c.query_id AND ms.doc_id = c.doc_id
+        |ORDER BY c.query_id, new_rank""".stripMargin,
+
+    // RM3 PRF: feedback = rk top-5, expansion terms by total tf with a
+    // NOT EXISTS original-term guard, second contribution pass over the
+    // expanded term set (same integer formula), new top-10 left-joined
+    // to the original ranks
+    "q_prf_expand" ->
+      s"""WITH $bm25CtesSql,
+        |fb AS (SELECT query_id, doc_id FROM rk WHERE rank <= 5),
+        |mined AS (
+        |  SELECT f.query_id, t.tok, CAST(sum(t.tf) AS BIGINT) AS wt
+        |  FROM fb f JOIN btf t USING (doc_id)
+        |  WHERE NOT EXISTS (SELECT 1 FROM bqt q
+        |                    WHERE q.query_id = f.query_id AND q.tok = t.tok)
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT query_id, tok FROM (
+        |    SELECT query_id, tok, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY wt DESC, tok ASC) AS rn FROM mined) WHERE rn <= 3),
+        |qt2 AS (SELECT query_id, tok FROM bqt
+        |        UNION ALL SELECT query_id, tok FROM ex),
+        |contrib2 AS (
+        |  SELECT q.query_id, f.doc_id,
+        |    (CAST(2 * (s.n - d.df) + 1 AS HUGEINT) * 22 * f.tf * s.t_total * 1000000)
+        |      // (CAST(2 * d.df + 1 AS HUGEINT) *
+        |          (10 * f.tf * s.t_total + 3 * s.t_total + 9 * l.dl * s.n)) AS c
+        |  FROM qt2 q JOIN btf f ON q.tok = f.tok
+        |  JOIN bdf d ON q.tok = d.tok
+        |  JOIN bdl l ON f.doc_id = l.doc_id
+        |  CROSS JOIN bst s),
+        |bsc2 AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |         CAST(sum(c) AS BIGINT) AS score FROM contrib2 GROUP BY 1, 2),
+        |rk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM bsc2),
+        |orig AS (SELECT query_id, doc_id, rank AS orig_rank FROM rk WHERE rank <= 10)
+        |SELECT r.query_id, r.doc_id, r.rank AS new_rank, r.score AS exp_score,
+        |  o.orig_rank
+        |FROM rk2 r
+        |LEFT JOIN orig o ON o.query_id = r.query_id AND o.doc_id = r.doc_id
+        |WHERE r.rank <= 10
+        |ORDER BY r.query_id, new_rank""".stripMargin,
 
     // MaxScore impact bounds: per-term max contribution over its matched
     // postings, ascending-bound prefix sums STRICTLY below the top-10

@@ -485,6 +485,44 @@ object RelationalQueries extends QueryGroup {
       .orderBy("bucket")
   }
 
+  /** Approximate quantiles by DETERMINISTIC hash sampling — the
+    * corpus-scale quantile path when even the two-level exact rank is
+    * too much data: keep the rows whose md5(row key) lands in a fixed
+    * residue class (here 1-in-8; a 100 TB profile job would use 1e-4),
+    * then take EXACT rank quantiles of the sample. The sample predicate
+    * is a pure projection (commutes with any partitioning — the
+    * mergeable half of a KLL-style sketch, with none of its
+    * merge-order sensitivity), so both engines select the IDENTICAL
+    * sample and the result is hash-reproducible, unlike rand() sampling
+    * or a true sketch whose buffer state depends on arrival order.
+    * Expected rank error at sampling rate p is Θ(√(q(1−q)/(p·N)))·N —
+    * at p·N = 10⁹ sampled rows that is ±0.003% of rank, far inside any
+    * profiling tolerance (law-tested against the exact quantiles in
+    * OrderStatsSpec). The sample's quantiles ride
+    * [[graft.ops.OrderStats.rankedWithOffsets]] (grid-parallel, no
+    * single-reducer sort), and the 8 quantile positions are integer
+    * formulas joined as a broadcast — only 8 rows survive. */
+  private def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val samp = Tables.lineitem(s, dir)
+      .select(
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").cast("long").as("cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("rid"))
+      .filter(
+        conv(substring(md5(concat(lit("aq_"), col("rid").cast("string"))),
+          1, 8), 16, 10).cast("long") % 8 === 0)
+    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
+      samp, Nil, "cents", "rid")
+    val targets = Seq(1, 5, 25, 50, 75, 90, 95, 99).toDF("pct")
+      .crossJoin(offsets.agg(sum("__cell_n").as("n_sample")))
+      .withColumn("rank_target", expr("((n_sample - 1) * pct) div 100 + 1"))
+    ranked.join(broadcast(targets), col("val_rank") === col("rank_target"))
+      .select(col("pct"), col("rank_target"),
+        col("cents").as("value_cents"), col("n_sample"))
+      .orderBy("pct")
+  }
+
   /** Exact per-group median + p90 by RANK arithmetic
     * ([[graft.ops.OrderStats.valueRankedBy]]): the scale path for what
     * `percentile(...)` computes by buffering every group value in one
@@ -855,6 +893,7 @@ object RelationalQueries extends QueryGroup {
     "q_multipass_match" -> multipassMatch,
     "q_percentiles" -> percentiles,
     "q_equidepth_hist" -> equidepthHist,
+    "q_approx_quantiles" -> approxQuantiles,
     "q_group_median" -> groupMedian,
     "q_describe_stats" -> describeStats,
     "q_analyze_stats" -> analyzeStats,
@@ -1144,6 +1183,25 @@ object RelationalQueries extends QueryGroup {
         |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*), 6)
         |    AS avg_cents
         |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // identical deterministic md5-residue sample, then exact sample-rank
+    // quantiles via the single-reducer window (the oracle formulation of
+    // the grid rank)
+    "q_approx_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents, l_orderkey * 10 + l_linenumber AS rid FROM lineitem),
+        |samp AS (
+        |  SELECT cents, rid FROM v
+        |  WHERE CAST(('0x' || substr(md5('aq_' || CAST(rid AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 8 = 0),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents, rid) AS rn,
+        |             count(*) OVER () AS n_sample FROM samp),
+        |lv AS (SELECT unnest([1, 5, 25, 50, 75, 90, 95, 99]) AS pct)
+        |SELECT pct, ((n_sample - 1) * pct) // 100 + 1 AS rank_target,
+        |  cents AS value_cents, n_sample
+        |FROM r JOIN lv ON rn = ((n_sample - 1) * pct) // 100 + 1
+        |ORDER BY pct""".stripMargin,
 
     // twin-rank median + discrete p90 on the partitioned window; integer
     // cents, HUGEINT sums cast back to BIGINT before the double division

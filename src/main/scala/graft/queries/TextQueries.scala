@@ -313,6 +313,54 @@ object TextQueries extends QueryGroup {
           .as("page_keep"),
         col("clean_text"))
 
+  /** Blocklist screening — the C4 "bad words" filter class (Raffel et
+    * al. 2020 filter docs against a fixed phrase blocklist; here the
+    * list is DERIVED from the corpus so the fixture is self-contained:
+    * the top-8 most frequent word bigrams stand in for the banned
+    * phrases). Matching is ONE Aho–Corasick automaton pass per document
+    * ([[graft.functions.MultiMatch]]): O(len + matches) regardless of
+    * blocklist size, where a replace/rlike-per-pattern plan rescans the
+    * corpus once per phrase — the structural win that matters at a
+    * production blocklist (10k+ phrases) over 100 TB.
+    *
+    * Counting is greedy non-overlapping per pattern — exactly DuckDB's
+    * `(length(t) − length(replace(t, p, ''))) / length(p)`, so the
+    * oracle needs no automaton. A doc is `blocked` when its total hits
+    * across the blocklist reach 4.
+    *
+    * Shape at scale: one corpus bigram explode + vocab-bounded count to
+    * derive the list; an audited BOUNDED collect of exactly 8 rows
+    * (side-input class, like the IVF centroid seeds); then matching is
+    * a pure scan-bound projection — only MATCHED (doc, pattern) rows
+    * reach the doc-keyed window that totals per-doc hits. */
+  private def blocklistHits(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bigrams = docs
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+        concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("cnt"))
+    // bounded 8-row pull: the blocklist is a driver-side side input to
+    // the automaton expression (count desc, pattern asc — total order)
+    val pats: Seq[String] = bigrams
+      .orderBy(col("cnt").desc, col("pattern"))
+      .limit(8).collect().map(_.getString(0)).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    docs
+      .select(col("doc_id"),
+        graft.functions.MultiMatch.multiMatchCounts(col("text"), pats)
+          .as("cnts"))
+      .select(col("doc_id"), posexplode(col("cnts")).as(Seq("pi", "n_hits")))
+      .filter(col("n_hits") > 0)
+      .withColumn("pattern", element_at(lit(pats.toArray), col("pi") + 1))
+      .withColumn("doc_hits", sum("n_hits").over(w))
+      .withColumn("blocked", col("doc_hits") >= 4)
+      .select("doc_id", "pattern", "n_hits", "doc_hits", "blocked")
+      .orderBy("doc_id", "pattern")
+  }
+
   /** The full Gopher quality gate (Rae et al. 2021, Table A1 — the
     * non-repetition half, completing [[gopherRepetition]]): word count
     * in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
@@ -988,6 +1036,7 @@ object TextQueries extends QueryGroup {
     "q_gopher_repetition" -> gopherRepetition,
     "q_gopher_quality" -> gopherQuality,
     "q_c4_filters" -> c4Filters,
+    "q_blocklist_hits" -> blocklistHits,
     "q_ppl_buckets" -> pplBuckets,
     "q_curation_gate" -> curationGate,
     "q_regex_extract" -> regexExtract,
@@ -1408,6 +1457,26 @@ object TextQueries extends QueryGroup {
          |   AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3) AS page_keep,
          |  clean_text
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // blocklist derived in SQL (same top-8 bigram order), counts via the
+    // non-overlapping replace identity — no automaton needed in the oracle
+    "q_blocklist_hits" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |bi AS (SELECT words[i] || ' ' || words[i+1] AS pattern
+        |       FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i
+        |             FROM w WHERE len(words) >= 2)),
+        |top AS (SELECT pattern, count(*) AS cnt FROM bi GROUP BY 1
+        |        ORDER BY cnt DESC, pattern LIMIT 8),
+        |hits AS (SELECT d.doc_id, p.pattern,
+        |    (length(d.text) - length(replace(d.text, p.pattern, '')))
+        |      // length(p.pattern) AS n_hits
+        |  FROM documents d CROSS JOIN top p),
+        |hm AS (SELECT doc_id, pattern, CAST(n_hits AS BIGINT) AS n_hits
+        |       FROM hits WHERE n_hits > 0)
+        |SELECT doc_id, pattern, n_hits,
+        |  CAST(sum(n_hits) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_hits,
+        |  sum(n_hits) OVER (PARTITION BY doc_id) >= 4 AS blocked
+        |FROM hm ORDER BY doc_id, pattern""".stripMargin,
 
     // the four gates recomputed in one WITH (page fixture shared; the
     // repetition gate runs on RAW text, rw-prefixed), then one 9-counter

@@ -84,4 +84,27 @@ class OrderStatsSpec extends SparkSuite {
     // the data-side window must be keyed by the grid cell
     assert(plan.contains("__cell"))
   }
+
+  test("hash-sample quantiles: rank error within the sampling envelope") {
+    // q_approx_quantiles' estimate vs the EXACT full-data quantile: the
+    // estimated value's true rank must sit within a few sampling standard
+    // deviations (sd = sqrt(q(1-q)N/p)) of the target rank.
+    val approx = graft.queries.RelationalQueries
+      .queries("q_approx_quantiles")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(approx.keySet == Set(1, 5, 25, 50, 75, 90, 95, 99))
+    val cents = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").cast("long").as("cents"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toDouble
+    approx.foreach { case (pct, est) =>
+      val q = pct / 100.0
+      val target = (n - 1) * q + 1
+      val trueRank = cents.count(_ <= est).toDouble // upper rank of est
+      val sd = math.sqrt(q * (1 - q) * n * 8) // p = 1/8 sampling
+      assert(math.abs(trueRank - target) <= 5 * sd + 8,
+        s"pct=$pct est=$est rank=$trueRank target=$target sd=$sd")
+    }
+  }
 }

@@ -338,4 +338,56 @@ class RetrievalSpec extends SparkSuite {
       s"bm25 final selection lost the EXACT-BIGINT bounded-heap aggregate " +
         s"(double-keyed top_k collapses scores above 2^53):\n${plan.take(1200)}")
   }
+
+  test("maxSimRerank equals the first-principles MaxSim over the BM25 top-k") {
+    // naive char-3-gram hashed token vector (the fh3_ md5 recipe restated
+    // independently; substr clamps 1-2 char tokens to themselves)
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def vec(tok: String): Map[Int, Long] = {
+      val grams =
+        if (tok.length <= 2) Seq(tok)
+        else (0 to tok.length - 3).map(i => tok.substring(i, i + 3))
+      grams.foldLeft(Map.empty[Int, Long].withDefaultValue(0L)) { (m, g) =>
+        val hv = h("fh3_" + g)
+        m.updated((hv % 16).toInt, m((hv % 16).toInt) + (1L - 2L * ((hv / 16) % 2)))
+      }
+    }
+    def dot(a: Map[Int, Long], b: Map[Int, Long]): Long =
+      a.keysIterator.map(k => a(k) * b.getOrElse(k, 0L)).sum
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    // query terms: top-3 by (tf desc, tok asc) per query doc (< 3)
+    def qterms(id: Long): Seq[String] =
+      toks(id).groupBy(identity).map { case (t, o) => (t, o.size) }.toSeq
+        .sortBy { case (t, n) => (-n, t) }.take(3).map(_._1)
+    val docs = corpus.toDF("doc_id", "text")
+    val out = Retrieval.maxSimRerank(docs, col("doc_id") < 3, k = 3, nTerms = 3)
+      .orderBy("query_id", "new_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    // per query: naive maxsim of each candidate, then the rerank order
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val naive = rows.map { case (_, did, bmRank, _, _) =>
+        val ms = qterms(qid).map { qt =>
+          val vq = vec(qt)
+          val best = toks(did).distinct.map(dt => dot(vq, vec(dt)))
+            .foldLeft(0L)(math.max) // clamp at 0: empty/neg => 0
+          best
+        }.sum
+        (did, bmRank, ms)
+      }
+      rows.foreach { case (_, did, _, maxsim, _) =>
+        assert(maxsim == naive.find(_._1 == did).get._3,
+          s"query $qid doc $did maxsim")
+      }
+      val expectedOrder = naive.sortBy { case (did, bmRank, ms) => (-ms, bmRank) }
+        .map(_._1).toSeq
+      assert(rows.sortBy(_._5).map(_._2).toSeq == expectedOrder,
+        s"query $qid rerank order")
+    }
+  }
 }
