@@ -26,6 +26,7 @@ object Bench {
     // the per-query fixed cost is otherwise dominated by re-reading the
     // same parquet files
     graft.core.Tables.cacheScans = true
+    var compact: String = null
     try {
       // untimed warmup: JVM/codegen/parquet-footer costs land here instead
       // of inflating whichever query happens to run first; materialize the
@@ -78,32 +79,32 @@ object Bench {
       def js(m: Iterable[(String, Double)]) =
         m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val total = queries.map(_._2).sum + shared.map(_._2).sum
-      val head =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(queries)},"shared":${js(shared)},"sf":"$sfDir"}"""
       val full =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(queries)},"shared":${js(shared)},""" +
           s""""passes":{"shared":[${js(sharedA)},${js(sharedB)}],"queries":[${js(qA)},${js(qB)}]},"sf":"$sfDir"}"""
-      println(head)
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
-      // The driver records only the LAST ~2000 chars of stdout and tries
-      // to json-parse the metric line it finds there; the full per-query
-      // line above is ~4KB, so it has arrived truncated (and unparseable)
-      // every round. Emit a compact summary LAST — headline total, group
-      // subtotals, and the top-15 most expensive queries — sized to
-      // survive the tail window intact. Complete per-query data lives in
-      // the line above and in target/bench.json.
+      // The driver records only the LAST ~2000 chars of stdout and
+      // json-parses the metric line it finds there. The full per-query
+      // line is ~7KB — printing it would leave a truncated fragment at
+      // the front of the tail window (it has arrived unparseable every
+      // round it was stdout's first metric line). So stdout carries ONE
+      // compact line only — headline total, group subtotals, the top-15
+      // most expensive queries — and it goes out LAST, after spark.stop(),
+      // so no shutdown logging can land between it and the end of the
+      // process output. Complete per-query data (both raw passes) lives
+      // in target/bench.json.
       val topQ = queries.sortBy(-_._2).take(15)
-      val compact =
+      compact =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${queries.size},""" +
           f""""queries_sec":${queries.map(_._2).sum}%.3f,"shared_sec":${shared.map(_._2).sum}%.3f,""" +
           s""""queries_top15_only":true,"queries":${js(topQ)},"sf":"$sfDir"}"""
-      println(compact)
     } finally {
       graft.core.SharedFrames.clear()
       graft.core.Tables.cacheScans = false
       spark.stop()
     }
+    if (compact != null) println(compact)
   }
 }
