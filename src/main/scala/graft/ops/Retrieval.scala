@@ -248,10 +248,10 @@ object Retrieval {
     * expansion in any engine. */
   def prfExpand(docs: DataFrame, queryPred: Column, k: Int = 10,
                 nTerms: Int = 5, fbDocs: Int = 5, fbTerms: Int = 3,
-                tfOpt: Option[DataFrame] = None,
+                idxOpt: Option[Bm25Index] = None,
                 scoredOpt: Option[DataFrame] = None): DataFrame = {
-    val tf = tfOpt.getOrElse(termFrequencies(docs))
-    val idx = buildBm25Index(docs, Some(tf))
+    val idx = idxOpt.getOrElse(buildBm25Index(docs))
+    val tf = idx.tf
     val scored = scoredOpt.getOrElse(bm25ScoresFromIndex(idx, queryPred, nTerms))
     val qt = queryTerms(tf, queryPred, nTerms)
     val fb = bm25TopKFromScores(scored, fbDocs).select("query_id", "doc_id")

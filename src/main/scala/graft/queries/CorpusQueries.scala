@@ -378,13 +378,35 @@ object CorpusQueries extends QueryGroup {
       graft.ops.Retrieval.termFrequencies(Tables.documents(s, dir))
     }
 
+  /** Session-shared BM25 index artifacts (tf/dl/df/stats): every consumer
+    * that needs the index (scores, contribs, PRF's second pass) reads the
+    * SAME cached dl/df/stats aggregations instead of re-running the
+    * corpus-cardinality aggs per query — the materialize-once discipline
+    * a 100 TB pipeline applies to its index build. */
+  private[queries] def sharedBm25Index(
+      s: SparkSession, dir: String): graft.ops.Retrieval.Bm25Index = {
+    val tf = sharedTermFreqs(s, dir)
+    graft.ops.Retrieval.Bm25Index(
+      tf,
+      graft.core.SharedFrames.cached(s, s"bm25dl:$dir") {
+        tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      },
+      graft.core.SharedFrames.cached(s, s"bm25df:$dir") {
+        tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      },
+      graft.core.SharedFrames.cached(s, s"bm25st:$dir") {
+        Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+          .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("t_total")))
+      })
+  }
+
   /** Per-(query, doc) BM25 scores, built once per (session, dir) —
     * shared by the top-k query and the rank-fusion sparse side (they
     * differ only in the final k cut). */
   private[queries] def sharedBm25Scores(s: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.cached(s, s"bm25sc:$dir") {
-      graft.ops.Retrieval.bm25Scores(Tables.documents(s, dir),
-        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)))
+      graft.ops.Retrieval.bm25ScoresFromIndex(
+        sharedBm25Index(s, dir), col("doc_id") < 3)
     }
 
   private def bm25TopK(s: SparkSession, dir: String): DataFrame =
@@ -410,7 +432,7 @@ object CorpusQueries extends QueryGroup {
     * surfaces. Rides the shared tf + scored frames. */
   private def prfExpandQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.prfExpand(Tables.documents(s, dir),
-        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)),
+        col("doc_id") < 3, idxOpt = Some(sharedBm25Index(s, dir)),
         scoredOpt = Some(sharedBm25Scores(s, dir)))
       .orderBy("query_id", "new_rank")
 
@@ -452,9 +474,7 @@ object CorpusQueries extends QueryGroup {
   private[queries] def sharedBm25Contribs(s: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.cached(s, s"bm25ct:$dir") {
       graft.ops.Retrieval.bm25TermContribs(
-        graft.ops.Retrieval.buildBm25Index(Tables.documents(s, dir),
-          Some(sharedTermFreqs(s, dir))),
-        col("doc_id") < 3, 5)
+        sharedBm25Index(s, dir), col("doc_id") < 3, 5)
     }
 
   /** Retrieval quality metrics over the BM25 top-10 — P@10, R@10, and
@@ -991,6 +1011,9 @@ object CorpusQueries extends QueryGroup {
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "corpus_records" -> sharedRecords,
     "bm25_tf" -> (sharedTermFreqs(_, _)),
+    "bm25_dl" -> ((s, d) => sharedBm25Index(s, d).dl),
+    "bm25_df" -> ((s, d) => sharedBm25Index(s, d).df),
+    "bm25_stats" -> ((s, d) => sharedBm25Index(s, d).stats),
     "bm25_scores" -> (sharedBm25Scores(_, _)),
     "bm25_contribs" -> (sharedBm25Contribs(_, _)),
   )

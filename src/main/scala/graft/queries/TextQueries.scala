@@ -313,6 +313,71 @@ object TextQueries extends QueryGroup {
           .as("page_keep"),
         col("clean_text"))
 
+  /** Character-class composition per language — the script-mix monitor a
+    * multilingual corpus runs next to langid (a "French" shard that is
+    * 40% digits is a parser bug, not French): per doc, exact counts of
+    * alphabetic / digit / whitespace / other characters via
+    * regexp-strip length differences, rolled up per language as
+    * exact-ppm fractions of the language's total characters (1e6·class
+    * div total — corpus counts divide once, no float averaging of
+    * per-doc ratios). Pure projection + one |langs|-bounded aggregation;
+    * scan-bound at 100 TB. */
+  private def scriptMix(s: SparkSession, dir: String): DataFrame = {
+    def stripped(re: String) =
+      length(col("text")) - length(regexp_replace(col("text"), re, ""))
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        stripped("[a-zA-Z]").cast("long").as("n_alpha"),
+        stripped("[0-9]").cast("long").as("n_digit"),
+        stripped("\\s").cast("long").as("n_space"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars"),
+        sum("n_alpha").as("alpha"),
+        sum("n_digit").as("digit"),
+        sum("n_space").as("space"))
+      .select(col("lang"), col("n_docs"),
+        col("chars"),
+        // decimal-first: alpha/digit/space are corpus character counts
+        // (~1e14 at 100 TB), so the 1e6-scaled numerator crosses 2^63
+        expr("(1000000 * CAST(alpha AS DECIMAL(38,0))) div chars")
+          .as("ppm_alpha"),
+        expr("(1000000 * CAST(digit AS DECIMAL(38,0))) div chars")
+          .as("ppm_digit"),
+        expr("(1000000 * CAST(space AS DECIMAL(38,0))) div chars")
+          .as("ppm_space"),
+        expr("(1000000 * CAST(chars - alpha - digit - space AS DECIMAL(38,0)))" +
+          " div chars").as("ppm_other"))
+      .orderBy("lang")
+  }
+
+  /** Flesch–Kincaid readability per document, integer-exact: words =
+    * whitespace tokens, sentences = terminal-punctuation runs (floored
+    * at 1), syllables = vowel-group runs (the standard regex
+    * approximation). The grade is kept in CENTI-units with floor
+    * division — grade_centi = 39·W div S + 1180·Y div W − 1559 — so the
+    * easy/medium/hard classification never sits on a float boundary.
+    * Pure projection; scan-bound at 100 TB. */
+  private def readability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("long").as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("grade_centi",
+        expr("(39 * n_words) div n_sentences" +
+          " + (1180 * n_syllables) div n_words - 1559"))
+      .withColumn("band",
+        when(col("grade_centi") < 700, "easy")
+          .when(col("grade_centi") < 1100, "medium")
+          .otherwise("hard"))
+      .orderBy("doc_id")
+
   /** Blocklist screening — the C4 "bad words" filter class (Raffel et
     * al. 2020 filter docs against a fixed phrase blocklist; here the
     * list is DERIVED from the corpus so the fixture is self-contained:
@@ -1037,6 +1102,8 @@ object TextQueries extends QueryGroup {
     "q_gopher_quality" -> gopherQuality,
     "q_c4_filters" -> c4Filters,
     "q_blocklist_hits" -> blocklistHits,
+    "q_script_mix" -> scriptMix,
+    "q_readability" -> readability,
     "q_ppl_buckets" -> pplBuckets,
     "q_curation_gate" -> curationGate,
     "q_regex_extract" -> regexExtract,
@@ -1457,6 +1524,53 @@ object TextQueries extends QueryGroup {
          |   AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3) AS page_keep,
          |  clean_text
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // char-class counts as length differences after regexp-strip ('g'
+    // flag for replace-all parity); ppm fractions divide corpus sums once
+    "q_script_mix" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g'))
+        |      AS BIGINT) AS n_space
+        |  FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(sum(n_alpha) AS BIGINT) AS alpha,
+        |    CAST(sum(n_digit) AS BIGINT) AS digit,
+        |    CAST(sum(n_space) AS BIGINT) AS space
+        |  FROM c GROUP BY lang)
+        |SELECT lang, n_docs, chars,
+        |  CAST((1000000 * CAST(alpha AS HUGEINT)) // chars AS BIGINT) AS ppm_alpha,
+        |  CAST((1000000 * CAST(digit AS HUGEINT)) // chars AS BIGINT) AS ppm_digit,
+        |  CAST((1000000 * CAST(space AS HUGEINT)) // chars AS BIGINT) AS ppm_space,
+        |  CAST((1000000 * CAST(chars - alpha - digit - space AS HUGEINT)) // chars
+        |    AS BIGINT) AS ppm_other
+        |FROM g ORDER BY lang""".stripMargin,
+
+    // integer centi-grade with floor division; vowel-group syllable
+    // approximation; sentence count floored at 1
+    "q_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  (39 * n_words) // n_sentences
+        |    + (1180 * n_syllables) // n_words - 1559 AS grade_centi,
+        |  CASE WHEN (39 * n_words) // n_sentences
+        |            + (1180 * n_syllables) // n_words - 1559 < 700 THEN 'easy'
+        |       WHEN (39 * n_words) // n_sentences
+        |            + (1180 * n_syllables) // n_words - 1559 < 1100 THEN 'medium'
+        |       ELSE 'hard' END AS band
+        |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     // blocklist derived in SQL (same top-8 bigram order), counts via the
     // non-overlapping replace identity — no automaton needed in the oracle
