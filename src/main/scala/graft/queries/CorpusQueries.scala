@@ -1162,9 +1162,28 @@ object CorpusQueries extends QueryGroup {
         (col("min_group") >= 5).as("k_anonymous"))
   }
 
+  /** Distinct l-diversity — the release gate k-anonymity alone misses: a
+    * quasi-identifier group can be large (k-anonymous) yet carry ONE
+    * sensitive value, so membership still discloses it. Same QI axes as
+    * [[kAnonymity]] minus the sensitive attribute (lang plays the
+    * sensitive column here): per (source, len_band) group, size and
+    * distinct-lang count, diverse when l >= 3. One aggregation over a
+    * bounded group axis; countDistinct is exact (the sensitive domain is
+    * small by definition — a wide domain would ride a KMV sketch). */
+  private def lDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), expr("n_chars div 50").as("len_band"),
+        col("lang"))
+      .groupBy("source", "len_band")
+      .agg(count(lit(1)).as("grp"),
+        countDistinct(col("lang")).as("l_distinct"))
+      .withColumn("diverse", col("l_distinct") >= 3)
+      .orderBy("source", "len_band")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_audit" -> dqAudit,
     "q_k_anonymity" -> kAnonymity,
+    "q_l_diversity" -> lDiversity,
     "q_moments" -> moments,
     "q_warc_ingest" -> warcIngest,
     "q_line_dedup" -> lineDedup,
@@ -1279,6 +1298,13 @@ object CorpusQueries extends QueryGroup {
         |        CAST(sum(grp) AS BIGINT), 6) AS risk_rate,
         |  min(grp) >= 5 AS k_anonymous
         |FROM g""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT source, n_chars // 50 AS len_band, count(*) AS grp,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+        |  count(DISTINCT lang) >= 3 AS diverse
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY source, len_band""".stripMargin,
     // HUGEINT moment numerators; doubles only in the final division,
     // HUGEINT->DOUBLE routed through VARCHAR (correctly rounded; the
     // direct cast double-rounds above 2^63)

@@ -560,6 +560,62 @@ object RelationalQueries extends QueryGroup {
       .orderBy("c_nationkey")
   }
 
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintiles, the classic analytics segmentation, built on EXACT rank
+    * arithmetic: one orders rollup to the customer frame, then three
+    * [[graft.ops.OrderStats]] two-level ranks (one per dimension — the
+    * customer frame is orders-of-magnitude below fact cardinality, and
+    * each rank spreads over the grid cells, never a single reducer).
+    * Quintile = ((rank−1)·5) div n + 1 — the equi-depth integer formula,
+    * reproducible to the row where ntile() tie behavior is not pinned
+    * across engines. r_q = 5 means MOST RECENT (labels ascend with the
+    * value); segment = r·100 + f·10 + m. */
+  private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("days"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max(col("days")).as("r_days"),
+        count(lit(1)).as("f_cnt"),
+        sum(col("cents")).cast("long").as("m_cents"))
+    def quintile(df: DataFrame, v: String, q: String): DataFrame = {
+      val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
+        df, Nil, v, "o_custkey")
+      ranked.crossJoin(broadcast(offsets.agg(sum("__cell_n").as("__n"))))
+        .withColumn(q, expr("((val_rank - 1) * 5) div __n + 1").cast("int"))
+        .drop("val_rank", "__n")
+    }
+    quintile(quintile(quintile(cust, "r_days", "r_q"), "f_cnt", "f_q"),
+        "m_cents", "m_q")
+      .withColumn("segment",
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("int"))
+      .select("o_custkey", "r_days", "f_cnt", "m_cents",
+        "r_q", "f_q", "m_q", "segment")
+      .orderBy("o_custkey")
+  }
+
+  /** Month-of-year seasonality index over shipped revenue: per calendar
+    * month, share of total revenue scaled ×12 in ppm (1e6 = perfectly
+    * flat). Two aggregations (12-row axis); the index numerator widens
+    * DECIMAL(38,0)-first — corpus revenue cents ~1e16 × 12e6 crosses
+    * 2^63. */
+  private def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(s, dir)
+      .select(month(col("l_shipdate")).as("month"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").cast("long").as("cents"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).cast("long").as("sum_cents"))
+    m.crossJoin(broadcast(m.agg(sum(col("sum_cents")).cast("long").as("total"))))
+      .withColumn("idx_ppm",
+        expr("(12000000 * CAST(sum_cents AS DECIMAL(38,0))) div total"))
+      .select("month", "n_rows", "sum_cents", "idx_ppm")
+      .orderBy("month")
+  }
+
   /** Skew-safe salted aggregation: two-stage sum per returnflag (a
     * low-cardinality, skew-prone key). The oracle is the PLAIN group-by —
     * salting must be result-invariant. */
@@ -894,6 +950,8 @@ object RelationalQueries extends QueryGroup {
     "q_percentiles" -> percentiles,
     "q_equidepth_hist" -> equidepthHist,
     "q_approx_quantiles" -> approxQuantiles,
+    "q_rfm_segments" -> rfmSegments,
+    "q_seasonality" -> seasonality,
     "q_group_median" -> groupMedian,
     "q_describe_stats" -> describeStats,
     "q_analyze_stats" -> analyzeStats,
@@ -1202,6 +1260,48 @@ object RelationalQueries extends QueryGroup {
         |  cents AS value_cents, n_sample
         |FROM r JOIN lv ON rn = ((n_sample - 1) * pct) // 100 + 1
         |ORDER BY pct""".stripMargin,
+
+    // three single-reducer rank windows are the oracle for the grid
+    // ranks; quintile and segment arithmetic all-integer
+    "q_rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS days,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, max(days) AS r_days, count(*) AS f_cnt,
+        |        CAST(sum(cents) AS BIGINT) AS m_cents
+        |      FROM o GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM c),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY r_days, o_custkey) AS rr,
+        |    row_number() OVER (ORDER BY f_cnt, o_custkey) AS rf,
+        |    row_number() OVER (ORDER BY m_cents, o_custkey) AS rm
+        |  FROM c),
+        |q AS (SELECT o_custkey, r_days, f_cnt, m_cents,
+        |    CAST(((rr - 1) * 5) // n + 1 AS INTEGER) AS r_q,
+        |    CAST(((rf - 1) * 5) // n + 1 AS INTEGER) AS f_q,
+        |    CAST(((rm - 1) * 5) // n + 1 AS INTEGER) AS m_q
+        |  FROM r, n)
+        |SELECT o_custkey, r_days, f_cnt, m_cents, r_q, f_q, m_q,
+        |  CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS segment
+        |FROM q ORDER BY o_custkey""".stripMargin,
+
+    // 12-row month axis; index numerator HUGEINT-widened like the Spark
+    // decimal cast
+    "q_seasonality" ->
+      """WITH m AS (
+        |  SELECT CAST(month(l_shipdate) AS INTEGER) AS month,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sum_cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(sum_cents) AS BIGINT) AS total FROM m)
+        |SELECT month, n_rows, sum_cents,
+        |  CAST((12000000 * CAST(sum_cents AS HUGEINT)) // total AS BIGINT)
+        |    AS idx_ppm
+        |FROM m, t ORDER BY month""".stripMargin,
 
     // twin-rank median + discrete p90 on the partitioned window; integer
     // cents, HUGEINT sums cast back to BIGINT before the double division
