@@ -311,6 +311,42 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Scene-change detection over decoded video frames — the frame-sample
+    * selector a video training pipeline runs (keep one frame per scene
+    * instead of one per N): consecutive-frame mean-luma comparison in
+    * the EXACT cross-multiplied integer domain, cut when
+    * |luma·px_prev − luma_prev·px| ≥ 16·px·px_prev (mean-luma jump of
+    * 16/255) — no per-pixel diff ever crosses the decode boundary, and
+    * no decision sits on a float. Products are frame-bounded
+    * (luma ≤ 255·px; at 1e6-px production frames the cross terms stay
+    * ~2.5e14 « 2^63). Decode is per-partition (the q_mm_video_px
+    * chain); the only exchange is the doc-keyed lag window over
+    * frames-per-video rows. */
+  private def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 400).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, graft.ops.AviFixtures.synthMjpegPxAvi(id), "video"))
+      .toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    Multimodal.decodeAviPixelFrames(s, media).toDF()
+      .withColumn("prev_luma", lag("luma_sum", 1).over(w))
+      .withColumn("prev_px", lag("n_pixels", 1).over(w))
+      .filter(col("prev_luma").isNotNull)
+      .withColumn("is_cut",
+        abs(col("luma_sum") * col("prev_px") -
+          col("prev_luma") * col("n_pixels")) >=
+          lit(16L) * col("n_pixels") * col("prev_px"))
+      .withColumn("n_cuts",
+        sum(when(col("is_cut"), 1L).otherwise(0L))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select("doc_id", "frame_idx", "n_pixels", "luma_sum",
+        "prev_px", "prev_luma", "is_cut", "n_cuts")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Per-frame MP4 PIXEL decode ([[graft.ops.Multimodal.decodeMp4PixelFrames]]):
     * MJPEG-in-MP4 containers from the independent fixture muxer
     * ([[graft.ops.Mp4Fixtures]] — real ftyp/mdat/moov with a 2-run stsc,
@@ -900,6 +936,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_png" -> mmPng,
     "q_mm_jpeg_px" -> mmJpegPx,
     "q_mm_video_px" -> mmVideoPx,
+    "q_mm_scene_cuts" -> mmSceneCuts,
     "q_mm_mp4_frames" -> mmMp4Frames,
     "q_mm_avi_audio" -> mmAviAudio,
     "q_mm_phash" -> mmPhash,
@@ -1715,6 +1752,43 @@ object SimilarityQueries extends QueryGroup {
         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  CAST(w * h AS BIGINT) AS n_pixels, CAST(luma_sum AS BIGINT) AS luma_sum
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // same decoded-luma preamble as q_mm_video_px, then the lag window
+    // and the cross-multiplied cut test replayed on the closed form
+    "q_mm_scene_cuts" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+        |fr AS (SELECT doc_id,
+        |    unnest(generate_series(0, doc_id % 4 + 1)) AS frame_idx FROM d),
+        |g AS (SELECT doc_id, frame_idx, doc_id * 7 + frame_idx AS fid FROM fr),
+        |dim AS (SELECT *,
+        |    (2 + fid % 3) * 8 - (fid % 3) AS w,
+        |    (2 + fid % 4) * 8 - (fid % 5) AS h FROM g),
+        |bxs AS (SELECT unnest(generate_series(0, 3)) AS bx),
+        |bys AS (SELECT unnest(generate_series(0, 4)) AS byy),
+        |bl AS (SELECT dim.*, bx, byy FROM dim CROSS JOIN bxs CROSS JOIN bys
+        |       WHERE bx < 2 + fid % 3 AND byy < 2 + fid % 4),
+        |s AS (SELECT doc_id, frame_idx, w, h,
+        |    sum((least(255,
+        |          ((11 * fid + 23 * bx + 37 * byy + bx * byy) % 256)
+        |          + ((11 * fid + 23 * bx + 37 * byy + bx * byy) % 256) % 2))
+        |        * least(8, w - bx * 8) * least(8, h - byy * 8)) AS luma_sum
+        |  FROM bl GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT doc_id, frame_idx,
+        |    CAST(w * h AS BIGINT) AS n_pixels, CAST(luma_sum AS BIGINT) AS luma_sum
+        |  FROM s),
+        |lg AS (SELECT doc_id, frame_idx, n_pixels, luma_sum,
+        |    lag(n_pixels) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_px,
+        |    lag(luma_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_luma
+        |  FROM f),
+        |c AS (SELECT *,
+        |    abs(luma_sum * prev_px - prev_luma * n_pixels)
+        |      >= 16 * n_pixels * prev_px AS is_cut
+        |  FROM lg WHERE prev_luma IS NOT NULL)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  n_pixels, luma_sum, prev_px, prev_luma, is_cut,
+        |  CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id) AS BIGINT) AS n_cuts
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin,
 
     // same decoded-luma closed form as q_mm_video_px (identical frame
     // JPEGs at pxSeed = doc_id*7 + frame_idx); the chunk columns replay
