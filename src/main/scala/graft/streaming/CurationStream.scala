@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Curation gate AT INGEST — the streaming face of the batch blocklist
+  * screen (`q_blocklist_hits`): every micro-batch of documents is matched
+  * against the phrase blocklist with the Aho–Corasick expression
+  * ([[graft.functions.MultiMatch]] — one automaton pass per doc, cost
+  * independent of blocklist size) plus a minimum-length gate, survivors
+  * append to the kept store and every batch appends an AUDIT row
+  * (in/blocked/short/kept counts) — the ingestion ledger a production
+  * crawl pipeline keeps.
+  *
+  * The pattern list is a FIXED side input: production blocklists version
+  * independently of the stream (a new list = a new stream version), so
+  * the automaton rides the closure into every executor once — no state
+  * store at all (contrast [[NearDupStream]], where fingerprints must
+  * outlive the batch and live in a persisted index). The gate is a pure
+  * projection per batch: stateless, deterministic, replay-safe under
+  * checkpoint recovery.
+  */
+object CurationStream {
+
+  /** Run the gate to completion (AvailableNow) over a streaming
+    * `docs(doc_id, text)` frame. Kept (doc_id, text, n_hits, n_words)
+    * rows append to `keptPath`; per-batch (batch_id, n_in, n_blocked,
+    * n_short, n_kept) counts append to `auditPath`. */
+  def runBlocklistGate(spark: SparkSession, docs: DataFrame,
+                       patterns: Seq[String], keptPath: String,
+                       auditPath: String, checkpoint: String,
+                       minWords: Int = 3): Unit = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val flagged = batch
+          .withColumn("cnts",
+            graft.functions.MultiMatch.multiMatchCounts(col("text"), patterns))
+          .withColumn("n_hits",
+            expr("aggregate(cnts, 0L, (a, x) -> a + x)"))
+          .withColumn("n_words",
+            size(split(trim(col("text")), "\\s+"))
+              .cast("long"))
+          .withColumn("blocked", col("n_hits") > 0)
+          .withColumn("short", !col("blocked") && col("n_words") < minWords)
+        // one pass for the audit counters, one for the survivors — both
+        // over the same micro-batch (tiny relative to the corpus)
+        flagged.agg(
+            count(lit(1)).as("n_in"),
+            sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+            sum(when(col("short"), 1L).otherwise(0L)).as("n_short"),
+            sum(when(!col("blocked") && !col("short"), 1L).otherwise(0L))
+              .as("n_kept"))
+          .withColumn("batch_id", lit(batchId))
+          .select("batch_id", "n_in", "n_blocked", "n_short", "n_kept")
+          .write.mode("append").parquet(auditPath)
+        flagged.filter(!col("blocked") && !col("short"))
+          .select("doc_id", "text", "n_hits", "n_words")
+          .write.mode("append").parquet(keptPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

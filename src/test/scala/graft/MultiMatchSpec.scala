@@ -77,6 +77,39 @@ class MultiMatchSpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("rlike"))
   }
 
+  test("streaming blocklist gate: survivors + audit match the batch rules") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftcur")
+      .toFile.getAbsolutePath
+    val pats = Seq("bad phrase", "also banned")
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    def run(): Unit = graft.streaming.CurationStream.runBlocklistGate(
+      spark, docs, pats, s"$tmp/kept", s"$tmp/audit", s"$tmp/ckpt")
+    // batch 1: 1 kept, 2 blocked (hit), 3 too short
+    src.addData(
+      (1L, "a perfectly fine long document"),
+      (2L, "contains a bad phrase in the middle"),
+      (3L, "too short"))
+    run()
+    // batch 2: 4 blocked by the second pattern, 5 kept
+    src.addData(
+      (4L, "this text is also banned for sure"),
+      (5L, "another clean document that survives"))
+    run()
+    val kept = spark.read.parquet(s"$tmp/kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L), s"wrong survivors: $kept")
+    val audit = spark.read.parquet(s"$tmp/audit")
+      .orderBy("batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(audit.toSeq == Seq((0L, 3L, 1L, 1L, 1L), (1L, 2L, 1L, 0L, 1L)),
+      s"wrong audit ledger: ${audit.toSeq}")
+  }
+
   test("blocklist query: per-doc totals equal the sum of its pattern hits") {
     val df = graft.queries.TextQueries.queries("q_blocklist_hits")(
       spark, "/root/testdata/sf0.001")
