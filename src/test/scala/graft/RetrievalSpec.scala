@@ -339,6 +339,22 @@ class RetrievalSpec extends SparkSuite {
         s"(double-keyed top_k collapses scores above 2^53):\n${plan.take(1200)}")
   }
 
+  test("maxSimRerank and prfExpand plan as broadcast probes, no cartesian") {
+    val docs = corpus.toDF("doc_id", "text")
+    val ms = Retrieval.maxSimRerank(docs, col("doc_id") < 1)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(ms.contains("BroadcastHashJoin"),
+      s"maxsim candidate probe lost the broadcast:\n${ms.take(1200)}")
+    assert(!ms.contains("CartesianProduct"),
+      s"maxsim plan grew a cartesian product:\n${ms.take(1200)}")
+    val prf = Retrieval.prfExpand(docs, col("doc_id") < 1)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(prf.contains("top_k_long") || prf.contains("TopKLong"),
+      s"prf candidate cuts lost the bounded-heap aggregate:\n${prf.take(1200)}")
+    assert(!prf.contains("CartesianProduct"),
+      s"prf plan grew a cartesian product:\n${prf.take(1200)}")
+  }
+
   test("maxSimRerank equals the first-principles MaxSim over the BM25 top-k") {
     // naive char-3-gram hashed token vector (the fh3_ md5 recipe restated
     // independently; substr clamps 1-2 char tokens to themselves)
