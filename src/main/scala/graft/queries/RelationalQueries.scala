@@ -616,6 +616,42 @@ object RelationalQueries extends QueryGroup {
       .orderBy("month")
   }
 
+  /** CUSUM change-point monitor over daily revenue — the sequential
+    * drift detector (Page 1954) a pipeline health monitor runs where
+    * the KS tests compare static slices: CUSUM⁺_t = max over prefixes
+    * of the drift above target+slack. The clamped recurrence
+    * max(0, prev + x − μ − k) is NOT a prefix sum, but it equals
+    * S_t − min_{i≤t} S_i for S = cumsum(x − μ − k) — two stacked
+    * windows, no recursion, exact integers end to end (μ = floor mean,
+    * k = μ div 100 slack, alarm at h = μ div 10). The windows run over
+    * the DAILY frame — the one partition-less orderBy rides a
+    * retention-bounded axis (the q_compact_plan class), never fact
+    * cardinality. */
+  private def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")).cast("long").as("cents"))
+    val stats = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("cents")).cast("long").as("total"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("mu", expr("total div n_days"))
+      .withColumn("slack", expr("mu div 100"))
+      .withColumn("s_cum", sum(col("cents") - col("mu") - col("slack")).over(wCum))
+      // the empty prefix counts: C_0 = 0, so the subtracted minimum is
+      // min(0, S_1..S_t) — without the 0 floor an all-positive drift
+      // would wrongly anchor at S_1
+      .withColumn("s_min", least(min(col("s_cum")).over(wCum), lit(0L)))
+      .withColumn("cusum", col("s_cum") - col("s_min"))
+      .withColumn("alarm", col("cusum") >= expr("mu div 10"))
+      .select("day", "cents", "s_cum", "cusum", "alarm")
+      .orderBy("day")
+  }
+
   /** Skew-safe salted aggregation: two-stage sum per returnflag (a
     * low-cardinality, skew-prone key). The oracle is the PLAIN group-by —
     * salting must be result-invariant. */
@@ -952,6 +988,7 @@ object RelationalQueries extends QueryGroup {
     "q_approx_quantiles" -> approxQuantiles,
     "q_rfm_segments" -> rfmSegments,
     "q_seasonality" -> seasonality,
+    "q_cusum_drift" -> cusumDrift,
     "q_group_median" -> groupMedian,
     "q_describe_stats" -> describeStats,
     "q_analyze_stats" -> analyzeStats,
@@ -1302,6 +1339,28 @@ object RelationalQueries extends QueryGroup {
         |  CAST((12000000 * CAST(sum_cents AS HUGEINT)) // total AS BIGINT)
         |    AS idx_ppm
         |FROM m, t ORDER BY month""".stripMargin,
+
+    // CUSUM as cumsum minus running-min (0-floored for the empty
+    // prefix); window sums HUGEINT->BIGINT per house rules
+    "q_cusum_drift" ->
+      """WITH d AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT count(*) AS n_days, CAST(sum(cents) AS BIGINT) AS total
+        |       FROM d),
+        |s AS (SELECT day, cents, total // n_days AS mu,
+        |    CAST(sum(cents - total // n_days - (total // n_days) // 100)
+        |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_cum
+        |  FROM d, st),
+        |m AS (SELECT *, least(CAST(min(s_cum)
+        |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT), 0)
+        |    AS s_min FROM s)
+        |SELECT day, cents, s_cum, s_cum - s_min AS cusum,
+        |  s_cum - s_min >= mu // 10 AS alarm
+        |FROM m ORDER BY day""".stripMargin,
 
     // twin-rank median + discrete p90 on the partitioned window; integer
     // cents, HUGEINT sums cast back to BIGINT before the double division

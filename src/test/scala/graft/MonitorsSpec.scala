@@ -114,4 +114,25 @@ class MonitorsSpec extends SparkSuite {
       }
     }
   }
+
+  test("cusum: window formulation equals the clamped recurrence, never negative") {
+    // the two-window identity S_t - min(0, S_1..S_t) must replay Page's
+    // C_t = max(0, C_{t-1} + y_t) exactly — verify against the naive
+    // recurrence re-derived from the query's own (day, cents) output
+    val rows = graft.queries.RelationalQueries
+      .queries("q_cusum_drift")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val cents = rows.map(_.getLong(1))
+    val n = cents.length
+    val mu = cents.sum / n
+    val k = mu / 100
+    var c = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      c = math.max(0L, c + cents(i) - mu - k)
+      assert(r.getLong(3) == c, s"day ${r.getLong(0)}: cusum ${r.getLong(3)} != naive $c")
+      assert(r.getLong(3) >= 0L)
+      assert(r.getBoolean(4) == (c >= mu / 10))
+    }
+  }
 }
