@@ -313,6 +313,70 @@ object DedupQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  /** KMV set-similarity between sources — the SKETCH answer to "how
+    * much distinct-shingle overlap do two crawls share" (theta-sketch
+    * set operations, Dasgupta et al.): each source's k-min-values
+    * signature (the `q_kmv_distinct` sketch) supports a UNION estimate
+    * by merging two signatures and reading the union's k-th minimum;
+    * intersection and Jaccard then follow by inclusion–exclusion —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), clamped at 0. The whole pair
+    * computation runs on |sources|² signature rows of ≤ k hashes each
+    * (array_union + array_sort in-row), so at corpus scale the
+    * estimate costs NOTHING beyond the per-source sketches — which is
+    * the point of sketch set ops. The EXACT Jaccard rides along (one
+    * self-join of the distinct-hash frame) as the eval column, the
+    * `q_ann_recall` discipline: at 100 TB only the estimate side runs.
+    * All arithmetic integer; ppm numerators DECIMAL-widened (distinct
+    * counts ~1e12 × 1e6 cross 2^63). Known estimator behavior, visible
+    * in the eval column: inclusion–exclusion amplifies the per-sketch
+    * error, so small Jaccards (J « 1/√k) are noisy at k = 64 — the
+    * production knob is k, and the exact column is exactly the
+    * calibration a deployment reads before picking it. */
+  private def kmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    val h = sharedShinglesRaw(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"),
+        conv(substring(md5(concat(lit("kmv_"), col("shingle"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val sig = h.groupBy("source")
+      .agg(count(lit(1)).as("n_exact"),
+        graft.functions.TopK.topK((-col("h")).cast("double"), col("h"), KmvK)
+          .as("mins"))
+      .select(col("source"), col("n_exact"),
+        expr("transform(mins, m -> m.id)").as("sig"))
+    def est(nCol: String, sigCol: String): org.apache.spark.sql.Column =
+      when(size(col(sigCol)) < KmvK, col(nCol))
+        .otherwise(expr(
+          s"(${KmvK - 1} * 4294967296) div element_at($sigCol, $KmvK)"))
+    val pairs = sig.select(col("source").as("src_a"),
+        col("n_exact").as("n_a"), col("sig").as("sig_a"))
+      .join(sig.select(col("source").as("src_b"),
+        col("n_exact").as("n_b"), col("sig").as("sig_b")),
+        col("src_a") < col("src_b"))
+      .withColumn("merged", array_sort(array_union(col("sig_a"), col("sig_b"))))
+      .withColumn("est_a", est("n_a", "sig_a"))
+      .withColumn("est_b", est("n_b", "sig_b"))
+      .withColumn("est_u",
+        when(size(col("merged")) < KmvK, size(col("merged")).cast("long"))
+          .otherwise(expr(
+            s"(${KmvK - 1} * 4294967296) div element_at(merged, $KmvK)")))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_u"), lit(0L)))
+    val inter = h.select(col("source").as("src_a"), col("h"))
+      .join(h.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        expr("(1000000 * CAST(est_inter AS DECIMAL(38,0))) div est_u")
+          .as("est_jaccard_ppm"),
+        expr("(1000000 * CAST(inter AS DECIMAL(38,0))) div (n_a + n_b - inter)")
+          .as("exact_jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** LSH parameter-tuning report — the empirical S-CURVE of the
     * production banding (k=8 slots, 4 bands × 2 rows): for every
     * co-shingle pair, bucket its exact Jaccard into tenths and report
@@ -345,6 +409,7 @@ object DedupQueries extends QueryGroup {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lsh_curve" -> lshCurve,
     "q_kmv_distinct" -> kmvDistinct,
+    "q_kmv_jaccard" -> kmvJaccard,
     "q_dedup_canonical" -> canonical,
     "q_dedup_incremental" -> incremental,
     "q_dedup_incr_simhash" -> incrSimhash,
@@ -854,6 +919,50 @@ object DedupQueries extends QueryGroup {
          |  CAST(est AS BIGINT) AS est_distinct,
          |  round(CAST(est - n_exact AS DOUBLE) / n_exact, 6) AS rel_err
          |FROM e ORDER BY source""".stripMargin,
+    // per-source KMV signatures (rn <= k), pair union re-ranked, both
+    // estimators with the exact-fallback CASE, exact Jaccard via the
+    // distinct-hash self-join; ppm numerators HUGEINT-widened
+    "q_kmv_jaccard" ->
+      s"""$shingleSqlPrefix,
+         |hv AS (SELECT DISTINCT d.source,
+         |  CAST(('0x' || substr(md5('kmv_' || sh0.shingle), 1, 8)) AS BIGINT) AS h
+         |  FROM sh0 JOIN documents d USING (doc_id)),
+         |r AS (SELECT source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n_exact FROM hv),
+         |sig AS (SELECT source, max(n_exact) AS n_exact,
+         |  max(CASE WHEN rn = $KmvK THEN h END) AS kth FROM r GROUP BY 1),
+         |es AS (SELECT source, n_exact,
+         |  CASE WHEN kth IS NULL THEN n_exact
+         |       ELSE (${KmvK - 1} * 4294967296) // kth END AS est FROM sig),
+         |px AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    a.n_exact AS n_a, b.n_exact AS n_b, a.est AS est_a, b.est AS est_b
+         |  FROM es a JOIN es b ON a.source < b.source),
+         |uh AS (SELECT p.src_a, p.src_b, x.h
+         |  FROM px p JOIN (SELECT source, h FROM r WHERE rn <= $KmvK) x
+         |    ON x.source = p.src_a OR x.source = p.src_b),
+         |ud AS (SELECT DISTINCT src_a, src_b, h FROM uh),
+         |ur AS (SELECT src_a, src_b, h,
+         |  row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn,
+         |  count(*) OVER (PARTITION BY src_a, src_b) AS nu FROM ud),
+         |uk AS (SELECT src_a, src_b, max(nu) AS nu,
+         |  max(CASE WHEN rn = $KmvK THEN h END) AS kth_u FROM ur GROUP BY 1, 2),
+         |ue AS (SELECT src_a, src_b,
+         |  CASE WHEN kth_u IS NULL THEN nu
+         |       ELSE (${KmvK - 1} * 4294967296) // kth_u END AS est_u FROM uk),
+         |ix AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+         |  FROM hv a JOIN hv b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+         |  CAST((1000000 *
+         |      CAST(greatest(p.est_a + p.est_b - u.est_u, 0) AS HUGEINT))
+         |    // u.est_u AS BIGINT) AS est_jaccard_ppm,
+         |  CAST((1000000 * CAST(coalesce(ix.inter, 0) AS HUGEINT))
+         |    // (p.n_a + p.n_b - coalesce(ix.inter, 0)) AS BIGINT)
+         |    AS exact_jaccard_ppm
+         |FROM px p JOIN ue u USING (src_a, src_b)
+         |LEFT JOIN ix USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH fps AS (
         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
