@@ -120,4 +120,38 @@ object AudioHash {
       }
     }
   }
+
+  /** One row per fingerprint window: (doc_id, w, e = Σ|s|, c = sample
+    * count, n = track samples, total = Σ|s| over the track) — the raw
+    * material segmentation/VAD-style passes consume. Same 65-window
+    * split as [[energyBands]]; decode stays inside the partition, only
+    * the 65 typed rows per track leave. */
+  case class AudioWin(doc_id: Long, w: Int, e: Long, c: Long,
+                      n: Long, total: Long)
+
+  def windowEnergies(spark: SparkSession, media: DataFrame): Dataset[AudioWin] = {
+    import spark.implicits._
+    media.as[Multimodal.MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        pcmSamples(r.payload).iterator.flatMap { s =>
+          val n = s.length
+          if (n < 65) Iterator.empty
+          else {
+            val e = new Array[Long](65)
+            val c = new Array[Long](65)
+            var total = 0L
+            var t = 0
+            while (t < n) {
+              val w = (t.toLong * 65 / n).toInt
+              val a = math.abs(s(t)).toLong
+              e(w) += a; c(w) += 1; total += a
+              t += 1
+            }
+            (0 until 65).iterator.map(w =>
+              AudioWin(r.doc_id, w, e(w), c(w), n.toLong, total))
+          }
+        }
+      }
+    }
+  }
 }

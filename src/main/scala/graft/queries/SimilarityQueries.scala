@@ -472,6 +472,36 @@ object SimilarityQueries extends QueryGroup {
     graft.ops.AudioHash.fingerprint(s, wavMedia(s, dir)).toDF()
       .orderBy("doc_id")
 
+  /** Silence-aware audio segmentation — the VAD-style pass a speech
+    * corpus runs before transcription (split tracks on low-energy
+    * stretches, keep voiced segments): a fingerprint window is SILENT
+    * when its mean |sample| falls below 9/10 of the track mean, decided
+    * in the cross-multiplied integer domain (10·e·n < 9·total·c — no
+    * float boundary; products ≤ Σ|s|·n ~ 2^50 for 16-bit day-long
+    * tracks). Contiguous voiced windows group into segments by the
+    * island identity w − row_number() (two doc-keyed windows over 65
+    * rows per track); output is one row per voiced segment with its
+    * window span and energy. Decode is per-partition
+    * ([[graft.ops.AudioHash.windowEnergies]]); bytes never shuffle. */
+  private def mmSilence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = graft.ops.AudioHash.windowEnergies(s, wavMedia(s, dir)).toDF()
+    val voiced = wins
+      .filter(col("e") * lit(10L) * col("n") >= lit(9L) * col("total") * col("c"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("w")
+    voiced
+      .withColumn("island", col("w") - row_number().over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("w")).as("start_w"), max(col("w")).as("end_w"),
+        count(lit(1)).as("n_windows"), sum(col("e")).as("seg_energy"))
+      .withColumn("seg_idx",
+        row_number().over(Window.partitionBy("doc_id").orderBy("start_w"))
+          .cast("int"))
+      .select("doc_id", "seg_idx", "start_w", "end_w", "n_windows",
+        "seg_energy")
+      .orderBy("doc_id", "seg_idx")
+  }
+
   /** Audio near-dup pairs: the SAME banded pair generator as image
     * dHash ([[ImageHash.phashPairs]]) over the audio fingerprints —
     * hamming <= 3 recall exact by pigeonhole; brute-force oracle twin
@@ -944,6 +974,7 @@ object SimilarityQueries extends QueryGroup {
     "q_mm_frame_px" -> mmFramePx,
     "q_mm_audio" -> mmAudio,
     "q_mm_audio_fp" -> mmAudioFp,
+    "q_mm_silence" -> mmSilence,
     "q_mm_audio_dup" -> mmAudioDup,
     "q_mm_ensemble" -> mmEnsemble,
     "q_mm_phash_incr" -> mmPhashIncr,
@@ -1925,6 +1956,26 @@ object SimilarityQueries extends QueryGroup {
       s"""WITH ${audioFpSqlPrefix("")}
          |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, abs_sum, p0, p1, p2, p3
          |FROM af ORDER BY doc_id""".stripMargin,
+
+    // same smp/wins/asum closed form; the 9/10-mean silence test and the
+    // island grouping replayed in SQL
+    "q_mm_silence" ->
+      s"""WITH ${audioFpSqlPrefix("")},
+         |v AS (SELECT w.doc_id, w.w, w.e, w.c
+         |      FROM wins w JOIN asum USING (doc_id) JOIN d USING (doc_id)
+         |      WHERE w.e * 10 * d.n >= 9 * asum.abs_sum * w.c),
+         |isl AS (SELECT doc_id, w, e,
+         |    w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS island
+         |  FROM v),
+         |seg AS (SELECT doc_id, island, min(w) AS start_w, max(w) AS end_w,
+         |    count(*) AS n_windows, CAST(sum(e) AS BIGINT) AS seg_energy
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_w)
+         |    AS INTEGER) AS seg_idx,
+         |  CAST(start_w AS INTEGER) AS start_w,
+         |  CAST(end_w AS INTEGER) AS end_w, n_windows, seg_energy
+         |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
 
     // brute-force pair twin: complete at hamming <= 3 (pigeonhole over
     // the 4 bands), so it agrees exactly with the banded join
