@@ -349,10 +349,12 @@ object DedupQueries extends QueryGroup {
       when(size(col(sigCol)) < KmvK, col(nCol))
         .otherwise(expr(
           s"(${KmvK - 1} * 4294967296) div element_at($sigCol, $KmvK)"))
+    // broadcast the pair axis: |sources| signature rows — a non-equi
+    // join of two unbroadcast aggregates would otherwise plan cartesian
     val pairs = sig.select(col("source").as("src_a"),
         col("n_exact").as("n_a"), col("sig").as("sig_a"))
-      .join(sig.select(col("source").as("src_b"),
-        col("n_exact").as("n_b"), col("sig").as("sig_b")),
+      .join(broadcast(sig.select(col("source").as("src_b"),
+        col("n_exact").as("n_b"), col("sig").as("sig_b"))),
         col("src_a") < col("src_b"))
       .withColumn("merged", array_sort(array_union(col("sig_a"), col("sig_b"))))
       .withColumn("est_a", est("n_a", "sig_a"))

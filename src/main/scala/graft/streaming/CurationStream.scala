@@ -18,8 +18,12 @@ import org.apache.spark.sql.streaming.Trigger
   * the automaton rides the closure into every executor once — no state
   * store at all (contrast [[NearDupStream]], where fingerprints must
   * outlive the batch and live in a persisted index). The gate is a pure
-  * projection per batch: stateless, deterministic, replay-safe under
-  * checkpoint recovery.
+  * projection per batch: stateless and deterministic, so a batch
+  * replayed after a crash re-derives byte-identical rows — but the raw
+  * parquet APPEND itself is not idempotent, so a replayed batch can
+  * re-append them. Readers dedup by (batch_id) on the audit and by
+  * (doc_id) on the kept store; on a real lakehouse table both appends
+  * become idempotent MERGEs keyed the same way.
   */
 object CurationStream {
 
