@@ -230,6 +230,53 @@ object Retrieval {
     bm25TopKFromScores(
       scoredOpt.getOrElse(bm25Scores(docs, queryPred, nTerms, tfOpt)), k)
 
+  /** Passage-level BM25 with MaxP document ranking (Dai & Callan,
+    * SIGIR 2019): long documents are scored by their BEST passage, not
+    * their bag-of-words whole — the standard fix for length-diluted
+    * BM25 on book/web-page corpora. Documents split into fixed
+    * `passageWords`-token windows (non-overlapping, positional
+    * postings supply the offsets), a passage-granular BM25 index
+    * scores each (query, passage), and per (query, doc) the MAX
+    * passage score ranks (argmax passage reported, smallest offset on
+    * ties — `max(struct(score, −p))`, deterministic both engines).
+    *
+    * Shape at scale: identical to the doc-level pipeline one
+    * granularity down — broadcast query terms probe the passage
+    * postings (BHJ), the dl join is the one corpus-cardinality
+    * exchange, the MaxP reduction and the final bounded heap are
+    * map-side aggregations. Passage ids pack as
+    * doc_id·2^20 + passage — a documented contract (docs to 52M
+    * tokens, ids to 2^43); a corpus beyond either bound widens the
+    * packing, it does not silently wrap (2^20·2^43 = 2^63 exactly). */
+  def bm25MaxP(docs: DataFrame, queryPred: Column, k: Int = 10,
+               nTerms: Int = 5, passageWords: Int = 50,
+               tfOpt: Option[DataFrame] = None): DataFrame = {
+    val tf = tfOpt.getOrElse(termFrequencies(docs))
+    val qt = queryTerms(tf, queryPred, nTerms)
+    val ptf = positionalPostings(docs)
+      .withColumn("p", expr(s"(pos - 1) div $passageWords"))
+      .select((col("doc_id") * lit(1048576L) + col("p")).as("doc_id"),
+        col("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idx = buildBm25Index(ptf.select("doc_id").distinct(), Some(ptf))
+    val best = bm25TermContribsFromTerms(idx, qt)
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("pscore"))
+      .select(col("query_id"), expr("doc_id div 1048576").as("doc"),
+        expr("doc_id % 1048576").as("p"), col("pscore"))
+      .groupBy(col("query_id"), col("doc").as("doc_id"))
+      .agg(max(struct(col("pscore"), (-col("p")).as("np"))).as("b"))
+      .select(col("query_id"), col("doc_id"),
+        col("b.pscore").as("best_score"), (-col("b.np")).as("best_p"))
+    best.groupBy("query_id")
+      .agg(graft.functions.TopK.topKLong(col("best_score"), col("doc_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos0", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos0") + 1).cast("int").as("rank"))
+      .join(best, Seq("query_id", "doc_id"))
+      .select("query_id", "doc_id", "best_p", "best_score", "rank")
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM3 shape,
     * Abdul-Jaleel et al. 2004, integer-exact): each query's BM25
     * top-`fbDocs` play the feedback set; the `fbTerms` heaviest

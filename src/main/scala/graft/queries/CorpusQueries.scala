@@ -436,6 +436,16 @@ object CorpusQueries extends QueryGroup {
         scoredOpt = Some(sharedBm25Scores(s, dir)))
       .orderBy("query_id", "new_rank")
 
+  /** Passage-level BM25 with MaxP document ranking
+    * ([[graft.ops.Retrieval.bm25MaxP]]): 50-token passages, documents
+    * ranked by their best passage — the length-dilution fix for long
+    * docs. Rides the shared doc-level tf only for the query terms; the
+    * passage index is its own granularity. */
+  private def bm25MaxPQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.bm25MaxP(Tables.documents(s, dir),
+        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)))
+      .orderBy("query_id", "rank")
+
   /** Inverted-index size statistics
     * ([[graft.ops.Retrieval.invertedIndexStats]]): block-delta postings
     * (128-doc blocks, LEB128 gap cost) rolled up per term — df, cf,
@@ -1214,6 +1224,7 @@ object CorpusQueries extends QueryGroup {
     "q_bm25_topk" -> bm25TopK,
     "q_maxsim_rerank" -> maxsimRerank,
     "q_prf_expand" -> prfExpandQ,
+    "q_bm25_maxp" -> bm25MaxPQ,
     "q_maxscore_prune" -> maxscorePrune,
     "q_blockmax_prune" -> blockmaxPrune,
     "q_retrieval_eval" -> retrievalEval,
@@ -1930,6 +1941,51 @@ object CorpusQueries extends QueryGroup {
         |FROM cand c
         |LEFT JOIN ms ON ms.query_id = c.query_id AND ms.doc_id = c.doc_id
         |ORDER BY c.query_id, new_rank""".stripMargin,
+
+    // passage-granular BM25 (positions assigned BEFORE the empty-token
+    // filter, like positionalPostings), MaxP argmax with p-asc tiebreak,
+    // doc-level bqt for the query terms
+    "q_bm25_maxp" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents),
+        |tokp AS (SELECT doc_id, words[i] AS tok, i
+        |  FROM (SELECT doc_id, words,
+        |          unnest(generate_series(1, len(words))) AS i FROM w)
+        |  WHERE words[i] <> ''),
+        |ptf AS (SELECT doc_id, (i - 1) // 50 AS p, tok,
+        |          CAST(count(*) AS BIGINT) AS tf
+        |        FROM tokp GROUP BY 1, 2, 3),
+        |pdl AS (SELECT doc_id, p, CAST(sum(tf) AS BIGINT) AS dl
+        |        FROM ptf GROUP BY 1, 2),
+        |pst AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pdl) AS n,
+        |          (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT) FROM pdl)
+        |            AS t_total),
+        |pdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ptf GROUP BY 1),
+        |qtf AS (SELECT doc_id, tok, count(*) AS tf FROM tokp
+        |        WHERE doc_id < 3 GROUP BY 1, 2),
+        |bq AS (SELECT doc_id AS query_id, tok FROM (
+        |    SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, tok ASC) AS rn FROM qtf) WHERE rn <= 5),
+        |pc AS (SELECT q.query_id, f.doc_id, f.p,
+        |    (CAST(2 * (s.n - d.df) + 1 AS HUGEINT) * 22 * f.tf * s.t_total * 1000000)
+        |      // (CAST(2 * d.df + 1 AS HUGEINT) *
+        |          (10 * f.tf * s.t_total + 3 * s.t_total + 9 * l.dl * s.n)) AS c
+        |  FROM bq q JOIN ptf f ON q.tok = f.tok
+        |  JOIN pdf d ON q.tok = d.tok
+        |  JOIN pdl l ON f.doc_id = l.doc_id AND f.p = l.p
+        |  CROSS JOIN pst s),
+        |ps AS (SELECT query_id, doc_id, p, CAST(sum(c) AS BIGINT) AS pscore
+        |       FROM pc GROUP BY 1, 2, 3),
+        |bb AS (SELECT query_id, doc_id, p, pscore,
+        |    row_number() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY pscore DESC, p ASC) AS rn FROM ps),
+        |bd AS (SELECT query_id, doc_id, CAST(p AS BIGINT) AS best_p,
+        |         pscore AS best_score FROM bb WHERE rn = 1),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY best_score DESC, doc_id ASC) AS INTEGER) AS rank
+        |       FROM bd)
+        |SELECT query_id, doc_id, best_p, best_score, rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // RM3 PRF: feedback = rk top-5, expansion terms by total tf with a
     // NOT EXISTS original-term guard, second contribution pass over the

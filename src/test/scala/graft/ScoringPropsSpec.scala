@@ -71,6 +71,29 @@ class ScoringPropsSpec extends SparkSuite {
     })
   }
 
+  test("ppm share arithmetic survives corpus-count·10⁶ > 2^63 (decimal-first)") {
+    // the q_script_mix / q_seasonality numerator class: class counts are
+    // unbounded corpus sums (~1e14 chars / ~1e16 cents at 100 TB), so the
+    // 1e6-scaled product must widen BEFORE multiplying
+    val a = 300000000000000L // 3e14
+    val c = 900000000000000L // 9e14
+    assert(BigInt(a) * 1000000L > BigInt(Long.MaxValue),
+      "law input no longer adversarial")
+    val got = Seq((a, c)).toDF("alpha", "chars")
+      .select(org.apache.spark.sql.functions
+        .expr("(1000000 * CAST(alpha AS DECIMAL(38,0))) div chars").as("p"))
+      .head().getLong(0)
+    assert(got == (BigInt(a) * 1000000L / BigInt(c)).toLong)
+    check(Prop.forAll(Gen.chooseNum(0L, 1000000000000000L),
+      Gen.chooseNum(1L, 1000000000000000L)) { (x: Long, t: Long) =>
+      val r = Seq((x, t)).toDF("alpha", "chars")
+        .select(org.apache.spark.sql.functions
+          .expr("(1000000 * CAST(alpha AS DECIMAL(38,0))) div chars").as("p"))
+        .head().getLong(0)
+      r == (BigInt(x) * 1000000L / BigInt(t)).toLong
+    })
+  }
+
   test("applyFloor result is max(score, floor) when guarded, score otherwise") {
     check(Prop.forAll(Gen.chooseNum(0.0, 100.0), Gen.chooseNum(0.0, 100.0),
       Gen.oneOf(true, false)) { (s: Double, f: Double, g: Boolean) =>
