@@ -155,7 +155,56 @@ object CoreQueries extends QueryGroup {
     "cust_cagr_panel" -> ((s, dir) => Panel.sharedCustCagrPanel(s, dir)),
   )
 
+  /** Source/sink format fidelity (S5/§2.1 beyond parquet): the documents
+    * table is written ONCE per (session, dir) as ORC, JSON-lines, and
+    * quoted CSV, read back through each format's reader with the
+    * explicit schema, and reduced to a per-format fingerprint row
+    * (count, id/char sums, distinct langs, and an md5 content checksum
+    * mod 1e12). The oracle computes the fingerprint from the PARQUET
+    * table once and expects the identical row under all three format
+    * labels — any loss in a writer/reader pair (quoting, encoding,
+    * schema, null-vs-empty) breaks the hash. CSV nulls: an empty string
+    * round-trips as NULL in Spark's CSV reader, so the checksum reads
+    * through coalesce(text, '') on every side — the one documented
+    * lossy edge of the text formats. */
+  private def sourceRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_roundtrip",
+      dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+    // write-once guard: the sink half runs a single time per session+dir
+    graft.core.SharedFrames.cached(s, s"roundtrip:$dir") {
+      docs.write.mode("overwrite").orc(s"$base/orc")
+      docs.write.mode("overwrite").json(s"$base/json")
+      docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      docs.limit(1)
+    }.count()
+    val schema = docs.schema
+    def fingerprint(df: DataFrame, fmt: String): DataFrame =
+      df.select(lit(fmt).as("format"), col("doc_id"),
+          coalesce(col("text"), lit("")).as("t"),
+          col("lang"), col("n_chars"))
+        .withColumn("h",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+            col("t"))), 1, 8), 16, 10).cast("long"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).cast("long").as("sum_id"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          // decimal-first then mod: the checksum sum crosses 2^63 at
+          // ~2^31 docs of 2^32-bounded terms
+          expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000000000 AS BIGINT)")
+            .as("checksum"))
+    fingerprint(s.read.schema(schema).orc(s"$base/orc"), "orc")
+      .union(fingerprint(s.read.schema(schema).json(s"$base/json"), "json"))
+      .union(fingerprint(s.read.schema(schema)
+        .option("header", "true").csv(s"$base/csv"), "csv"))
+      .orderBy("format")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_roundtrip" -> sourceRoundtrip,
     "q_scan_project" -> scanProject,
     "q_pricing_summary" -> pricingSummary,
     "q_semi_join" -> semiJoin,
@@ -173,6 +222,21 @@ object CoreQueries extends QueryGroup {
       |FROM orders GROUP BY 1, 2""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // one fingerprint from the parquet ground truth, expected verbatim
+    // under each of the three format labels
+    "q_source_roundtrip" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(CAST(('0x' || substr(md5(
+        |        CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')), 1, 8))
+        |      AS BIGINT)) % 1000000000000 AS BIGINT) AS checksum
+        |  FROM documents)
+        |SELECT f.format, a.n_rows, a.sum_id, a.sum_chars, a.n_langs, a.checksum
+        |FROM (SELECT unnest(['csv', 'json', 'orc']) AS format) f
+        |CROSS JOIN a ORDER BY format""".stripMargin,
+
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity >= 45
