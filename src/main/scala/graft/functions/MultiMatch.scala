@@ -141,13 +141,20 @@ object MultiMatch {
   }
 
   /** One automaton per (executor JVM, pattern list): the expression ships
-    * only the string array; the trie is rebuilt lazily and shared. */
+    * only the string array; the trie is rebuilt lazily and shared. The
+    * cache is BOUNDED (a long-lived executor seeing many blocklist
+    * versions must not accumulate one trie per version forever) and the
+    * key is LENGTH-PREFIXED, so no pattern content -- including embedded
+    * NUL or separator characters -- can make two distinct lists collide. */
+  private val MaxCached = 8
   private val cache = TrieMap.empty[String, Automaton]
-  def automaton(patterns: Array[String]): Automaton =
-    // NUL separator: patterns themselves contain spaces (phrases), so a
-    // printable join would collide ["a b","c"] with ["a","b c"]
-    cache.getOrElseUpdate(patterns.mkString("\u0000"),
-      new Automaton(patterns))
+  def automaton(patterns: Array[String]): Automaton = {
+    val key = patterns.map(p => s"${p.length}:$p").mkString("|")
+    cache.getOrElse(key, {
+      if (cache.size >= MaxCached) cache.clear()
+      cache.getOrElseUpdate(key, new Automaton(patterns))
+    })
+  }
 
   /** array<long> of per-pattern non-overlapping counts, aligned with
     * `patterns` order. */

@@ -83,9 +83,12 @@ object AudioHash {
     * when window w's mean energy < window w+1's (cross-multiplied integer
     * comparison). Returns (abs_sum, 4x16-bit bands); None when the signal
     * is too short for every window to be nonempty. */
-  def energyBands(s: Array[Int]): Option[(Long, (Int, Int, Int, Int))] = {
+  /** The 65-window abs-sum accumulation — the ONE definition both the
+    * fingerprint and the silence segmentation consume (a drifted copy
+    * would desynchronize q_mm_audio_fp from q_mm_silence, whose oracles
+    * share the closed-form window preamble). Returns (e, c, total). */
+  private def windowAccum(s: Array[Int]): (Array[Long], Array[Long], Long) = {
     val n = s.length
-    if (n < 65) return None
     val e = new Array[Long](65)
     val c = new Array[Long](65)
     var total = 0L
@@ -96,6 +99,13 @@ object AudioHash {
       e(w) += a; c(w) += 1; total += a
       t += 1
     }
+    (e, c, total)
+  }
+
+  def energyBands(s: Array[Int]): Option[(Long, (Int, Int, Int, Int))] = {
+    val n = s.length
+    if (n < 65) return None
+    val (e, c, total) = windowAccum(s)
     val bands = new Array[Int](4)
     var w = 0
     while (w < 64) {
@@ -137,16 +147,7 @@ object AudioHash {
           val n = s.length
           if (n < 65) Iterator.empty
           else {
-            val e = new Array[Long](65)
-            val c = new Array[Long](65)
-            var total = 0L
-            var t = 0
-            while (t < n) {
-              val w = (t.toLong * 65 / n).toInt
-              val a = math.abs(s(t)).toLong
-              e(w) += a; c(w) += 1; total += a
-              t += 1
-            }
+            val (e, c, total) = windowAccum(s)
             (0 until 65).iterator.map(w =>
               AudioWin(r.doc_id, w, e(w), c(w), n.toLong, total))
           }

@@ -245,9 +245,10 @@ object Retrieval {
     * postings (BHJ), the dl join is the one corpus-cardinality
     * exchange, the MaxP reduction and the final bounded heap are
     * map-side aggregations. Passage ids pack as
-    * doc_id·2^20 + passage — a documented contract (docs to 52M
-    * tokens, ids to 2^43); a corpus beyond either bound widens the
-    * packing, it does not silently wrap (2^20·2^43 = 2^63 exactly). */
+    * doc_id·2^20 + passage (docs to 52M tokens, ids to 2^43); the
+    * bound is ENFORCED per row (`assert_true`) so an out-of-contract
+    * corpus fails loudly instead of attributing a passage's score to
+    * the next document. */
   def bm25MaxP(docs: DataFrame, queryPred: Column, k: Int = 10,
                nTerms: Int = 5, passageWords: Int = 50,
                tfOpt: Option[DataFrame] = None): DataFrame = {
@@ -255,6 +256,11 @@ object Retrieval {
     val qt = queryTerms(tf, queryPred, nTerms)
     val ptf = positionalPostings(docs)
       .withColumn("p", expr(s"(pos - 1) div $passageWords"))
+      // loud guard on the packing contract: p >= 2^20 would silently
+      // credit this passage to doc_id + 1
+      .filter(expr("assert_true(p < 1048576, " +
+        "'bm25MaxP: passage index exceeds the 2^20 packing bound') is null")
+        || lit(true))
       .select((col("doc_id") * lit(1048576L) + col("p")).as("doc_id"),
         col("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -364,7 +370,11 @@ object Retrieval {
         conv(substring(md5(concat(lit("fh3_"), col("g"))), 1, 8), 16, 10)
           .cast("long"))
       .groupBy(col("tok"), pmod(col("h"), lit(hashDim)).cast("int").as("dim"))
-      .agg(sum(lit(1L) - lit(2L) * pmod(expr("h div 16"), lit(2))).as("v"))
+      // sign bit taken ABOVE the dim bits (h div hashDim, not a fixed
+      // 16): a fixed divisor would correlate sign with dim for
+      // hashDim > 16 and destroy the ±1 Rademacher property
+      .agg(sum(lit(1L) - lit(2L) * pmod(expr(s"h div $hashDim"), lit(2)))
+        .as("v"))
     val qv = qt.join(vecs, Seq("tok"))
       .select(col("query_id"), col("tok").as("qtok"), col("dim"),
         col("v").as("vq"))

@@ -163,10 +163,12 @@ object CoreQueries extends QueryGroup {
     * mod 1e12). The oracle computes the fingerprint from the PARQUET
     * table once and expects the identical row under all three format
     * labels — any loss in a writer/reader pair (quoting, encoding,
-    * schema, null-vs-empty) breaks the hash. CSV nulls: an empty string
-    * round-trips as NULL in Spark's CSV reader, so the checksum reads
-    * through coalesce(text, '') on every side — the one documented
-    * lossy edge of the text formats. */
+    * schema, null-vs-empty) breaks the hash. CSV's lossy edges, each
+    * closed or read through: empty strings round-trip as NULL (text AND
+    * lang are coalesced on every side), embedded newlines need
+    * multiLine=true on read (set), and the writer's default
+    * leading/trailing-whitespace trimming is disabled so padded text
+    * survives byte-exact. */
   private def sourceRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val base = java.nio.file.Paths.get(
@@ -176,14 +178,17 @@ object CoreQueries extends QueryGroup {
     graft.core.SharedFrames.cached(s, s"roundtrip:$dir") {
       docs.write.mode("overwrite").orc(s"$base/orc")
       docs.write.mode("overwrite").json(s"$base/json")
-      docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      docs.write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(s"$base/csv")
       docs.limit(1)
     }.count()
     val schema = docs.schema
     def fingerprint(df: DataFrame, fmt: String): DataFrame =
       df.select(lit(fmt).as("format"), col("doc_id"),
           coalesce(col("text"), lit("")).as("t"),
-          col("lang"), col("n_chars"))
+          coalesce(col("lang"), lit("")).as("lang"), col("n_chars"))
         .withColumn("h",
           conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
             col("t"))), 1, 8), 16, 10).cast("long"))
@@ -199,7 +204,8 @@ object CoreQueries extends QueryGroup {
     fingerprint(s.read.schema(schema).orc(s"$base/orc"), "orc")
       .union(fingerprint(s.read.schema(schema).json(s"$base/json"), "json"))
       .union(fingerprint(s.read.schema(schema)
-        .option("header", "true").csv(s"$base/csv"), "csv"))
+        .option("header", "true").option("multiLine", "true")
+        .csv(s"$base/csv"), "csv"))
       .orderBy("format")
   }
 
@@ -228,7 +234,7 @@ object CoreQueries extends QueryGroup {
       """WITH a AS (
         |  SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT coalesce(lang, '')) AS BIGINT) AS n_langs,
         |    CAST(sum(CAST(('0x' || substr(md5(
         |        CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')), 1, 8))
         |      AS BIGINT)) % 1000000000000 AS BIGINT) AS checksum

@@ -386,18 +386,16 @@ object CorpusQueries extends QueryGroup {
   private[queries] def sharedBm25Index(
       s: SparkSession, dir: String): graft.ops.Retrieval.Bm25Index = {
     val tf = sharedTermFreqs(s, dir)
+    // built by Retrieval.buildBm25Index itself — ONE definition of the
+    // index formulas (an inline re-derivation here could silently drift
+    // from directly-built indexes); only the caching layer is added
+    val idx = graft.ops.Retrieval.buildBm25Index(
+      Tables.documents(s, dir), Some(tf))
     graft.ops.Retrieval.Bm25Index(
       tf,
-      graft.core.SharedFrames.cached(s, s"bm25dl:$dir") {
-        tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      },
-      graft.core.SharedFrames.cached(s, s"bm25df:$dir") {
-        tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      },
-      graft.core.SharedFrames.cached(s, s"bm25st:$dir") {
-        Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-          .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("t_total")))
-      })
+      graft.core.SharedFrames.cached(s, s"bm25dl:$dir")(idx.dl),
+      graft.core.SharedFrames.cached(s, s"bm25df:$dir")(idx.df),
+      graft.core.SharedFrames.cached(s, s"bm25st:$dir")(idx.stats))
   }
 
   /** Per-(query, doc) BM25 scores, built once per (session, dir) —

@@ -290,13 +290,24 @@ object DedupQueries extends QueryGroup {
     * with fewer than k distinct hashes report the exact count (the KMV
     * small-cardinality convention). */
   private val KmvK = 64
+  /** Per-source distinct KMV hash frame — ONE definition of the sketch
+    * hashing shared by the distinct-count estimator and the pair
+    * Jaccard (a drifted copy would break their documented calibration
+    * pairing); cached because the Jaccard query reads it three times
+    * (signatures + both sides of the exact-overlap self-join). */
+  private def kmvHashes(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"kmvh:$dir") {
+      sharedShinglesRaw(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source"),
+          Seq("doc_id"))
+        .select(col("source"),
+          conv(substring(md5(concat(lit("kmv_"), col("shingle"))), 1, 8),
+            16, 10).cast("long").as("h"))
+        .distinct()
+    }
+
   private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    val h = sharedShinglesRaw(s, dir)
-      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
-      .select(col("source"),
-        conv(substring(md5(concat(lit("kmv_"), col("shingle"))), 1, 8), 16, 10)
-          .cast("long").as("h"))
-      .distinct()
+    val h = kmvHashes(s, dir)
     h.groupBy("source")
       .agg(count(lit(1)).as("n_exact"),
         graft.functions.TopK.topK((-col("h")).cast("double"), col("h"), KmvK)
@@ -333,12 +344,7 @@ object DedupQueries extends QueryGroup {
     * production knob is k, and the exact column is exactly the
     * calibration a deployment reads before picking it. */
   private def kmvJaccard(s: SparkSession, dir: String): DataFrame = {
-    val h = sharedShinglesRaw(s, dir)
-      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
-      .select(col("source"),
-        conv(substring(md5(concat(lit("kmv_"), col("shingle"))), 1, 8), 16, 10)
-          .cast("long").as("h"))
-      .distinct()
+    val h = kmvHashes(s, dir)
     val sig = h.groupBy("source")
       .agg(count(lit(1)).as("n_exact"),
         graft.functions.TopK.topK((-col("h")).cast("double"), col("h"), KmvK)

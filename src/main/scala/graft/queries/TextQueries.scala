@@ -412,6 +412,12 @@ object TextQueries extends QueryGroup {
     val pats: Seq[String] = bigrams
       .orderBy(col("cnt").desc, col("pattern"))
       .limit(8).collect().map(_.getString(0)).toSeq
+    // a corpus with no 2-token document derives no blocklist: the screen
+    // finds nothing, which is an EMPTY result, not an automaton error
+    if (pats.isEmpty)
+      return docs.limit(0).select(col("doc_id"),
+        lit("").as("pattern"), lit(0L).as("n_hits"),
+        lit(0L).as("doc_hits"), lit(false).as("blocked"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     docs
       .select(col("doc_id"),

@@ -39,18 +39,26 @@ object CurationStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // null text is coalesced to '' BEFORE the gates so the three
+        // audit buckets PARTITION the batch (a null n_hits would make
+        // blocked/short null and the doc would vanish from the ledger —
+        // the exact hole an ingestion ledger exists to close); the word
+        // count filters empty split parts so whitespace-only text is 0
+        // words, not 1
         val flagged = batch
+          .withColumn("text", coalesce(col("text"), lit("")))
           .withColumn("cnts",
             graft.functions.MultiMatch.multiMatchCounts(col("text"), patterns))
           .withColumn("n_hits",
             expr("aggregate(cnts, 0L, (a, x) -> a + x)"))
           .withColumn("n_words",
-            size(split(trim(col("text")), "\\s+"))
-              .cast("long"))
+            size(filter(split(trim(col("text")), "\\s+"),
+              w => length(w) > 0)).cast("long"))
           .withColumn("blocked", col("n_hits") > 0)
           .withColumn("short", !col("blocked") && col("n_words") < minWords)
-        // one pass for the audit counters, one for the survivors — both
-        // over the same micro-batch (tiny relative to the corpus)
+          // two actions read this frame (audit agg + survivor write):
+          // persist so the source scan + automaton pass run once
+          .persist()
         flagged.agg(
             count(lit(1)).as("n_in"),
             sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
@@ -63,6 +71,7 @@ object CurationStream {
         flagged.filter(!col("blocked") && !col("short"))
           .select("doc_id", "text", "n_hits", "n_words")
           .write.mode("append").parquet(keptPath)
+        flagged.unpersist()
         ()
       }
       .start()

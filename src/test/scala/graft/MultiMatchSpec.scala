@@ -94,10 +94,14 @@ class MultiMatchSpec extends SparkSuite {
       (2L, "contains a bad phrase in the middle"),
       (3L, "too short"))
     run()
-    // batch 2: 4 blocked by the second pattern, 5 kept
+    // batch 2: 4 blocked by the second pattern, 5 kept, 6 null text and
+    // 7 whitespace-only — both must land in the SHORT bucket, not vanish
+    // (the ledger invariant n_in = blocked + short + kept)
     src.addData(
       (4L, "this text is also banned for sure"),
-      (5L, "another clean document that survives"))
+      (5L, "another clean document that survives"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "   "))
     run()
     val kept = spark.read.parquet(s"$tmp/kept")
       .collect().map(_.getLong(0)).toSet
@@ -106,8 +110,11 @@ class MultiMatchSpec extends SparkSuite {
       .orderBy("batch_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
-    assert(audit.toSeq == Seq((0L, 3L, 1L, 1L, 1L), (1L, 2L, 1L, 0L, 1L)),
+    assert(audit.toSeq == Seq((0L, 3L, 1L, 1L, 1L), (1L, 4L, 1L, 2L, 1L)),
       s"wrong audit ledger: ${audit.toSeq}")
+    audit.foreach { case (_, nIn, b, sh, k) =>
+      assert(nIn == b + sh + k, "audit buckets must partition the batch")
+    }
   }
 
   test("blocklist query: per-doc totals equal the sum of its pattern hits") {
