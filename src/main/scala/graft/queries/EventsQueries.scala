@@ -587,7 +587,34 @@ object EventsQueries extends QueryGroup {
     "events_parsed_props" -> sharedParsed,
   )
 
+  /** Top event PATHS — sequential-pattern mining one step up from the
+    * Markov transition matrix (`q_event_transitions` sees only pairs;
+    * funnels care about longer journeys): each user's time-ordered
+    * event-type sequence yields its 3-gram paths, counted corpus-wide,
+    * top-20 with a deterministic (count desc, path asc) cut.
+    *
+    * Shape at scale: ONE user-keyed aggregation builds the ordered
+    * sequence in-row (collect_list + sort_array — bounded by per-user
+    * event count, the sessionize envelope), the 3-gram fan-out is
+    * in-row, path counts combine map-side, and the final cut is
+    * TakeOrdered — no global sort, no second user shuffle. */
+  private def eventPaths(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .withColumn("types", expr("transform(evs, e -> e.event_type)"))
+      .filter(size(col("types")) >= 3) // sequence(1, 0) runs DESCENDING
+      .select(explode(expr(
+        """transform(sequence(1, size(types) - 2), i ->
+          |  concat_ws('>', element_at(types, i), element_at(types, i + 1),
+          |            element_at(types, i + 2)))""".stripMargin)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(20)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> eventPaths,
     "q_events_variant" -> variantExtract,
     "q_events_from_json" -> fromJson,
     "q_events_tumbling" -> tumbling,
@@ -618,6 +645,16 @@ object EventsQueries extends QueryGroup {
   override def oracle: Map[String, String] = Map(
     // DuckDB sums BIGINT into HUGEINT -> cast row_total back; p is a ratio
     // of two exact integers so the double is engine-identical
+    "q_event_paths" ->
+      """WITH o AS (SELECT user_id,
+        |    list(event_type ORDER BY ts, event_id) AS types
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT types[i] || '>' || types[i+1] || '>' || types[i+2] AS path
+        |      FROM (SELECT types, unnest(generate_series(1, len(types) - 2)) AS i
+        |            FROM o WHERE len(types) >= 3))
+        |SELECT path, count(*) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
     "q_event_transitions" ->
       """WITH steps AS (
         |  SELECT user_id, event_type,
