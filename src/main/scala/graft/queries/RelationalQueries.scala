@@ -616,6 +616,68 @@ object RelationalQueries extends QueryGroup {
       .orderBy("month")
   }
 
+  /** Gini concentration per market segment — the Lorenz-curve
+    * inequality statistic next to HHI (HHI reads share-of-squares;
+    * Gini reads the whole curve): with v ranked ascending per segment,
+    * G = (2·Σ rank·v − (n+1)·Σv) / (n·Σv), exact integers end to end —
+    * rank·v sums widen DECIMAL(38,0)-first (rank ~1e9 × cents ~1e12
+    * crosses 2^63 immediately at corpus scale) and the ppm division
+    * floors once. Ranks ride the grouped two-level grid
+    * ([[graft.ops.OrderStats.valueRankedBy]]) — a hot segment spreads
+    * over the cells, never one reducer. */
+  private def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("seg", "o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")).cast("long").as("v"))
+    graft.ops.OrderStats.valueRankedBy(cust, Seq("seg"), "v", "o_custkey")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("long").as("total"),
+        sum(col("val_rank").cast("decimal(38,0)") * col("v")).as("w"))
+      .withColumn("gini_ppm", expr(
+        """CAST((1000000 * (2 * w - (n + 1) * CAST(total AS DECIMAL(38,0))))
+          |div (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)""".stripMargin))
+      .select("seg", "n", "total", "gini_ppm")
+      .orderBy("seg")
+  }
+
+  /** Winsorized aggregates — outlier-robust sums by CLIPPING at the
+    * exact p1/p99 values instead of dropping rows (the robust-stats
+    * companion of `q_mad_outliers`, which flags; this one repairs):
+    * thresholds come from two exact ranks on the two-level grid (one
+    * 2-row broadcast), the clip is a pure projection, and the summary
+    * reports raw-vs-clipped totals and clip counts per returnflag. */
+  private def winsorized(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").cast("long").as("cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("rid"))
+    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
+      v, Nil, "cents", "rid")
+    val thr = ranked
+      .crossJoin(broadcast(offsets.agg(sum("__cell_n").as("n"))))
+      .filter(col("val_rank") === expr("(n - 1) div 100 + 1") ||
+        col("val_rank") === expr("(99 * (n - 1)) div 100 + 1"))
+      .agg(min(when(col("val_rank") === expr("(n - 1) div 100 + 1"),
+        col("cents"))).as("lo"),
+        max(when(col("val_rank") === expr("(99 * (n - 1)) div 100 + 1"),
+          col("cents"))).as("hi"))
+    v.crossJoin(broadcast(thr))
+      .withColumn("clipped", greatest(least(col("cents"), col("hi")), col("lo")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("cents")).cast("long").as("sum_raw"),
+        sum(col("clipped")).cast("long").as("sum_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
   /** CUSUM change-point monitor over daily revenue — the sequential
     * drift detector (Page 1954) a pipeline health monitor runs where
     * the KS tests compare static slices: CUSUM⁺_t = max over prefixes
@@ -989,6 +1051,8 @@ object RelationalQueries extends QueryGroup {
     "q_rfm_segments" -> rfmSegments,
     "q_seasonality" -> seasonality,
     "q_cusum_drift" -> cusumDrift,
+    "q_gini" -> giniConcentration,
+    "q_winsorized" -> winsorized,
     "q_group_median" -> groupMedian,
     "q_describe_stats" -> describeStats,
     "q_analyze_stats" -> analyzeStats,
@@ -1339,6 +1403,47 @@ object RelationalQueries extends QueryGroup {
         |  CAST((12000000 * CAST(sum_cents AS HUGEINT)) // total AS BIGINT)
         |    AS idx_ppm
         |FROM m, t ORDER BY month""".stripMargin,
+
+    // per-segment rank window is the oracle for the grouped grid rank;
+    // rank·v and the gini numerator ride HUGEINT like the Spark decimals
+    "q_gini" ->
+      """WITH cust AS (
+        |  SELECT c_mktsegment AS seg, o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |r AS (SELECT seg, o_custkey, v,
+        |    row_number() OVER (PARTITION BY seg ORDER BY v, o_custkey) AS rk
+        |  FROM cust),
+        |g AS (SELECT seg, count(*) AS n, CAST(sum(v) AS BIGINT) AS total,
+        |    sum(CAST(rk AS HUGEINT) * v) AS w
+        |  FROM r GROUP BY 1)
+        |SELECT seg, n, total,
+        |  CAST((1000000 * (2 * w - (n + 1) * CAST(total AS HUGEINT)))
+        |    // (CAST(n AS HUGEINT) * total) AS BIGINT) AS gini_ppm
+        |FROM g ORDER BY seg""".stripMargin,
+
+    // exact p1/p99 via the single-reducer rank window; clip + rollup
+    "q_winsorized" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    l_orderkey * 10 + l_linenumber AS rid FROM lineitem),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents, rid) AS rk,
+        |             count(*) OVER () AS n FROM v),
+        |thr AS (SELECT
+        |    min(CASE WHEN rk = (n - 1) // 100 + 1 THEN cents END) AS lo,
+        |    max(CASE WHEN rk = (99 * (n - 1)) // 100 + 1 THEN cents END) AS hi
+        |  FROM r)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(sum(cents) AS BIGINT) AS sum_raw,
+        |  CAST(sum(greatest(least(cents, hi), lo)) AS BIGINT) AS sum_winsorized
+        |FROM v, thr GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     // CUSUM as cumsum minus running-min (0-floored for the empty
     // prefix); window sums HUGEINT->BIGINT per house rules
