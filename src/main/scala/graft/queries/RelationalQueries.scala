@@ -645,6 +645,37 @@ object RelationalQueries extends QueryGroup {
       .orderBy("seg")
   }
 
+  /** Pareto / CR-k concentration shares — the point statistics next to
+    * [[giniConcentration]]'s whole-curve read (the "do the top 1% hold
+    * 80%?" audit): for p ∈ {1, 5, 10, 20}, the revenue share of the
+    * top ⌊n·p/100⌋ customers, exact ppm. One rank pass (two-level
+    * grid), a 4-row level grid broadcast against the ranked frame (4×
+    * bounded fan-out), one aggregation; the share numerator widens
+    * DECIMAL(38,0)-first (top-slice cents ~1e16 × 1e6 cross 2^63). */
+  private def paretoShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")).cast("long").as("v"))
+    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
+      cust, Nil, "v", "o_custkey")
+    val stats = offsets.agg(sum("__cell_n").as("n"))
+      .crossJoin(broadcast(cust.agg(sum(col("v")).cast("long").as("total"))))
+    val levels = Seq(1, 5, 10, 20).toDF("pct")
+      .crossJoin(broadcast(stats))
+      .withColumn("k", expr("(n * pct) div 100"))
+    ranked.crossJoin(broadcast(levels))
+      .filter(col("val_rank") > col("n") - col("k"))
+      .groupBy("pct", "n", "total", "k")
+      .agg(sum(col("v")).cast("long").as("top_cents"))
+      .select(col("pct"), col("k").as("n_top"), col("top_cents"),
+        col("total"),
+        expr("(1000000 * CAST(top_cents AS DECIMAL(38,0))) div total")
+          .as("share_ppm"))
+      .orderBy("pct")
+  }
+
   /** Winsorized aggregates — outlier-robust sums by CLIPPING at the
     * exact p1/p99 values instead of dropping rows (the robust-stats
     * companion of `q_mad_outliers`, which flags; this one repairs):
@@ -1052,6 +1083,7 @@ object RelationalQueries extends QueryGroup {
     "q_seasonality" -> seasonality,
     "q_cusum_drift" -> cusumDrift,
     "q_gini" -> giniConcentration,
+    "q_pareto_share" -> paretoShare,
     "q_winsorized" -> winsorized,
     "q_group_median" -> groupMedian,
     "q_describe_stats" -> describeStats,
@@ -1422,6 +1454,26 @@ object RelationalQueries extends QueryGroup {
         |  CAST((1000000 * (2 * w - (n + 1) * CAST(total AS HUGEINT)))
         |    // (CAST(n AS HUGEINT) * total) AS BIGINT) AS gini_ppm
         |FROM g ORDER BY seg""".stripMargin,
+
+    // one global rank window, a 4-row level grid, top-slice sums with
+    // the HUGEINT-widened ppm share
+    "q_pareto_share" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS rk,
+        |             count(*) OVER () AS n FROM cust),
+        |t AS (SELECT CAST(sum(v) AS BIGINT) AS total FROM cust),
+        |lv AS (SELECT unnest([1, 5, 10, 20]) AS pct),
+        |g AS (SELECT pct, max(n * pct // 100) AS k,
+        |    CAST(sum(v) AS BIGINT) AS top_cents
+        |  FROM r, lv WHERE rk > n - n * pct // 100 GROUP BY pct)
+        |SELECT pct, CAST(k AS BIGINT) AS n_top, top_cents, t.total,
+        |  CAST((1000000 * CAST(top_cents AS HUGEINT)) // t.total AS BIGINT)
+        |    AS share_ppm
+        |FROM g, t ORDER BY pct""".stripMargin,
 
     // exact p1/p99 via the single-reducer rank window; clip + rollup
     "q_winsorized" ->
