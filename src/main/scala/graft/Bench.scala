@@ -96,9 +96,13 @@ object Bench {
       // process output. Complete per-query data (both raw passes) lives
       // in target/bench.json.
       val topQ = queries.sortBy(-_._2).take(15)
+      // shared_top: where the shared_sec goes, without reading
+      // target/bench.json — the 3 most expensive shared-frame builds
+      val topS = shared.sortBy(-_._2).take(3)
       compact =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${queries.size},""" +
           f""""queries_sec":${queries.map(_._2).sum}%.3f,"shared_sec":${shared.map(_._2).sum}%.3f,""" +
+          s""""shared_top":${js(topS)},""" +
           s""""queries_top15_only":true,"queries":${js(topQ)},"sf":"$sfDir"}"""
     } finally {
       graft.core.SharedFrames.clear()

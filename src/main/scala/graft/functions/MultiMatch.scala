@@ -151,7 +151,13 @@ object MultiMatch {
   def automaton(patterns: Array[String]): Automaton = {
     val key = patterns.map(p => s"${p.length}:$p").mkString("|")
     cache.getOrElse(key, {
-      if (cache.size >= MaxCached) cache.clear()
+      // evict ONE entry at the bound, not the whole map: a long-lived
+      // executor alternating among many blocklist versions would rebuild
+      // every hot trie after each clear(). The size-check/insert pair is
+      // racy but benign — concurrent first builds can transiently exceed
+      // the bound by one entry each, and the next miss re-trims.
+      if (cache.size >= MaxCached)
+        cache.headOption.foreach { case (k, _) => cache.remove(k) }
       cache.getOrElseUpdate(key, new Automaton(patterns))
     })
   }

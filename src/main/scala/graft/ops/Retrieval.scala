@@ -70,8 +70,13 @@ object Retrieval {
     * reference's checkpoint/resume append pipeline
     * (`chat_acreage_bot.py:793–837`). Result is law-equal to
     * [[buildBm25Index]] over base ∪ delta (RetrievalSpec). */
-  def mergeBm25Index(base: Bm25Index, deltaDocs: DataFrame): Bm25Index = {
-    val dTf = termFrequencies(deltaDocs)
+  def mergeBm25Index(base: Bm25Index, deltaDocs: DataFrame,
+                     dTfOpt: Option[DataFrame] = None): Bm25Index = {
+    // dTfOpt: a pre-computed delta tf (the caller may already hold the
+    // batch's postings — e.g. a session-shared tf restricted to the batch
+    // ids); without it the merged plan re-tokenizes the delta once per
+    // artifact that reads it (tf twice, dl/df/stats once each)
+    val dTf = dTfOpt.getOrElse(termFrequencies(deltaDocs))
     val dDl = dTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dDf = dTf.groupBy("tok").agg(count(lit(1)).as("df"))
     val dStats = deltaDocs.agg(count(lit(1)).as("n"))
@@ -213,7 +218,14 @@ object Retrieval {
     * survive the exchange, and the BIGINT score ranks EXACTLY (the
     * double-keyed heap would collapse distinct scores above 2^53, which
     * idf ~ 0.67·N crosses around N ~ 1e10 docs). */
-  def bm25TopKFromScores(scored: DataFrame, k: Int = 10): DataFrame = {
+  def bm25TopKFromScores(scored0: DataFrame, k: Int = 10): DataFrame = {
+    // the cut reads its input twice (heap + join-back): persist a scores
+    // frame that is not already cached, or the whole upstream scoring
+    // plan runs twice (the session-shared scores pass through untouched)
+    val scored =
+      if (scored0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.core.SharedFrames.register(scored0)
+      else scored0
     val top = scored.groupBy("query_id")
       .agg(graft.functions.TopK.topKLong(col("score"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -246,33 +258,45 @@ object Retrieval {
     * exchange, the MaxP reduction and the final bounded heap are
     * map-side aggregations. Passage ids pack as
     * doc_id·2^20 + passage (docs to 52M tokens, ids to 2^43); the
-    * bound is ENFORCED per row (`assert_true`) so an out-of-contract
-    * corpus fails loudly instead of attributing a passage's score to
-    * the next document. */
+    * bound is ENFORCED per row — the packed id is computed through a
+    * CASE whose overflow branch is `raise_error`, which the optimizer
+    * cannot prune (it produces the projected value) — so an
+    * out-of-contract corpus fails loudly instead of attributing a
+    * passage's score to the next document. */
   def bm25MaxP(docs: DataFrame, queryPred: Column, k: Int = 10,
                nTerms: Int = 5, passageWords: Int = 50,
-               tfOpt: Option[DataFrame] = None): DataFrame = {
+               tfOpt: Option[DataFrame] = None,
+               postingsOpt: Option[DataFrame] = None): DataFrame = {
     val tf = tfOpt.getOrElse(termFrequencies(docs))
     val qt = queryTerms(tf, queryPred, nTerms)
-    val ptf = positionalPostings(docs)
+    val ptf = postingsOpt.getOrElse(positionalPostings(docs))
       .withColumn("p", expr(s"(pos - 1) div $passageWords"))
       // loud guard on the packing contract: p >= 2^20 would silently
-      // credit this passage to doc_id + 1
-      .filter(expr("assert_true(p < 1048576, " +
-        "'bm25MaxP: passage index exceeds the 2^20 packing bound') is null")
-        || lit(true))
-      .select((col("doc_id") * lit(1048576L) + col("p")).as("doc_id"),
+      // credit this passage to doc_id + 1. The guard lives IN the
+      // projected value (the raise_error branch of the packing CASE) —
+      // a side-condition filter of the `assert_true(..) is null OR true`
+      // shape is provably dead: BooleanSimplification rewrites `X OR
+      // true` to `true` and prunes the filter, so the assert never ran
+      .select(
+        when(col("p") < lit(1048576L),
+          col("doc_id") * lit(1048576L) + col("p"))
+          .otherwise(raise_error(lit(
+            "bm25MaxP: passage index exceeds the 2^20 packing bound")))
+          .as("doc_id"),
         col("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val idx = buildBm25Index(ptf.select("doc_id").distinct(), Some(ptf))
-    val best = bm25TermContribsFromTerms(idx, qt)
+    // persisted: the heap cut below reads `best` twice (heap + join-back)
+    // and everything above is the passage-granular index build
+    val best = graft.core.SharedFrames.register(
+      bm25TermContribsFromTerms(idx, qt)
       .groupBy("query_id", "doc_id").agg(sum(col("c")).as("pscore"))
       .select(col("query_id"), expr("doc_id div 1048576").as("doc"),
         expr("doc_id % 1048576").as("p"), col("pscore"))
       .groupBy(col("query_id"), col("doc").as("doc_id"))
       .agg(max(struct(col("pscore"), (-col("p")).as("np"))).as("b"))
       .select(col("query_id"), col("doc_id"),
-        col("b.pscore").as("best_score"), (-col("b.np")).as("best_p"))
+        col("b.pscore").as("best_score"), (-col("b.np")).as("best_p")))
     best.groupBy("query_id")
       .agg(graft.functions.TopK.topKLong(col("best_score"), col("doc_id"), k)
         .as("top"))
@@ -354,6 +378,11 @@ object Retrieval {
     val tf = tfOpt.getOrElse(termFrequencies(docs))
     val scored = scoredOpt.getOrElse(
       bm25ScoresFromIndex(buildBm25Index(docs, Some(tf)), queryPred, nTerms))
+    // cands / dt / vecs are each read 2-3 times below, but deliberately
+    // NOT persisted: every duplicate subtree is a pipelined scan of the
+    // cached tf/scores frames whose exchanges ReuseExchange already
+    // dedups — persisting them measured SLOWER (it breaks the codegen
+    // pipelining for frames this small)
     val cands = bm25TopKFromScores(scored, k)
       .select(col("query_id"), col("doc_id"), col("rank"))
     val qt = queryTerms(tf, queryPred, nTerms)
@@ -439,6 +468,9 @@ object Retrieval {
     val bounds = contribs.groupBy("query_id", "tok")
       .agg(max(col("c")).as("ub"))
     val tot = bounds.groupBy("query_id").agg(sum(col("ub")).as("tot_ub"))
+    // blk feeds both reports but is NOT persisted: it is one map-side
+    // combined aggregation over the cached contribs frame, and
+    // persisting it measured slower than recomputing (see maxSimRerank)
     val blk = contribs.groupBy("query_id", "tok", "blk")
       .agg(max(col("c")).as("blk_max"))
     val cursorSkips = blk
@@ -554,13 +586,16 @@ object Retrieval {
         size(col("gaps")).cast("long").as("n_pairs_hit"),
         expr("aggregate(gaps, 0L, (s, g) -> s + 1000000L div g)")
           .as("prox_score"))
-    val top = scored.groupBy("query_id")
+    // persisted: the cut reads `scored` twice (heap + join-back), and
+    // upstream is the probe + both positional aggregations
+    val scoredP = graft.core.SharedFrames.register(scored)
+    val top = scoredP.groupBy("query_id")
       .agg(graft.functions.TopK.topKLong(
         col("prox_score"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"))
-    top.join(scored, Seq("query_id", "doc_id"))
+    top.join(scoredP, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("doc_id"), col("n_pairs_hit"),
         col("prox_score"), col("rank"))
   }

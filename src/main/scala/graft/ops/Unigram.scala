@@ -60,13 +60,16 @@ object Unigram {
     * chars. Vocab-bounded: the substring fan-out is ≤ MaxWordLen ×
     * MaxPieceLen per distinct word. */
   def seedVocab(words: DataFrame): DataFrame = {
-    val subs = (1 to MaxPieceLen).map { l =>
-      words.filter(length(col("word")) >= l)
-        .select(col("cnt"), explode(expr(
-          s"transform(sequence(1, length(word) - $l + 1), " +
-            s"i -> substring(word, i, $l))")).as("piece"))
-    }.reduce(_ unionByName _)
-      .groupBy("piece").agg(sum(col("cnt")).as("score"))
+    // persisted: prune reads its input twice (top-piece ∪ single-char
+    // branches) and the substring fan-out is the expensive subtree
+    val subs = SharedFrames.register(
+      (1 to MaxPieceLen).map { l =>
+        words.filter(length(col("word")) >= l)
+          .select(col("cnt"), explode(expr(
+            s"transform(sequence(1, length(word) - $l + 1), " +
+              s"i -> substring(word, i, $l))")).as("piece"))
+      }.reduce(_ unionByName _)
+        .groupBy("piece").agg(sum(col("cnt")).as("score")))
     prune(subs, SeedSize)
   }
 
@@ -80,19 +83,25 @@ object Unigram {
       .unionByName(vocab.filter(length(col("piece")) === 1))
 
   /** The in-row Viterbi DP: forward over character positions, state per
-    * position = (k pieces, −score sum, chosen pieces), transitions try
+    * position = (k pieces, −score sum, backpointer), transitions try
     * the 1..[[MaxPieceLen]]-char pieces ending at the position (multi-
     * char pieces must be in the vocab map `vm`; single chars are always
     * admissible at score 0 when unlisted, so the DP always completes).
     * Candidate order (k asc, negs asc, −l asc) = fewest pieces, largest
-    * score, longest piece — unique per step, so the argmin is total.
+    * score, longest piece — each candidate has a distinct l, so the
+    * 3-key order is total and the argmin unique.
+    *
+    * The state carries only the chosen piece LENGTH (`bp`), not the
+    * piece list: carrying the list meant every DP step copied the
+    * prefix's whole string array into each candidate (O(len²) string
+    * copies per word — this one projection was the most expensive
+    * shared-frame build in the bench). The finish lambda walks the
+    * backpointers once (≤ len steps) and rebuilds the same segmentation.
     * Expects columns `word` and `vm: map<string,bigint>`. */
   private[graft] def segmentExpr: Column = expr(
     s"""aggregate(
        |  sequence(1, length(word)),
-       |  array(named_struct(
-       |    'k', 0, 'negs', CAST(0 AS BIGINT),
-       |    'segs', CAST(array() AS array<string>))),
+       |  array(named_struct('k', 0, 'negs', CAST(0 AS BIGINT), 'bp', 0)),
        |  (acc, i) -> acc || array(element_at(transform(slice(array_sort(
        |    transform(
        |      filter(sequence(1, least(i, $MaxPieceLen)),
@@ -102,12 +111,19 @@ object Unigram {
        |        'negs', element_at(acc, i - l + 1).negs
        |          - coalesce(element_at(vm, substring(word, i - l + 1, l)),
        |                     CAST(0 AS BIGINT)),
-       |        'negl', -l,
-       |        'segs', element_at(acc, i - l + 1).segs
-       |          || array(substring(word, i - l + 1, l))))),
-       |    1, 1), x -> named_struct('k', x.k, 'negs', x.negs, 'segs', x.segs)),
+       |        'negl', -l))),
+       |    1, 1), x -> named_struct('k', x.k, 'negs', x.negs, 'bp', -x.negl)),
        |    1)),
-       |  acc -> element_at(acc, -1).segs)""".stripMargin)
+       |  acc -> aggregate(
+       |    sequence(1, length(word)),
+       |    named_struct('pos', length(word),
+       |      'segs', CAST(array() AS array<string>)),
+       |    (st, j) -> IF(st.pos <= 0, st, named_struct(
+       |      'pos', st.pos - element_at(acc, st.pos + 1).bp,
+       |      'segs', array(substring(word,
+       |          st.pos - element_at(acc, st.pos + 1).bp + 1,
+       |          element_at(acc, st.pos + 1).bp)) || st.segs)),
+       |    st -> st.segs))""".stripMargin)
 
   /** E-step: Viterbi pieces for every word under `vocab` scores. The
     * vocab collapses to a 1-row map and broadcasts; the DP is one
@@ -126,11 +142,44 @@ object Unigram {
       .groupBy("piece").agg(sum(col("cnt")).as("score"))
 
   /** Run the EM loop: seed, then one (segment → re-score → prune) round
-    * per [[PruneSchedule]] entry. Returns the final scored vocabulary. */
-  def train(words: DataFrame): DataFrame =
-    PruneSchedule.foldLeft(seedVocab(words)) { (vocab, keep) =>
-      prune(usage(segments(words, vocab)), keep)
+    * per [[PruneSchedule]] entry. Returns the final scored vocabulary.
+    *
+    * Each round's vocabulary is COLLECTED to the driver (≤ [[SeedSize]] +
+    * alphabet rows by construction — the same bounded-pull discipline as
+    * the IVF centroid seeds) and fed to the next round as a map literal.
+    * The previous lazy fold chained every round into one plan in which
+    * [[prune]] references its input twice (top-piece branch ∪ single-char
+    * branch), so round N's subtree was re-evaluated once per downstream
+    * reference — a fan-out that grew per round and made this build the
+    * most expensive shared frame in the bench. With the per-round
+    * collect, every EM round is exactly ONE distributed pass over the
+    * word frame, and the vocab map rides into the segmentation as a
+    * literal (no broadcast join at all). Driver-side pruning compares
+    * pieces by UTF-8 bytes — the ordering `col.asc` applies — not by
+    * Java's UTF-16 code units, which diverge beyond the BMP. */
+  def train(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val utf8Asc: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var vocab: Seq[(String, Long)] = seedVocab(words).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    for (keep <- PruneSchedule) {
+      val segs = words
+        .withColumn("vm", typedlit(vocab.toMap))
+        .select(col("cnt"), segmentExpr.as("segs"))
+      val used = segs.select(col("cnt"), explode(col("segs")).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("score"))
+        .collect() // bounded: usage pieces ⊆ current vocab
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      vocab = used.filter(_._1.length >= 2)
+        .sortBy { case (p, s) => (-s, p) }(
+          Ordering.Tuple2(Ordering.Long, utf8Asc)).take(keep) ++
+        used.filter(_._1.length == 1)
     }
+    vocab.toDF("piece", "score")
+  }
 
   /** Session-cached trained vocabulary over the documents table at
     * `dir`, shared by the train/segment queries and the bench. */

@@ -171,8 +171,13 @@ object CoreQueries extends QueryGroup {
     * survives byte-exact. */
   private def sourceRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // the path embeds the session identity (applicationId + session hash,
+    // the SharedFrames key discipline): the write-once guard below is
+    // session-scoped, so two concurrent sessions benching the same dataset
+    // dir must not overwrite each other's files mid-read
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_roundtrip",
+      s"${s.sparkContext.applicationId}_${System.identityHashCode(s)}",
       dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
     // write-once guard: the sink half runs a single time per session+dir
     graft.core.SharedFrames.cached(s, s"roundtrip:$dir") {

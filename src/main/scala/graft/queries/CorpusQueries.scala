@@ -378,6 +378,15 @@ object CorpusQueries extends QueryGroup {
       graft.ops.Retrieval.termFrequencies(Tables.documents(s, dir))
     }
 
+  /** Positional postings shared by the phrase / proximity / MaxP
+    * pipelines — the posexplode is one corpus pass; each consumer
+    * otherwise re-runs it (twice, when it probes the frame against a
+    * broadcast subset of itself). */
+  private[queries] def sharedPostings(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"postings:$dir") {
+      graft.ops.Retrieval.positionalPostings(Tables.documents(s, dir))
+    }
+
   /** Session-shared BM25 index artifacts (tf/dl/df/stats): every consumer
     * that needs the index (scores, contribs, PRF's second pass) reads the
     * SAME cached dl/df/stats aggregations instead of re-running the
@@ -441,7 +450,8 @@ object CorpusQueries extends QueryGroup {
     * passage index is its own granularity. */
   private def bm25MaxPQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.bm25MaxP(Tables.documents(s, dir),
-        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)))
+        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)),
+        postingsOpt = Some(sharedPostings(s, dir)))
       .orderBy("query_id", "rank")
 
   /** Inverted-index size statistics
@@ -564,19 +574,52 @@ object CorpusQueries extends QueryGroup {
     * ranking EXACTLY (the oracle is the same full-corpus SQL as
     * `q_bm25_topk`), closing the one family that still rebuilt its index
     * per batch. */
-  private def bm25Incr(s: SparkSession, dir: String): DataFrame = {
-    val (base, delta) = docsSplit(s, dir)
-    // the base tf is the SESSION-SHARED tf restricted to base doc ids
-    // (tf rows are per-doc, so the restriction is exact) — rebuilding it
-    // re-tokenized 4/5 of the corpus and benched 3x the merged scoring
+  /** The shipped-index half of the incremental BM25 story, session-shared:
+    * the base 4/5 index is deterministic per (session, dir) — exactly the
+    * cost class the shared `sharedBm25Index` removed for the full-corpus
+    * consumers — and without the cache the merged scoring plan re-runs the
+    * base dl/df/stats aggregations once per artifact that reads them. The
+    * base tf is the SESSION-SHARED tf restricted to base doc ids (tf rows
+    * are per-doc, so the restriction is exact) — rebuilding it would
+    * re-tokenize 4/5 of the corpus. */
+  private[queries] def sharedBm25BaseIndex(
+      s: SparkSession, dir: String): graft.ops.Retrieval.Bm25Index = {
+    val (base, _) = docsSplit(s, dir)
+    val baseTf = splitTf(s, dir)._1
+    val idx = graft.ops.Retrieval.buildBm25Index(base, Some(baseTf))
+    graft.ops.Retrieval.Bm25Index(
+      baseTf,
+      graft.core.SharedFrames.cached(s, s"bm25basedl:$dir")(idx.dl),
+      graft.core.SharedFrames.cached(s, s"bm25basedf:$dir")(idx.df),
+      graft.core.SharedFrames.cached(s, s"bm25basest:$dir")(idx.stats))
+  }
+
+  /** The shared tf split at the same 4/5 boundary as [[docsSplit]] —
+    * (base, delta). Both halves are cheap filters over the persisted tf
+    * (re-evaluation never re-tokenizes), so neither needs its own cache. */
+  private def splitTf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val thr = Tables.documents(s, dir)
       .agg(expr("max(doc_id) * 4 div 5").as("thr"))
-    val baseTf = sharedTermFreqs(s, dir)
-      .crossJoin(broadcast(thr)).filter(col("doc_id") <= col("thr")).drop("thr")
+    val tf = sharedTermFreqs(s, dir)
+    (tf.crossJoin(broadcast(thr)).filter(col("doc_id") <= col("thr")).drop("thr"),
+      tf.crossJoin(broadcast(thr)).filter(col("doc_id") > col("thr")).drop("thr"))
+  }
+
+  private def bm25Incr(s: SparkSession, dir: String): DataFrame = {
+    val (_, delta) = docsSplit(s, dir)
+    // the delta tf is the shared tf restricted to the arriving ids — the
+    // merge contract only needs the BATCH's postings, and the restriction
+    // of the persisted frame costs a filter per re-evaluation instead of
+    // a tokenization pass per index artifact
     val merged = graft.ops.Retrieval.mergeBm25Index(
-      graft.ops.Retrieval.buildBm25Index(base, Some(baseTf)), delta)
-    graft.ops.Retrieval.bm25TopKFromScores(
-        graft.ops.Retrieval.bm25ScoresFromIndex(merged, col("doc_id") < 3, 5), 10)
+      sharedBm25BaseIndex(s, dir), delta, dTfOpt = Some(splitTf(s, dir)._2))
+    // the top-k cut reads its scores frame twice (heap + join-back);
+    // sharedBm25Scores makes that free for the full-corpus consumers —
+    // same discipline here, or the whole merged-scoring plan runs twice
+    val scored = graft.core.SharedFrames.cached(s, s"bm25incrsc:$dir") {
+      graft.ops.Retrieval.bm25ScoresFromIndex(merged, col("doc_id") < 3, 5)
+    }
+    graft.ops.Retrieval.bm25TopKFromScores(scored, 10)
       .orderBy("query_id", "rank")
   }
 
@@ -601,7 +644,7 @@ object CorpusQueries extends QueryGroup {
     * count) — never a substring scan of the corpus. */
   private def phraseMatchQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.phraseMatch(Tables.documents(s, dir),
-        col("doc_id") < 3, 3)
+        col("doc_id") < 3, 3, postingsOpt = Some(sharedPostings(s, dir)))
       .orderBy("query_id", "doc_id")
 
   /** Pairwise min-window proximity ranking
@@ -613,48 +656,56 @@ object CorpusQueries extends QueryGroup {
     * position cross product (see the op scaladoc). */
   private def proximityRankQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.proximityRank(Tables.documents(s, dir),
-        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)))
+        col("doc_id") < 3, tfOpt = Some(sharedTermFreqs(s, dir)),
+        postingsOpt = Some(sharedPostings(s, dir)))
       .orderBy("query_id", "rank")
 
   /** Standard log2-discount nDCG@10 over the BM25 top-10 with graded
-    * metadata relevance (2 = same source AND lang as the query doc,
-    * 1 = same source only, 0 otherwise; the query doc itself gains 0).
-    * The ten rank discounts are PRECOMPUTED integer constants
-    * floor(10^12 / log2(r+1)) — identical literals in the Spark plan and
-    * the oracle SQL, so the one transcendental in the metric never
-    * crosses an engine boundary and every sum/division is exact (the
-    * ndcg product rides DECIMAL(38,0): dcg·10^6 tops 2·10^19 > 2^63).
-    * IDCG needs only the per-query gain-2/gain-1 counts — a broadcast
-    * metadata aggregation plus a 10-row discount cross join, never a
-    * sort of the relevance set. */
+    * relevance DERIVED FROM THE DATA, not metadata: the judgment for
+    * (query, doc) is the count of distinct word 3-grams the two texts
+    * share (the shingle space the dedup family measures), tiered
+    * gain 2 = ≥ 2 shared trigrams, gain 1 = exactly 1, 0 otherwise
+    * (the query doc itself is excluded) — a real lexical-relevance
+    * signal aligned with what the ranking is supposed to surface, so
+    * the metric moves when the ranking does (the metadata stand-in
+    * scored near-random). The ten rank discounts are PRECOMPUTED
+    * integer constants floor(10^12 / log2(r+1)) — identical literals in
+    * the Spark plan and the oracle SQL, so the one transcendental in
+    * the metric never crosses an engine boundary and every sum/division
+    * is exact (the ndcg product rides DECIMAL(38,0): dcg·10^6 tops
+    * 2·10^19 > 2^63). IDCG needs only the per-query gain-2/gain-1
+    * counts — the label aggregation plus a 10-row discount cross join,
+    * never a sort of the relevance set.
+    *
+    * Shape at scale: the query shingles are queries-bounded and
+    * BROADCAST against the corpus shingle frame (the contamination
+    * probe's shape — the corpus never shuffles for the labels); the
+    * (query, doc) overlap aggregation combines map-side. */
   private def ndcgEval(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select("doc_id", "source", "lang")
-    val qm = docs.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("query_id"),
-        col("source").as("q_source"), col("lang").as("q_lang"))
+    val sh = graft.ops.Dedup.shingles(Tables.documents(s, dir), n = 3)
+    val qsh = sh.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("shingle"))
+    // graded judgments: distinct shared trigrams per (query, candidate)
+    val labels = sh.join(broadcast(qsh), Seq("shingle"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("ov"))
+      .withColumn("gain", when(col("ov") >= 2, 2L).otherwise(1L))
     val disc = {
       import s.implicits._
       NdcgDiscounts.toDF("rank", "w")
     }
     val dcg = graft.ops.Retrieval
       .bm25TopKFromScores(sharedBm25Scores(s, dir), 10)
-      .join(broadcast(qm), Seq("query_id"))
-      .join(docs, Seq("doc_id"))
-      .withColumn("gain",
-        when(col("doc_id") === col("query_id"), 0L)
-          .when(col("source") === col("q_source") &&
-            col("lang") === col("q_lang"), 2L)
-          .when(col("source") === col("q_source"), 1L)
-          .otherwise(0L))
+      .join(labels, Seq("query_id", "doc_id"), "left")
+      .withColumn("gain", coalesce(col("gain"), lit(0L)))
       .join(broadcast(disc), Seq("rank"))
       .groupBy("query_id")
       .agg(sum(col("gain") * col("w")).as("dcg"))
-    val idcg = docs
-      .join(broadcast(qm), docs("source") === qm("q_source"))
-      .filter(col("doc_id") =!= col("query_id"))
+    val idcg = labels
       .groupBy("query_id")
-      .agg(sum(when(col("lang") === col("q_lang"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("lang") =!= col("q_lang"), 1L).otherwise(0L)).as("n1"))
+      .agg(sum(when(col("gain") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("gain") === 1, 1L).otherwise(0L)).as("n1"))
       .crossJoin(broadcast(disc)) // queries-bounded × 10 discount rows
       .withColumn("g",
         when(col("rank") <= col("n2"), 2L)
@@ -1019,11 +1070,15 @@ object CorpusQueries extends QueryGroup {
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "corpus_records" -> sharedRecords,
     "bm25_tf" -> (sharedTermFreqs(_, _)),
+    "positional_postings" -> (sharedPostings(_, _)),
     "bm25_dl" -> ((s, d) => sharedBm25Index(s, d).dl),
     "bm25_df" -> ((s, d) => sharedBm25Index(s, d).df),
     "bm25_stats" -> ((s, d) => sharedBm25Index(s, d).stats),
     "bm25_scores" -> (sharedBm25Scores(_, _)),
     "bm25_contribs" -> (sharedBm25Contribs(_, _)),
+    "bm25_base_dl" -> ((s, d) => sharedBm25BaseIndex(s, d).dl),
+    "bm25_base_df" -> ((s, d) => sharedBm25BaseIndex(s, d).df),
+    "bm25_base_stats" -> ((s, d) => sharedBm25BaseIndex(s, d).stats),
   )
 
   /** WARC crawl-archive ingestion ([[graft.ops.Warc]]): the documents
@@ -2243,25 +2298,33 @@ object CorpusQueries extends QueryGroup {
     "q_ndcg" ->
       s"""WITH $bm25CtesSql,
         |disc AS (SELECT * FROM (VALUES $ndcgDiscountValuesSql) AS t(rank, w)),
-        |qm AS (SELECT doc_id AS query_id, source AS q_source, lang AS q_lang
-        |       FROM documents WHERE doc_id < 3),
-        |g AS (SELECT r.query_id, r.rank,
-        |        CASE WHEN d.doc_id = r.query_id THEN 0
-        |             WHEN d.source = q.q_source AND d.lang = q.q_lang THEN 2
-        |             WHEN d.source = q.q_source THEN 1 ELSE 0 END AS gain
+        |wsh AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        |        FROM documents),
+        |shidx AS (SELECT doc_id, words,
+        |    unnest(generate_series(1, len(words) - 2)) AS i
+        |  FROM wsh),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(words[i:i+2], ' ') AS shingle
+        |  FROM shidx),
+        |qsh AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id < 3),
+        |lab AS (SELECT q.query_id, s.doc_id,
+        |        CASE WHEN count(*) >= 2 THEN 2 ELSE 1 END AS gain
+        |      FROM sh s JOIN qsh q USING (shingle)
+        |      WHERE s.doc_id <> q.query_id
+        |      GROUP BY 1, 2),
+        |g AS (SELECT r.query_id, r.rank, coalesce(l.gain, 0) AS gain
         |      FROM rk r
-        |      JOIN qm q ON r.query_id = q.query_id
-        |      JOIN documents d ON r.doc_id = d.doc_id
+        |      LEFT JOIN lab l ON r.query_id = l.query_id
+        |        AND r.doc_id = l.doc_id
         |      WHERE r.rank <= 10),
         |dcg AS (SELECT query_id, CAST(sum(gain * w) AS BIGINT) AS dcg
         |        FROM g JOIN disc USING (rank) GROUP BY 1),
-        |c AS (SELECT q.query_id,
-        |        CAST(sum(CASE WHEN d.lang = q.q_lang THEN 1 ELSE 0 END)
+        |c AS (SELECT query_id,
+        |        CAST(sum(CASE WHEN gain = 2 THEN 1 ELSE 0 END)
         |          AS BIGINT) AS n2,
-        |        CAST(sum(CASE WHEN d.lang <> q.q_lang THEN 1 ELSE 0 END)
+        |        CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END)
         |          AS BIGINT) AS n1
-        |      FROM documents d
-        |      JOIN qm q ON d.source = q.q_source AND d.doc_id <> q.query_id
+        |      FROM lab
         |      GROUP BY 1),
         |i AS (SELECT c.query_id, c.n2, c.n1,
         |        CAST(sum(CASE WHEN disc.rank <= c.n2 THEN 2 * w

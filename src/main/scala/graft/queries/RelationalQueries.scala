@@ -581,7 +581,11 @@ object RelationalQueries extends QueryGroup {
       .agg(max(col("days")).as("r_days"),
         count(lit(1)).as("f_cnt"),
         sum(col("cents")).cast("long").as("m_cents"))
-    def quintile(df: DataFrame, v: String, q: String): DataFrame = {
+    // each rank stage is persisted: rankedWithOffsets runs a driver
+    // min/max action per call, so an unpersisted chain re-evaluates the
+    // orders rollup and every prior rank window once per remaining stage
+    def quintile(df0: DataFrame, v: String, q: String): DataFrame = {
+      val df = graft.core.SharedFrames.register(df0)
       val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
         df, Nil, v, "o_custkey")
       ranked.crossJoin(broadcast(offsets.agg(sum("__cell_n").as("__n"))))
@@ -881,9 +885,14 @@ object RelationalQueries extends QueryGroup {
       .groupBy(col("t.p_a").as("p_a"), col("t.p_b").as("p_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 3)
+    // part-marginal joins BROADCAST: partN is catalog-bounded (one row
+    // per part ever purchased — a dimension, not a fact), so shuffling
+    // the pair frame twice to meet it was two avoidable exchanges
     pairs
-      .join(partN.select(col("pk").as("p_a"), col("n_part").as("n_a")), Seq("p_a"))
-      .join(partN.select(col("pk").as("p_b"), col("n_part").as("n_b")), Seq("p_b"))
+      .join(broadcast(partN.select(col("pk").as("p_a"), col("n_part").as("n_a"))),
+        Seq("p_a"))
+      .join(broadcast(partN.select(col("pk").as("p_b"), col("n_part").as("n_b"))),
+        Seq("p_b"))
       .crossJoin(broadcast(nOrders))
       .withColumn("lift_scaled", liftScaledExpr)
       .orderBy(col("lift_scaled").desc, col("p_a"), col("p_b"))

@@ -477,8 +477,10 @@ object SimilarityQueries extends QueryGroup {
     * stretches, keep voiced segments): a fingerprint window is SILENT
     * when its mean |sample| falls below 9/10 of the track mean, decided
     * in the cross-multiplied integer domain (10·e·n < 9·total·c — no
-    * float boundary; products ≤ Σ|s|·n ~ 2^50 for 16-bit day-long
-    * tracks). Contiguous voiced windows group into segments by the
+    * float boundary). The comparison operands are DECIMAL(38,0): for a
+    * day-long 16-bit 48 kHz track both products reach ~1e22, past 2^63,
+    * so the raw-BIGINT form would wrap exactly at the documented
+    * production scale. Contiguous voiced windows group into segments by the
     * island identity w − row_number() (two doc-keyed windows over 65
     * rows per track); output is one row per voiced segment with its
     * window span and energy. Decode is per-partition
@@ -487,7 +489,8 @@ object SimilarityQueries extends QueryGroup {
     import org.apache.spark.sql.expressions.Window
     val wins = graft.ops.AudioHash.windowEnergies(s, wavMedia(s, dir)).toDF()
     val voiced = wins
-      .filter(col("e") * lit(10L) * col("n") >= lit(9L) * col("total") * col("c"))
+      .filter(col("e").cast("decimal(38,0)") * 10 * col("n") >=
+        col("total").cast("decimal(38,0)") * 9 * col("c"))
     val byDoc = Window.partitionBy("doc_id").orderBy("w")
     voiced
       .withColumn("island", col("w") - row_number().over(byDoc))

@@ -202,36 +202,60 @@ object TextQueries extends QueryGroup {
       gopherRepetitionBuild(s, dir)
     }
 
+  /** Per-(doc, n) repetition statistics computed IN-ROW: sort the doc's
+    * n-grams, fold once over the sorted array grouping equal-gram runs,
+    * and keep (a) the best run by (count desc, gram asc) — the same
+    * argmax `min(struct(-cnt, gram))` the grouped form used — and (b)
+    * the total covered chars of runs with count > 1. Returns
+    * struct(topc, dup) with covered = cnt·length(gram), 0s for a doc
+    * shorter than n. The previous form exploded all five gram lengths
+    * (~5 rows per token) through TWO string-keyed hash aggregations;
+    * per-doc state is doc-length-bounded, so the whole bundle now rides
+    * the scan with no exchange at all — the shape claimed by the
+    * scaladoc's 100 TB envelope, and the most expensive shared-frame
+    * build in the bench before the rewrite. */
+  private def repRunStats(n: Int): org.apache.spark.sql.Column = expr(
+    s"""aggregate(
+       |  array_sort(CASE WHEN size(words) >= $n THEN
+       |    transform(sequence(1, size(words) - $n + 1),
+       |      i -> concat_ws(' ', slice(words, i, $n)))
+       |    ELSE CAST(array() AS array<string>) END),
+       |  named_struct('prev', CAST(NULL AS STRING), 'cnt', CAST(0 AS BIGINT),
+       |    'bestc', CAST(0 AS BIGINT), 'bestcov', CAST(0 AS BIGINT),
+       |    'dup', CAST(0 AS BIGINT)),
+       |  (st, g) -> IF(st.prev IS NOT NULL AND g = st.prev,
+       |    named_struct('prev', st.prev, 'cnt', st.cnt + CAST(1 AS BIGINT),
+       |      'bestc', st.bestc, 'bestcov', st.bestcov, 'dup', st.dup),
+       |    named_struct('prev', g, 'cnt', CAST(1 AS BIGINT),
+       |      'bestc', IF(st.cnt > st.bestc, st.cnt, st.bestc),
+       |      'bestcov', IF(st.cnt > st.bestc,
+       |        st.cnt * CAST(length(st.prev) AS BIGINT), st.bestcov),
+       |      'dup', st.dup + IF(st.cnt > 1,
+       |        st.cnt * CAST(length(st.prev) AS BIGINT), CAST(0 AS BIGINT)))),
+       |  st -> named_struct(
+       |    'topc', IF(st.cnt > st.bestc,
+       |      st.cnt * CAST(length(st.prev) AS BIGINT), st.bestcov),
+       |    'dup', st.dup + IF(st.cnt > 1,
+       |      st.cnt * CAST(length(st.prev) AS BIGINT), CAST(0 AS BIGINT))))"""
+      .stripMargin)
+
+  /** Exposed for the same-process A/B timing tool only. */
+  private[graft] def gopherBuildForAb(s: SparkSession, dir: String): DataFrame =
+    gopherRepetitionBuild(s, dir)
+
   private def gopherRepetitionBuild(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .withColumn("total_chars", length(trim(col("text"))).cast("long"))
-      .select(col("doc_id"), col("total_chars"), explode(expr(
-        """flatten(transform(sequence(2, 6), n ->
-          |  CASE WHEN size(words) >= n THEN
-          |    transform(sequence(1, size(words) - n + 1),
-          |      i -> struct(n AS n, concat_ws(' ', slice(words, i, n)) AS gram))
-          |  ELSE CAST(array() AS array<struct<n: int, gram: string>>)
-          |  END))""".stripMargin)).as("g"))
+      .withColumn("r2", repRunStats(2))
+      .withColumn("r3", repRunStats(3))
+      .withColumn("r4", repRunStats(4))
+      .withColumn("r5", repRunStats(5))
+      .withColumn("r6", repRunStats(6))
       .select(col("doc_id"), col("total_chars"),
-        col("g.n").as("n"), col("g.gram").as("gram"))
-    val counted = grams.groupBy("doc_id", "total_chars", "n", "gram")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("covered", col("cnt") * length(col("gram")).cast("long"))
-    val perN = counted.groupBy("doc_id", "total_chars", "n")
-      .agg(
-        min(struct((-col("cnt")).as("negc"), col("gram").as("gram"),
-          col("covered").as("covered"))).as("top"),
-        sum(when(col("cnt") > 1, col("covered")).otherwise(0L)).as("dupc"))
-      .select(col("doc_id"), col("total_chars"), col("n"),
-        col("top.covered").as("topc"), col("dupc"))
-    perN.groupBy("doc_id", "total_chars")
-      .agg(
-        sum(when(col("n") === 2, col("topc")).otherwise(0L)).as("top2"),
-        sum(when(col("n") === 3, col("topc")).otherwise(0L)).as("top3"),
-        sum(when(col("n") === 4, col("topc")).otherwise(0L)).as("top4"),
-        sum(when(col("n") === 5, col("dupc")).otherwise(0L)).as("dup5"),
-        sum(when(col("n") === 6, col("dupc")).otherwise(0L)).as("dup6"))
+        col("r2.topc").as("top2"), col("r3.topc").as("top3"),
+        col("r4.topc").as("top4"), col("r5.dup").as("dup5"),
+        col("r6.dup").as("dup6"))
       .select(col("doc_id"),
         round(least(col("top2").cast("double") / col("total_chars"), lit(1.0)), 6).as("top2_frac"),
         round(least(col("top3").cast("double") / col("total_chars"), lit(1.0)), 6).as("top3_frac"),

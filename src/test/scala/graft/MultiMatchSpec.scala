@@ -115,6 +115,25 @@ class MultiMatchSpec extends SparkSuite {
     audit.foreach { case (_, nIn, b, sh, k) =>
       assert(nIn == b + sh + k, "audit buckets must partition the batch")
     }
+    // replay-idempotence law: re-running the LAST committed batch — what
+    // a crash recovery does when the sink write landed but the checkpoint
+    // commit didn't — must leave both stores byte-identical (the
+    // overwrite-by-batch-id sink makes the append exactly-once)
+    def snap(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    val keptBefore = snap(s"$tmp/kept")
+    val auditBefore = snap(s"$tmp/audit")
+    val replay = Seq(
+      (4L, "this text is also banned for sure"),
+      (5L, "another clean document that survives"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "   ")).toDF("doc_id", "text")
+    graft.streaming.CurationStream.processBatch(
+      replay, 1L, pats, s"$tmp/kept", s"$tmp/audit", 3)
+    assert(snap(s"$tmp/kept") == keptBefore,
+      "replaying a committed batch must not change the kept store")
+    assert(snap(s"$tmp/audit") == auditBefore,
+      "replaying a committed batch must not change the audit ledger")
   }
 
   test("blocklist query: per-doc totals equal the sum of its pattern hits") {

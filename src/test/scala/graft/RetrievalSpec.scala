@@ -339,6 +339,30 @@ class RetrievalSpec extends SparkSuite {
         s"(double-keyed top_k collapses scores above 2^53):\n${plan.take(1200)}")
   }
 
+  test("topKLong ranks exactly above 2^53 where the double-keyed heap misorders") {
+    // adversarial fixture: 2^53 and 2^53 + 1 are DISTINCT longs but the
+    // SAME double (the mantissa runs out), so the double-keyed heap ties
+    // them and its id-asc tiebreak picks the WRONG doc — the failure
+    // bm25TopKFromScores switched to topKLong to rule out (idf ~ 0.67·N
+    // crosses 2^53 near N ~ 1e10 docs)
+    import spark.implicits._
+    val two53 = 9007199254740992L
+    val rows = Seq((0L, 1L, two53), (0L, 2L, two53 + 1L), (0L, 3L, two53 - 1L))
+      .toDF("g", "id", "v")
+    val gotLong = rows.groupBy("g")
+      .agg(graft.functions.TopK.topKLong(col("v"), col("id"), 1).as("top"))
+      .select(expr("top[0].id")).head().getLong(0)
+    assert(gotLong == 2L,
+      s"topKLong must rank 2^53+1 above 2^53 exactly, picked id $gotLong")
+    val gotDouble = rows.groupBy("g")
+      .agg(graft.functions.TopK.topK(col("v"), col("id"), 1).as("top"))
+      .select(expr("top[0].id")).head().getLong(0)
+    assert(gotDouble == 1L,
+      "fixture self-check: the double heap should collapse 2^53+1 to 2^53 " +
+        s"and misorder via the id tiebreak (picked id $gotDouble) — if this " +
+        "fails the fixture no longer demonstrates the hazard")
+  }
+
   test("maxSimRerank and prfExpand plan as broadcast probes, no cartesian") {
     val docs = corpus.toDF("doc_id", "text")
     val ms = Retrieval.maxSimRerank(docs, col("doc_id") < 1)
