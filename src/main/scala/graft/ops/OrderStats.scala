@@ -71,6 +71,12 @@ object OrderStats {
   private[graft] def rankedWithOffsets(
       df: DataFrame, strata: Seq[String], value: String,
       id: String, cells: Int = GridCells): (DataFrame, DataFrame) = {
+    // NOTE: the primitive reads `df` three times (the min/max grid probe
+    // is a driver action, then the cell-count aggregation and the rank
+    // window each scan it). Callers whose input is EXPENSIVE to
+    // re-derive (a hashed sample, a join+aggregate rollup) should hand
+    // in a persisted frame; a blanket persist here measured SLOWER for
+    // the common case of a cheap projection over an already-cached scan.
     val Row2 = df.agg(min(col(value).cast("long")).as("lo"),
       max(col(value).cast("long")).as("hi")).head()
     if (Row2.isNullAt(0)) {

@@ -42,23 +42,38 @@ private[graft] object Rounds {
     * what a 100 TB near-dup graph with a hot component needs. */
   val SmallRoundRows: Long = 1L << 20
 
-  /** Run `f` with AQE disabled iff `nRows` (the iterated frame's
-    * MATERIALIZED size — an honest runtime stat, the op counts the frame
-    * it is about to iterate) is sub-reducer scale; always restores the
-    * prior setting. Session-conf scoping assumes the session runs
-    * queries sequentially (true of the driver harness, the bench, and
-    * scalatest). Scopes MAY nest (e.g. Similarity.dbscan wrapping
-    * Dedup.connectedComponents): each scope saves and restores the conf
-    * value it observed on entry, so the inner scope hands back the outer
-    * scope's setting and the outermost restore reinstates the session
-    * default — do not replace the save/restore with a cached static. */
+  /** Reduce-side width for sub-reducer-scale rounds: with AQE off the
+    * session's full `spark.sql.shuffle.partitions` applies to every
+    * per-round exchange, so a 5-round loop over a few thousand rows pays
+    * rounds × partitions near-empty reduce tasks of pure dispatch
+    * overhead. 4 keeps the round parallel enough for the size class the
+    * [[SmallRoundRows]] gate admits (< 2^20 rows → ≲ 256k rows/task). */
+  val SmallRoundPartitions = "4"
+
+  /** Run `f` with AQE disabled AND the shuffle width scoped down iff
+    * `nRows` (the iterated frame's MATERIALIZED size — an honest runtime
+    * stat, the op counts the frame it is about to iterate) is
+    * sub-reducer scale; always restores the prior settings.
+    * Session-conf scoping assumes the session runs queries sequentially
+    * (true of the driver harness, the bench, and scalatest). Scopes MAY
+    * nest (e.g. Similarity.dbscan wrapping Dedup.connectedComponents):
+    * each scope saves and restores the conf values it observed on entry,
+    * so the inner scope hands back the outer scope's setting and the
+    * outermost restore reinstates the session default — do not replace
+    * the save/restore with a cached static. */
   def scopedForSize[A](spark: SparkSession, nRows: Long)(f: => A): A = {
     if (nRows >= SmallRoundRows) f
     else {
-      val key = "spark.sql.adaptive.enabled"
-      val old = spark.conf.get(key, "true")
-      spark.conf.set(key, "false")
-      try f finally spark.conf.set(key, old)
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val partKey = "spark.sql.shuffle.partitions"
+      val oldAqe = spark.conf.get(aqeKey, "true")
+      val oldPart = spark.conf.get(partKey, "200")
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(partKey, SmallRoundPartitions)
+      try f finally {
+        spark.conf.set(aqeKey, oldAqe)
+        spark.conf.set(partKey, oldPart)
+      }
     }
   }
 }

@@ -497,28 +497,25 @@ object CorpusQueries extends QueryGroup {
 
   /** Retrieval quality metrics over the BM25 top-10 — P@10, R@10, and
     * MRR per query, the eval loop every retrieval deployment closes
-    * (the `q_ann_recall` pairing for the sparse side). Relevance label:
-    * same `source` as the query doc (a deterministic metadata stand-in
-    * for graded judgments — the synthetic corpus has no gold labels, so
-    * the metric VALUES are near-random; the computation is the
-    * operator). MRR is exact-rational as ppm (10^6 div first relevant
-    * rank); only the displayed P/R are rounded doubles. Rides the
-    * session-shared scored frame; every join side beyond the corpus
-    * lookup is queries-bounded and broadcasts. */
+    * (the `q_ann_recall` pairing for the sparse side). Relevance label
+    * DERIVED FROM THE DATA (the [[sharedTriLabels]] judgments): a doc is
+    * relevant iff it shares at least one distinct word 3-gram with the
+    * query doc — a lexical signal the ranking actually optimizes, so
+    * precision/recall/MRR move when the ranking does (the earlier
+    * same-`source` metadata stand-in scored near-random). MRR is
+    * exact-rational as ppm (10^6 div first relevant rank); only the
+    * displayed P/R are rounded doubles. Rides the session-shared scored
+    * and label frames; every join side beyond the corpus lookup is
+    * queries-bounded and broadcasts. */
   private def retrievalEval(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val qsrc = docs.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("query_id"), col("source").as("q_source"))
+    val labels = sharedTriLabels(s, dir)
+      .select(col("query_id"), col("doc_id"), lit(true).as("rel"))
     val topk = graft.ops.Retrieval
       .bm25TopKFromScores(sharedBm25Scores(s, dir), 10)
     val labeled = topk
-      .join(broadcast(qsrc), Seq("query_id"))
-      .join(docs, Seq("doc_id"))
-      .withColumn("rel",
-        col("source") === col("q_source") && col("doc_id") =!= col("query_id"))
-    val relTotals = docs.join(broadcast(qsrc),
-        docs("source") === qsrc("q_source"))
-      .filter(col("doc_id") =!= col("query_id"))
+      .join(labels, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(false)))
+    val relTotals = labels
       .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     labeled.groupBy("query_id")
       .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("hits"),
@@ -681,15 +678,26 @@ object CorpusQueries extends QueryGroup {
     * BROADCAST against the corpus shingle frame (the contamination
     * probe's shape — the corpus never shuffles for the labels); the
     * (query, doc) overlap aggregation combines map-side. */
+  /** Session-shared graded judgments for the retrieval-eval pair
+    * (q_ndcg, q_retrieval_eval): (query_id, doc_id, ov) where ov = the
+    * count of distinct word 3-grams the query doc and the candidate
+    * share — only pairs with ov ≥ 1 appear. Query shingles broadcast
+    * against the corpus shingle frame (the contamination probe's
+    * shape); the aggregation combines map-side. */
+  private[queries] def sharedTriLabels(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"trilabels:$dir") {
+      val sh = graft.ops.Dedup.shingles(Tables.documents(s, dir), n = 3)
+      val qsh = sh.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("shingle"))
+      sh.join(broadcast(qsh), Seq("shingle"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("ov"))
+    }
+
   private def ndcgEval(s: SparkSession, dir: String): DataFrame = {
-    val sh = graft.ops.Dedup.shingles(Tables.documents(s, dir), n = 3)
-    val qsh = sh.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("query_id"), col("shingle"))
     // graded judgments: distinct shared trigrams per (query, candidate)
-    val labels = sh.join(broadcast(qsh), Seq("shingle"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).as("ov"))
+    val labels = sharedTriLabels(s, dir)
       .withColumn("gain", when(col("ov") >= 2, 2L).otherwise(1L))
     val disc = {
       import s.implicits._
@@ -1076,6 +1084,7 @@ object CorpusQueries extends QueryGroup {
     "bm25_stats" -> ((s, d) => sharedBm25Index(s, d).stats),
     "bm25_scores" -> (sharedBm25Scores(_, _)),
     "bm25_contribs" -> (sharedBm25Contribs(_, _)),
+    "tri_labels" -> (sharedTriLabels(_, _)),
     "bm25_base_dl" -> ((s, d) => sharedBm25BaseIndex(s, d).dl),
     "bm25_base_df" -> ((s, d) => sharedBm25BaseIndex(s, d).df),
     "bm25_base_stats" -> ((s, d) => sharedBm25BaseIndex(s, d).stats),
@@ -2117,16 +2126,26 @@ object CorpusQueries extends QueryGroup {
     // same-source relevance label; MRR exact-rational as ppm
     "q_retrieval_eval" ->
       s"""WITH $bm25CtesSql,
-        |qsrc AS (SELECT doc_id AS query_id, source AS q_source
-        |         FROM documents WHERE doc_id < 3),
+        |wsh AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        |        FROM documents),
+        |shidx AS (SELECT doc_id, words,
+        |    unnest(generate_series(1, len(words) - 2)) AS i
+        |  FROM wsh),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    array_to_string(words[i:i+2], ' ') AS shingle
+        |  FROM shidx),
+        |qsh AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id < 3),
+        |rel AS MATERIALIZED (SELECT q.query_id, s.doc_id
+        |      FROM sh s JOIN qsh q USING (shingle)
+        |      WHERE s.doc_id <> q.query_id
+        |      GROUP BY 1, 2),
         |lab AS (SELECT rk.query_id, rk.doc_id, rk.rank,
-        |    (d.source = q.q_source AND rk.doc_id <> rk.query_id) AS rel
-        |  FROM rk JOIN qsrc q USING (query_id)
-        |  JOIN documents d ON rk.doc_id = d.doc_id
+        |    (r.doc_id IS NOT NULL) AS rel
+        |  FROM rk LEFT JOIN rel r ON rk.query_id = r.query_id
+        |    AND rk.doc_id = r.doc_id
         |  WHERE rk.rank <= 10),
-        |rt AS (SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_rel
-        |  FROM documents d JOIN qsrc q ON d.source = q.q_source
-        |  WHERE d.doc_id <> q.query_id GROUP BY 1),
+        |rt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM rel GROUP BY 1),
         |ag AS (SELECT query_id,
         |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
         |    min(CASE WHEN rel THEN rank END) AS first_rel_rank

@@ -512,8 +512,13 @@ object RelationalQueries extends QueryGroup {
       .filter(
         conv(substring(md5(concat(lit("aq_"), col("rid").cast("string"))),
           1, 8), 16, 10).cast("long") % 8 === 0)
+    // persisted: the rank primitive reads its input three times, and
+    // re-deriving the sample re-hashes the whole fact table each pass
+    // (at production sampling rates the sample is ≪ corpus — persisting
+    // it is the right call at any scale)
+    val sampP = graft.core.SharedFrames.register(samp)
     val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
-      samp, Nil, "cents", "rid")
+      sampP, Nil, "cents", "rid")
     val targets = Seq(1, 5, 25, 50, 75, 90, 95, 99).toDF("pct")
       .crossJoin(offsets.agg(sum("__cell_n").as("n_sample")))
       .withColumn("rank_target", expr("((n_sample - 1) * pct) div 100 + 1"))
@@ -824,12 +829,12 @@ object RelationalQueries extends QueryGroup {
     * comparison never sits on a float boundary. Shape: one group
     * aggregation (|nations| rows) broadcast back over the scan. */
   private def groupOutliers(s: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(s, dir)
+    val spend = graft.core.SharedFrames.register(Tables.orders(s, dir)
       .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"), col("o_custkey"))
       .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast("decimal(38,0)").cast("long").as("cents"))
+        .cast("decimal(38,0)").cast("long").as("cents")))
     val q = spend.groupBy("c_nationkey").agg(
       expr("percentile(cents, 0.25)").as("q1"),
       expr("percentile(cents, 0.75)").as("q3"))
