@@ -783,6 +783,14 @@ object SimilarityQueries extends QueryGroup {
     * rounds. */
   private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
     val (kCand, kSel) = (20, 5)
+    // LOAD-BEARING bound for the driver pull below: the greedy collects
+    // queries·kCand candidate rows + queries·kCand²/2 sim rows. Scale-safe
+    // only while kCand stays report-sized — if it ever becomes a parameter,
+    // this guard fails fast instead of silently pulling a corpus slice
+    // (move the greedy into a per-query mapGroups at that point).
+    require(kCand <= 100,
+      s"mmrRerank pulls O(queries * kCand^2) rows to the driver; " +
+        s"kCand=$kCand exceeds the audited report-size bound")
     val cand = denseCosines(s, dir).groupBy("query_id")
       .agg(graft.functions.TopK.topK(col("cosine"), col("doc_id"), kCand)
         .as("top"))
