@@ -264,6 +264,43 @@ object DedupQueries extends QueryGroup {
       Dedup.connectedComponents(sharedJaccardPairs(s, dir))
     }
 
+  /** Cluster-purity audit — the transitive-drift check a dedup owner
+    * runs BEFORE collapsing clusters to one survivor: connected
+    * components merge a~b, b~c into one cluster even when (a, c) was
+    * never verified, so a long chain can glue documents far below the
+    * similarity bar into one "duplicate" group. Per cluster: how close
+    * the VERIFIED pair set is to a clique (density_pct = 100·2e div
+    * n(n−1), exact integers), the weakest verified similarity inside it
+    * (min over the pair frame's own IEEE-exact jaccard — one division,
+    * order-independent min, so it hash-gates), and the exact integer
+    * (Σ common, Σ union) mass for an order-independent mean. Density
+    * 100 = clique (safe to collapse); low density + low min_jaccard is
+    * the chain-drift signature.
+    *
+    * Shape at scale: both inputs are the session-shared frames; one
+    * cluster-keyed aggregation over the pair frame (both endpoints of a
+    * verified pair share a cluster by construction, so the id_a side
+    * alone keys the lookup), one over the membership frame, and a
+    * cluster-count-bounded join. */
+  private def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val cc = sharedClusters(s, dir)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val e = sharedJaccardPairs(s, dir)
+      .join(cc.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jaccard")).as("min_jaccard"),
+        sum(col("common")).cast("long").as("sum_common"),
+        sum(col("size_a") + col("size_b") - col("common")).cast("long")
+          .as("sum_union"))
+    sizes.join(e, Seq("cluster_id"))
+      .withColumn("density_pct",
+        expr("(200 * n_edges) div (n_members * (n_members - 1))"))
+      .select("cluster_id", "n_members", "n_edges", "density_pct",
+        "min_jaccard", "sum_common", "sum_union")
+      .orderBy("cluster_id")
+  }
+
   // declaration order = dependency order (shingles -> pairs -> clusters);
   // the bench prewarms in this order so each build time is its own stage's
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -429,6 +466,7 @@ object DedupQueries extends QueryGroup {
     "q_dedup_simhash64" -> simhash64,
     "q_dedup_ensemble" -> ensemble,
     "q_dedup_clusters" -> clusters,
+    "q_cluster_purity" -> clusterPurity,
     "q_cluster_sizes" -> clusterSizes,
     "q_tfidf_pairs" -> tfidf,
     "q_pagerank" -> pagerank,
@@ -1348,6 +1386,45 @@ object DedupQueries extends QueryGroup {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  doc_id = cluster_id AS is_canonical
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // cluster membership via the same recursive closure as
+    // q_dedup_clusters; the purity stats aggregate the VERIFIED pair
+    // frame per cluster (id_a's cluster keys the lookup — both endpoints
+    // share one by construction)
+    "q_cluster_purity" ->
+      s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
+         |pairs0 AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jpx AS MATERIALIZED (
+         |  SELECT id_a, id_b, common, sa.sz AS sza, sb.sz AS szb,
+         |    CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+         |  FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jpx
+         |          UNION SELECT id_b, id_a FROM jpx),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS MATERIALIZED (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |mem AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |        FROM comp GROUP BY 1),
+         |es AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+         |    min(j.jaccard) AS min_jaccard,
+         |    CAST(sum(j.common) AS BIGINT) AS sum_common,
+         |    CAST(sum(j.sza + j.szb - j.common) AS BIGINT) AS sum_union
+         |  FROM jpx j JOIN comp c ON j.id_a = c.doc_id GROUP BY 1)
+         |SELECT m.cluster_id, m.n_members, e.n_edges,
+         |  (200 * e.n_edges) // (m.n_members * (m.n_members - 1)) AS density_pct,
+         |  e.min_jaccard, e.sum_common, e.sum_union
+         |FROM mem m JOIN es e USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin,
 
     // integer-mass PageRank: every round is exact integer arithmetic
     // (BIGINT // floors exactly like Spark's div), so 5 unrolled stages

@@ -92,6 +92,43 @@ object SamplingQueries extends QueryGroup {
           .as("masked_text"))
       .orderBy("doc_id", "block_id")
 
+  /** Fill-in-the-middle (FIM) transformation plan — the code-model
+    * pretraining transform (Bavarian et al. 2022) next to
+    * `q_span_mask`'s T5 span corruption: per document, a deterministic
+    * (prefix, middle, suffix) token split and the PSM-vs-SPM layout
+    * choice, every choice an md5 function of the doc id (the
+    * `q_span_mask` determinism idiom — no RNG, so the realized plan
+    * hash-gates and replays identically on any cluster layout). Middle
+    * length 1..n div 3, prefix length 0..n−m (empty prefix/suffix are
+    * legal FIM layouts); train_len = n + 3 sentinel tokens
+    * (⟨PRE⟩/⟨MID⟩/⟨SUF⟩). `middle_head` pins the split to CONTENT, not
+    * just lengths. Pure projection — the plan rides the scan; document
+    * reassembly is the downstream writer's concern, exactly like the
+    * span mask. */
+  private def fimPlan(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("n", size(col("words")).cast("long"))
+      .filter(col("n") >= 6)
+      .withColumn("m", expr(
+        """1 + CAST(conv(substring(md5(concat('fim_m_',
+          |  CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)
+          |  % (n div 3)""".stripMargin))
+      .withColumn("p", expr(
+        """CAST(conv(substring(md5(concat('fim_p_',
+          |  CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)
+          |  % (n - m + 1)""".stripMargin))
+      .withColumn("mode", expr(
+        """CASE WHEN CAST(conv(substring(md5(concat('fim_o_',
+          |  CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0
+          |THEN 'psm' ELSE 'spm' END""".stripMargin))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("mode"),
+        col("p").as("n_prefix"), col("m").as("n_middle"),
+        (col("n") - col("p") - col("m")).as("n_suffix"),
+        (col("n") + 3).as("train_len"),
+        expr("element_at(words, CAST(p + 1 AS INT))").as("middle_head"))
+      .orderBy("doc_id")
+
   /** Temperature-scaled language sampling (the mT5/XLM-R recipe: sample
     * language l with probability ∝ n_l^α) at α = 1/2 — the one
     * temperature where the power is EXACTLY computable in integers:
@@ -350,6 +387,7 @@ object SamplingQueries extends QueryGroup {
     "q_mix_weights" -> mixWeights,
     "q_mix_temperature" -> mixTemperature,
     "q_span_mask" -> spanMask,
+    "q_fim_plan" -> fimPlan,
     "q_mix_upsample" -> mixUpsample,
     "q_shuffle_order" -> shuffleOrder,
     "q_stratified_sample" -> stratified,
@@ -552,6 +590,29 @@ object SamplingQueries extends QueryGroup {
         |  CAST(b AS INTEGER) AS sentinel_id,
         |  array_to_string(words[b*20+off : b*20+off+2], ' ') AS masked_text
         |FROM m ORDER BY doc_id, block_id""".stripMargin,
+
+    // md5-derived split points and layout choice — same determinism
+    // idiom as q_span_mask; words[] is 1-based like element_at
+    "q_fim_plan" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents),
+        |b AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n
+        |      FROM w WHERE len(words) >= 6),
+        |x AS (SELECT doc_id, words, n,
+        |    1 + CAST(('0x' || substr(md5('fim_m_' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % (n // 3) AS m
+        |  FROM b),
+        |y AS (SELECT doc_id, words, n, m,
+        |    CAST(('0x' || substr(md5('fim_p_' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % (n - m + 1) AS p
+        |  FROM x)
+        |SELECT doc_id, n AS n_tokens,
+        |  CASE WHEN CAST(('0x' || substr(md5('fim_o_' || CAST(doc_id AS VARCHAR)),
+        |    1, 8)) AS BIGINT) % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+        |  p AS n_prefix, m AS n_middle, n - p - m AS n_suffix,
+        |  n + 3 AS train_len,
+        |  words[CAST(p + 1 AS INT)] AS middle_head
+        |FROM y ORDER BY doc_id""".stripMargin,
 
     // isqrt via double candidate + integer envelope correction; HUGEINT
     // mirrors Spark's DECIMAL(38,0) widening of the count products

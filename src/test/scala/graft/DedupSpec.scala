@@ -651,6 +651,27 @@ class DedupSpec extends SparkSuite {
     assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
   }
 
+  test("cluster purity: clique bound, threshold floor, exact edge accounting") {
+    val rows = SparkEntry.queries("q_cluster_purity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, e) = (r.getAs[Long]("n_members"), r.getAs[Long]("n_edges"))
+      assert(n >= 2, "CC clusters contain only paired docs")
+      assert(e >= n - 1 && e <= n * (n - 1) / 2,
+        s"edge count $e outside the spanning-to-clique envelope for n=$n")
+      val d = r.getAs[Long]("density_pct")
+      assert(d >= 0 && d <= 100, s"density_pct $d out of range")
+      // every audited edge is a VERIFIED pair, so the weakest similarity
+      // in any cluster still clears the join threshold
+      assert(r.getAs[Double]("min_jaccard") >= 0.8,
+        "min_jaccard below the verification threshold")
+    }
+    // exact accounting: cluster-wise edges sum to the pair frame
+    val nPairs = SparkEntry.queries("q_dedup_jaccard")(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_edges")).sum == nPairs,
+      "per-cluster edge counts must sum to the verified pair count")
+  }
+
   private object Tables0 {
     def documents(s: org.apache.spark.sql.SparkSession, dir: String) =
       graft.core.Tables.documents(s, dir)

@@ -259,4 +259,30 @@ class SamplingSpec extends SparkSuite {
     val again = SparkEntry.queries("q_priority_sample")(spark, sf).collect()
     assert(sample.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("fim plan: split partitions the doc, middle bounded, content-pinned") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_fim_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("words")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      val (id, n, p, m, suf) = (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_prefix"),
+        r.getAs[Long]("n_middle"), r.getAs[Long]("n_suffix"))
+      assert(p + m + suf == n, s"doc $id: split does not partition the doc")
+      assert(m >= 1 && m <= n / 3, s"doc $id: middle length $m out of bounds")
+      assert(p >= 0 && suf >= 0, s"doc $id: negative segment")
+      assert(r.getAs[Long]("train_len") == n + 3)
+      assert(Set("psm", "spm")(r.getAs[String]("mode")))
+      // content pin: middle_head is the (p+1)-th token of the doc
+      assert(r.getAs[String]("middle_head") == docs(id)((p).toInt),
+        s"doc $id: middle_head diverged from the split point")
+    }
+    // determinism: re-derivation is identical
+    val again = SparkEntry.queries("q_fim_plan")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
