@@ -562,14 +562,23 @@ object Dedup {
     val w = docs
       .withColumn("w", split(trim(col("text")), "\\s+"))
       .filter(size(col("w")) >= minLen)
+    // the gram string exists only transiently IN-ROW: what leaves the row
+    // is its 16-byte md5 (the ExactSubstr practice) — the seed frame that
+    // explodes, shuffles for the count, and joins back is (doc_id, pos,
+    // 16 bytes) instead of carrying ~minLen-word strings through two
+    // exchanges. Grouping by the 128-bit hash is grouping by the gram
+    // (collision odds ~2^-128·pairs — the same exactness class as the
+    // repo's other md5 fingerprint keys); the oracle groups by the gram
+    // text itself, so a collision would surface as a hash mismatch.
     val sh = w.select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - (minLen - 1)), i =>
           struct(i.cast("long").as("pos"),
-            concat_ws(" ", slice(col("w"), i, lit(minLen))).as("g")))).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))
-    val counts = sh.groupBy("g").agg(count(lit(1)).as("n_occ"))
+            unhex(md5(concat_ws(" ", slice(col("w"), i, lit(minLen)))))
+              .as("gk")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.gk").as("gk"))
+    val counts = sh.groupBy("gk").agg(count(lit(1)).as("n_occ"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    sh.join(counts.filter(col("n_occ") >= 2), "g")
+    sh.join(counts.filter(col("n_occ") >= 2), "gk")
       .withColumn("prev", lag("pos", 1).over(byDoc))
       .withColumn("brk",
         when(col("prev").isNull || col("pos") > col("prev") + minLen, 1L)
