@@ -894,10 +894,18 @@ object CorpusQueries extends QueryGroup {
     * would funnel every occurrence of a hot record through one reducer.
     * The join back on `record` is an equi-join AQE can skew-split. */
   private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    // the first-occurrence aggregation and its join-back key on the
+    // 16-byte md5 of the record, not the record text: the text only
+    // needs to travel on the reassembly side, and at web scale the agg
+    // exchange otherwise carries every distinct LINE once per partition
+    // (grouping by the 128-bit hash is grouping by the record — the
+    // duplicatedSpans exactness class; the oracle keys on the text, so
+    // a collision would surface as a hash mismatch)
     val rec = sharedRecords(s, dir)
-    val first = rec.groupBy("record")
+      .withColumn("rk", unhex(md5(col("record"))))
+    val first = rec.groupBy("rk")
       .agg(min(struct(col("doc_id"), col("part_idx"))).as("first"))
-    rec.join(first, Seq("record"))
+    rec.join(first, Seq("rk"))
       .withColumn("kept",
         col("doc_id") === col("first.doc_id") && col("part_idx") === col("first.part_idx"))
       .groupBy("doc_id")
@@ -920,12 +928,15 @@ object CorpusQueries extends QueryGroup {
     * probe over the records, never a shuffle of the corpus. */
   private val BoilerDf = 3
   private def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    // same md5 keying as lineDedup: the df aggregation's exchange and the
+    // broadcast boiler list carry 16-byte keys, never line text
     val rec = sharedRecords(s, dir)
-    val boiler = rec.groupBy("record")
+      .withColumn("rk", unhex(md5(col("record"))))
+    val boiler = rec.groupBy("rk")
       .agg(countDistinct("doc_id").as("n_docs_in"))
       .filter(col("n_docs_in") >= BoilerDf)
-      .select(col("record"), lit(true).as("is_boiler"))
-    rec.join(broadcast(boiler), Seq("record"), "left")
+      .select(col("rk"), lit(true).as("is_boiler"))
+    rec.join(broadcast(boiler), Seq("rk"), "left")
       .withColumn("kept", col("is_boiler").isNull)
       .groupBy("doc_id")
       .agg(
