@@ -467,6 +467,7 @@ object DedupQueries extends QueryGroup {
     "q_dedup_ensemble" -> ensemble,
     "q_dedup_clusters" -> clusters,
     "q_cluster_purity" -> clusterPurity,
+    "q_dedup_funnel" -> dedupFunnel,
     "q_cluster_sizes" -> clusterSizes,
     "q_tfidf_pairs" -> tfidf,
     "q_pagerank" -> pagerank,
@@ -708,6 +709,59 @@ object DedupQueries extends QueryGroup {
         DbscanMinPts)
       .withColumnRenamed("vec_id", "doc_id")
       .orderBy("doc_id")
+
+  /** Dedup attrition funnel — the `q_curation_gate` report shape for the
+    * DEDUP stack: every document through three dedup signals IN SEQUENCE
+    * (exact md5 → verified-Jaccard clusters → SimHash near-dup graph),
+    * one row per stage with the docs passing that signal ALONE (n_pass)
+    * and the docs surviving the stack so far (n_survivors) — the
+    * attrition report a dedup owner reads before shipping the stack,
+    * where the per-method queries only show each signal in isolation.
+    * Keep rule per signal: the doc is its signal-group's CANONICAL
+    * (smallest member of its md5 group / Jaccard CC cluster / SimHash
+    * component; docs no signal pairs are their own canonical).
+    *
+    * Shape at scale: exact keying is the `q_dedup_exact` fp window,
+    * Jaccard clusters are the session-shared CC frame, the SimHash
+    * component runs CC over the session-shared banded pair frame
+    * (sub-reducer scoped); the funnel itself is three doc_id left joins
+    * + ONE counter aggregation unpivoted to 4 rows. */
+  private def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .withColumn("fp", org.apache.spark.sql.functions.md5(
+        Dedup.normText(col("text"))))
+      .withColumn("k1", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .select("doc_id", "k1")
+    val jc = sharedClusters(s, dir)
+    val sc = Dedup.connectedComponents(
+      sharedSimhash64Pairs(s, dir).select("id_a", "id_b"))
+      .withColumnRenamed("cluster_id", "s_cluster")
+    val flags = ex
+      .join(jc, Seq("doc_id"), "left")
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("k1"),
+        (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .as("k2"),
+        (col("s_cluster").isNull || col("s_cluster") === col("doc_id"))
+          .as("k3"))
+    flags.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("k1"), 1L).otherwise(0L)).as("p1"),
+        sum(when(col("k2"), 1L).otherwise(0L)).as("p2"),
+        sum(when(col("k3"), 1L).otherwise(0L)).as("p3"),
+        sum(when(col("k1") && col("k2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("k1") && col("k2") && col("k3"), 1L).otherwise(0L))
+          .as("c3"))
+      .select(expr(
+        """stack(4,
+          |  '0_total', n_total, n_total,
+          |  '1_exact', p1, p1,
+          |  '2_jaccard_cc', p2, c2,
+          |  '3_simhash', p3, c3) AS (stage, n_pass, n_survivors)"""
+          .stripMargin))
+      .orderBy("stage")
+  }
 
   private val CoreK = 2
   private val CoreIters = 4
@@ -1425,6 +1479,69 @@ object DedupQueries extends QueryGroup {
          |  e.min_jaccard, e.sum_common, e.sum_union
          |FROM mem m JOIN es e USING (cluster_id)
          |ORDER BY cluster_id""".stripMargin,
+
+    // dedup attrition funnel: exact-md5 window + the Jaccard recursive
+    // closure + a second recursive closure over the brute-force SimHash
+    // pairs (hamming <= 3); survivors = canonical under every prior
+    // signal. The simhash prefix's own `pairs`/`fp` CTE names are
+    // disjoint from the shingle prefix's; the exact stage uses `xfp`.
+    "q_dedup_funnel" ->
+      s"""WITH RECURSIVE ${shingleSqlPrefix.stripPrefix("WITH ")},
+         |${simhash64SqlPrefix.stripPrefix("WITH ")},
+         |pairs0 AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM pairs0
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS MATERIALIZED (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sp AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM pairs WHERE hamming <= 3),
+         |sedges AS (SELECT id_a AS src, id_b AS dst FROM sp
+         |           UNION SELECT id_b, id_a FROM sp),
+         |reach2 AS (
+         |  SELECT src, dst FROM sedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach2 r JOIN sedges e ON r.dst = e.src),
+         |comp2 AS MATERIALIZED (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS s_cluster
+         |  FROM reach2 GROUP BY src),
+         |exk AS (
+         |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY xfp) AS k1
+         |  FROM (SELECT doc_id,
+         |          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS xfp
+         |        FROM documents)),
+         |flags AS (
+         |  SELECT e.doc_id, e.k1,
+         |    (c.cluster_id IS NULL OR c.cluster_id = e.doc_id) AS k2,
+         |    (s2.s_cluster IS NULL OR s2.s_cluster = e.doc_id) AS k3
+         |  FROM exk e
+         |  LEFT JOIN comp c ON e.doc_id = c.doc_id
+         |  LEFT JOIN comp2 s2 ON e.doc_id = s2.doc_id),
+         |agg AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         |    CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+         |    CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+         |    CAST(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS c2x,
+         |    CAST(sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END) AS BIGINT) AS c3x
+         |  FROM flags)
+         |SELECT '0_total' AS stage, n_total AS n_pass, n_total AS n_survivors FROM agg
+         |UNION ALL SELECT '1_exact', p1, p1 FROM agg
+         |UNION ALL SELECT '2_jaccard_cc', p2, c2x FROM agg
+         |UNION ALL SELECT '3_simhash', p3, c3x FROM agg
+         |ORDER BY stage""".stripMargin,
 
     // integer-mass PageRank: every round is exact integer arithmetic
     // (BIGINT // floors exactly like Spark's div), so 5 unrolled stages

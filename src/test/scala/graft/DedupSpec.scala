@@ -672,6 +672,25 @@ class DedupSpec extends SparkSuite {
       "per-cluster edge counts must sum to the verified pair count")
   }
 
+  test("dedup funnel: survivors monotone, stages consistent with the standalone queries") {
+    val rows = SparkEntry.queries("q_dedup_funnel")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("0_total", "1_exact", "2_jaccard_cc", "3_simhash"))
+    val surv = Seq("0_total", "1_exact", "2_jaccard_cc", "3_simhash")
+      .map(rows(_)._2)
+    assert(surv == surv.sorted.reverse && surv.last >= 1,
+      s"survivors must be non-increasing down the stack: $surv")
+    rows.foreach { case (st, (pass, s2)) =>
+      assert(s2 <= pass, s"stage $st: survivors exceed its own pass count")
+    }
+    // stage-1 pass equals the standalone exact-dedup canonical count
+    val nExact = SparkEntry.queries("q_dedup_exact")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("is_canonical")).count()
+    assert(rows("1_exact")._1 == nExact,
+      "funnel exact stage diverged from q_dedup_exact")
+    graft.core.SharedFrames.clear()
+  }
+
   private object Tables0 {
     def documents(s: org.apache.spark.sql.SparkSession, dir: String) =
       graft.core.Tables.documents(s, dir)
