@@ -80,13 +80,26 @@ object DedupQueries extends QueryGroup {
        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Exact dedup: md5 fingerprint of normalized text; canonical = min id. */
+  /** Exact dedup: md5 fingerprint of normalized text; canonical = min id.
+    *
+    * Shape at scale: the group stats come from `groupBy(fp).agg`, NOT a
+    * `Window.partitionBy(fp)`. md5 keys are uniform over DISTINCT texts,
+    * but group multiplicity is not — a boilerplate page duplicated 10M+
+    * times in a web corpus would put its whole group through one
+    * WindowExec task that AQE cannot split. The aggregation map-side
+    * combines (the Zipf head collapses to one row per distinct text
+    * before the exchange) and the join-back on fp is AQE-skew-splittable.
+    * Same discipline as the line-dedup pass ("first-occurrence = min
+    * AGGREGATION, never row_number over record"); guarded by PlanSpec's
+    * no-Window assert and SkewSpec's mega-duplicate fixture. */
   private def exact(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("fp")
-    Tables.documents(s, dir)
+    val fps = Tables.documents(s, dir)
       .withColumn("fp", md5(Dedup.normText(col("text"))))
-      .withColumn("n_same", count(lit(1)).over(w))
-      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .select("doc_id", "fp")
+    val groups = fps.groupBy("fp")
+      .agg(count(lit(1)).as("n_same"), min(col("doc_id")).as("canon_id"))
+    fps.join(groups, Seq("fp"))
+      .withColumn("is_canonical", col("doc_id") === col("canon_id"))
       .select("doc_id", "fp", "n_same", "is_canonical")
       .orderBy("doc_id")
   }
@@ -721,18 +734,21 @@ object DedupQueries extends QueryGroup {
     * (smallest member of its md5 group / Jaccard CC cluster / SimHash
     * component; docs no signal pairs are their own canonical).
     *
-    * Shape at scale: exact keying is the `q_dedup_exact` fp window,
+    * Shape at scale: exact keying is the `q_dedup_exact` groupBy(fp)
+    * agg + join-back (map-side combined, AQE-skew-splittable — NOT an
+    * fp window, which would straggle on a mega-duplicated text),
     * Jaccard clusters are the session-shared CC frame, the SimHash
     * component runs CC over the session-shared banded pair frame
     * (sub-reducer scoped); the funnel itself is three doc_id left joins
     * + ONE counter aggregation unpivoted to 4 rows. */
   private def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(s, dir)
+    val fps = Tables.documents(s, dir)
       .withColumn("fp", org.apache.spark.sql.functions.md5(
         Dedup.normText(col("text"))))
-      .withColumn("k1", col("doc_id") ===
-        min(col("doc_id")).over(Window.partitionBy("fp")))
-      .select("doc_id", "k1")
+      .select("doc_id", "fp")
+    val canon = fps.groupBy("fp").agg(min(col("doc_id")).as("canon_id"))
+    val ex = fps.join(canon, Seq("fp"))
+      .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("k1"))
     val jc = sharedClusters(s, dir)
     val sc = Dedup.connectedComponents(
       sharedSimhash64Pairs(s, dir).select("id_a", "id_b"))

@@ -264,6 +264,22 @@ class PlanSpec extends SparkSuite {
       s"min-struct partial aggregation missing:\n${plan.take(1500)}")
   }
 
+  test("q_dedup_exact / q_dedup_funnel: exact keying is an aggregation, never an fp window") {
+    // a Window.partitionBy(fp) funnels every copy of a mega-duplicated
+    // text (the Zipf-head hazard: one boilerplate page x 10M copies)
+    // through ONE WindowExec task that AQE cannot split; the
+    // groupBy(fp).agg + join-back map-side combines the head and the
+    // join is AQE-skew-splittable — the line-dedup discipline applied
+    // to doc-level exact dedup
+    Seq("q_dedup_exact", "q_dedup_funnel").foreach { q =>
+      val plan = formatted(q)
+      assert(!plan.contains("Window"),
+        s"$q exact stage regressed to an fp window:\n${plan.take(1500)}")
+      assert(plan.contains("partial_min") || plan.contains("partial min"),
+        s"$q lost its map-side combined canonical-id aggregation:\n${plan.take(1500)}")
+    }
+  }
+
   test("q_boilerplate: the boilerplate list joins back as a broadcast") {
     val plan = formatted("q_boilerplate")
     assert(plan.contains("BroadcastHashJoin"),
