@@ -85,6 +85,13 @@ object Bench {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+      // ALSO write the full artifact to a repo-tracked sibling: the stdout
+      // compact line carries only the top-15 queries (see below), so
+      // regressions below that waterline are invisible round-over-round
+      // unless the complete per-query map is committed; git history of
+      // this file is the drift record target/ can't provide
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full.getBytes("UTF-8"))
       // The driver records only the LAST ~2000 chars of stdout and
       // json-parses the metric line it finds there. The full per-query
       // line is ~7KB — printing it would leave a truncated fragment at

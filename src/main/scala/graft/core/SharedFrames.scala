@@ -29,6 +29,14 @@ object SharedFrames {
 
   private val named = TrieMap.empty[String, DataFrame]
   private val anonymous = new ConcurrentLinkedQueue[DataFrame]()
+  private val cleanups = new ConcurrentLinkedQueue[() => Unit]()
+
+  /** Register a teardown action to run once at the next [[clear]] — the
+    * hygiene hook for session-scoped side artifacts that are not cache
+    * blocks (e.g. the roundtrip sink's per-session temp directory, which
+    * would otherwise accumulate one corpus-sized copy per bench/verify
+    * run). Exceptions are swallowed like [[safeUnpersist]]'s. */
+  def onClear(action: () => Unit): Unit = cleanups.add(action)
 
   // applicationId is unique per SparkContext; identityHashCode then only
   // needs to separate sessions WITHIN one context, so cross-context hash
@@ -67,6 +75,11 @@ object SharedFrames {
     named.clear()
     var df = anonymous.poll()
     while (df != null) { safeUnpersist(df); df = anonymous.poll() }
+    var c = cleanups.poll()
+    while (c != null) {
+      try c() catch { case _: Throwable => () }
+      c = cleanups.poll()
+    }
   }
 
   private def safeUnpersist(df: DataFrame): Unit =

@@ -153,7 +153,12 @@ object MultiMatch {
     cache.getOrElse(key, {
       // evict ONE entry at the bound, not the whole map: a long-lived
       // executor alternating among many blocklist versions would rebuild
-      // every hot trie after each clear(). The size-check/insert pair is
+      // every hot trie after each clear(). The victim is headOption —
+      // arbitrary hash order, NOT LRU — so the hottest automaton can be
+      // evicted while a cold one survives; with MaxCached=8 that is
+      // bounded churn (worst case: 9 alternating versions thrash one
+      // slot), not a correctness issue, and not worth an access-ordered
+      // map under a lock on this path. The size-check/insert pair is
       // racy but benign — concurrent first builds can transiently exceed
       // the bound by one entry each, and the next miss re-trims.
       if (cache.size >= MaxCached)

@@ -83,11 +83,39 @@ object Bpe {
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(sum("cnt").as("n"))
 
+  /** BYTE-LEVEL initial representation (GPT-2's byte-alphabet variant):
+    * symbols are hex pairs of the word's UTF-8 bytes — a 256-symbol base
+    * alphabet, so ANY UTF-8 input tokenizes with no UNK and no
+    * supplementary-plane special case (char-level BPE treats an emoji as
+    * one opaque symbol; byte-level merges INTO multi-byte symbols from
+    * evidence). A merged symbol is the concatenation of its parts' hex,
+    * so `unhex(concat(symbols))` round-trips to the word's exact bytes
+    * (the TokenizerSpec law). Hex (not raw bytes) keeps every symbol
+    * printable ASCII — the bracket machinery and the DuckDB oracle work
+    * unchanged. */
+  private[ops] def initialByteRepr(wc: DataFrame): DataFrame =
+    wc.withColumn("hx", hex(encode(col("word"), "UTF-8")))
+      .withColumn("repr",
+        concat(lit("["),
+          concat_ws("][", transform(
+            sequence(lit(1), (length(col("hx")) / 2).cast("int")),
+            i => col("hx").substr(i * lit(2) - 1, lit(2)))),
+          lit("]")))
+      .drop("hx")
+
   /** Train `rounds` merges over `docs`, returning the merge list and the
     * final (word, cnt, repr) frame. Pure function of the corpus. */
-  def train(docs: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
+  def train(docs: DataFrame, rounds: Int): (Seq[Merge], DataFrame) =
+    trainLoop(docs, rounds, initialRepr)
+
+  /** Byte-level training: same merge loop over [[initialByteRepr]]. */
+  def trainBytes(docs: DataFrame, rounds: Int): (Seq[Merge], DataFrame) =
+    trainLoop(docs, rounds, initialByteRepr)
+
+  private def trainLoop(docs: DataFrame, rounds: Int,
+                        init: DataFrame => DataFrame): (Seq[Merge], DataFrame) = {
     val wc = SharedFrames.register(wordCounts(docs))
-    var repr = initialRepr(wc)
+    var repr = init(wc)
     val merges = Seq.newBuilder[Merge]
     for (r <- 0 until rounds) {
       val best = pairCounts(repr)
@@ -115,5 +143,15 @@ object Bpe {
       f
     }
     (mergeCache(cacheKey(spark, dir)), frame)
+  }
+
+  /** Session-cached byte-level training (same discipline as [[trained]]). */
+  def trainedBytes(spark: SparkSession, dir: String): (Seq[Merge], DataFrame) = {
+    val frame = SharedFrames.cached(spark, s"bpebytes:$dir") {
+      val (m, f) = trainBytes(graft.core.Tables.documents(spark, dir), Rounds)
+      mergeCache.put(s"bytes:${cacheKey(spark, dir)}", m)
+      f
+    }
+    (mergeCache(s"bytes:${cacheKey(spark, dir)}"), frame)
   }
 }

@@ -401,7 +401,16 @@ object Dedup {
       .withColumn("b4", shiftrightunsigned(col("sh"), 48).bitwiseAND(lit(0xffffL)))
 
   /** SimHash near-dup candidates: 4x16-bit bands of the 64-bit fingerprint
-    * as bucket keys, hamming distance <= `maxHamming` verify. */
+    * as bucket keys, hamming distance <= `maxHamming` verify.
+    *
+    * Pipeline-order contract at scale: run EXACT dedup first. Exact
+    * duplicates share a fingerprint, so a text at multiplicity m makes
+    * every band bucket m-hot and the verified pair set itself is
+    * O(m^2) — no banding scheme can bound an output that is inherently
+    * quadratic in duplicate multiplicity. Restrict the input to exact
+    * canonicals first (`q_dedup_exact`'s min-id keep rule) and the
+    * bucket join sees one row per distinct text, which is the profile
+    * the md5-uniform banding is designed for. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "4x16-bit banding is exhaustive only for hamming <= 3")

@@ -217,7 +217,15 @@ object Retrieval {
     * [[graft.functions.TopK.topKLong]] aggregate — k rows per query
     * survive the exchange, and the BIGINT score ranks EXACTLY (the
     * double-keyed heap would collapse distinct scores above 2^53, which
-    * idf ~ 0.67·N crosses around N ~ 1e10 docs). */
+    * idf ~ 0.67·N crosses around N ~ 1e10 docs).
+    *
+    * Persistence contract: an UNCACHED `scored0` is persisted via
+    * [[graft.core.SharedFrames.register]] (the cut reads it twice) and
+    * stays pinned until [[graft.core.SharedFrames.clear]] — callers
+    * outside the Verify/Bench runner discipline must call `clear()` at
+    * batch end, or pass an already-persisted frame to keep cache
+    * lifecycle in their own hands (already-cached inputs pass through
+    * untouched). */
   def bm25TopKFromScores(scored0: DataFrame, k: Int = 10): DataFrame = {
     // the cut reads its input twice (heap + join-back): persist a scores
     // frame that is not already cached, or the whole upstream scoring

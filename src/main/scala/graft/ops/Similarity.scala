@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -266,37 +266,58 @@ object Similarity {
     * salts — so the shuffle key cardinality is lists x salt and a hot list
     * spreads over `listSalt` tasks. Results are identical by construction
     * (every (query, corpus-vector) pair still meets exactly once). */
-  private def ivfSearch(n: DataFrame, isQuery: Column, k: Int,
-                        centroids: Array[Array[Double]], nProbe: Int,
-                        listSalt: Int = 1): DataFrame = {
-    require(listSalt >= 1, "listSalt must be >= 1")
-    val nCentroids = centroids.length
+  /** Sorted per-centroid distance-rank array for the row's `v` column:
+    * distance via |v-c|^2 = |v|^2 - 2 v.c + |c|^2 (|v|^2 is constant per
+    * row, so ranking needs only the fused dot product per centroid plus
+    * the precomputed |c|^2 scalar — no per-centroid diff arrays). Element
+    * 1 is the assignment argmin (ties to the smaller c); the first
+    * `nProbe` elements are the query-side probe list. Shared by the
+    * in-session search and the persisted-epoch path so both assign and
+    * probe with bit-identical arithmetic. */
+  private def distsArray(centroids: Array[Array[Double]]): Column = {
     val centroidsLit = typedlit(centroids.map(_.toSeq).toSeq)
-    // distance ranking via |v-c|^2 = |v|^2 - 2 v.c + |c|^2: |v|^2 is
-    // constant per row, so argmin needs only the fused dot product per
-    // centroid plus the precomputed |c|^2 scalar — no per-centroid diff
-    // arrays
     val cNormSq = centroids.map(c => c.map(x => x * x).sum)
-    def distStructs(vCol: Column): Seq[Column] =
-      (0 until nCentroids).map { c =>
-        struct((lit(cNormSq(c)) - lit(2.0) * dot(vCol, element_at(centroidsLit, c + 1)))
-          .as("d"), lit(c).as("c"))
-      }
-    // ONE sorted distance array per row serves both the assignment
-    // (element 1 = argmin by (d, c)) and the query-side probe list
-    // (first nProbe) — half the codegen of building the struct array twice
+    array_sort(array((0 until centroids.length).map { c =>
+      struct((lit(cNormSq(c)) - lit(2.0) * dot(col("v"), element_at(centroidsLit, c + 1)))
+        .as("d"), lit(c).as("c"))
+    }: _*))
+  }
+
+  /** Assign each normed vector row to its inverted list. Output columns
+    * (vec_id, v, nrm, list_id) are the persisted-list schema — the dist
+    * array is NOT kept (queries re-rank their own nCentroids structs,
+    * which is |queries|-bounded, and dropping it keeps the persisted /
+    * cached list frame narrow). */
+  private def ivfAssign(n: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    n.withColumn("list_id",
+      element_at(distsArray(centroids), 1).getField("c"))
+
+  /** Probe-and-rank over an assigned list frame (in-session or loaded
+    * from a persisted epoch).
+    *
+    * `listSalt` > 1 is the hot-list skew defense: a centroid that captures
+    * a dense region turns the probe equi-join into one straggler task
+    * (AQE's skew split only rescues sort-merge joins). Salting splits
+    * every list into `listSalt` sub-lists — corpus rows get a
+    * deterministic salt from vec_id, query probe rows fan out across all
+    * salts — so the shuffle key cardinality is lists x salt and a hot list
+    * spreads over `listSalt` tasks. Results are identical by construction
+    * (every (query, corpus-vector) pair still meets exactly once). The
+    * salt is derived, never persisted: a loaded epoch can be searched at
+    * any salt width. */
+  private def searchLists(lists: DataFrame, isQuery: Column, k: Int,
+                          centroids: Array[Array[Double]], nProbe: Int,
+                          listSalt: Int = 1): DataFrame = {
+    require(listSalt >= 1, "listSalt must be >= 1")
     val salted = listSalt > 1
-    val assigned0 = n
-      .withColumn("dists", array_sort(array(distStructs(col("v")): _*)))
-      .withColumn("list_id", element_at(col("dists"), 1).getField("c"))
     val assigned = graft.core.SharedFrames.register(
       if (salted)
-        assigned0.withColumn("salt", pmod(col("vec_id"), lit(listSalt)).cast("int"))
-      else assigned0)
+        lists.withColumn("salt", pmod(col("vec_id"), lit(listSalt)).cast("int"))
+      else lists)
     // queries probe the nProbe nearest centroid lists; under salting they
     // fan out over every salt so each (list, salt) shard is met exactly once
     val q0 = assigned.filter(isQuery)
-      .withColumn("probes", slice(col("dists"), 1, nProbe))
+      .withColumn("probes", slice(distsArray(centroids), 1, nProbe))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), explode(col("probes").getField("c")).as("list_id"))
     val q =
@@ -304,7 +325,7 @@ object Similarity {
         q0.withColumn("salt", explode(sequence(lit(0), lit(listSalt - 1))))
       else q0
     val joinKeys = if (salted) Seq("list_id", "salt") else Seq("list_id")
-    val pairs = q.join(assigned.drop("dists"), joinKeys)
+    val pairs = q.join(assigned, joinKeys)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
@@ -314,6 +335,62 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"),
         col("rn").as("rank"))
+  }
+
+  private def ivfSearch(n: DataFrame, isQuery: Column, k: Int,
+                        centroids: Array[Array[Double]], nProbe: Int,
+                        listSalt: Int = 1): DataFrame =
+    searchLists(ivfAssign(n, centroids), isQuery, k, centroids, nProbe, listSalt)
+
+  /** PERSISTED IVF INDEX EPOCH — the restart boundary for the ANN family
+    * (the simhash ingest index and the BM25 block index already have one;
+    * StreamingSpec pins both). The epoch is two parquet directories under
+    * `path`: `centroids` (c_id, v — nCentroids rows) and `lists`
+    * (vec_id, v, nrm, list_id — the [[ivfAssign]] output). Centroids are
+    * the md5-seeded corpus pick of [[ivfIncrementalTopK]], so the
+    * save / restart / [[ivfInsertBatch]] / [[ivfIndexTopK]] chain is
+    * law-equal to the in-session incremental chain (DedupSpec pins it
+    * across a session boundary). An insert appends ONLY the batch's own
+    * assigned rows — centroids never move, the IVF production property —
+    * so epoch maintenance is O(batch) like the BM25 block index. */
+  def ivfSaveIndex(emb: DataFrame, nCentroids: Int, path: String): Unit = {
+    val spark = emb.sparkSession
+    val corpus = graft.core.SharedFrames.register(withNorm(emb))
+    val centroids = corpus.select(col("vec_id"), col("v"))
+      .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
+      .limit(nCentroids).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "ivfSaveIndex: empty embedding corpus")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("c_id", "v")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(corpus, centroids)
+      .select("vec_id", "v", "nrm", "list_id")
+      .write.mode("overwrite").parquet(s"$path/lists")
+  }
+
+  /** Load an epoch's centroids — bounded: nCentroids rows by construction. */
+  private def ivfLoadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("c_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Append a batch to a persisted epoch: assign against the SAVED (fixed)
+    * centroids, append the assigned rows — nothing about existing lists
+    * moves, and the insert is visible to the next [[ivfIndexTopK]]. */
+  def ivfInsertBatch(batch: DataFrame, path: String): Unit = {
+    val centroids = ivfLoadCentroids(batch.sparkSession, path)
+    ivfAssign(withNorm(batch), centroids)
+      .select("vec_id", "v", "nrm", "list_id")
+      .write.mode("append").parquet(s"$path/lists")
+  }
+
+  /** Search a persisted epoch (corpus + every inserted batch). */
+  def ivfIndexTopK(spark: SparkSession, path: String, isQuery: Column,
+                   k: Int, nProbe: Int, listSalt: Int = 1): DataFrame = {
+    val centroids = ivfLoadCentroids(spark, path)
+    searchLists(spark.read.parquet(s"$path/lists"), isQuery, k,
+      centroids, nProbe, listSalt)
   }
 
   /** Product quantization (PQ): split each embedding into `m` contiguous

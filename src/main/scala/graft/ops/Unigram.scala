@@ -173,10 +173,17 @@ object Unigram {
         .groupBy("piece").agg(sum(col("cnt")).as("score"))
         .collect() // bounded: usage pieces ⊆ current vocab
         .map(r => r.getString(0) -> r.getLong(1)).toSeq
-      vocab = used.filter(_._1.length >= 2)
+      // piece length in CODE POINTS, not Java UTF-16 code units: the
+      // distributed seed prune, segmentExpr substrings, and the oracle all
+      // count code points, so a supplementary-plane char (emoji, non-BMP
+      // CJK; Java length 2) must take the always-kept single-char branch —
+      // String.length would route it through the keep cutoff and break the
+      // alphabet-survives-pruning invariant on non-BMP corpora
+      def cpLen(p: String): Int = p.codePointCount(0, p.length)
+      vocab = used.filter(u => cpLen(u._1) >= 2)
         .sortBy { case (p, s) => (-s, p) }(
           Ordering.Tuple2(Ordering.Long, utf8Asc)).take(keep) ++
-        used.filter(_._1.length == 1)
+        used.filter(u => cpLen(u._1) == 1)
     }
     vocab.toDF("piece", "score")
   }

@@ -179,8 +179,19 @@ object CoreQueries extends QueryGroup {
       System.getProperty("java.io.tmpdir"), "graft_roundtrip",
       s"${s.sparkContext.applicationId}_${System.identityHashCode(s)}",
       dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
-    // write-once guard: the sink half runs a single time per session+dir
+    // write-once guard: the sink half runs a single time per session+dir;
+    // the directory is deleted at SharedFrames.clear() (the runner's
+    // teardown) so repeated bench/verify sessions don't each leave a
+    // corpus-sized ORC+JSON+CSV copy under java.io.tmpdir
     graft.core.SharedFrames.cached(s, s"roundtrip:$dir") {
+      graft.core.SharedFrames.onClear { () =>
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach(rm(_))
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(java.nio.file.Paths.get(base))
+      }
       docs.write.mode("overwrite").orc(s"$base/orc")
       docs.write.mode("overwrite").json(s"$base/json")
       docs.write.mode("overwrite").option("header", "true")

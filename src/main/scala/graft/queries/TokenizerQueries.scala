@@ -234,8 +234,52 @@ object TokenizerQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** BYTE-LEVEL BPE trainer (GPT-2's byte-alphabet variant,
+    * [[graft.ops.Bpe.trainBytes]]): the one production tokenizer shape
+    * char-level BPE/WordPiece/Unigram miss — a 256-symbol byte alphabet,
+    * so any UTF-8 input (emoji, non-BMP CJK, mixed scripts) tokenizes
+    * with NO UNK and merges are learned across multi-byte characters
+    * from evidence. Symbols are hex byte pairs (printable, oracle-exact);
+    * TokenizerSpec pins the unhex round-trip law. Same merge-table shape
+    * as q_bpe_train. */
+  private def bpeBytesTrain(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = Bpe.trainedBytes(s, dir)
+    s.createDataFrame(merges)
+      .select(col("round"), col("w1"), col("w2"), col("n"),
+        concat(col("w1"), col("w2")).as("merged"))
+      .orderBy("round")
+  }
+
+  /** Apply side of the byte-level trainer: per-doc token/symbol/byte
+    * counts (bytes-per-symbol is the byte-level fertility — the
+    * compression-rate metric byte-BPE evaluations quote, next to
+    * q_bpe_segment's chars-per-symbol). Same broadcast word-lookup
+    * shape; NO length cap and no OOV drop-out — every whitespace word
+    * joins because the byte alphabet covers all of UTF-8. */
+  private def bpeBytesSegment(s: SparkSession, dir: String): DataFrame = {
+    val (_, repr) = Bpe.trainedBytes(s, dir)
+    val seg = repr.select(col("word"),
+      size(split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\["))
+        .as("n_syms"),
+      (length(hex(encode(col("word"), "UTF-8"))) / 2).cast("long").as("n_bytes"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("n_syms").as("n_symbols"),
+        sum("n_bytes").as("n_bytes"))
+      .withColumn("bytes_per_symbol",
+        round(col("n_bytes").cast("double") / col("n_symbols"), 6))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> bpeTrain,
+    "q_bpe_bytes" -> bpeBytesTrain,
+    "q_bpe_bytes_segment" -> bpeBytesSegment,
     "q_bpe_segment" -> bpeSegment,
     "q_bpe_coverage" -> bpeCoverage,
     "q_bpe_encode" -> bpeEncode,
@@ -248,23 +292,39 @@ object TokenizerQueries extends QueryGroup {
 
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("bpe_repr" -> ((s, dir) => Bpe.trained(s, dir)._2),
+      "bpe_bytes_repr" -> ((s, dir) => Bpe.trainedBytes(s, dir)._2),
       "unigram_vocab" -> ((s, dir) => Unigram.trained(s, dir)),
       "wordpiece_repr" -> ((s, dir) => WordPiece.trained(s, dir)._2))
 
+  /** `r0` CTE for the byte-level variant: symbols are hex pairs of the
+    * word's UTF-8 bytes (DuckDB `hex(word)` == Spark
+    * `hex(encode(word, 'UTF-8'))` — both uppercase). The merge stages are
+    * the char-level ones unchanged. */
+  private val byteR0 =
+    """r0 AS (
+      |  SELECT word, cnt,
+      |    '[' || array_to_string(
+      |      list_transform(generate_series(1, length(hex(word)) // 2),
+      |        i -> hex(word)[i*2-1 : i*2]),
+      |      '][') || ']' AS repr
+      |  FROM wc)""".stripMargin
+
   /** WITH-prefix replaying the training loop: wc -> r0, then per round
-    * p{r} (pair counts) / b{r} (argmax) / r{r+1} (merge applied). */
-  private def bpeSqlPrefix(rounds: Int): String = {
+    * p{r} (pair counts) / b{r} (argmax) / r{r+1} (merge applied).
+    * `r0Override` swaps the initial representation (byte-level). */
+  private def bpeSqlPrefix(rounds: Int, r0Override: Option[String] = None): String = {
     val head =
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
         |  FROM documents),
         |wc AS (SELECT word, count(*) AS cnt FROM tok WHERE word <> '' GROUP BY 1),
-        |r0 AS (
+        |""".stripMargin + r0Override.getOrElse(
+      """r0 AS (
         |  SELECT word, cnt,
         |    '[' || array_to_string(
         |      list_transform(generate_series(1, length(word)), i -> word[i]),
         |      '][') || ']' AS repr
-        |  FROM wc)""".stripMargin
+        |  FROM wc)""".stripMargin)
     val stages = (0 until rounds).map { r =>
       s"""p$r AS (
          |  SELECT syms[i] AS w1, syms[i+1] AS w2, CAST(sum(cnt) AS BIGINT) AS n
@@ -450,6 +510,29 @@ object TokenizerQueries extends QueryGroup {
       "q_bpe_train" ->
         s"""${bpeSqlPrefix(k)}
            |SELECT * FROM ($mergeRows) ORDER BY round""".stripMargin,
+
+      "q_bpe_bytes" ->
+        s"""${bpeSqlPrefix(k, Some(byteR0))}
+           |SELECT * FROM ($mergeRows) ORDER BY round""".stripMargin,
+
+      "q_bpe_bytes_segment" ->
+        s"""${bpeSqlPrefix(k, Some(byteR0))},
+           |seg AS (
+           |  SELECT word, len(string_split(repr[2:-2], '][')) AS n_syms,
+           |         length(hex(word)) // 2 AS n_bytes
+           |  FROM r$k),
+           |dt AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |  FROM documents)
+           |SELECT doc_id,
+           |  count(*) AS n_tokens,
+           |  CAST(sum(n_syms) AS BIGINT) AS n_symbols,
+           |  CAST(sum(s.n_bytes) AS BIGINT) AS n_bytes,
+           |  round(CAST(sum(s.n_bytes) AS DOUBLE) / CAST(sum(n_syms) AS BIGINT), 6)
+           |    AS bytes_per_symbol
+           |FROM dt JOIN seg s USING (word)
+           |WHERE word <> ''
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_bpe_segment" ->
         s"""${bpeSqlPrefix(k)},

@@ -619,6 +619,43 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("ivf index epoch: save / restart / insert / search equals the " +
+    "in-session incremental chain") {
+    // the persisted-epoch law the simhash and BM25 indexes already have
+    // (StreamingSpec): centroids + lists written to parquet by one
+    // session must, after a session boundary, absorb a batch and answer
+    // searches byte-identically to the in-session incremental chain
+    val tmp = java.nio.file.Files.createTempDirectory("graftivfepoch")
+      .toFile.getAbsolutePath
+    val Cut = 400L // vec_ids >= Cut arrive as the post-restart batch
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    Similarity.ivfSaveIndex(emb.filter(col("vec_id") < Cut),
+      nCentroids = 8, path = s"$tmp/ivf")
+    // ---- restart boundary (same discipline as StreamingSpec's) ----
+    graft.core.SharedFrames.clear()
+    spark.catalog.clearCache()
+    val sparkB = spark.newSession()
+    val embB = graft.core.Tables.embeddings(sparkB, sf)
+    Similarity.ivfInsertBatch(embB.filter(col("vec_id") >= Cut), s"$tmp/ivf")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val resumed = key(Similarity.ivfIndexTopK(sparkB, s"$tmp/ivf",
+      isQuery = col("vec_id") < 5, k = 5, nProbe = 3))
+    val inSession = key(Similarity.ivfIncrementalTopK(embB,
+      isNew = col("vec_id") >= Cut, isQuery = col("vec_id") < 5,
+      k = 5, nCentroids = 8, nProbe = 3))
+    assert(resumed.nonEmpty && resumed == inSession,
+      "resumed epoch answers differently from the in-session chain")
+    // the inserted batch is VISIBLE to the resumed search: a query over a
+    // batch vector must rank its neighbors (batch ids never indexed
+    // in-session before the restart)
+    val batchQuery = key(Similarity.ivfIndexTopK(sparkB, s"$tmp/ivf",
+      isQuery = col("vec_id") === 450L, k = 3, nProbe = 3))
+    assert(batchQuery.nonEmpty, "post-restart batch invisible to search")
+    graft.core.SharedFrames.clear()
+  }
+
   test("duplicated spans are maximal: disjoint, >= L tokens, gaps > L") {
     val L = 8
     val spans = graft.ops.Dedup

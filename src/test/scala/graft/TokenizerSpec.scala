@@ -185,6 +185,62 @@ class TokenizerSpec extends SparkSuite {
     assert(!got.keys.exists(_.length > Unigram.MaxPieceLen))
   }
 
+  test("unigram: a supplementary-plane char survives every prune round") {
+    import spark.implicits._
+    // one CODE POINT but Java length 2: if the driver-side prune
+    // classified by UTF-16 length it would compete in the multi-char
+    // branch instead of the always-kept single-char branch
+    val parrot = new String(Character.toChars(0x1F99C))
+    // 45 distinct 2-char words (score 2 each) swamp every prune cutoff
+    // (seed 60, schedule 40/25/15) so a multi-char-classified parrot
+    // (score 1, highest UTF-8 bytes -> last among ties) must fall out
+    val letters = "abcdefghij"
+    val words = (for { a <- letters; b <- letters if a < b }
+      yield s"$a$b").take(45)
+    val docs = Seq((0L, (words ++ words :+ parrot).mkString(" ")))
+      .toDF("doc_id", "text")
+    val vocab = Unigram.train(Unigram.wordCounts(docs)).collect()
+      .map(_.getString(0)).toSet
+    assert(vocab.contains(parrot),
+      "non-BMP single code point dropped by the driver-side prune")
+    // and the segmentation law still holds over the non-BMP corpus
+    val segs = Unigram.segments(Unigram.wordCounts(docs),
+      Unigram.train(Unigram.wordCounts(docs)))
+    assert(segs.filter(concat_ws("", col("segs")) =!= col("word"))
+      .count() == 0L)
+  }
+
+  test("byte-level bpe: symbols unhex back to the exact UTF-8 bytes, no UNK") {
+    import spark.implicits._
+    val parrot = new String(Character.toChars(0x1F99C)) // 4 UTF-8 bytes
+    val docs = Seq(
+      (0L, s"hello hello world $parrot$parrot café café"),
+      (1L, s"hello world café $parrot mixed${parrot}scripts")
+    ).toDF("doc_id", "text")
+    val (merges, repr) = Bpe.trainBytes(docs, Bpe.Rounds)
+    assert(merges.nonEmpty)
+    // every symbol is whole hex bytes (even length, hex alphabet)...
+    val rows = repr.select(col("word"),
+        split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\[").as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, syms) =>
+      syms.foreach { s =>
+        assert(s.length % 2 == 0 && s.matches("[0-9A-F]+"), s"bad symbol $s")
+      }
+    }
+    // ...and the concatenated symbols round-trip to the word's exact
+    // UTF-8 bytes — any input tokenizes, no UNK, including the non-BMP
+    // emoji and the multi-byte e-acute
+    rows.foreach { case (word, syms) =>
+      val bytes = syms.mkString.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") == word,
+        s"round-trip broke for '$word'")
+    }
+    graft.core.SharedFrames.clear()
+  }
+
   test("wordpiece: likelihood-gain merges on a hand-traced corpus") {
     import spark.implicits._
     // words ab(x2), abc(x1): pair (a,b) n=3 ca=3 cb=3 and (b,c) n=1
