@@ -80,6 +80,19 @@ object DedupQueries extends QueryGroup {
        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** (doc_id, fp) exact-fingerprint frame, built once per (session, dir):
+    * the regex normalization + md5 over every byte of the corpus is the
+    * expensive part, and it feeds TWO plan arms in each consumer (group
+    * stats + join-back) in two queries (`q_dedup_exact`,
+    * `q_dedup_funnel`'s k1 stage) — unpersisted it would evaluate four
+    * times. ~40 bytes per doc cached. */
+  private[queries] def sharedExactFps(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.cached(s, s"exactfps:$dir") {
+      Tables.documents(s, dir)
+        .withColumn("fp", md5(Dedup.normText(col("text"))))
+        .select("doc_id", "fp")
+    }
+
   /** Exact dedup: md5 fingerprint of normalized text; canonical = min id.
     *
     * Shape at scale: the group stats come from `groupBy(fp).agg`, NOT a
@@ -93,9 +106,7 @@ object DedupQueries extends QueryGroup {
     * AGGREGATION, never row_number over record"); guarded by PlanSpec's
     * no-Window assert and SkewSpec's mega-duplicate fixture. */
   private def exact(s: SparkSession, dir: String): DataFrame = {
-    val fps = Tables.documents(s, dir)
-      .withColumn("fp", md5(Dedup.normText(col("text"))))
-      .select("doc_id", "fp")
+    val fps = sharedExactFps(s, dir)
     val groups = fps.groupBy("fp")
       .agg(count(lit(1)).as("n_same"), min(col("doc_id")).as("canon_id"))
     fps.join(groups, Seq("fp"))
@@ -317,6 +328,7 @@ object DedupQueries extends QueryGroup {
   // declaration order = dependency order (shingles -> pairs -> clusters);
   // the bench prewarms in this order so each build time is its own stage's
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup_exact_fps" -> sharedExactFps,
     "dedup_shingles_raw" -> sharedShinglesRaw,
     "dedup_shingles" -> sharedShingles,
     "dedup_jaccard_pairs" -> sharedJaccardPairs,
@@ -742,10 +754,7 @@ object DedupQueries extends QueryGroup {
     * (sub-reducer scoped); the funnel itself is three doc_id left joins
     * + ONE counter aggregation unpivoted to 4 rows. */
   private def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
-    val fps = Tables.documents(s, dir)
-      .withColumn("fp", org.apache.spark.sql.functions.md5(
-        Dedup.normText(col("text"))))
-      .select("doc_id", "fp")
+    val fps = sharedExactFps(s, dir)
     val canon = fps.groupBy("fp").agg(min(col("doc_id")).as("canon_id"))
     val ex = fps.join(canon, Seq("fp"))
       .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("k1"))
