@@ -60,8 +60,19 @@ object TokenizerQueries extends QueryGroup {
     * trained on the corpus mix over-serves the dominant language; this
     * is the per-stratum view that exposes it. Rides the shared trained
     * repr frame; |langs|-row output. */
-  private def bpeCoverage(s: SparkSession, dir: String): DataFrame = {
-    val (_, repr) = Bpe.trained(s, dir)
+  private def bpeCoverage(s: SparkSession, dir: String): DataFrame =
+    coverageFrom(Bpe.trained(s, dir)._2, s, dir)
+
+  /** Byte-level coverage twin: same report over the byte-alphabet repr.
+    * `coverage` here reads as the fraction of word occurrences the merge
+    * budget compresses to ONE symbol from 1+ BYTES — strictly harder than
+    * the char-level statistic for multi-byte scripts, which is exactly
+    * the per-language skew this report exists to expose. */
+  private def bpeBytesCoverage(s: SparkSession, dir: String): DataFrame =
+    coverageFrom(Bpe.trainedBytes(s, dir)._2, s, dir)
+
+  private def coverageFrom(repr: DataFrame, s: SparkSession,
+                           dir: String): DataFrame = {
     val seg = repr.select(col("word"),
       size(split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\["))
         .as("n_syms"))
@@ -94,8 +105,18 @@ object TokenizerQueries extends QueryGroup {
     * broadcast; the corpus pass is one posexplode + two broadcast
     * joins — no data-sized shuffle anywhere. */
   private val EncodeMaxPos = 10
-  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val (_, repr) = Bpe.trained(s, dir)
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    encodeFrom(Bpe.trained(s, dir)._2, s, dir)
+
+  /** Byte-level encode twin: the token-id stream a byte-BPE model
+    * consumes — ids from the same occurrence-ranked assignment over the
+    * byte-symbol vocabulary (256-bounded alphabet + merge budget, so the
+    * ranking window and both broadcast lookups stay tiny). */
+  private def bpeBytesEncode(s: SparkSession, dir: String): DataFrame =
+    encodeFrom(Bpe.trainedBytes(s, dir)._2, s, dir)
+
+  private def encodeFrom(repr: DataFrame, s: SparkSession,
+                         dir: String): DataFrame = {
     val wordSyms = repr.select(col("word"), col("cnt"),
       split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\[").as("syms"))
     val vocab = wordSyms
@@ -280,6 +301,8 @@ object TokenizerQueries extends QueryGroup {
     "q_bpe_train" -> bpeTrain,
     "q_bpe_bytes" -> bpeBytesTrain,
     "q_bpe_bytes_segment" -> bpeBytesSegment,
+    "q_bpe_bytes_coverage" -> bpeBytesCoverage,
+    "q_bpe_bytes_encode" -> bpeBytesEncode,
     "q_bpe_segment" -> bpeSegment,
     "q_bpe_coverage" -> bpeCoverage,
     "q_bpe_encode" -> bpeEncode,
@@ -308,6 +331,57 @@ object TokenizerQueries extends QueryGroup {
       |        i -> hex(word)[i*2-1 : i*2]),
       |      '][') || ']' AS repr
       |  FROM wc)""".stripMargin
+
+  /** Coverage-report oracle body, shared by the char- and byte-level
+    * variants (they differ only in the training prefix's `r0`). */
+  private def coverageOracle(prefix: String, k: Int): String =
+    s"""$prefix,
+       |seg AS (
+       |  SELECT word, len(string_split(repr[2:-2], '][')) AS n_syms
+       |  FROM r$k),
+       |dt AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents)
+       |SELECT lang,
+       |  count(*) AS n_occurrences,
+       |  CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fully_merged,
+       |  round(CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS coverage,
+       |  round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS symbols_per_word
+       |FROM dt JOIN seg USING (word)
+       |WHERE word <> ''
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Encode oracle body (token-id stream), shared by the char- and
+    * byte-level variants. */
+  private def encodeOracle(prefix: String, k: Int): String =
+    s"""$prefix,
+       |ws AS (SELECT word, cnt, string_split(repr[2:-2], '][') AS syms
+       |       FROM r$k),
+       |voc AS (
+       |  SELECT syms[i] AS symbol, CAST(sum(cnt) AS BIGINT) AS occ
+       |  FROM ws, unnest(generate_series(1, len(syms))) AS t(i)
+       |  GROUP BY 1),
+       |vid AS (
+       |  SELECT symbol,
+       |    CAST(row_number() OVER (ORDER BY occ DESC, symbol) - 1
+       |      AS INTEGER) AS token_id
+       |  FROM voc),
+       |dt AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos, words[i] AS word
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+       |        FROM documents),
+       |       unnest(generate_series(1, len(words))) AS t(i)
+       |  WHERE words[i] <> '' AND i <= $EncodeMaxPos),
+       |enc AS (
+       |  SELECT doc_id, pos, syms,
+       |    unnest(generate_series(1, len(syms))) AS si
+       |  FROM dt JOIN ws USING (word))
+       |SELECT doc_id, pos, CAST(si AS INTEGER) AS sym_idx,
+       |  token_id, syms[si] AS symbol
+       |FROM enc JOIN vid ON syms[si] = vid.symbol
+       |ORDER BY doc_id, pos, sym_idx""".stripMargin
 
   /** WITH-prefix replaying the training loop: wc -> r0, then per round
     * p{r} (pair counts) / b{r} (argmax) / r{r+1} (merge applied).
@@ -553,52 +627,14 @@ object TokenizerQueries extends QueryGroup {
            |WHERE word <> ''
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-      "q_bpe_encode" ->
-        s"""${bpeSqlPrefix(k)},
-           |ws AS (SELECT word, cnt, string_split(repr[2:-2], '][') AS syms
-           |       FROM r$k),
-           |voc AS (
-           |  SELECT syms[i] AS symbol, CAST(sum(cnt) AS BIGINT) AS occ
-           |  FROM ws, unnest(generate_series(1, len(syms))) AS t(i)
-           |  GROUP BY 1),
-           |vid AS (
-           |  SELECT symbol,
-           |    CAST(row_number() OVER (ORDER BY occ DESC, symbol) - 1
-           |      AS INTEGER) AS token_id
-           |  FROM voc),
-           |dt AS (
-           |  SELECT doc_id, CAST(i AS INTEGER) AS pos, words[i] AS word
-           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
-           |        FROM documents),
-           |       unnest(generate_series(1, len(words))) AS t(i)
-           |  WHERE words[i] <> '' AND i <= $EncodeMaxPos),
-           |enc AS (
-           |  SELECT doc_id, pos, syms,
-           |    unnest(generate_series(1, len(syms))) AS si
-           |  FROM dt JOIN ws USING (word))
-           |SELECT doc_id, pos, CAST(si AS INTEGER) AS sym_idx,
-           |  token_id, syms[si] AS symbol
-           |FROM enc JOIN vid ON syms[si] = vid.symbol
-           |ORDER BY doc_id, pos, sym_idx""".stripMargin,
+      "q_bpe_encode" -> encodeOracle(bpeSqlPrefix(k), k),
 
-      "q_bpe_coverage" ->
-        s"""${bpeSqlPrefix(k)},
-           |seg AS (
-           |  SELECT word, len(string_split(repr[2:-2], '][')) AS n_syms
-           |  FROM r$k),
-           |dt AS (
-           |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
-           |  FROM documents)
-           |SELECT lang,
-           |  count(*) AS n_occurrences,
-           |  CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS fully_merged,
-           |  round(CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-           |    / count(*), 6) AS coverage,
-           |  round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS symbols_per_word
-           |FROM dt JOIN seg USING (word)
-           |WHERE word <> ''
-           |GROUP BY lang ORDER BY lang""".stripMargin,
+      "q_bpe_bytes_encode" -> encodeOracle(bpeSqlPrefix(k, Some(byteR0)), k),
+
+      "q_bpe_bytes_coverage" ->
+        coverageOracle(bpeSqlPrefix(k, Some(byteR0)), k),
+
+      "q_bpe_coverage" -> coverageOracle(bpeSqlPrefix(k), k),
 
       "q_unigram_train" -> {
         val r = Unigram.PruneSchedule.size
