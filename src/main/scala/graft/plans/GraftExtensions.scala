@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharsNospaceExpr, CharsNospaceRewrite, DotProductExpr, MisraGriesAgg, NfcExpr, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, TopKAgg, WinnowExpr}
+import graft.functions.{CharsNospaceExpr, CharsNospaceRewrite, DotProductExpr, MisraGriesAgg, NfcExpr, NormTextExpr, NormTextRewrite, SimHash16Expr, SimHashExpr, TokenCountExpr, TokenCountRewrite, TopKAgg, WinnowExpr}
 
 /** SQL-surface registration for the library's native Catalyst expressions.
   *
@@ -65,10 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("chars_nospace",
       "chars_nospace(text) - non-whitespace codepoint count (one byte pass)",
       CharsNospaceExpr))
+    ext.injectFunction(unary("norm_text",
+      "norm_text(text) - lowercase + whitespace-collapse + trim (one pass)",
+      NormTextExpr))
     // plan-level rewrites: size(regexp_extract_all(x, '\S+', 0)) ->
     // token_count; length(regexp_replace(x, '\s+', '')) -> chars_nospace
     ext.injectOptimizerRule(_ => TokenCountRewrite)
     ext.injectOptimizerRule(_ => CharsNospaceRewrite)
+    ext.injectOptimizerRule(_ => NormTextRewrite)
     ext.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -96,6 +100,8 @@ object GraftExtensions {
       args => TokenCountExpr(args.head))
     reg("chars_nospace", "chars_nospace(text) - non-whitespace codepoint count",
       args => CharsNospaceExpr(args.head))
+    reg("norm_text", "norm_text(text) - lowercase + ws-collapse + trim",
+      args => NormTextExpr(args.head))
     reg("nfc", "nfc(text) - Unicode NFC canonical composition",
       args => NfcExpr(args.head))
     reg("top_k", "top_k(value, id, k) - bounded-heap per-group top-k aggregate",
@@ -133,7 +139,7 @@ object GraftExtensions {
     * hook only applies at construction): idempotent append to
     * experimental.extraOptimizations. */
   def installOptimizations(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val want = Seq(TokenCountRewrite, CharsNospaceRewrite,
+    val want = Seq(TokenCountRewrite, CharsNospaceRewrite, NormTextRewrite,
       AsOfJoinFilterPushdown)
     val cur = spark.experimental.extraOptimizations
     val missing = want.filterNot(cur.contains)

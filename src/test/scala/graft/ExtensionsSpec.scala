@@ -88,6 +88,55 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(!other.queryExecution.optimizedPlan.toString.contains("chars_nospace"))
   }
 
+  test("norm-text rewrite fires on the normText idiom and equals the regex form") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(graft.ops.Dedup.normText(col("text")).as("t"))
+    val opt = docs.queryExecution.optimizedPlan.toString
+    assert(opt.contains("norm_text"), opt)
+    assert(!opt.contains("regexp_replace"), opt)
+
+    // law: the one-pass native form == the regex formulation — written
+    // as '\s\s*' so the rewrite rule cannot collapse the comparison to
+    // norm_text == norm_text. Adversarial fixture: every Java \s char,
+    // NBSP (NOT Java \s — must stay content), case folding with
+    // multi-byte expansion (dotted I, sharp s) and a non-BMP emoji,
+    // all-whitespace and empty strings.
+    val parrot = new String(Character.toChars(0x1F99C))
+    val fixture = Seq("", " ", " \t\n\r ", "  a  B  ",
+      "a b", "MiXeD CaSe\tX ", s"emoji $parrot  x",
+      "İstanbul Iı", "STRAßE ẞ!", "ñ  x")
+    def both(df: org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = (
+      df.select(graft.functions.NormText.normText(col("text")))
+        .as[String].collect().toSeq,
+      df.select(trim(regexp_replace(lower(col("text")), """\s\s*""", " ")))
+        .as[String].collect().toSeq)
+    val (g1, w1) = both(fixture.toDF("text"))
+    assert(g1 == w1, s"fixture mismatch:\n$g1\n$w1")
+    // seeded pseudo-random strings over a whitespace-heavy token pool
+    val rng = new scala.util.Random(42)
+    val toks = Seq("a", "Z", " ", "\t", "\n", "", "", "\r",
+      " ", "İ", "ß", parrot)
+    val rand = (1 to 500).map(_ =>
+      Seq.fill(rng.nextInt(30))(toks(rng.nextInt(toks.length))).mkString)
+    val (g2, w2) = both(rand.toDF("text"))
+    assert(g2 == w2)
+    // corpus-level: zero mismatches through the rewritten path
+    val mism = graft.core.Tables.documents(spark, sf)
+      .filter(graft.ops.Dedup.normText(col("text")) =!=
+        trim(regexp_replace(lower(col("text")), """\s\s*""", " ")))
+      .count()
+    assert(mism == 0L)
+    // near-miss idioms must NOT be rewritten: a different replacement,
+    // and the same replace without the lower()
+    val other = graft.core.Tables.documents(spark, sf)
+      .select(trim(regexp_replace(lower(col("text")), """\s+""", "_")))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("norm_text"))
+    val noLower = graft.core.Tables.documents(spark, sf)
+      .select(trim(regexp_replace(col("text"), """\s+""", " ")))
+    assert(!noLower.queryExecution.optimizedPlan.toString.contains("norm_text"))
+  }
+
   test("top_k aggregate == window row_number formulation (law + tiebreak)") {
     GraftExtensions.registerAll(spark)
     import org.apache.spark.sql.functions._
