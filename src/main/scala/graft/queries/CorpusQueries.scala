@@ -1263,7 +1263,34 @@ object CorpusQueries extends QueryGroup {
       .withColumn("diverse", col("l_distinct") >= 3)
       .orderBy("source", "len_band")
 
+  /** Token-shard WRITE PLAN — the index frame of
+    * [[graft.sinks.TokenShards]] (shard assignment + per-shard id
+    * offsets), the terminal artifact layout of a training-data pipeline,
+    * oracle-gated here so the sink's distributed offset math is pinned
+    * cross-engine (the binary write itself is the FormatsSpec identity
+    * law). n_ids = whitespace token count (one id per token — the
+    * natural width of the index regardless of which tokenizer fills the
+    * ids). The cumsum window partitions by SHARD: a shard is bounded by
+    * construction (it is the unit a loader memory-maps), so the window
+    * partition never sees corpus-scale rows — this is the one place a
+    * per-key window IS the right shape. */
+  private val ShardCount = 4
+  private def tokenShards(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("size(filter(split(trim(text), '\\\\s+'), w -> w <> ''))")
+          .cast("long").as("n_ids"))
+      .withColumn("shard", pmod(col("doc_id"), lit(ShardCount)).cast("int"))
+      .withColumn("offset_ids", coalesce(sum(col("n_ids")).over(w), lit(0L)))
+      .select("doc_id", "shard", "offset_ids", "n_ids")
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_shards" -> tokenShards,
     "q_dq_audit" -> dqAudit,
     "q_k_anonymity" -> kAnonymity,
     "q_l_diversity" -> lDiversity,
@@ -1343,6 +1370,20 @@ object CorpusQueries extends QueryGroup {
       |         ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM bsc)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q_token_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      w -> w <> '')) AS BIGINT) AS n_ids,
+         |    CAST(doc_id % $ShardCount AS INTEGER) AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(coalesce(sum(n_ids) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS offset_ids,
+         |  n_ids
+         |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_dq_audit" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,

@@ -64,6 +64,37 @@ class FormatsSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 2000)
   }
 
+  test("token-shard sink: write + reconstruct is the identity, offsets contiguous") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftshards")
+      .toFile.getAbsolutePath
+    // deterministic token ids from the real corpus; empty-text docs give
+    // zero-length id arrays (the offset math must absorb them)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("transform(filter(split(trim(text), '\\\\s+'), w -> w <> ''), " +
+          "w -> cast(pmod(hash(w), 50000) as int))").as("ids"))
+    val n = graft.sinks.TokenShards.write(docs, nShards = 4, tmp)
+    assert(n == docs.count())
+    // exactly nShards binary files on disk
+    val bins = new java.io.File(tmp).listFiles()
+      .filter(_.getName.matches("shard-\\d+\\.bin")).sortBy(_.getName)
+    assert(bins.length == 4, bins.mkString(", "))
+    // per-shard byte size == 4 * total ids on that shard (offsets
+    // contiguous, nothing dropped or double-written)
+    val idx = spark.read.parquet(s"$tmp/index")
+    val sizes = idx.groupBy("shard").agg(sum("n_ids").as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    bins.foreach { f =>
+      val k = f.getName.stripPrefix("shard-").stripSuffix(".bin").toInt
+      assert(f.length() == sizes(k) * 4, s"shard $k size ${f.length()}")
+    }
+    // identity law: reconstruct == input, row for row
+    val back = graft.sinks.TokenShards.reconstruct(spark, tmp)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    graft.core.SharedFrames.clear()
+  }
+
   test("JSON-lines sink/source round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graftjson").toFile.getAbsolutePath
     val in = sample
