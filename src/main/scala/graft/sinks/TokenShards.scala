@@ -36,7 +36,15 @@ import org.apache.spark.sql.functions._
 object TokenShards {
 
   /** Write `(doc_id: long, ids: array<int>)` as `nShards` binary shards
-    * + index. Returns the number of docs written. */
+    * + index. Returns the number of docs written.
+    *
+    * Size `nShards` so each shard stays under 2 GiB (< 2^29 ids): the
+    * shard is the loader's mmap/ByteBuffer unit and byte buffers are
+    * int-addressed — the same bound every mmap-based loader imposes.
+    * Hash partitioning may co-locate a few shard values in one task
+    * (handled by the contiguous-run file roll below); with production
+    * shard counts in the thousands that is a minor parallelism ripple,
+    * never a correctness issue. */
   def write(docs: DataFrame, nShards: Int, path: String): Long = {
     require(nShards >= 1, "nShards must be >= 1")
     val w = Window.partitionBy("shard").orderBy("doc_id")
