@@ -56,6 +56,27 @@ class DedupPropsSpec extends SparkSuite {
     })
   }
 
+  test("norm_text equals trim(regexp_replace(lower(_), '\\s+', ' ')) on adversarial text") {
+    val tricky = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+      Gen.oneOf(" ", "É", "İ", "ß", "中", "😀"))).map(_.mkString)
+    check(Prop.forAll(tricky) { s =>
+      // reference composition, layer by layer exactly as Spark evaluates
+      // it: UTF8String.toLowerCase (what Lower applies under the default
+      // collation), Java-regex \s+ collapse, then trim — after the
+      // collapse the edges hold at most ONE ' ', so stripping single
+      // spaces is the exact trim
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(s).toLowerCase.toString
+      val expected = lowered.replaceAll("""\s+""", " ")
+        .stripPrefix(" ").stripSuffix(" ")
+      graft.functions.NormText.norm(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toString == expected
+    })
+  }
+
   test("simhash16 is token-order independent (vote sums commute)") {
     check(Prop.forAll(doc, Gen.long) { (words, seed) =>
       val shuffled = new scala.util.Random(seed).shuffle(words)
