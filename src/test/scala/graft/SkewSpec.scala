@@ -123,6 +123,24 @@ class SkewSpec extends SparkSuite {
     }
   }
 
+  test("df-pruning erases the mega-duplicated text's shingles before any self-join") {
+    // the near-dup family's skew defense is UPSTREAM of the join: a
+    // shingle occurring in n/3 docs (df >> 20) is dropped before the
+    // pair-generating self-join, so the Zipf head never reaches it.
+    // On this fixture every cross-doc shingle is template boilerplate
+    // (df in the thousands), so the verified pair set is exactly empty.
+    val docs = core.Tables.documents(spark, skewDir)
+    val sh = Dedup.shingles(docs, 3, maxShingleFreq = Some(20))
+    val megaShingles = sh.join(
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"), Seq("doc_id"))
+      .count()
+    assert(megaShingles == 0L,
+      s"$megaShingles mega-text shingles survived the df prune")
+    assert(Dedup.jaccardPairs(sh, 0.8).count() == 0L,
+      "df-pruned pair set should be empty on the all-boilerplate fixture")
+    graft.core.SharedFrames.clear()
+  }
+
   test("saltedJoin spreads a 30%-mass hot key and stays law-equal to the plain join") {
     val big = core.Tables.documents(spark, skewDir)
       .select(col("source").as("key"), col("doc_id"))
