@@ -94,13 +94,22 @@ object TokenShards {
     * fit by construction) and equi-join to the index on the shard key;
     * each doc slices its ids out of its shard's bytes per-partition. */
   def reconstruct(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idx = spark.read.parquet(s"$path/index")
+    // an empty corpus writes an index with zero rows and NO shard files;
+    // binaryFile on a matchless glob throws, so short-circuit to the
+    // empty frame with the contract schema
+    if (idx.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("ids", ArrayType(IntegerType)))))
     val shards = spark.read.format("binaryFile")
       .load(s"$path/shard-*.bin")
       .select(
         regexp_extract(col("path"), "shard-(\\d+)\\.bin$", 1)
           .cast("int").as("shard"),
         col("content"))
-    val idx = spark.read.parquet(s"$path/index")
     import spark.implicits._
     idx.join(shards, Seq("shard"))
       .select(col("doc_id"), col("offset_ids"), col("n_ids"), col("content"))

@@ -92,6 +92,17 @@ class FormatsSpec extends SparkSuite {
     // identity law: reconstruct == input, row for row
     val back = graft.sinks.TokenShards.reconstruct(spark, tmp)
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // edges: a single shard round-trips; an empty corpus writes a
+    // zero-row index and reconstructs to the empty frame (no throw on
+    // the matchless shard glob)
+    val one = s"$tmp-one"
+    assert(graft.sinks.TokenShards.write(docs.limit(7), 1, one) == 7L)
+    assert(graft.sinks.TokenShards.reconstruct(spark, one).count() == 7L)
+    val none = s"$tmp-none"
+    assert(graft.sinks.TokenShards.write(docs.limit(0), 4, none) == 0L)
+    val empty = graft.sinks.TokenShards.reconstruct(spark, none)
+    assert(empty.count() == 0L &&
+      empty.columns.toSeq == Seq("doc_id", "ids"))
     graft.core.SharedFrames.clear()
   }
 
