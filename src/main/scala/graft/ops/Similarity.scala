@@ -254,18 +254,6 @@ object Similarity {
     ivfSearch(all, isQuery, k, centroids, nProbe, listSalt)
   }
 
-  /** Shared IVF search stage: assign every vector to its nearest centroid
-    * list, probe the `nProbe` nearest lists per query, exact cosine top-k
-    * within the probed lists.
-    *
-    * `listSalt` > 1 is the hot-list skew defense: a centroid that captures
-    * a dense region turns the probe equi-join into one straggler task
-    * (AQE's skew split only rescues sort-merge joins). Salting splits
-    * every list into `listSalt` sub-lists — corpus rows get a
-    * deterministic salt from vec_id, query probe rows fan out across all
-    * salts — so the shuffle key cardinality is lists x salt and a hot list
-    * spreads over `listSalt` tasks. Results are identical by construction
-    * (every (query, corpus-vector) pair still meets exactly once). */
   /** Sorted per-centroid distance-rank array for the row's `v` column:
     * distance via |v-c|^2 = |v|^2 - 2 v.c + |c|^2 (|v|^2 is constant per
     * row, so ranking needs only the fused dot product per centroid plus

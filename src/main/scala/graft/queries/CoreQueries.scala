@@ -186,11 +186,23 @@ object CoreQueries extends QueryGroup {
     graft.core.SharedFrames.cached(s, s"roundtrip:$dir") {
       graft.core.SharedFrames.onClear { () =>
         def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).forEach(rm(_))
+          if (java.nio.file.Files.isDirectory(p)) {
+            // materialize the listing (and close the stream) before
+            // deleting — removing entries mid-iteration is unspecified
+            val s = java.nio.file.Files.list(p)
+            val children =
+              try {
+                import scala.jdk.CollectionConverters._
+                s.iterator().asScala.toList
+              } finally s.close()
+            children.foreach(rm)
+          }
           java.nio.file.Files.deleteIfExists(p)
         }
-        rm(java.nio.file.Paths.get(base))
+        // delete the SESSION level (base's parent), not just this
+        // dataset's subdir: the path is session-unique and clear() also
+        // drops the write-once guard, so the whole session tree is dead
+        rm(java.nio.file.Paths.get(base).getParent)
       }
       docs.write.mode("overwrite").orc(s"$base/orc")
       docs.write.mode("overwrite").json(s"$base/json")
