@@ -214,7 +214,7 @@ object TextQueries extends QueryGroup {
     * the scan with no exchange at all — the shape claimed by the
     * scaladoc's 100 TB envelope, and the most expensive shared-frame
     * build in the bench before the rewrite. */
-  private def repRunStats(n: Int): org.apache.spark.sql.Column = expr(
+  private[graft] def repRunStats(n: Int): org.apache.spark.sql.Column = expr(
     s"""aggregate(
        |  array_sort(CASE WHEN size(words) >= $n THEN
        |    transform(sequence(1, size(words) - $n + 1),
@@ -244,18 +244,17 @@ object TextQueries extends QueryGroup {
     gopherRepetitionBuild(s, dir)
 
   private def gopherRepetitionBuild(s: SparkSession, dir: String): DataFrame = {
+    // One native pass for all five n-gram lengths (GopherRepExpr) instead
+    // of five interpreted transform+sort+aggregate folds; GopherRepSpec
+    // pins bit-equality to the retained repRunStats fold.
     Tables.documents(s, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .withColumn("total_chars", length(trim(col("text"))).cast("long"))
-      .withColumn("r2", repRunStats(2))
-      .withColumn("r3", repRunStats(3))
-      .withColumn("r4", repRunStats(4))
-      .withColumn("r5", repRunStats(5))
-      .withColumn("r6", repRunStats(6))
+      .withColumn("rep", graft.functions.GopherRep.gopherRep(col("words")))
       .select(col("doc_id"), col("total_chars"),
-        col("r2.topc").as("top2"), col("r3.topc").as("top3"),
-        col("r4.topc").as("top4"), col("r5.dup").as("dup5"),
-        col("r6.dup").as("dup6"))
+        col("rep.top2").as("top2"), col("rep.top3").as("top3"),
+        col("rep.top4").as("top4"), col("rep.dup5").as("dup5"),
+        col("rep.dup6").as("dup6"))
       .select(col("doc_id"),
         round(least(col("top2").cast("double") / col("total_chars"), lit(1.0)), 6).as("top2_frac"),
         round(least(col("top3").cast("double") / col("total_chars"), lit(1.0)), 6).as("top3_frac"),

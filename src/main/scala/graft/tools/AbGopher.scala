@@ -60,9 +60,22 @@ object AbGopher {
             sum(when(col("n") === 5, col("dupc")).otherwise(0L)).as("dup5"))
           .select(sum(col("top2") + col("dup5"))).head()
       }
+      def hofBuild() = {
+        // the round-9 in-row fold (repRunStats), pre-native-expression
+        val b = base
+          .withColumn("total_chars", length(trim(col("text"))).cast("long"))
+          .withColumn("r2", graft.queries.TextQueries.repRunStats(2))
+          .withColumn("r3", graft.queries.TextQueries.repRunStats(3))
+          .withColumn("r4", graft.queries.TextQueries.repRunStats(4))
+          .withColumn("r5", graft.queries.TextQueries.repRunStats(5))
+          .withColumn("r6", graft.queries.TextQueries.repRunStats(6))
+        b.select(sum(col("r2.topc") + col("r3.topc") + col("r4.topc") +
+          col("r5.dup") + col("r6.dup"))).head()
+      }
       for (r <- 1 to 3) {
         t(s"rep$r OLD grouped build") { oldBuild() }
-        t(s"rep$r NEW in-row build") {
+        t(s"rep$r HOF in-row build") { hofBuild() }
+        t(s"rep$r NATIVE expr build") {
           // touch every output column or pruning drops the folds
           graft.queries.TextQueries.gopherBuildForAb(spark, sfDir)
             .select(sum(col("top2_frac") + col("top3_frac") +

@@ -197,11 +197,24 @@ class PlanSpec extends SparkSuite {
   test("q_lm_score: only the 1-row vocab broadcast may nested-loop") {
     val plan = formatted("q_lm_score")
     assert(!plan.contains("CartesianProduct"))
-    // each BNLJ node prints twice (tree line + detail header); one
-    // deliberate 1-row vocab cross-broadcast is allowed, nothing else
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(bnlj <= 2,
-      s"bigram count joins degraded to nested loops ($bnlj):\n${plan.take(1500)}")
+    // Count at the LOGICAL level, not by BNLJ strings in the formatted
+    // plan: when another suite has already materialized the lm_mass
+    // shared frame, the formatted output nests the cached relation's own
+    // AdaptiveSparkPlan (final + initial sections) and the one deliberate
+    // vocab cross prints up to four times — a suite-order flake. A real
+    // "degraded to nested loops" regression means a bigram-count join
+    // LOST its equi-keys, which is exactly a logical Join without an
+    // EqualTo in its condition; the cached subtree collapses to an
+    // InMemoryRelation leaf either way, so the count never double-reads.
+    val qe = SparkEntry.queries("q_lm_score")(spark, sf).queryExecution
+    val nonEqui = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if !j.condition.exists(c =>
+            c.find(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.EqualTo]).isDefined) => j
+    }
+    assert(nonEqui.size <= 1,
+      s"bigram count joins degraded to nested loops (${nonEqui.size}):\n${plan.take(1500)}")
   }
 
   test("q_events_sliding: bounded window fan-out, no join in the plan") {
