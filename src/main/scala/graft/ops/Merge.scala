@@ -57,4 +57,24 @@ object Merge {
       .withColumnRenamed("__new", "new_value")
       .drop("take_new")
   }
+
+  /** Incremental maintenance of a grouped (count, sum) view under a
+    * SIGNED changelog: `view` rows are (key, cnt, total) as currently
+    * materialized; `delta` rows are the same shape with cnt = +1/-1 per
+    * inserted/retracted base row (or pre-aggregated signed sums) and
+    * total carrying the signed measure. One union + re-aggregate merges
+    * them, and groups whose maintained count reaches zero are DROPPED —
+    * a retraction-only group must vanish from the view, not linger as a
+    * zero row (MergeSpec pins this and merge == rebuild).
+    *
+    * O(|delta| + |view|), never a base-table rescan; both inputs arrive
+    * map-side combined, so the merge is one view-width shuffle. Exact
+    * when `total` is DECIMAL (addition/negation are exact, so the
+    * incremental path cannot drift from a rebuild — q_ivm_agg's oracle
+    * proves it against the direct aggregation). */
+  def ivmMerge(view: DataFrame, delta: DataFrame, key: String): DataFrame =
+    view.unionByName(delta)
+      .groupBy(key)
+      .agg(sum("cnt").as("n_rows"), sum("total").as("t"))
+      .where(col("n_rows") > 0)
 }

@@ -1078,7 +1078,52 @@ object RelationalQueries extends QueryGroup {
     ("documents", "n_chars", "INT64"),
     ("embeddings", "vec_id", "INT64"), ("embeddings", "label", "INT32"))
 
+  /** Incremental view maintenance for a grouped aggregate — the
+    * keep-the-summary-fresh primitive a 100 TB warehouse uses instead of
+    * re-aggregating the base table per batch: the maintained view
+    * per-customer (order count, total spend) absorbs a changelog of
+    * inserts (orders on/after the cut date) and retractions (pre-cut
+    * orders with o_orderkey % 10 = 3 — a deterministic GDPR-style
+    * removal set) as SIGNED deltas: +1/price for inserts, -1/-price for
+    * deletes, merged by one |changed groups|-bounded union+re-aggregate.
+    * Groups whose count reaches zero are DROPPED (the classic IVM
+    * subtlety — a retraction-only group must vanish, not linger at 0;
+    * MergeSpec pins it on a fixture built to zero one out). The oracle
+    * computes the view DIRECTLY over (base minus deletes) union inserts,
+    * so the hash gate proves merge == rebuild; money stays in
+    * DECIMAL(18,2) through every +/- so the incremental path is exact,
+    * cast to DOUBLE only at the edge.
+    *
+    * Scale shape: base aggregation is the view (already materialized in
+    * a real deployment — here rebuilt once for the law); the maintenance
+    * step itself touches only the changelog and is one map-side-combined
+    * aggregate + a view-width merge, O(|delta| + |view|), never a base
+    * rescan. */
+  private def ivmAgg(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1999-01-01").cast("timestamp")
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut)
+    val inserts = o.where(col("o_orderdate") >= cut)
+    val deletes = base.where(col("o_orderkey") % 10 === 3)
+    val view0 = base.groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), sum("price").as("total"))
+    val delta = inserts.select(col("o_custkey"), lit(1L).as("dc"), col("price").as("dp"))
+      .unionByName(deletes.select(col("o_custkey"), lit(-1L).as("dc"),
+        (-col("price")).as("dp")))
+      .groupBy("o_custkey")
+      .agg(sum("dc").as("cnt"), sum("dp").cast("decimal(28,2)").as("total"))
+    graft.ops.Merge.ivmMerge(
+      view0.select(col("o_custkey"), col("cnt"),
+        col("total").cast("decimal(28,2)").as("total")),
+      delta, "o_custkey")
+      .select(col("o_custkey"), col("n_rows").as("n_orders"),
+        col("t").cast("double").as("total"))
+      .orderBy("o_custkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivm_agg" -> ivmAgg,
     "q_parquet_meta" -> parquetMeta,
     "q_corr_matrix" -> corrMatrix,
     "q_group_outliers" -> groupOutliers,
@@ -1129,6 +1174,20 @@ object RelationalQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // the DIRECT view over (base \ deletes) UNION inserts — hash match
+    // proves the Spark side's signed-delta merge == rebuild
+    "q_ivm_agg" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         o_orderdate
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(price) AS DOUBLE) AS total
+        |FROM o
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |   OR (o_orderdate < TIMESTAMP '1999-01-01' AND o_orderkey % 10 <> 3)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     // ground truth from the DATA, never the file: num_values = count(*)
     // per flat leaf (sum of element counts for the list leaf), null_count
     // from count differences — the footer parse must land on these

@@ -250,12 +250,17 @@ object SamplingQueries extends QueryGroup {
     * reader prunes with. The oracle replays the bit interleave as a SUM
     * over a bit-index table; LayoutSpec quantifies the pruning win vs a
     * single-column sort on the same data. */
+  private def zBoxes(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"layout_zbox:$dir") {
+      graft.ops.Layout.layoutSummary(
+        graft.ops.Layout.withZValue(
+          Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
+          "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", filesLog2 = 6)
+    }
+
   private def zorder(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Layout.layoutSummary(
-      graft.ops.Layout.withZValue(
-        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
-        "l_partkey", "l_suppkey"),
-      "l_partkey", "l_suppkey", filesLog2 = 6)
+    zBoxes(s, dir).orderBy("file_id")
 
   /** Hilbert-curve layout ([[graft.ops.Layout.withHilbertValue]]) over
     * the same (l_partkey, l_suppkey) plane as `q_zorder` — the locality
@@ -265,12 +270,120 @@ object SamplingQueries extends QueryGroup {
     * rotate/reflect walk runs as one codegen'd `aggregate` expression;
     * the oracle replays it as {bits} unrolled column-transform stages —
     * each stage referenced once, so plain CTE inlining stays linear. */
+  private def hBoxes(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"layout_hbox:$dir") {
+      graft.ops.Layout.hilbertSummary(
+        graft.ops.Layout.withHilbertValue(
+          Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
+          "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", filesLog2 = 6)
+    }
+
   private def hilbertOrder(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Layout.hilbertSummary(
-      graft.ops.Layout.withHilbertValue(
-        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
-        "l_partkey", "l_suppkey"),
-      "l_partkey", "l_suppkey", filesLog2 = 6)
+    hBoxes(s, dir).orderBy("file_id")
+
+  /** Zone-map data skipping audit — the payoff step the two layout
+    * queries exist for: given each layout's per-file bounding boxes (the
+    * min/max column stats a lakehouse reader prunes with), how many of
+    * the 64 files does a rectangular probe actually have to scan? Four
+    * deterministic quarter-width probes march across the (l_partkey,
+    * l_suppkey) domain (x windows at offsets 0/2/4/6 of 8, y windows
+    * phase-shifted by 2), and three layouts compete on the same rows:
+    * `hilbert` and `zorder` reuse the session-shared box frames, and
+    * `xsort` — a single-column range layout, top-6-bits of the scaled x
+    * — is the strawman every 2-d probe defeats (its y range per file is
+    * the whole domain, so every x-overlapping file is scanned).
+    * `rows_match` (layout-independent) sits next to `rows_scanned` so
+    * the report reads as scan amplification per layout.
+    *
+    * Scale shape: boxes are |files|-bounded (64 rows) and probes are
+    * constant (4), so everything after the shared box builds is
+    * broadcast-sized; the only corpus passes are the xsort box
+    * aggregation and the one-pass probe-match count (a 4-way indicator
+    * fan-out with map-side combine, never a per-probe rescan). */
+  private def zoneSkip(s: SparkSession, dir: String): DataFrame = {
+    val xy = Tables.lineitem(s, dir)
+      .select(col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"))
+    val ext = xy.agg(min("x").as("xmin"), max("x").as("xmax"),
+      min("y").as("ymin"), max("y").as("ymax"))
+    val probes = ext
+      .select(col("*"), explode(sequence(lit(0), lit(3))).as("p"))
+      .select(col("p"),
+        expr("xmin + ((2*p) * (xmax - xmin + 1)) div 8").as("x_lo"),
+        expr("xmin + ((2*p + 2) * (xmax - xmin + 1)) div 8 - 1").as("x_hi"),
+        expr("ymin + ((2*((p + 2) % 4)) * (ymax - ymin + 1)) div 8").as("y_lo"),
+        expr("ymin + ((2*((p + 2) % 4) + 2) * (ymax - ymin + 1)) div 8 - 1").as("y_hi"))
+    val xBoxes = xy.crossJoin(broadcast(ext))
+      .select(col("x"), col("y"),
+        expr("((x - xmin) * 65536) div (xmax - xmin + 1)").as("xb"))
+      .withColumn("file_id", expr("xb >> 10"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+    val boxes = hBoxes(s, dir).select(lit("hilbert").as("layout"), col("*"))
+      .unionByName(zBoxes(s, dir).select(lit("zorder").as("layout"), col("*")))
+      .unionByName(xBoxes.select(lit("xsort").as("layout"), col("*")))
+    val hitCond = col("x_max") >= col("x_lo") && col("x_min") <= col("x_hi") &&
+      col("y_max") >= col("y_lo") && col("y_min") <= col("y_hi")
+    val hit = boxes.crossJoin(broadcast(probes))
+      .groupBy("layout", "p")
+      .agg(count(lit(1)).as("files_total"),
+        count(when(hitCond, 1)).as("files_hit"),
+        sum(when(hitCond, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+    val matches = xy.crossJoin(broadcast(probes))
+      .where(col("x") >= col("x_lo") && col("x") <= col("x_hi") &&
+        col("y") >= col("y_lo") && col("y") <= col("y_hi"))
+      .groupBy("p").agg(count(lit(1)).as("rows_match"))
+    hit.join(broadcast(matches), Seq("p"), "left")
+      .select(col("layout"), col("p").cast("int").as("probe"),
+        col("files_total"), col("files_hit"), col("rows_scanned"),
+        coalesce(col("rows_match"), lit(0L)).as("rows_match"))
+      .orderBy("layout", "probe")
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment with a reshard
+    * stability report — the consistent-placement primitive for growing a
+    * sharded corpus store. Each doc's shard under S shards is
+    * argmax over s < S of md5(doc_id ':' s) (ties, impossible without an
+    * md5 collision, break to the larger s — the struct-max order). The
+    * report compares S=8 → S=9 against mod-hashing on the same docs, per
+    * shard: HRW moves docs ONLY onto the new shard 9 (`hrw_moved_in` is
+    * provably 0 for shards 0..7 — growing the candidate set can only
+    * change an argmax to the new candidate; SamplingSpec pins it), about
+    * 1/9 of the corpus, while `mod_moved_in` shows mod-hashing
+    * reshuffling ~8/9 of all docs across every shard — the difference
+    * between a bounded backfill and a full-corpus migration at 100 TB.
+    *
+    * Scale shape: pure projection (the 9-candidate argmax is in-row) +
+    * one 9-way indicator fan-out with map-side combine to 9 rows; no
+    * join, no window. */
+  private def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    def hrw(n: Int) = expr(
+      s"""array_max(transform(sequence(0, ${n - 1}),
+         |  s -> struct(md5(concat(cast(doc_id as string), ':',
+         |                         cast(s as string))) as h, s as s))).s"""
+        .stripMargin)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("hrw8", hrw(8))
+      .withColumn("hrw9", hrw(9))
+      .withColumn("mh", conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long"))
+      .select(col("hrw8"), col("hrw9"),
+        (col("mh") % 8).as("mod8"), (col("mh") % 9).as("mod9"),
+        explode(sequence(lit(0), lit(8))).as("shard"))
+      .groupBy("shard")
+      .agg(count(when(col("hrw8") === col("shard"), 1)).as("n_hrw8"),
+        count(when(col("hrw9") === col("shard"), 1)).as("n_hrw9"),
+        count(when(col("hrw9") === col("shard") &&
+          col("hrw8") =!= col("hrw9"), 1)).as("hrw_moved_in"),
+        count(when(col("mod9") === col("shard") &&
+          col("mod8") =!= col("mod9"), 1)).as("mod_moved_in"))
+      .select(col("shard").cast("int").as("shard"), col("n_hrw8"),
+        col("n_hrw9"), col("hrw_moved_in"), col("mod_moved_in"))
+      .orderBy("shard")
+  }
 
   /** Small-file compaction plan ([[graft.ops.Layout.compactionPlan]])
     * over a deterministic file inventory derived from the part table:
@@ -392,7 +505,13 @@ object SamplingQueries extends QueryGroup {
     "q_shuffle_order" -> shuffleOrder,
     "q_stratified_sample" -> stratified,
     "q_pack_plan" -> pack,
+    "q_zone_skip" -> zoneSkip,
+    "q_shard_assign" -> shardAssign,
   )
+
+  override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "layout_zbox" -> (zBoxes(_, _)),
+    "layout_hbox" -> (hBoxes(_, _)))
 
   /** Unrolled Hilbert rotate/reflect stages h1..h`bits` over h0 —
     * mirrors [[graft.ops.Layout.hilbertD]] level by level (stage k
@@ -416,6 +535,103 @@ object SamplingQueries extends QueryGroup {
   }
 
   override def oracle: Map[String, String] = Map(
+    // three layouts' file boxes vs four probe rectangles; count FILTER
+    // keeps every aggregate in BIGINT (no HUGEINT sum promotion)
+    "q_zone_skip" ->
+      s"""WITH ext AS MATERIALIZED (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS xmin, CAST(max(l_partkey) AS BIGINT) AS xmax,
+         |         CAST(min(l_suppkey) AS BIGINT) AS ymin, CAST(max(l_suppkey) AS BIGINT) AS ymax
+         |  FROM lineitem),
+         |b AS MATERIALIZED (
+         |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+         |    ((CAST(l_partkey AS BIGINT) - xmin) * 65536) // (xmax - xmin + 1) AS xb,
+         |    ((CAST(l_suppkey AS BIGINT) - ymin) * 65536) // (ymax - ymin + 1) AS yb,
+         |    row_number() OVER () AS rid
+         |  FROM lineitem CROSS JOIN ext),
+         |bits AS (SELECT unnest(generate_series(0, 15)) AS i),
+         |z AS (
+         |  SELECT rid, x, y,
+         |    CAST(sum((((xb >> i) & 1) << (2 * i)) + (((yb >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zval
+         |  FROM b CROSS JOIN bits GROUP BY rid, x, y),
+         |zbox AS MATERIALIZED (
+         |  SELECT zval >> 26 AS file_id, count(*) AS n_rows,
+         |    min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         |  FROM z GROUP BY 1),
+         |h0 AS (
+         |  SELECT row_number() OVER () AS rid,
+         |    CAST(l_partkey AS BIGINT) AS x0, CAST(l_suppkey AS BIGINT) AS y0,
+         |    ((CAST(l_partkey AS BIGINT) - xmin) * 65536) // (xmax - xmin + 1) AS x,
+         |    ((CAST(l_suppkey AS BIGINT) - ymin) * 65536) // (ymax - ymin + 1) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem CROSS JOIN ext),
+         |${hilbertRoundsSql(16)},
+         |hbox AS MATERIALIZED (
+         |  SELECT d >> 26 AS file_id, count(*) AS n_rows,
+         |    min(x0) AS x_min, max(x0) AS x_max, min(y0) AS y_min, max(y0) AS y_max
+         |  FROM h16 GROUP BY 1),
+         |xbox AS MATERIALIZED (
+         |  SELECT xb >> 10 AS file_id, count(*) AS n_rows,
+         |    min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         |  FROM b GROUP BY 1),
+         |probes AS MATERIALIZED (
+         |  SELECT p,
+         |    xmin + ((2*p) * (xmax - xmin + 1)) // 8 AS x_lo,
+         |    xmin + ((2*p + 2) * (xmax - xmin + 1)) // 8 - 1 AS x_hi,
+         |    ymin + ((2*((p + 2) % 4)) * (ymax - ymin + 1)) // 8 AS y_lo,
+         |    ymin + ((2*((p + 2) % 4) + 2) * (ymax - ymin + 1)) // 8 - 1 AS y_hi
+         |  FROM ext CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)),
+         |m AS MATERIALIZED (
+         |  SELECT p, count(*) AS rows_match FROM b CROSS JOIN probes
+         |  WHERE x BETWEEN x_lo AND x_hi AND y BETWEEN y_lo AND y_hi GROUP BY p),
+         |boxes AS (
+         |  SELECT 'hilbert' AS layout, * FROM hbox
+         |  UNION ALL SELECT 'zorder' AS layout, * FROM zbox
+         |  UNION ALL SELECT 'xsort' AS layout, * FROM xbox),
+         |hit AS (
+         |  SELECT layout, p, count(*) AS files_total,
+         |    count(*) FILTER (WHERE x_max >= x_lo AND x_min <= x_hi
+         |      AND y_max >= y_lo AND y_min <= y_hi) AS files_hit,
+         |    CAST(coalesce(sum(n_rows) FILTER (WHERE x_max >= x_lo AND x_min <= x_hi
+         |      AND y_max >= y_lo AND y_min <= y_hi), 0) AS BIGINT) AS rows_scanned
+         |  FROM boxes CROSS JOIN probes GROUP BY layout, p)
+         |SELECT h.layout, CAST(h.p AS INTEGER) AS probe, h.files_total,
+         |  h.files_hit, h.rows_scanned,
+         |  CAST(coalesce(m.rows_match, 0) AS BIGINT) AS rows_match
+         |FROM hit h LEFT JOIN m ON h.p = m.p
+         |ORDER BY h.layout, probe""".stripMargin,
+
+    // HRW argmax tie-break = (hash, s) struct max -> ORDER BY hv DESC,
+    // s DESC; mod hash is the repo's 60-bit md5-slice idiom
+    "q_shard_assign" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id FROM documents),
+        |sh9 AS (SELECT unnest(generate_series(0, 8)) AS s),
+        |h AS MATERIALIZED (
+        |  SELECT doc_id, s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS hv
+        |  FROM d CROSS JOIN sh9),
+        |a9 AS MATERIALIZED (
+        |  SELECT doc_id, s AS hrw9 FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s DESC) AS rn
+        |    FROM h) t WHERE rn = 1),
+        |a8 AS MATERIALIZED (
+        |  SELECT doc_id, s AS hrw8 FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s DESC) AS rn
+        |    FROM h WHERE s < 8) t WHERE rn = 1),
+        |asg AS MATERIALIZED (
+        |  SELECT a9.doc_id, hrw8, hrw9, mh % 8 AS mod8, mh % 9 AS mod9
+        |  FROM a9
+        |  JOIN a8 ON a9.doc_id = a8.doc_id
+        |  JOIN (SELECT doc_id,
+        |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS mh
+        |        FROM d) m ON a9.doc_id = m.doc_id)
+        |SELECT CAST(s AS INTEGER) AS shard,
+        |  count(*) FILTER (WHERE hrw8 = s) AS n_hrw8,
+        |  count(*) FILTER (WHERE hrw9 = s) AS n_hrw9,
+        |  count(*) FILTER (WHERE hrw9 = s AND hrw8 <> hrw9) AS hrw_moved_in,
+        |  count(*) FILTER (WHERE mod9 = s AND mod8 <> mod9) AS mod_moved_in
+        |FROM asg CROSS JOIN sh9 GROUP BY s ORDER BY shard""".stripMargin,
     // compaction plan: FFD-order cumulative-division bin packing; the
     // cum window's (size desc, file_id) order is total, so RANGE = ROWS
     "q_compact_plan" ->

@@ -199,4 +199,24 @@ class LayoutSpec extends SparkSuite {
         assert(total >= target - 88, s"$part/$bin underfilled: $total")
     }
   }
+
+  test("zone-skip report: pruning is lossless and 2-d layouts beat the x-sort") {
+    val rows = SparkEntry.queries("q_zone_skip")(spark, sf).collect()
+    assert(rows.length == 12) // 3 layouts x 4 probes
+    rows.foreach { r =>
+      // losslessness: every matching row lives in a scanned file
+      assert(r.getLong(4) >= r.getLong(5),
+        s"${r.getString(0)} probe ${r.getInt(1)}: scanned ${r.getLong(4)} < match ${r.getLong(5)}")
+      assert(r.getLong(3) <= r.getLong(2)) // files_hit <= files_total
+    }
+    // the 2-d locality layouts scan no more rows than the x-only sort
+    // (per-corpus totals: the xsort boxes span the full y domain, so a
+    // rectangle probe can never prune them on y)
+    val scanned = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(4)).sum).toMap
+    assert(scanned("hilbert") <= scanned("xsort"),
+      s"hilbert ${scanned("hilbert")} vs xsort ${scanned("xsort")}")
+    assert(scanned("zorder") <= scanned("xsort"),
+      s"zorder ${scanned("zorder")} vs xsort ${scanned("xsort")}")
+  }
 }

@@ -63,4 +63,24 @@ class MergeSpec extends SparkSuite {
       .filter(_.getName.startsWith("year=")).map(_.getName).toSet
     assert(years.size > 1 && years.contains("year=1996"))
   }
+
+  test("ivmMerge: signed-delta merge == rebuild, and zeroed groups vanish") {
+    // base: A has two rows (both later retracted), B one, C one
+    val base = Seq(("A", 1L, BigDecimal("10.00")), ("A", 1L, BigDecimal("5.00")),
+      ("B", 1L, BigDecimal("7.00")), ("C", 1L, BigDecimal("9.00")))
+      .toDF("k", "cnt", "total")
+    val view0 = base.groupBy("k")
+      .agg(sum("cnt").as("cnt"), sum("total").as("total"))
+    // changelog: retract both A rows, insert one B row and one new D row
+    val delta = Seq(("A", -1L, BigDecimal("-10.00")), ("A", -1L, BigDecimal("-5.00")),
+      ("B", 1L, BigDecimal("3.00")), ("D", 1L, BigDecimal("4.00")))
+      .toDF("k", "cnt", "total")
+      .groupBy("k").agg(sum("cnt").as("cnt"), sum("total").as("total"))
+    val merged = Merge.ivmMerge(view0, delta, "k")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros.toPlainString)).toSeq
+    // A zeroed out -> DROPPED, not a lingering 0-count row
+    assert(merged == Seq(("B", 2L, "10"), ("C", 1L, "9"), ("D", 1L, "4")),
+      merged.toString)
+  }
 }

@@ -285,4 +285,24 @@ class SamplingSpec extends SparkSuite {
     val again = SparkEntry.queries("q_fim_plan")(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("rendezvous resharding moves docs only onto the new shard") {
+    val rows = SparkEntry.queries("q_shard_assign")(spark, sf).collect()
+    assert(rows.length == 9)
+    val byShard = rows.map(r => r.getInt(0) -> r).toMap
+    // shard 8 does not exist at S=8
+    assert(byShard(8).getLong(1) == 0L)
+    // the HRW minimal-move property: no doc moves BETWEEN old shards --
+    // growing the candidate set can only flip an argmax to the newcomer
+    (0 to 7).foreach { s =>
+      assert(byShard(s).getLong(3) == 0L, s"HRW moved a doc into old shard $s")
+    }
+    val n = rows.map(_.getLong(2)).sum            // corpus size
+    val hrwMoved = rows.map(_.getLong(3)).sum     // == everything shard 8 got
+    assert(hrwMoved == byShard(8).getLong(2))
+    assert(hrwMoved <= n / 3, s"HRW moved $hrwMoved of $n - expected ~n/9")
+    // mod-hashing reshuffles the large majority of the corpus
+    val modMoved = rows.map(_.getLong(4)).sum
+    assert(modMoved > n / 2, s"mod resharding moved only $modMoved of $n")
+  }
 }
