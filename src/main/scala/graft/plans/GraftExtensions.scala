@@ -74,6 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => CharsNospaceRewrite)
     ext.injectOptimizerRule(_ => NormTextRewrite)
     ext.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
+    ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
@@ -140,7 +141,7 @@ object GraftExtensions {
     * experimental.extraOptimizations. */
   def installOptimizations(spark: org.apache.spark.sql.SparkSession): Unit = {
     val want = Seq(TokenCountRewrite, CharsNospaceRewrite, NormTextRewrite,
-      AsOfJoinFilterPushdown)
+      AsOfJoinFilterPushdown, SummaryRewrite)
     val cur = spark.experimental.extraOptimizations
     val missing = want.filterNot(cur.contains)
     if (missing.nonEmpty)

@@ -41,6 +41,53 @@ object CoreQueries extends QueryGroup {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** The maintained rollup [[summaryRewrite]] routes onto: lineitem by
+    * (returnflag, linestatus) with DECIMAL measure sums and a group
+    * count. Session-shared — in production this is the table
+    * [[graft.ops.Merge.ivmMerge]] keeps fresh. */
+  private def lineitemSummary(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"mv_lineitem:$dir") {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    }
+
+  /** Summary-table rewrite, oracle-gated THROUGH the optimizer: the query
+    * below is written against the BASE lineitem relation, but
+    * [[graft.plans.SummaryRewrite]] (registered via the summary catalog)
+    * answers it from the 6-row session-shared rollup — grouping keys are
+    * a subset of the summary dims, and every aggregate is derivable
+    * (SUM of a registered DECIMAL measure = exact sum-of-sums, COUNT(*) =
+    * SUM(n_rows)). The DuckDB oracle computes the same query directly on
+    * the base table, so the hash gate proves rewrite == direct — and
+    * ExtensionsSpec pins that the optimized plan really does read the
+    * summary, not the base scan, plus the non-match guards (filter on a
+    * non-dim, underivable aggregate, non-dim grouping key).
+    *
+    * Scale shape: this is the 100 TB aggregate-routing feature — the
+    * base scan disappears entirely; with [[graft.ops.Merge.ivmMerge]]
+    * maintaining the rollup per batch, query cost is |summary|-bounded
+    * regardless of base-table growth. */
+  private def summaryRewrite(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.SummaryCatalog.register(s, s"$dir/lineitem.parquet",
+      dims = Set("l_returnflag", "l_linestatus"),
+      measures = Map(
+        ("l_quantity", "decimal(18,2)") -> "sum_qty",
+        ("l_extendedprice", "decimal(18,2)") -> "sum_price"),
+      countCol = "n_rows", summary = lineitemSummary(s, dir))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   /** P3: semi-join filter on a key set (reference: keep only EINs present in
     * master, `...990.py:686-688`). */
   private def semiJoin(s: SparkSession, dir: String): DataFrame =
@@ -153,6 +200,7 @@ object CoreQueries extends QueryGroup {
 
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cust_cagr_panel" -> ((s, dir) => Panel.sharedCustCagrPanel(s, dir)),
+    "mv_lineitem" -> (lineitemSummary(_, _)),
   )
 
   /** Source/sink format fidelity (S5/§2.1 beyond parquet): the documents
@@ -241,6 +289,7 @@ object CoreQueries extends QueryGroup {
     "q_source_roundtrip" -> sourceRoundtrip,
     "q_scan_project" -> scanProject,
     "q_pricing_summary" -> pricingSummary,
+    "q_summary_rewrite" -> summaryRewrite,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_update_join" -> updateJoin,
@@ -256,6 +305,14 @@ object CoreQueries extends QueryGroup {
       |FROM orders GROUP BY 1, 2""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // computed DIRECTLY on the base table: the hash gate proves the
+    // summary-routed Spark plan == the direct aggregation
+    "q_summary_rewrite" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // one fingerprint from the parquet ground truth, expected verbatim
     // under each of the three format labels
     "q_source_roundtrip" ->

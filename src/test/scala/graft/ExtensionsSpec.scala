@@ -387,4 +387,104 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
       org.apache.spark.sql.SparkSession.setActiveSession(SparkSuite.session)
     }
   }
+
+  test("summary rewrite: matching aggregate reads the summary, not the base scan") {
+    import graft.plans.SummaryCatalog
+    val dir = sf
+    def userQuery() = graft.core.Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+    // a structural base-scan probe: plan toString omits file paths
+    def scansBase(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toString.contains("lineitem"))
+        case _ => false
+      }
+    // 1) no registration -> the direct plan, computed from the base scan
+    SummaryCatalog.clear(spark)
+    val direct = userQuery()
+    assert(scansBase(direct), "baseline should scan the base table")
+    val directRows = direct.collect().map(_.toSeq).toSeq
+    // 2) the registered query: rewrite fires, base scan disappears
+    val rewritten = SparkEntry.queries("q_summary_rewrite")(spark, dir)
+    val plan = rewritten.queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"), plan.take(2000))
+    assert(!scansBase(rewritten),
+      s"base scan survived the rewrite:\n${plan.take(2000)}")
+    assert(rewritten.collect().map(_.toSeq).toSeq == directRows,
+      "rewritten result diverged from the direct aggregation")
+    // 3) non-match guards: each variation must KEEP the base scan
+    def basePlanned(df: org.apache.spark.sql.DataFrame): Boolean = scansBase(df)
+    val li = graft.core.Tables.lineitem(spark, dir)
+    // filter on a non-dimension cannot be answered from the summary
+    assert(basePlanned(li.where(col("l_quantity") > 30)
+      .groupBy("l_returnflag").agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))))
+    // unregistered measure
+    assert(basePlanned(li.groupBy("l_returnflag")
+      .agg(sum(col("l_discount").cast("decimal(18,2)")).as("s"))))
+    // underivable aggregate (avg)
+    assert(basePlanned(li.groupBy("l_returnflag").agg(avg("l_quantity").as("a"))))
+    // non-dimension grouping key
+    assert(basePlanned(li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))))
+    // distinct sum
+    assert(basePlanned(li.groupBy("l_returnflag")
+      .agg(sum_distinct(col("l_quantity").cast("decimal(18,2)")).as("s"))))
+    SummaryCatalog.clear(spark)
+  }
+
+  test("ivm-maintained summary serves the rewrite after an incremental update") {
+    import graft.plans.SummaryCatalog
+    val dir = sf
+    val cut = lit("1999-01-01").cast("timestamp")
+    val o = graft.core.Tables.orders(spark, dir).select(col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"), col("o_orderdate"))
+    // the view as materialized BEFORE the batch: pre-cut orders only
+    val view0 = o.where(col("o_orderdate") < cut).groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), sum("price").cast("decimal(38,2)").as("total"))
+    // the batch: post-cut orders arrive as +1 inserts
+    val delta = o.where(col("o_orderdate") >= cut).groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), sum("price").cast("decimal(38,2)").as("total"))
+    val maintained = graft.core.SharedFrames.register(
+      graft.ops.Merge.ivmMerge(view0, delta, "o_custkey"))
+    // register the MAINTAINED frame (== rollup of the full table) as the
+    // summary for the orders base relation
+    SummaryCatalog.clear(spark)
+    SummaryCatalog.register(spark, s"$dir/orders.parquet",
+      dims = Set("o_custkey"),
+      measures = Map(("o_totalprice", "decimal(18,2)") -> "t"),
+      countCol = "n_rows", summary = maintained)
+    val user = graft.core.Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+    def scansOrders(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toString.contains("orders"))
+        case _ => false
+      }
+    assert(!scansOrders(user), "the maintained summary should answer the query")
+    val got = user.collect().map(_.toSeq).toSeq
+    SummaryCatalog.clear(spark)
+    val direct = graft.core.Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+    assert(scansOrders(direct))
+    assert(got == direct.collect().map(_.toSeq).toSeq,
+      "incrementally-maintained summary diverged from the direct aggregation")
+  }
 }
