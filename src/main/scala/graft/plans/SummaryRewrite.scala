@@ -22,11 +22,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  - the child must be the bare base relation (or an attribute-only
   *    Project of it) — any residual filter/expression disqualifies, since
   *    a WHERE on a non-dimension cannot be answered from the summary;
-  *  - every aggregate must be a non-distinct, non-filtered SUM over an
-  *    exact registered measure shape (bare column or CAST(column AS t) —
-  *    matched structurally, never by SQL text) or COUNT(*)/COUNT(1),
-  *    optionally under one outer Cast; one underivable aggregate
-  *    disqualifies the whole Aggregate;
+  *  - every aggregate must be a non-distinct, non-filtered SUM / MIN /
+  *    MAX over an exact registered measure shape (bare column or
+  *    CAST(column AS t) — matched structurally, never by SQL text) or
+  *    COUNT(*)/COUNT(1), optionally under one outer Cast; one
+  *    underivable aggregate disqualifies the whole Aggregate;
   *  - SUM(measure) rewrites to SUM(sum_col) — exact when measures are
   *    summed in DECIMAL (addition is associative), which is why the
   *    oracle hash gate on `q_summary_rewrite` can prove rewrite ==
@@ -52,7 +52,11 @@ object SummaryCatalog {
       measures: Map[MeasureKey, String],
       /** summary COUNT(*) column name. */
       countCol: String,
-      plan: LogicalPlan)
+      plan: LogicalPlan,
+      /** measure shape -> summary MIN column (min of mins is exact). */
+      mins: Map[MeasureKey, String] = Map.empty,
+      /** measure shape -> summary MAX column (max of maxes is exact). */
+      maxs: Map[MeasureKey, String] = Map.empty)
 
   private val entries = TrieMap.empty[String, SummaryDef]
 
@@ -64,10 +68,13 @@ object SummaryCatalog {
     * relation at `basePath` over `dims`. */
   def register(spark: SparkSession, basePath: String, dims: Set[String],
                measures: Map[MeasureKey, String], countCol: String,
-               summary: DataFrame): Unit =
+               summary: DataFrame,
+               mins: Map[MeasureKey, String] = Map.empty,
+               maxs: Map[MeasureKey, String] = Map.empty): Unit =
     {
       entries.put(sessionKey(spark, normalize(basePath)),
-        SummaryDef(dims, measures, countCol, summary.queryExecution.optimizedPlan))
+        SummaryDef(dims, measures, countCol,
+          summary.queryExecution.optimizedPlan, mins, maxs))
       // hygiene: registrations die with the run, like every persist
       graft.core.SharedFrames.onClear(() => clear(spark))
     }
@@ -108,13 +115,6 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   private def isCountStar(ae: AggregateExpression): Boolean = ae.aggregateFunction match {
     case Count(Seq(Literal(_, _))) => !ae.isDistinct && ae.filter.isEmpty
     case _ => false
-  }
-
-  private def summedMeasure(ae: AggregateExpression,
-      d: SummaryCatalog.SummaryDef): Option[String] = ae.aggregateFunction match {
-    case Sum(child, _) if !ae.isDistinct && ae.filter.isEmpty =>
-      measureKey(child).flatMap(d.measures.get)
-    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -161,9 +161,25 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             KnownNotNull(AggregateExpression(Sum(cnt), Complete, isDistinct = false))
           }
         case ae: AggregateExpression =>
-          summedMeasure(ae, d).flatMap(byName.get).map { sumCol =>
-            AggregateExpression(Sum(sumCol), Complete, isDistinct = false)
-          }
+          (ae.aggregateFunction match {
+            case Sum(child, _) if !ae.isDistinct && ae.filter.isEmpty =>
+              measureKey(child).flatMap(d.measures.get).flatMap(byName.get)
+                .map(c => AggregateExpression(Sum(c), Complete, isDistinct = false))
+            // min of per-group mins / max of per-group maxes are exact
+            case org.apache.spark.sql.catalyst.expressions.aggregate.Min(child)
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              measureKey(child).flatMap(d.mins.get).flatMap(byName.get)
+                .map(c => AggregateExpression(
+                  org.apache.spark.sql.catalyst.expressions.aggregate.Min(c),
+                  Complete, isDistinct = false))
+            case org.apache.spark.sql.catalyst.expressions.aggregate.Max(child)
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              measureKey(child).flatMap(d.maxs.get).flatMap(byName.get)
+                .map(c => AggregateExpression(
+                  org.apache.spark.sql.catalyst.expressions.aggregate.Max(c),
+                  Complete, isDistinct = false))
+            case _ => None
+          })
         case _ => None
       }
 

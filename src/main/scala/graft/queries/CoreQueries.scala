@@ -52,6 +52,8 @@ object CoreQueries extends QueryGroup {
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
           count(lit(1)).as("n_rows"))
     }
 
@@ -77,13 +79,17 @@ object CoreQueries extends QueryGroup {
       measures = Map(
         ("l_quantity", "decimal(18,2)") -> "sum_qty",
         ("l_extendedprice", "decimal(18,2)") -> "sum_price"),
-      countCol = "n_rows", summary = lineitemSummary(s, dir))
+      countCol = "n_rows", summary = lineitemSummary(s, dir),
+      mins = Map(("l_extendedprice", "") -> "min_price"),
+      maxs = Map(("l_extendedprice", "") -> "max_price"))
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
           .as("sum_base_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
   }
@@ -311,6 +317,8 @@ object CoreQueries extends QueryGroup {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // one fingerprint from the parquet ground truth, expected verbatim

@@ -397,6 +397,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
           .as("sum_base_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
     // a structural base-scan probe: plan toString omits file paths
@@ -438,6 +440,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     // distinct sum
     assert(basePlanned(li.groupBy("l_returnflag")
       .agg(sum_distinct(col("l_quantity").cast("decimal(18,2)")).as("s"))))
+    // min over a column with no registered MIN (only extendedprice has one)
+    assert(basePlanned(li.groupBy("l_returnflag").agg(min("l_quantity").as("m"))))
     SummaryCatalog.clear(spark)
   }
 

@@ -83,4 +83,44 @@ class MergeSpec extends SparkSuite {
     assert(merged == Seq(("B", 2L, "10"), ("C", 1L, "9"), ("D", 1L, "4")),
       merged.toString)
   }
+
+  test("ivmMerge folds over many batches to the direct rollup, deletes included") {
+    import org.apache.spark.sql.DataFrame
+    val o = graft.core.Tables.orders(spark, sf).select(col("o_custkey"),
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    def signed(df: DataFrame, sign: Int): DataFrame =
+      df.select(col("o_custkey"), lit(sign.toLong).as("cnt"),
+        (col("price") * sign).cast("decimal(38,2)").as("total"))
+        .groupBy("o_custkey")
+        .agg(sum("cnt").as("cnt"), sum("total").cast("decimal(38,2)").as("total"))
+    // four insert batches by orderkey stripe; batch 3 also RETRACTS the
+    // batch-0 rows with orderkey % 20 == 0 (they arrived in batch 0)
+    val batches: Seq[DataFrame] = (0 to 3).map { b =>
+      val ins = signed(o.where(col("o_orderkey") % 4 === b), 1)
+      if (b == 3)
+        ins.unionByName(signed(
+          o.where(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 20 === 0), -1))
+          .groupBy("o_custkey")
+          .agg(sum("cnt").as("cnt"), sum("total").cast("decimal(38,2)").as("total"))
+      else ins
+    }
+    val empty = batches.head.limit(0)
+      .select(col("o_custkey"), col("cnt").as("n_rows"), col("total").as("t"))
+    val folded = batches.foldLeft(empty) { (view, delta) =>
+      Merge.ivmMerge(
+        view.select(col("o_custkey"), col("n_rows").as("cnt"),
+          col("t").cast("decimal(38,2)").as("total")),
+        delta, "o_custkey")
+    }
+    val direct = o.where(!(col("o_orderkey") % 20 === 0))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_rows"), sum("price").cast("decimal(38,2)").as("t"))
+    val got = folded.orderBy("o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    val exp = direct.orderBy("o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    assert(got == exp, s"fold diverged: got ${got.take(3)} exp ${exp.take(3)}")
+    assert(!got.exists(_._2 == 0L), "zero-count groups must be dropped")
+  }
 }
