@@ -343,6 +343,50 @@ object SamplingQueries extends QueryGroup {
       .orderBy("layout", "probe")
   }
 
+  /** Curriculum training order — easy-first scheduling (Bengio et al.
+    * 2009) over the quality-scored corpus: documents rank globally by
+    * (quality desc, doc_id) via the two-level value rank (never a
+    * partition-less window), split into exact-rank TERCILES
+    * (tier 0 = easiest third — the `q_rfm_segments` quintile idiom), and
+    * the schedule presents tiers in order with a deterministic md5
+    * shuffle WITHIN each tier (the `q_shuffle_order` rank, partitioned
+    * by tier) — so the realized epoch order hash-gates and replays
+    * identically on any cluster. Ranking compares floor(score·1e9) as
+    * BIGINT, tiebreak doc_id: floor is monotone and both engines floor
+    * the identical IEEE double, so tie handling is exact cross-engine
+    * (never compare raw float order at a tier boundary).
+    *
+    * Scale shape: one grid-rank pass (4096-way parallel windows + a
+    * ≤cells-row cumsum), one per-tier md5 rank (same two-level shape),
+    * and a 3-row offset broadcast; the scored frame persists because
+    * the rank primitive reads it three times. */
+  private def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.core.SharedFrames.register(
+      TextQueries.qualityScoredDocs(s, dir)
+        .where(col("quality_score").isNotNull)
+        .select(col("doc_id"),
+          (-floor(col("quality_score") * 1000000000L)).cast("long").as("neg_q")))
+    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
+      scored, Nil, "neg_q", "doc_id")
+    val tiered = ranked
+      .withColumnRenamed("val_rank", "grank")
+      .crossJoin(broadcast(offsets.agg(sum("__cell_n").as("__n"))))
+      .withColumn("tier", expr("CAST(((grank - 1) * 3) div __n AS INT)"))
+      .drop("__n", "neg_q")
+    val withinTier = Sampling.rankedBy(tiered, Seq("tier"), "doc_id")
+    val tierOffsets = tiered.groupBy("tier")
+      .agg(count(lit(1)).as("tn"))
+      .withColumn("toff", coalesce(sum(col("tn")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("tier")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("tier", "toff") // 3-row frame: the only partition-less window
+    withinTier.join(broadcast(tierOffsets), Seq("tier"))
+      .select(col("doc_id"), col("tier"), col("grank"),
+        (col("toff") + col("samp_rank")).as("pos"))
+      .orderBy("pos")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment with a reshard
     * stability report — the consistent-placement primitive for growing a
     * sharded corpus store. Each doc's shard under S shards is
@@ -507,6 +551,7 @@ object SamplingQueries extends QueryGroup {
     "q_pack_plan" -> pack,
     "q_zone_skip" -> zoneSkip,
     "q_shard_assign" -> shardAssign,
+    "q_curriculum_order" -> curriculumOrder,
   )
 
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -599,6 +644,52 @@ object SamplingQueries extends QueryGroup {
          |  CAST(coalesce(m.rows_match, 0) AS BIGINT) AS rows_match
          |FROM hit h LEFT JOIN m ON h.p = m.p
          |ORDER BY h.layout, probe""".stripMargin,
+
+    // exact-rank terciles on floor(score*1e9) (monotone, identical IEEE
+    // double both engines), per-tier md5 shuffle, 3-row offset cumsum;
+    // the window-sum offset is HUGEINT in DuckDB -> cast pos to BIGINT
+    "q_curriculum_order" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS INTEGER) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INTEGER) AS chars_nospace
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id,
+         |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) +
+         |    0.25 * (1.0 - CASE WHEN n_tokens = 0 THEN NULL
+         |                       ELSE CAST(stop_hits AS DOUBLE) / n_tokens END) +
+         |    0.25 * least(1.0, CASE WHEN n_tokens = 0 THEN NULL
+         |                           ELSE CAST(chars_nospace AS DOUBLE) / n_tokens END / 8)
+         |      AS quality_score
+         |  FROM base),
+         |q AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    -CAST(floor(quality_score * 1000000000) AS BIGINT) AS neg_q
+         |  FROM scored WHERE quality_score IS NOT NULL),
+         |r AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY neg_q, doc_id) AS grank,
+         |    count(*) OVER () AS n
+         |  FROM q),
+         |t AS MATERIALIZED (
+         |  SELECT doc_id, grank,
+         |    CAST(((grank - 1) * 3) // n AS INTEGER) AS tier
+         |  FROM r),
+         |w AS (
+         |  SELECT doc_id, tier, grank,
+         |    row_number() OVER (PARTITION BY tier ORDER BY $rankOrderSql) AS wr
+         |  FROM t),
+         |o2 AS (
+         |  SELECT tier,
+         |    coalesce(sum(tn) OVER (ORDER BY tier
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toff
+         |  FROM (SELECT tier, count(*) AS tn FROM t GROUP BY tier) tc)
+         |SELECT w.doc_id, w.tier, w.grank,
+         |  CAST(o2.toff + w.wr AS BIGINT) AS pos
+         |FROM w JOIN o2 ON w.tier = o2.tier
+         |ORDER BY pos""".stripMargin,
 
     // HRW argmax tie-break = (hash, s) struct max -> ORDER BY hv DESC,
     // s DESC; mod hash is the repo's 60-bit md5-slice idiom

@@ -305,4 +305,29 @@ class SamplingSpec extends SparkSuite {
     val modMoved = rows.map(_.getLong(4)).sum
     assert(modMoved > n / 2, s"mod resharding moved only $modMoved of $n")
   }
+
+  test("curriculum order: tier-contiguous permutation with balanced terciles") {
+    val rows = SparkEntry.queries("q_curriculum_order")(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    // pos is a permutation of 1..n
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to n).toSeq)
+    // grank is also a permutation (the global difficulty rank)
+    assert(rows.map(_.getAs[Long]("grank")).sorted.toSeq == (1L to n).toSeq)
+    // the schedule presents whole tiers in order: every tier-0 position
+    // precedes every tier-1 position precedes every tier-2 position
+    val byTier = rows.groupBy(_.getAs[Int]("tier"))
+    assert(byTier.keySet == Set(0, 1, 2))
+    assert(byTier(0).map(_.getAs[Long]("pos")).max <
+      byTier(1).map(_.getAs[Long]("pos")).min)
+    assert(byTier(1).map(_.getAs[Long]("pos")).max <
+      byTier(2).map(_.getAs[Long]("pos")).min)
+    // exact-rank terciles: sizes differ by at most one
+    val sizes = byTier.view.mapValues(_.length).values
+    assert(sizes.max - sizes.min <= 1, sizes.toSeq.toString)
+    // tiers follow the global rank: tier = ((grank-1)*3) div n
+    rows.foreach { r =>
+      assert(r.getAs[Int]("tier") == ((r.getAs[Long]("grank") - 1) * 3 / n).toInt)
+    }
+  }
 }
