@@ -589,28 +589,56 @@ object Similarity {
 
   /** Upper-triangle integer covariance numerators:
     * c(i,j) = n*sum(xi*xj) - sum(xi)*sum(xj) = n^2 * 2^88 * cov(i,j),
-    * EXACT (every term is integer arithmetic in DECIMAL(38,0), which a
-    * SQL engine mirrors in HUGEINT). Column `n` is carried alongside.
+    * EXACT (every term is integer arithmetic, mirrored by the SQL
+    * engine in HUGEINT). Column `n` is carried alongside.
     *
-    * Distributed Gram shape: the d^2/2 upper-triangle products are
-    * generated INSIDE each row (array transform + one explode — no
-    * self-join, so nothing shuffles on vec_id), and the only exchange is
-    * the (i,j)-key aggregation whose map-side partials collapse every
-    * partition to at most d^2/2 rows — the classic X^T X pattern where
-    * only the d x d result ever crosses the shuffle. */
+    * Distributed Gram shape: the d(d+1)/2 upper-triangle product sums
+    * accumulate in ONE pass through [[graft.functions.CovAccumAgg]] — a
+    * TypedImperativeAggregate holding a per-partition 128-bit cell
+    * buffer, so only |partitions| buffers cross the exchange (the
+    * TopK/Misra–Gries map-side-combine shape). The previous declarative
+    * form generated 2080 (i,j) rows PER VECTOR into a decimal hash
+    * aggregation — correct, but millions of shuffled rows per million
+    * vectors and ~20× slower measured same-JVM (tools/AbCov); it is
+    * retained as [[covarianceNumeratorsExploded]] and CovAccumSpec pins
+    * cell-for-cell equality on the corpus and adversarial fixtures. */
   def covarianceNumerators(emb: DataFrame): DataFrame = {
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val xsLong = transform(col("embedding"), x =>
+      (x.cast("double") * lit(IntScale.toDouble)).cast("long"))
+    val base = graft.core.SharedFrames.register(
+      emb.select(col("vec_id"), xsLong.as("xs")))
+    val nn = base.agg(countDistinct("vec_id").as("n"))
+    // DECIMAL accumulation: a long sum would overflow past ~10^6 vectors
+    val si = base.select(posexplode(col("xs")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(col("x").cast("decimal(19,0)")).as("s"))
+    val idxLit = typedlit(for { i <- 1 to d; j <- i to d } yield (i, j))
+    val sij = base
+      .agg(graft.functions.CovAccum.covAccum(col("xs"), d).as("cells"))
+      .select(posexplode(col("cells")).as(Seq("k", "sij")))
+      .select(element_at(idxLit, col("k") + 1).as("t"), col("sij"))
+      .select((col("t._1") - 1).as("i"), (col("t._2") - 1).as("j"), col("sij"))
+    sij
+      .join(si.select(col("pos").as("i"), col("s").as("si")), Seq("i"))
+      .join(si.select(col("pos").as("j"), col("s").as("sj")), Seq("j"))
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"),
+        (col("n") * col("sij") - col("si") * col("sj")).as("c"),
+        col("n"))
+  }
+
+  /** The pre-round-10 declarative Gram: d(d+1)/2 exploded (i,j) rows per
+    * vector through a decimal hash aggregation. Kept as the independent
+    * reference formulation for CovAccumSpec's equality law. */
+  private[graft] def covarianceNumeratorsExploded(emb: DataFrame): DataFrame = {
     val ex = graft.core.SharedFrames.register(scaledElems(emb))
     val nn = ex.agg(countDistinct("vec_id").as("n"))
-    // DECIMAL accumulation: a long sum would overflow past ~10^6 vectors
     val si = ex.groupBy("pos")
       .agg(sum(col("xs").cast("decimal(19,0)")).as("s"))
     val xsArr = transform(col("embedding"), x =>
       (x.cast("double") * lit(IntScale.toDouble)).cast("long")
         .cast("decimal(19,0)"))
-    // the (i,j) pair enumeration is one LITERAL array reused by every row
-    // (d is a constant of the corpus — bounded single-row pull), so the
-    // generator emits d^2/2 rows per vector with no per-row array
-    // construction and the products run post-explode in codegen
     val d = emb.select(size(col("embedding"))).head().getInt(0)
     val idxLit = typedlit(for { i <- 1 to d; j <- i to d } yield (i, j))
     val sij = emb

@@ -49,6 +49,15 @@ object AbCov {
             .groupBy("pos").agg(sum(col("prod")).as("sij"))
             .agg(sum(col("sij"))).head()
         }
+        t(s"rep$r TIA 128bit") {
+          val xsLong = transform(col("embedding"), x =>
+            (x.cast("double") * lit(graft.ops.Similarity.IntScale.toDouble))
+              .cast("long"))
+          emb.select(xsLong.as("xs"))
+            .agg(graft.functions.CovAccum.covAccum(col("xs"), d).as("cells"))
+            .select(explode(col("cells")).as("c"))
+            .agg(sum(col("c"))).head()
+        }
       }
       println("dim=" + d + " pairs=" + pairs.size)
     } finally {
