@@ -19,9 +19,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * the summary frame — a few rows — instead of scanning the base table.
   *
   * Narrow ON PURPOSE (the [[graft.functions.NormTextRewrite]] discipline):
-  *  - the child must be the bare base relation (or an attribute-only
-  *    Project of it) — any residual filter/expression disqualifies, since
-  *    a WHERE on a non-dimension cannot be answered from the summary;
+  *  - the child must be the bare base relation, an attribute-only
+  *    Project of it, or ONE deterministic Filter whose references are
+  *    ALL dimensions (a dims-only WHERE includes or excludes whole
+  *    summary groups, so it re-targets onto the summary; any non-dim
+  *    reference disqualifies, since the summary cannot answer it);
   *  - every aggregate must be a non-distinct, non-filtered SUM / MIN /
   *    MAX over an exact registered measure shape (bare column or
   *    CAST(column AS t) — matched structurally, never by SQL text) or
@@ -96,15 +98,27 @@ object SummaryCatalog {
 
 object SummaryRewrite extends Rule[LogicalPlan] {
 
-  /** The base-relation paths of a plan node, when it is a bare parquet
-    * relation or an attribute-only Project over one. */
-  private def baseRelationPaths(plan: LogicalPlan): Seq[String] = plan match {
-    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      fs.location.rootPaths.map(p => SummaryCatalog.normalize(p.toString))
-    case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      baseRelationPaths(child)
-    case _ => Seq.empty
-  }
+  /** The base-relation paths plus any residual Filter condition, when
+    * the node is a bare parquet relation, an attribute-only Project, or
+    * ONE Filter over either (nested filters are already And-combined by
+    * the optimizer). A dims-only filter is answerable from the summary —
+    * it includes or excludes WHOLE groups — so it is returned for the
+    * rewriter to re-target; anything else disqualifies at the match
+    * site. */
+  private def baseWithFilter(plan: LogicalPlan): Option[(Seq[String], Option[Expression])] =
+    plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some((fs.location.rootPaths.map(p => SummaryCatalog.normalize(p.toString)), None))
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        baseWithFilter(child)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        baseWithFilter(child) match {
+          case Some((paths, None)) => Some((paths, Some(cond)))
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def measureKey(e: Expression): Option[SummaryCatalog.MeasureKey] = e match {
     case a: AttributeReference => Some((a.name, ""))
@@ -121,19 +135,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val spark = SparkSession.getActiveSession.orNull
     if (spark == null) return plan
     plan.transformUp {
-      case agg @ Aggregate(groupingExprs, aggExprs, child, _)
-          if baseRelationPaths(child).nonEmpty =>
-        val defOpt = baseRelationPaths(child).iterator
-          .flatMap(p => SummaryCatalog.lookup(spark, p))
-          .nextOption()
-        defOpt.flatMap(d => rewrite(agg, groupingExprs, aggExprs, d))
-          .getOrElse(agg)
+      case agg @ Aggregate(groupingExprs, aggExprs, child, _) =>
+        (for {
+          (paths, filterOpt) <- baseWithFilter(child)
+          d <- paths.iterator.flatMap(p => SummaryCatalog.lookup(spark, p)).nextOption()
+          rewritten <- rewrite(agg, groupingExprs, aggExprs, filterOpt, d)
+        } yield rewritten).getOrElse(agg)
     }
   }
 
   private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],
-      aggExprs: Seq[NamedExpression],
+      aggExprs: Seq[NamedExpression], filterOpt: Option[Expression],
       d: SummaryCatalog.SummaryDef): Option[LogicalPlan] = {
+    // a residual filter must touch ONLY dimensions (then it includes or
+    // excludes whole summary groups) and be deterministic
+    if (filterOpt.exists(f => !f.deterministic ||
+        !f.references.forall(a => d.dims.contains(a.name)))) return None
     // fresh instance per splice: no exprId collisions across call sites
     val spliced = d.plan match {
       case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
@@ -199,7 +216,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         }
 
       newAggs.map { na =>
-        Aggregate(gAttrs.map(a => byName(a.name)), na, spliced)
+        val source = filterOpt match {
+          case Some(cond) =>
+            val retargeted = cond.transform {
+              case a: AttributeReference => byName(a.name)
+            }
+            org.apache.spark.sql.catalyst.plans.logical.Filter(retargeted, spliced)
+          case None => spliced
+        }
+        Aggregate(gAttrs.map(a => byName(a.name)), na, source)
       }
     }
   }

@@ -94,6 +94,30 @@ object CoreQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** [[summaryRewrite]]'s dims-only-WHERE sibling: the filter references
+    * only summary dimensions, so it includes/excludes WHOLE rollup groups
+    * and re-targets onto the summary — base scan gone, filter evaluated
+    * on 6 rows. Same oracle discipline: DuckDB runs the filtered
+    * aggregation directly on the base table. */
+  private def summaryFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.SummaryCatalog.register(s, s"$dir/lineitem.parquet",
+      dims = Set("l_returnflag", "l_linestatus"),
+      measures = Map(
+        ("l_quantity", "decimal(18,2)") -> "sum_qty",
+        ("l_extendedprice", "decimal(18,2)") -> "sum_price"),
+      countCol = "n_rows", summary = lineitemSummary(s, dir),
+      mins = Map(("l_extendedprice", "") -> "min_price"),
+      maxs = Map(("l_extendedprice", "") -> "max_price"))
+    Tables.lineitem(s, dir)
+      .where(col("l_linestatus") === "F" || col("l_returnflag") === "N")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   /** P3: semi-join filter on a key set (reference: keep only EINs present in
     * master, `...990.py:686-688`). */
   private def semiJoin(s: SparkSession, dir: String): DataFrame =
@@ -296,6 +320,7 @@ object CoreQueries extends QueryGroup {
     "q_scan_project" -> scanProject,
     "q_pricing_summary" -> pricingSummary,
     "q_summary_rewrite" -> summaryRewrite,
+    "q_summary_filter" -> summaryFilter,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_update_join" -> updateJoin,
@@ -321,6 +346,14 @@ object CoreQueries extends QueryGroup {
         |  max(l_extendedprice) AS max_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_summary_filter" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  max(l_extendedprice) AS max_price,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_linestatus = 'F' OR l_returnflag = 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // one fingerprint from the parquet ground truth, expected verbatim
     // under each of the three format labels
     "q_source_roundtrip" ->

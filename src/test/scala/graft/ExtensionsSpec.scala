@@ -429,6 +429,13 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     // filter on a non-dimension cannot be answered from the summary
     assert(basePlanned(li.where(col("l_quantity") > 30)
       .groupBy("l_returnflag").agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))))
+    // but a dims-ONLY filter re-targets onto the summary (whole groups)
+    val filtered = SparkEntry.queries("q_summary_filter")(spark, dir)
+    assert(!scansBase(filtered),
+      s"dims-only WHERE kept the base scan:\n${filtered.queryExecution.optimizedPlan.toString.take(1500)}")
+    // mixed dim + non-dim condition still disqualifies
+    assert(basePlanned(li.where(col("l_linestatus") === "F" && col("l_quantity") > 30)
+      .groupBy("l_returnflag").agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))))
     // unregistered measure
     assert(basePlanned(li.groupBy("l_returnflag")
       .agg(sum(col("l_discount").cast("decimal(18,2)")).as("s"))))
