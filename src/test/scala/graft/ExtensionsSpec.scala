@@ -449,7 +449,16 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
       .agg(sum_distinct(col("l_quantity").cast("decimal(18,2)")).as("s"))))
     // min over a column with no registered MIN (only extendedprice has one)
     assert(basePlanned(li.groupBy("l_returnflag").agg(min("l_quantity").as("m"))))
+    // the GLOBAL aggregate (no GROUP BY) routes too - empty grouping set
+    // is trivially a dims subset
+    def globalAgg() = li.agg(
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+      count(lit(1)).as("n"))
+    assert(!scansBase(globalAgg()), "global aggregate should route to the summary")
+    val globalGot = globalAgg().collect().map(_.toSeq).toSeq
     SummaryCatalog.clear(spark)
+    assert(globalGot == globalAgg().collect().map(_.toSeq).toSeq,
+      "global aggregate diverged from the direct computation")
   }
 
   test("ivm-maintained summary serves the rewrite after an incremental update") {
