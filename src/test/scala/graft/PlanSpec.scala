@@ -481,4 +481,21 @@ class PlanSpec extends SparkSuite {
         s"$name plans a CartesianProduct")
     }
   }
+
+  test("round-10 operators: join-free or broadcast-only physical shapes") {
+    // HRW shard assignment and IVM are pure projection/aggregation
+    // pipelines - a Join appearing in either means the in-row argmax or
+    // the union+re-aggregate merge regressed to a join formulation
+    assert(!formatted("q_shard_assign").contains("Join"),
+      "q_shard_assign should plan with no join at all")
+    assert(!formatted("q_ivm_agg").contains("Join"),
+      "q_ivm_agg's signed-delta merge is a union + re-aggregate, not a join")
+    // zone-skip and curriculum join only broadcast-sized frames (boxes,
+    // probes, offsets) - a SortMergeJoin means a corpus-sized side
+    // slipped into what must stay a broadcast probe
+    val zs = formatted("q_zone_skip")
+    assert(!zs.contains("SortMergeJoin"), zs.take(1200))
+    val cur = formatted("q_curriculum_order")
+    assert(!cur.contains("SortMergeJoin"), cur.take(1200))
+  }
 }
