@@ -71,7 +71,15 @@ object Merge {
     * map-side combined, so the merge is one view-width shuffle. Exact
     * when `total` is DECIMAL (addition/negation are exact, so the
     * incremental path cannot drift from a rebuild — q_ivm_agg's oracle
-    * proves it against the direct aggregation). */
+    * proves it against the direct aggregation).
+    *
+    * Scope note — the classic IVM asymmetry: SUM and COUNT are
+    * SELF-MAINTAINABLE under inserts AND deletes (a signed delta undoes
+    * exactly); MIN/MAX are self-maintainable under inserts only —
+    * retracting the current minimum requires a rescan of the group (or
+    * an auxiliary top-k structure), so a summary that carries min/max
+    * columns for [[graft.plans.SummaryRewrite]] must either rebuild
+    * them per batch or restrict its changelog to inserts. */
   def ivmMerge(view: DataFrame, delta: DataFrame, key: String): DataFrame =
     view.unionByName(delta)
       .groupBy(key)

@@ -55,7 +55,9 @@ object SummaryCatalog {
       /** summary COUNT(*) column name. */
       countCol: String,
       plan: LogicalPlan,
-      /** measure shape -> summary MIN column (min of mins is exact). */
+      /** measure shape -> summary MIN column (min of mins is exact;
+        * note [[graft.ops.Merge.ivmMerge]]'s scope note — min/max
+        * columns are insert-only-maintainable, unlike the sums). */
       mins: Map[MeasureKey, String] = Map.empty,
       /** measure shape -> summary MAX column (max of maxes is exact). */
       maxs: Map[MeasureKey, String] = Map.empty)
