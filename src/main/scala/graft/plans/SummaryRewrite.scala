@@ -137,12 +137,155 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val spark = SparkSession.getActiveSession.orNull
     if (spark == null) return plan
     plan.transformUp {
+      case agg @ Aggregate(groupingExprs, aggExprs,
+          expand: org.apache.spark.sql.catalyst.plans.logical.Expand, _) =>
+        (for {
+          (paths, filterOpt) <- baseWithFilter(expand.child)
+          d <- paths.iterator.flatMap(p => SummaryCatalog.lookup(spark, p)).nextOption()
+          rewritten <- rewriteRollup(agg, groupingExprs, aggExprs, expand, filterOpt, d)
+        } yield rewritten).getOrElse(agg)
       case agg @ Aggregate(groupingExprs, aggExprs, child, _) =>
         (for {
           (paths, filterOpt) <- baseWithFilter(child)
           d <- paths.iterator.flatMap(p => SummaryCatalog.lookup(spark, p)).nextOption()
           rewritten <- rewrite(agg, groupingExprs, aggExprs, filterOpt, d)
         } yield rewritten).getOrElse(agg)
+    }
+  }
+
+  /** ROLLUP / CUBE / GROUPING SETS over the base relation — Catalyst
+    * lowers them to `Aggregate(dims' + gid, aggs, Expand(rows, out,
+    * base))` where each Expand row replays the measures and nulls out
+    * the collapsed dims. The summary answers these exactly like the
+    * flat case: every Expand row's per-group content is the same whole
+    * set of rollup groups, just fewer physical rows per group.
+    *
+    * Classification keys on the observed invariant that Expand reuses
+    * the CHILD attr ids for plain passthroughs and mints fresh ids for
+    * the grouping outputs: output attrs ∈ child.outputSet are measure
+    * passthroughs (replaced by the summary's data columns), the rest
+    * (dims' + spark_grouping_id) are KEPT with their ids, so the parent
+    * Aggregate's grouping refs — and any grouping()/grouping_id()
+    * bit-op expressions over the gid — resolve untouched. If a future
+    * Spark stops reusing ids, classification drifts and the aggregate
+    * derivation simply fails to match — the rewrite falls back to the
+    * base scan, never to a wrong plan. Kept positions may only carry a
+    * base DIM attr (re-targeted by name), a null, or the gid literal in
+    * each row; aggregates derive exactly as in the flat case; any other
+    * aggregate-free expression over kept attrs (functions of the
+    * groupings, per the analyzer's own rule — multiplicity-independent
+    * by construction) passes through unchanged. */
+  private def rewriteRollup(agg: Aggregate, groupingExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      expand: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      filterOpt: Option[Expression],
+      d: SummaryCatalog.SummaryDef): Option[LogicalPlan] = {
+    if (filterOpt.exists(f => !f.deterministic ||
+        !f.references.forall(a => d.dims.contains(a.name)))) return None
+    val spliced = d.plan match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
+    val byName = spliced.output.map(a => a.name -> a).toMap
+    val childOut = expand.child.outputSet
+    val keptIdx = expand.output.zipWithIndex.collect {
+      case (a, i) if !childOut.contains(a) => i
+    }
+    val keptAttrs = keptIdx.map(expand.output)
+    val keptSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(keptAttrs)
+    // groupings must be exactly kept Expand outputs
+    if (!groupingExprs.forall {
+      case a: AttributeReference => keptSet.contains(a)
+      case _ => false
+    }) return None
+    // kept projection elements: base dim attr / null / literal only
+    val mappedRows: Option[Seq[Seq[Expression]]] = {
+      val rows = expand.projections.map { row =>
+        val elems = keptIdx.map(row)
+        val mapped = elems.map {
+          case a: AttributeReference if childOut.contains(a) =>
+            if (d.dims.contains(a.name)) byName.get(a.name) else None
+          case l @ Literal(_, _) => Some(l)
+          case _ => None
+        }
+        if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
+      }
+      if (rows.forall(_.isDefined)) Some(rows.map(_.get)) else None
+    }
+    mappedRows.flatMap { rows =>
+      val dataCols = spliced.output.filterNot(a => d.dims.contains(a.name))
+      val newOutput = dataCols ++ keptAttrs
+      val newProjections = rows.map(r => (dataCols: Seq[Expression]) ++ r)
+      val source = filterOpt match {
+        case Some(cond) =>
+          val retargeted = cond.transform {
+            case a: AttributeReference => byName(a.name)
+          }
+          org.apache.spark.sql.catalyst.plans.logical.Filter(retargeted, spliced)
+        case None => spliced
+      }
+      val newExpand = org.apache.spark.sql.catalyst.plans.logical.Expand(
+        newProjections, newOutput, source)
+
+      def derive(e: Expression): Option[Expression] = e match {
+        case a: AttributeReference if keptSet.contains(a) => Some(a)
+        case c @ Cast(inner, _, _, _) =>
+          derive(inner).map(nc => c.withNewChildren(Seq(nc)))
+        case ae: AggregateExpression if isCountStar(ae) =>
+          byName.get(d.countCol).map { cnt =>
+            KnownNotNull(AggregateExpression(Sum(cnt), Complete, isDistinct = false))
+          }
+        case ae: AggregateExpression =>
+          ae.aggregateFunction match {
+            case Sum(child, _) if !ae.isDistinct && ae.filter.isEmpty =>
+              measureKey(child).flatMap(d.measures.get).flatMap(byName.get)
+                .map(c => AggregateExpression(Sum(c), Complete, isDistinct = false))
+            case org.apache.spark.sql.catalyst.expressions.aggregate.Min(child)
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              measureKey(child).flatMap(d.mins.get).flatMap(byName.get)
+                .map(c => AggregateExpression(
+                  org.apache.spark.sql.catalyst.expressions.aggregate.Min(c),
+                  Complete, isDistinct = false))
+            case org.apache.spark.sql.catalyst.expressions.aggregate.Max(child)
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              measureKey(child).flatMap(d.maxs.get).flatMap(byName.get)
+                .map(c => AggregateExpression(
+                  org.apache.spark.sql.catalyst.expressions.aggregate.Max(c),
+                  Complete, isDistinct = false))
+            case _ => None
+          }
+        // aggregate-free functions of the groupings (grouping()/
+        // grouping_id() bit-ops over the gid, dim expressions) — constant
+        // per group, so row multiplicity cannot change them
+        case e if !e.exists(_.isInstanceOf[AggregateExpression]) &&
+            e.deterministic && e.references.forall(keptSet.contains) =>
+          Some(e)
+        case _ => None
+      }
+
+      val newAggs: Option[Seq[NamedExpression]] =
+        aggExprs.foldLeft(Option(Vector.empty[NamedExpression])) {
+          case (acc, orig) => acc.flatMap { v =>
+            derive(orig match {
+              case Alias(inner, _) => inner
+              case other => other
+            }).map { rewritten =>
+              val named: NamedExpression = orig match {
+                // untouched passthrough (kept grouping attr): no
+                // self-referential alias
+                case a: AttributeReference if rewritten == a => a
+                case _ =>
+                  val typed =
+                    if (rewritten.dataType == orig.dataType) rewritten
+                    else Cast(rewritten, orig.dataType)
+                  Alias(typed, orig.name)(exprId = orig.exprId)
+              }
+              v :+ named
+            }
+          }
+        }
+      newAggs.map(na => Aggregate(groupingExprs, na, newExpand))
     }
   }
 

@@ -74,14 +74,7 @@ object CoreQueries extends QueryGroup {
     * maintaining the rollup per batch, query cost is |summary|-bounded
     * regardless of base-table growth. */
   private def summaryRewrite(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.SummaryCatalog.register(s, s"$dir/lineitem.parquet",
-      dims = Set("l_returnflag", "l_linestatus"),
-      measures = Map(
-        ("l_quantity", "decimal(18,2)") -> "sum_qty",
-        ("l_extendedprice", "decimal(18,2)") -> "sum_price"),
-      countCol = "n_rows", summary = lineitemSummary(s, dir),
-      mins = Map(("l_extendedprice", "") -> "min_price"),
-      maxs = Map(("l_extendedprice", "") -> "max_price"))
+    registerLineitemSummary(s, dir)
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
@@ -99,7 +92,8 @@ object CoreQueries extends QueryGroup {
     * and re-targets onto the summary — base scan gone, filter evaluated
     * on 6 rows. Same oracle discipline: DuckDB runs the filtered
     * aggregation directly on the base table. */
-  private def summaryFilter(s: SparkSession, dir: String): DataFrame = {
+  /** One registration shared by the three summary-rewrite queries. */
+  private def registerLineitemSummary(s: SparkSession, dir: String): Unit =
     graft.plans.SummaryCatalog.register(s, s"$dir/lineitem.parquet",
       dims = Set("l_returnflag", "l_linestatus"),
       measures = Map(
@@ -108,6 +102,30 @@ object CoreQueries extends QueryGroup {
       countCol = "n_rows", summary = lineitemSummary(s, dir),
       mins = Map(("l_extendedprice", "") -> "min_price"),
       maxs = Map(("l_extendedprice", "") -> "max_price"))
+
+  /** The ROLLUP sibling, oracle-gated through the Expand-matching half
+    * of the rewrite: Catalyst lowers rollup to Aggregate-over-Expand,
+    * and the rule re-targets the Expand's measure passthroughs onto the
+    * summary's data columns while keeping the dims'/grouping-id
+    * plumbing — so the subtotal lattice computes from 6 rollup rows,
+    * never the base scan. Labels use the `q_rollup_counts` coalesce
+    * convention (dims are non-null, so 'ALL' is unambiguous). */
+  private def summaryRollup(s: SparkSession, dir: String): DataFrame = {
+    registerLineitemSummary(s, dir)
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  private def summaryFilter(s: SparkSession, dir: String): DataFrame = {
+    registerLineitemSummary(s, dir)
     Tables.lineitem(s, dir)
       .where(col("l_linestatus") === "F" || col("l_returnflag") === "N")
       .groupBy("l_returnflag")
@@ -321,6 +339,7 @@ object CoreQueries extends QueryGroup {
     "q_pricing_summary" -> pricingSummary,
     "q_summary_rewrite" -> summaryRewrite,
     "q_summary_filter" -> summaryFilter,
+    "q_summary_rollup" -> summaryRollup,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_update_join" -> updateJoin,
@@ -346,6 +365,14 @@ object CoreQueries extends QueryGroup {
         |  max(l_extendedprice) AS max_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_summary_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q_summary_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -507,4 +507,42 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(got == direct.collect().map(_.toSeq).toSeq,
       "incrementally-maintained summary diverged from the direct aggregation")
   }
+
+  test("summary rewrite answers ROLLUP / CUBE / grouping_id from the rollup") {
+    import graft.plans.SummaryCatalog
+    val dir = sf
+    // registration piggybacks on the oracle query's catalog entry
+    SparkEntry.queries("q_summary_rewrite")(spark, dir)
+    def scansBase(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toString.contains("lineitem"))
+        case _ => false
+      }
+    val li = graft.core.Tables.lineitem(spark, dir)
+    def rollupQ() = li.rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    def cubeQ() = li.cube("l_returnflag", "l_linestatus")
+      .agg(max(col("l_extendedprice")).as("mx"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    assert(!scansBase(rollupQ()),
+      s"rollup kept the base scan:\n${rollupQ().queryExecution.optimizedPlan.toString.take(1500)}")
+    assert(!scansBase(cubeQ()), "cube kept the base scan")
+    val gotRollup = rollupQ().collect().map(_.toSeq).toSeq
+    val gotCube = cubeQ().collect().map(_.toSeq).toSeq
+    // an underivable aggregate disqualifies the WHOLE rollup
+    assert(scansBase(li.rollup("l_returnflag")
+      .agg(avg("l_quantity").as("a"))), "avg rollup must keep the base scan")
+    SummaryCatalog.clear(spark)
+    assert(scansBase(rollupQ()))
+    assert(gotRollup == rollupQ().collect().map(_.toSeq).toSeq,
+      "rollup diverged from the direct computation")
+    assert(gotCube == cubeQ().collect().map(_.toSeq).toSeq,
+      "cube diverged from the direct computation")
+  }
 }
