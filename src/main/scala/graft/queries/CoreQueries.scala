@@ -54,6 +54,11 @@ object CoreQueries extends QueryGroup {
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"),
+          // per-measure non-null counts: COUNT(measure) and the AVG
+          // denominator (AVG ignores nulls, so COUNT(*) would be wrong
+          // on a nullable measure)
+          count(col("l_quantity")).as("cnt_qty"),
+          count(col("l_extendedprice")).as("cnt_price"),
           count(lit(1)).as("n_rows"))
     }
 
@@ -101,7 +106,16 @@ object CoreQueries extends QueryGroup {
         ("l_extendedprice", "decimal(18,2)") -> "sum_price"),
       countCol = "n_rows", summary = lineitemSummary(s, dir),
       mins = Map(("l_extendedprice", "") -> "min_price"),
-      maxs = Map(("l_extendedprice", "") -> "max_price"))
+      maxs = Map(("l_extendedprice", "") -> "max_price"),
+      // the bare and decimal-cast shapes share one count column: these
+      // measures are bounded 2-dp values, so the cast can never null a
+      // non-null (the registrar owns that data-dependent claim, exactly
+      // as it owns "sum_qty IS the sum of that cast shape")
+      counts = Map(
+        ("l_quantity", "") -> "cnt_qty",
+        ("l_quantity", "decimal(18,2)") -> "cnt_qty",
+        ("l_extendedprice", "") -> "cnt_price",
+        ("l_extendedprice", "decimal(18,2)") -> "cnt_price"))
 
   /** The ROLLUP sibling, oracle-gated through the Expand-matching half
     * of the rewrite: Catalyst lowers rollup to Aggregate-over-Expand,
@@ -134,6 +148,30 @@ object CoreQueries extends QueryGroup {
         max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+  }
+
+  /** The AVG / COUNT(col) sibling, oracle-gated through the rewrite's
+    * derived-aggregate surface: native `avg(decimal)` rewrites to
+    * Spark's own decimal-Average node shape over SUM(sum_col) /
+    * SUM(cnt_col) — bit-equal to the direct aggregation (same division,
+    * same single HALF_UP rounding at the same scale), which is what
+    * lets the DuckDB oracle pin it with integer arithmetic; the manual
+    * `SUM(x)/COUNT(*)` form exercises the generic deterministic-
+    * expression recursion (arithmetic AROUND derivable aggregates);
+    * and COUNT(measure) routes onto the registered per-measure
+    * non-null count. All three still compute from the 6-row summary,
+    * never the base scan (ExtensionsSpec pins the plan). */
+  private def summaryAvg(s: SparkSession, dir: String): DataFrame = {
+    registerLineitemSummary(s, dir)
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        avg(col("l_quantity").cast("decimal(18,2)")).cast("double").as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_price_star"),
+        count(col("l_extendedprice")).as("n_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_linestatus")
   }
 
   /** P3: semi-join filter on a key set (reference: keep only EINs present in
@@ -340,6 +378,7 @@ object CoreQueries extends QueryGroup {
     "q_summary_rewrite" -> summaryRewrite,
     "q_summary_filter" -> summaryFilter,
     "q_summary_rollup" -> summaryRollup,
+    "q_summary_avg" -> summaryAvg,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_update_join" -> updateJoin,
@@ -373,6 +412,23 @@ object CoreQueries extends QueryGroup {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // avg_qty replicates Spark's decimal-Average value in exact integer
+    // arithmetic: round_half_up(S * 10^6 / d) / 10^6 where S is the exact
+    // decimal sum and d the non-null count — (2*n + d) // (2*d) is
+    // round-half-up for the positive integers at play, and the final
+    // HUGEINT/1e6 double division is correctly rounded on both engines,
+    // so the hash gate can pin a 6-dp HALF_UP decimal average without a
+    // round() whose half-way ties DuckDB would break differently
+    "q_summary_avg" ->
+      """SELECT l_linestatus,
+        |  CAST((2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS HUGEINT)
+        |          * 10000 + count(l_quantity))
+        |       // (2 * count(l_quantity)) AS DOUBLE) / 1000000 AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_price_star,
+        |  count(l_extendedprice) AS n_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_summary_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -545,4 +545,126 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(gotCube == cubeQ().collect().map(_.toSeq).toSeq,
       "cube diverged from the direct computation")
   }
+
+  test("summary rewrite derives AVG / COUNT(col) / arithmetic over aggregates") {
+    import graft.plans.SummaryCatalog
+    val dir = sf
+    def scansBase(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toString.contains("lineitem"))
+        case _ => false
+      }
+    // the q_summary_avg SHAPE, built inline so it can run unregistered
+    // (the SparkEntry fn registers the summary as a side effect)
+    def userQuery() = graft.core.Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        avg(col("l_quantity").cast("decimal(18,2)")).cast("double").as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_price_star"),
+        count(col("l_extendedprice")).as("n_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_linestatus")
+    // direct values FIRST, with no registration in the catalog
+    SummaryCatalog.clear(spark)
+    val direct = userQuery()
+    assert(scansBase(direct), "unregistered avg query should scan the base")
+    val directRows = direct.collect().map(_.toSeq).toSeq
+    // the oracle query fn registers, and every aggregate — native
+    // avg(decimal), SUM/COUNT(*) division, COUNT(measure) — derives
+    val routed = SparkEntry.queries("q_summary_avg")(spark, dir)
+    assert(!scansBase(routed),
+      s"avg/count(col) did not route to the summary:\n" +
+        routed.queryExecution.optimizedPlan.toString.take(1500))
+    assert(routed.collect().map(_.toSeq).toSeq == directRows,
+      "summary-derived avg/count diverged from the direct aggregation")
+    // avg over a measure with no registered count column must keep the
+    // base scan (l_discount has neither sum nor count registered)
+    val li = graft.core.Tables.lineitem(spark, dir)
+    assert(scansBase(li.groupBy("l_returnflag")
+      .agg(avg(col("l_discount").cast("decimal(18,2)")).as("a"))))
+    // avg over a NON-decimal measure shape declines even when a count
+    // exists: double sums are order-dependent, no bit-equality promise
+    assert(scansBase(li.groupBy("l_returnflag")
+      .agg(avg(col("l_quantity")).as("a"))))
+    // non-deterministic structure around a derivable aggregate declines
+    assert(scansBase(li.groupBy("l_returnflag")
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") *
+        rand(7)).as("s"))))
+    SummaryCatalog.clear(spark)
+  }
+
+  test("summary rewrite: multi-root-path scans and empty-group counts stay correct") {
+    import graft.plans.SummaryCatalog
+    val dir = sf
+    // register via the oracle query's shared registration
+    SparkEntry.queries("q_summary_rewrite")(spark, dir)
+    val base = s"$dir/lineitem.parquet"
+    // parquet(base, base) doubles every row: a rewrite onto the summary
+    // would silently halve the counts, so the rule must decline any
+    // relation whose root-path list is not EXACTLY the registered path
+    val doubled = spark.read.parquet(base, base)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+    val leaves = doubled.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.exists {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => fs.location.rootPaths.length == 2
+      case _ => false
+    }, "two-root-path scan must survive the rewrite untouched")
+    val single = graft.core.Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = doubled.select(col("l_returnflag"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == single.map { case (k, v) => k -> v * 2 },
+      "multi-path read must see every path's rows exactly once")
+    // a dims-only filter excluding EVERY group: the routed global
+    // aggregate must answer count 0 (sum NULL), not a NULL count —
+    // this is the COALESCE(SUM(n_rows), 0) seam
+    val li = graft.core.Tables.lineitem(spark, dir)
+    def emptyAgg() = li.where(col("l_returnflag") === "ZZ")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+    def scansBase(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toString.contains("lineitem"))
+        case _ => false
+      }
+    assert(!scansBase(emptyAgg()), "dims-only filter should still route")
+    val gotEmpty = emptyAgg().collect().map(_.toSeq).toSeq
+    SummaryCatalog.clear(spark)
+    assert(gotEmpty == emptyAgg().collect().map(_.toSeq).toSeq,
+      "empty-group global aggregate diverged from the direct computation " +
+        s"(got $gotEmpty)")
+    assert(gotEmpty.head(1) == 0L, "COUNT(*) over zero groups must be 0")
+  }
+
+  test("summary catalog refuses MIN/MAX columns under a retraction contract") {
+    import graft.plans.SummaryCatalog
+    val dir = sf
+    val summary = graft.core.Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("t"),
+        min(col("o_totalprice")).as("mn"))
+    val e = intercept[IllegalArgumentException] {
+      SummaryCatalog.register(spark, s"$dir/orders.parquet",
+        dims = Set("o_orderpriority"),
+        measures = Map(("o_totalprice", "decimal(18,2)") -> "t"),
+        countCol = "n_rows", summary = summary,
+        mins = Map(("o_totalprice", "") -> "mn"),
+        insertOnly = false)
+    }
+    assert(e.getMessage.contains("insertOnly"))
+    SummaryCatalog.clear(spark)
+  }
 }
