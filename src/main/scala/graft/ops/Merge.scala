@@ -58,20 +58,33 @@ object Merge {
       .drop("take_new")
   }
 
-  /** Incremental maintenance of a grouped (count, sum) view under a
-    * SIGNED changelog: `view` rows are (key, cnt, total) as currently
-    * materialized; `delta` rows are the same shape with cnt = +1/-1 per
-    * inserted/retracted base row (or pre-aggregated signed sums) and
-    * total carrying the signed measure. One union + re-aggregate merges
-    * them, and groups whose maintained count reaches zero are DROPPED —
-    * a retraction-only group must vanish from the view, not linger as a
-    * zero row (MergeSpec pins this and merge == rebuild).
+  /** Incremental maintenance of a grouped (count, sums...) view under a
+    * SIGNED changelog: `view` rows are (keys..., cnt, measure sums...)
+    * as currently materialized; `delta` rows are the SAME schema with
+    * cnt = +1/-1 per inserted/retracted base row (or pre-aggregated
+    * signed sums) and each measure column carrying the signed sum. One
+    * union + re-aggregate merges them, and groups whose maintained
+    * count reaches zero are DROPPED — a retraction-only group must
+    * vanish from the view, not linger as a zero row (MergeSpec pins
+    * this and merge == rebuild).
+    *
+    * The output carries the INPUT's column names — (keys..., cnt,
+    * measures...) in, the same out — so the maintained view folds
+    * directly into the next batch's `view` argument and registers
+    * as-is in [[graft.plans.SummaryCatalog]]; no per-call renaming.
+    * Every non-key column except `cnt` is treated as a summed measure.
+    * For a schema-stable fold, cast measures to their widest sum type
+    * (DECIMAL(38,2) for money) up front: SUM already returns its input
+    * decimal type once at max precision, so the fold reaches a fixed
+    * point immediately.
     *
     * O(|delta| + |view|), never a base-table rescan; both inputs arrive
     * map-side combined, so the merge is one view-width shuffle. Exact
-    * when `total` is DECIMAL (addition/negation are exact, so the
+    * when measures are DECIMAL (addition/negation are exact, so the
     * incremental path cannot drift from a rebuild — q_ivm_agg's oracle
-    * proves it against the direct aggregation).
+    * proves it against the direct aggregation, and q_summary_ivm_e2e
+    * proves the maintained view then SERVES queries through the
+    * summary rewrite).
     *
     * Scope note — the classic IVM asymmetry: SUM and COUNT are
     * SELF-MAINTAINABLE under inserts AND deletes (a signed delta undoes
@@ -79,10 +92,19 @@ object Merge {
     * retracting the current minimum requires a rescan of the group (or
     * an auxiliary top-k structure), so a summary that carries min/max
     * columns for [[graft.plans.SummaryRewrite]] must either rebuild
-    * them per batch or restrict its changelog to inserts. */
-  def ivmMerge(view: DataFrame, delta: DataFrame, key: String): DataFrame =
+    * them per batch or restrict its changelog to inserts (the catalog
+    * enforces this at registration via `insertOnly`). */
+  def ivmMerge(view: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val measures = view.columns.filterNot(c => keys.contains(c) || c == "cnt")
+    require(view.columns.contains("cnt"),
+      "ivmMerge: the view must carry a signed 'cnt' column")
     view.unionByName(delta)
-      .groupBy(key)
-      .agg(sum("cnt").as("n_rows"), sum("total").as("t"))
-      .where(col("n_rows") > 0)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("cnt").as("cnt"),
+        measures.map(c => sum(col(c)).as(c)).toSeq: _*)
+      .where(col("cnt") > 0)
+  }
+
+  def ivmMerge(view: DataFrame, delta: DataFrame, key: String): DataFrame =
+    ivmMerge(view, delta, Seq(key))
 }

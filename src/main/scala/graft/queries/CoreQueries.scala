@@ -174,6 +174,81 @@ object CoreQueries extends QueryGroup {
       .orderBy("l_linestatus")
   }
 
+  /** IVM ↔ rewrite closed loop, oracle-gated END-TO-END: a batch of
+    * inserts (post-cut orders) and GDPR-style retractions (pre-cut
+    * orderkey % 10 = 7) lands, and the query runs the full freshness
+    * loop a real warehouse runs per batch — not just its two halves
+    * separately: (1) the base table is updated (written once per
+    * session to a session-scoped tmp parquet; in production this is
+    * the table the batch job rewrites), (2) the materialized rollup is
+    * maintained INCREMENTALLY from the signed changelog via
+    * [[graft.ops.Merge.ivmMerge]] — O(Δ + view), never a base rescan,
+    * and the merged schema folds straight into the catalog with no
+    * renames, (3) the maintained view registers under
+    * `insertOnly = false` (retraction-bearing, so the catalog refuses
+    * min/max columns), and (4) the user aggregate against the updated
+    * BASE relation routes through [[graft.plans.SummaryRewrite]] onto
+    * the maintained 5-row view — ExtensionsSpec pins that the tmp
+    * parquet scan is gone from the plan. The DuckDB oracle aggregates
+    * (base ∖ deletes) ∪ inserts directly from the ORIGINAL orders
+    * table, so the hash gate proves maintain-then-serve == rescan. */
+  private def summaryIvmE2e(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-01-01").cast("timestamp")
+    val o = Tables.orders(s, dir)
+    val keep = col("o_orderdate") >= cut || col("o_orderkey") % 10 =!= 7
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ivm_e2e",
+      s"${s.sparkContext.applicationId}_${System.identityHashCode(s)}",
+      dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+    // write-once per (session, dir); the session tree dies at clear()
+    graft.core.SharedFrames.cached(s, s"ivm_e2e_base:$dir") {
+      graft.core.SharedFrames.onClear { () =>
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val st = java.nio.file.Files.list(p)
+            val children =
+              try {
+                import scala.jdk.CollectionConverters._
+                st.iterator().asScala.toList
+              } finally st.close()
+            children.foreach(rm)
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(java.nio.file.Paths.get(base).getParent)
+      }
+      o.where(keep).select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(base)
+      o.limit(1)
+    }.count()
+    val typed = o.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"), col("o_orderdate"))
+    val view0 = typed.where(col("o_orderdate") < cut)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("price").cast("decimal(38,2)").as("total"))
+    val deletes = typed.where(col("o_orderdate") < cut && col("o_orderkey") % 10 === 7)
+    val inserts = typed.where(col("o_orderdate") >= cut)
+    val delta = inserts
+      .select(col("o_orderpriority"), lit(1L).as("dc"), col("price").as("dp"))
+      .unionByName(deletes.select(col("o_orderpriority"), lit(-1L).as("dc"),
+        (-col("price")).as("dp")))
+      .groupBy("o_orderpriority")
+      .agg(sum("dc").as("cnt"), sum("dp").cast("decimal(38,2)").as("total"))
+    val maintained = graft.core.SharedFrames.cached(s, s"ivm_e2e_view:$dir") {
+      graft.ops.Merge.ivmMerge(view0, delta, "o_orderpriority")
+    }
+    graft.plans.SummaryCatalog.register(s, base,
+      dims = Set("o_orderpriority"),
+      measures = Map(("o_totalprice", "decimal(18,2)") -> "total"),
+      countCol = "cnt", summary = maintained, insertOnly = false)
+    s.read.parquet(base)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** P3: semi-join filter on a key set (reference: keep only EINs present in
     * master, `...990.py:686-688`). */
   private def semiJoin(s: SparkSession, dir: String): DataFrame =
@@ -379,6 +454,7 @@ object CoreQueries extends QueryGroup {
     "q_summary_filter" -> summaryFilter,
     "q_summary_rollup" -> summaryRollup,
     "q_summary_avg" -> summaryAvg,
+    "q_summary_ivm_e2e" -> summaryIvmE2e,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_update_join" -> updateJoin,
@@ -429,6 +505,16 @@ object CoreQueries extends QueryGroup {
         |  count(l_extendedprice) AS n_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // the updated base — (pre-cut minus the retracted stripe) union
+    // post-cut — aggregated DIRECTLY from the original orders table:
+    // the hash gate proves ivmMerge-maintain + rewrite-serve == rescan
+    "q_summary_ivm_e2e" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' OR o_orderkey % 10 <> 7
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_summary_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

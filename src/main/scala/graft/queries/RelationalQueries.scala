@@ -1117,8 +1117,8 @@ object RelationalQueries extends QueryGroup {
       view0.select(col("o_custkey"), col("cnt"),
         col("total").cast("decimal(28,2)").as("total")),
       delta, "o_custkey")
-      .select(col("o_custkey"), col("n_rows").as("n_orders"),
-        col("t").cast("double").as("total"))
+      .select(col("o_custkey"), col("cnt").as("n_orders"),
+        col("total").cast("double").as("total"))
       .orderBy("o_custkey")
   }
 

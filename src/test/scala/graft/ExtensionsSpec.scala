@@ -480,8 +480,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     SummaryCatalog.clear(spark)
     SummaryCatalog.register(spark, s"$dir/orders.parquet",
       dims = Set("o_custkey"),
-      measures = Map(("o_totalprice", "decimal(18,2)") -> "t"),
-      countCol = "n_rows", summary = maintained)
+      measures = Map(("o_totalprice", "decimal(18,2)") -> "total"),
+      countCol = "cnt", summary = maintained)
     val user = graft.core.Tables.orders(spark, dir)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"),
@@ -646,6 +646,24 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
       "empty-group global aggregate diverged from the direct computation " +
         s"(got $gotEmpty)")
     assert(gotEmpty.head(1) == 0L, "COUNT(*) over zero groups must be 0")
+  }
+
+  test("q_summary_ivm_e2e: the updated-base scan is replaced by the maintained view") {
+    import graft.plans.SummaryCatalog
+    val df = SparkEntry.queries("q_summary_ivm_e2e")(spark, sf)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      "the maintained (persisted) view should be the aggregate's source")
+    assert(!leaves.exists {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        fs.location.rootPaths.exists(_.toString.contains("graft_ivm_e2e"))
+      case _ => false
+    }, "the updated-base tmp parquet must not be scanned")
+    assert(df.count() > 0)
+    SummaryCatalog.clear(spark)
   }
 
   test("summary catalog refuses MIN/MAX columns under a retraction contract") {

@@ -105,13 +105,10 @@ class MergeSpec extends SparkSuite {
           .agg(sum("cnt").as("cnt"), sum("total").cast("decimal(38,2)").as("total"))
       else ins
     }
-    val empty = batches.head.limit(0)
-      .select(col("o_custkey"), col("cnt").as("n_rows"), col("total").as("t"))
-    val folded = batches.foldLeft(empty) { (view, delta) =>
-      Merge.ivmMerge(
-        view.select(col("o_custkey"), col("n_rows").as("cnt"),
-          col("t").cast("decimal(38,2)").as("total")),
-        delta, "o_custkey")
+    // the merged output carries the input schema, so the view folds
+    // into the next batch's view argument with no renaming
+    val folded = batches.foldLeft(batches.head.limit(0)) { (view, delta) =>
+      Merge.ivmMerge(view, delta, "o_custkey")
     }
     val direct = o.where(!(col("o_orderkey") % 20 === 0))
       .groupBy("o_custkey")
