@@ -91,6 +91,21 @@ class FormatsSpec extends SparkSuite {
     }
     // identity law: reconstruct == input, row for row
     val back = graft.sinks.TokenShards.reconstruct(spark, tmp)
+    // plan shape: the re-reader is index-repartition + per-partition
+    // positioned reads — NO join, and no relation over the shard files
+    // themselves (a whole-shard binaryFile row was the round-10 scale
+    // hole: every doc row's projection copied its shard's full payload)
+    val rplan = back.queryExecution.optimizedPlan
+    assert(!rplan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+      s"reconstruct must not join shard payloads onto doc rows:\n$rplan")
+    assert(rplan.collectLeaves().forall {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        fs.location.rootPaths.forall(!_.getName.startsWith("shard-"))
+      case _ => true
+    }, s"no relation may load shard binaries as rows:\n$rplan")
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
     // edges: a single shard round-trips; an empty corpus writes a
     // zero-row index and reconstructs to the empty frame (no throw on
