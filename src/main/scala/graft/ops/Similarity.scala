@@ -245,14 +245,33 @@ object Similarity {
                          k: Int, nCentroids: Int, nProbe: Int,
                          listSalt: Int = 1): DataFrame = {
     val corpus = graft.core.SharedFrames.register(withNorm(emb.filter(!isNew)))
-    val centroids = corpus.select(col("vec_id"), col("v"))
-      .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
-      .limit(nCentroids).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = seededCentroids(corpus, nCentroids)
     require(centroids.nonEmpty, "ivfIncrementalTopK: empty corpus")
     val all = corpus.unionByName(withNorm(emb.filter(isNew)))
     ivfSearch(all, isQuery, k, centroids, nProbe, listSalt)
   }
+
+  /** The md5-seeded IVF centroid pick shared by every IVF variant — a
+    * pure function of the corpus ids, so a rebuild, the oracle, and a
+    * resumed epoch all agree. Bounded collect: nCentroids rows. */
+  private def seededCentroids(n: DataFrame, nCentroids: Int): Array[Array[Double]] =
+    n.select(col("vec_id"), col("v"))
+      .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
+      .limit(nCentroids).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** The md5-seeded PQ codebook pick shared by [[pqCodes]], [[pqTopK]],
+    * [[ivfPqTopK]] and the persisted epoch: subspace j's codebook is the
+    * k subvectors of the vectors whose `md5("pq<j>_" || vec_id)` keys
+    * sort first. Bounded collect: k rows per subspace. */
+  private def seededCodebooks(n: DataFrame, m: Int, k: Int,
+                              sub: Int): Seq[Array[Array[Double]]] =
+    (1 to m).map { j =>
+      n.select(col("vec_id"), col("v"))
+        .orderBy(md5(concat(lit(s"pq${j}_"), col("vec_id").cast("string"))))
+        .limit(k).collect()
+        .map(_.getSeq[Double](1).slice((j - 1) * sub, j * sub).toArray)
+    }
 
   /** Sorted per-centroid distance-rank array for the row's `v` column:
     * distance via |v-c|^2 = |v|^2 - 2 v.c + |c|^2 (|v|^2 is constant per
@@ -344,10 +363,7 @@ object Similarity {
   def ivfSaveIndex(emb: DataFrame, nCentroids: Int, path: String): Unit = {
     val spark = emb.sparkSession
     val corpus = graft.core.SharedFrames.register(withNorm(emb))
-    val centroids = corpus.select(col("vec_id"), col("v"))
-      .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
-      .limit(nCentroids).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = seededCentroids(corpus, nCentroids)
     require(centroids.nonEmpty, "ivfSaveIndex: empty embedding corpus")
     import spark.implicits._
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -403,25 +419,19 @@ object Similarity {
     val sub = dim / m
     val n = graft.core.SharedFrames.register(withNorm(emb))
     // one sorted-limit collect per subspace: k rows each, never the corpus
-    val codebooks: Seq[Array[Array[Double]]] = (1 to m).map { j =>
-      n.select(col("vec_id"), col("v"))
-        .orderBy(md5(concat(lit(s"pq${j}_"), col("vec_id").cast("string"))))
-        .limit(k).collect()
-        .map(_.getSeq[Double](1).slice((j - 1) * sub, j * sub).toArray)
-    }
+    val codebooks = seededCodebooks(n, m, k, sub)
     require(codebooks.forall(_.length == k), "pqCodes: corpus smaller than k")
     val withCodes = (1 to m).foldLeft(n) { (df, j) =>
-      val cb = codebooks(j - 1)
-      val cbLit = typedlit(cb.map(_.toSeq).toSeq)
-      val cNormSq = cb.map(c => c.map(x => x * x).sum)
-      val vSub = slice(col("v"), (j - 1) * sub + 1, sub)
-      // argmin over |v_j - c|^2 - |v_j|^2 = |c|^2 - 2 v_j.c; left fold
-      // keeps the smaller centroid index on ties
-      val best = (0 until k).map { c =>
-        struct((lit(cNormSq(c)) - lit(2.0) * dot(vSub, element_at(cbLit, c + 1)))
-          .as("d"), lit(c).as("c"))
-      }.reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
-      df.withColumn(s"best_$j", best)
+      // argmin over |v_j - c|^2 - |v_j|^2 = |c|^2 - 2 v_j.c via
+      // array_sort + element 1 (struct compare: d, then c — ties to the
+      // smaller centroid index). NOT a when-chain fold: a fold's
+      // accumulator appears in both the comparison and the else branch,
+      // so its expression tree doubles per codebook entry — 2^k nodes,
+      // analyzer-fatal at real codebook sizes (k=256) and silently
+      // exponential even at k=16. The sorted-array form is linear, the
+      // distsArray discipline.
+      df.withColumn(s"best_$j",
+        element_at(subspaceDists(codebooks(j - 1), col("v"), j, sub), 1))
     }
     val sse = (1 to m).map(j => col(s"best_$j").getField("d"))
       .foldLeft(dot(col("v"), col("v")))(_ + _)
@@ -445,24 +455,12 @@ object Similarity {
     val sub = dim / m
     val codes = graft.core.SharedFrames.register(pqCodes(emb, m, k, dim))
     val n = withNorm(emb)
-    val codebooks: Seq[Array[Array[Double]]] = (1 to m).map { j =>
-      n.select(col("vec_id"), col("v"))
-        .orderBy(md5(concat(lit(s"pq${j}_"), col("vec_id").cast("string"))))
-        .limit(k).collect()
-        .map(_.getSeq[Double](1).slice((j - 1) * sub, j * sub).toArray)
-    }
+    val codebooks = seededCodebooks(n, m, k, sub)
     val q = n.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val pairs = codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-    val dist = (1 to m).map { j =>
-      val cb = codebooks(j - 1)
-      val cbLit = typedlit(cb.map(_.toSeq).toSeq)
-      val cNormSq = typedlit(cb.map(c => c.map(x => x * x).sum).toSeq)
-      val qSub = slice(col("qv"), (j - 1) * sub + 1, sub)
-      element_at(cNormSq, col(s"code_$j") + 1) -
-        lit(2.0) * dot(qSub, element_at(cbLit, col(s"code_$j") + 1))
-    }.reduceLeft(_ + _)
+    val dist = adcDist(codebooks, sub)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
     pairs.withColumn("adc_dist", round(dist, 6))
@@ -486,10 +484,7 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val sub = dim / m
     val n = graft.core.SharedFrames.register(withNorm(emb))
-    val centroids = n.select(col("vec_id"), col("v"))
-      .orderBy(md5(concat(lit("ivf_"), col("vec_id").cast("string"))))
-      .limit(nCentroids).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = seededCentroids(n, nCentroids)
     require(centroids.nonEmpty, "ivfPqTopK: empty embedding corpus")
     val centroidsLit = typedlit(centroids.map(_.toSeq).toSeq)
     val cNormSq = centroids.map(c => c.map(x => x * x).sum)
@@ -509,13 +504,27 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(col("probes").getField("c")).as("list_id"))
     // ADC over the probed candidates (same codebook seeding as pqCodes)
-    val codebooks: Seq[Array[Array[Double]]] = (1 to m).map { j =>
-      n.select(col("vec_id"), col("v"))
-        .orderBy(md5(concat(lit(s"pq${j}_"), col("vec_id").cast("string"))))
-        .limit(k).collect()
-        .map(_.getSeq[Double](1).slice((j - 1) * sub, j * sub).toArray)
-    }
-    val dist = (1 to m).map { j =>
+    val codebooks = seededCodebooks(n, m, k, sub)
+    val dist = adcDist(codebooks, sub)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    q.join(corpus, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", round(dist, 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"), col("rn").as("rank"))
+  }
+
+  /** The ADC (asymmetric-distance) term over coded subspaces for a row
+    * carrying the query vector as `qv` and the candidate's codes as
+    * `code_1..code_m`: `sum_j (|c|^2 - 2 q_j.c)` with the per-code
+    * centroid norm and dot both literal lookups — shared by [[pqTopK]],
+    * [[ivfPqTopK]] and the persisted-epoch search so every path ranks
+    * with bit-identical arithmetic. */
+  private def adcDist(codebooks: Seq[Array[Array[Double]]], sub: Int): Column =
+    (1 to codebooks.length).map { j =>
       val cb = codebooks(j - 1)
       val cbLit = typedlit(cb.map(_.toSeq).toSeq)
       val cn = typedlit(cb.map(c => c.map(x => x * x).sum).toSeq)
@@ -523,11 +532,124 @@ object Similarity {
       element_at(cn, col(s"code_$j") + 1) -
         lit(2.0) * dot(qSub, element_at(cbLit, col(s"code_$j") + 1))
     }.reduceLeft(_ + _)
+
+  /** Nearest-code assignment per subspace for each normed row — the
+    * encode half shared by the persisted epoch's build and insert paths.
+    * The argmin (ties to the smaller code — the same left fold as
+    * [[pqCodes]]) runs as a narrow map against literal codebooks; no
+    * shuffle. */
+  private def pqAssignCodes(n: DataFrame, codebooks: Seq[Array[Array[Double]]],
+                            sub: Int): DataFrame =
+    (1 to codebooks.length).foldLeft(n) { (df, j) =>
+      df.withColumn(s"code_$j",
+        element_at(subspaceDists(codebooks(j - 1), col("v"), j, sub), 1)
+          .getField("c"))
+    }
+
+  /** Sorted (distance, code) structs of `v`'s subspace-j slice against
+    * one codebook — [[distsArray]]'s shape for the PQ fine quantizer;
+    * element 1 is the code assignment (ties to the smaller code), the
+    * `d` field its `|c|^2 - 2 v_j.c` term. Linear in k by construction
+    * (see the [[pqCodes]] note on why a when-chain argmin is not). */
+  private def subspaceDists(cb: Array[Array[Double]], v: Column, j: Int,
+                            sub: Int): Column = {
+    val cbLit = typedlit(cb.map(_.toSeq).toSeq)
+    val cNormSq = cb.map(c => c.map(x => x * x).sum)
+    val vSub = slice(v, (j - 1) * sub + 1, sub)
+    array_sort(array(cb.indices.map { c =>
+      struct((lit(cNormSq(c)) - lit(2.0) * dot(vSub, element_at(cbLit, c + 1)))
+        .as("d"), lit(c).as("c"))
+    }: _*))
+  }
+
+  /** PERSISTED IVF+PQ EPOCH — the full production ANN stack as ONE
+    * restartable artifact (completing what [[ivfSaveIndex]] does for
+    * plain IVF). Directories under `path`:
+    *  - `centroids` (c_id, v)            — the IVF coarse quantizer;
+    *  - `codebooks` (subspace, code, v)  — the PQ fine quantizer;
+    *  - `codes` (vec_id, list_id, code_1..code_m) — the corpus, CODES
+    *    ONLY (no floats — the index a 100 TB deployment actually holds);
+    *  - `planes` (plane_id, v)           — the hyperplane-LSH matrix,
+    *    recorded so the epoch pins its whole hashing parameterization
+    *    even though [[planes]] is data-independent.
+    *
+    * The quantizers are FROZEN at epoch creation: [[ivfPqInsertBatch]]
+    * encodes new vectors against the SAVED centroids and codebooks.
+    * Re-deriving either from the grown corpus would be wrong twice over
+    * — the seeded picks shift as ids arrive, silently re-coding nothing
+    * that is already stored — so the epoch, not the session, is the
+    * source of truth (DedupSpec pins save / restart / insert / search
+    * across a newSession boundary, plus codebook immutability under
+    * insert). */
+  def ivfPqSaveIndex(emb: DataFrame, nCentroids: Int, m: Int, k: Int,
+                     path: String, dim: Int = 64, nPlanes: Int = 16): Unit = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    val spark = emb.sparkSession
+    val n = graft.core.SharedFrames.register(withNorm(emb))
+    val centroids = seededCentroids(n, nCentroids)
+    require(centroids.nonEmpty, "ivfPqSaveIndex: empty embedding corpus")
+    val codebooks = seededCodebooks(n, m, k, sub)
+    require(codebooks.forall(_.length == k), "ivfPqSaveIndex: corpus smaller than k")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("c_id", "v")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, j0) =>
+      cb.zipWithIndex.map { case (v, c) => (j0 + 1, c, v.toSeq) }
+    }.toDF("subspace", "code", "v")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    planes(nPlanes, dim).zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("plane_id", "v")
+      .write.mode("overwrite").parquet(s"$path/planes")
+    pqAssignCodes(ivfAssign(n, centroids), codebooks, sub)
+      .select(col("vec_id") +: col("list_id") +:
+        (1 to m).map(j => col(s"code_$j")): _*)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load an epoch's codebooks — bounded: m * k rows by construction. */
+  private def loadCodebooks(spark: SparkSession, path: String): Seq[Array[Array[Double]]] =
+    spark.read.parquet(s"$path/codebooks").orderBy("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** Append a batch to a persisted IVF+PQ epoch: assign + encode against
+    * the SAVED quantizers, append codes — O(batch), nothing stored
+    * moves, the insert is visible to the next [[ivfPqIndexTopK]]. */
+  def ivfPqInsertBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val centroids = ivfLoadCentroids(spark, path)
+    val codebooks = loadCodebooks(spark, path)
+    val sub = codebooks.head.head.length
+    pqAssignCodes(ivfAssign(withNorm(batch), centroids), codebooks, sub)
+      .select(col("vec_id") +: col("list_id") +:
+        codebooks.indices.map(j => col(s"code_${j + 1}")): _*)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Search a persisted IVF+PQ epoch: `queries` carry their exact
+    * vectors (asymmetric distance), the stored corpus contributes CODES
+    * only — the probe join never touches corpus floats, matching
+    * [[ivfPqTopK]]'s in-session arithmetic bit for bit (same seeded
+    * quantizers, same ADC expression, same tiebreak). */
+  def ivfPqIndexTopK(queries: DataFrame, path: String, topK: Int,
+                     nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = ivfLoadCentroids(spark, path)
+    val codebooks = loadCodebooks(spark, path)
+    val sub = codebooks.head.head.length
+    val codes = spark.read.parquet(s"$path/codes")
+    val q = withNorm(queries)
+      .withColumn("probes", slice(distsArray(centroids), 1, nProbe))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("probes").getField("c")).as("list_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    q.join(corpus, Seq("list_id"))
+    q.join(codes, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_dist", round(dist, 6))
+      .withColumn("adc_dist", round(adcDist(codebooks, sub), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

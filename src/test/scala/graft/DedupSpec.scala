@@ -656,6 +656,56 @@ class DedupSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("ivf+pq index epoch: save/load equals the in-session composed search; " +
+    "insert after restart leaves the quantizers frozen") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftivfpq")
+      .toFile.getAbsolutePath
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // 1) an epoch of the FULL corpus answers EXACTLY like the in-session
+    // composed search: same seeded quantizers, same ADC expression, same
+    // tiebreak — so save -> load -> search loses nothing
+    Similarity.ivfPqSaveIndex(emb, nCentroids = 8, m = 4, k = 16,
+      path = s"$tmp/full")
+    val inSession = key(Similarity.ivfPqTopK(emb, col("vec_id") < 5,
+      topK = 5, nCentroids = 8, nProbe = 3, m = 4, k = 16))
+    val fromEpoch = key(Similarity.ivfPqIndexTopK(
+      emb.filter(col("vec_id") < 5), s"$tmp/full", topK = 5, nProbe = 3))
+    assert(inSession.nonEmpty && fromEpoch == inSession,
+      "epoch search diverged from the in-session composed search")
+    // 2) epoch on a PREFIX, then a restart boundary, then an insert:
+    // quantizers must not move and the batch must become searchable
+    val Cut = 400L
+    Similarity.ivfPqSaveIndex(emb.filter(col("vec_id") < Cut),
+      nCentroids = 8, m = 4, k = 16, path = s"$tmp/epoch")
+    // pre-insert: no batch id can appear as a neighbor
+    val pre = key(Similarity.ivfPqIndexTopK(emb.filter(col("vec_id") < 5),
+      s"$tmp/epoch", topK = 5, nProbe = 3))
+    assert(pre.nonEmpty && pre.forall(_._2 < Cut))
+    val cbBefore = spark.read.parquet(s"$tmp/epoch/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    // ---- restart boundary ----
+    graft.core.SharedFrames.clear()
+    spark.catalog.clearCache()
+    val sparkB = spark.newSession()
+    val embB = graft.core.Tables.embeddings(sparkB, sf)
+    Similarity.ivfPqInsertBatch(embB.filter(col("vec_id") >= Cut), s"$tmp/epoch")
+    // the insert encodes against the SAVED quantizers; both stay frozen
+    val cbAfter = sparkB.read.parquet(s"$tmp/epoch/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(cbAfter == cbBefore, "codebooks changed under insert")
+    // every corpus vector is now coded exactly once
+    assert(sparkB.read.parquet(s"$tmp/epoch/codes").count() == embB.count())
+    // the batch is VISIBLE: a batch vector queried against the resumed
+    // epoch ranks neighbors
+    val batchQuery = key(Similarity.ivfPqIndexTopK(
+      embB.filter(col("vec_id") === 450L), s"$tmp/epoch", topK = 3, nProbe = 3))
+    assert(batchQuery.nonEmpty, "post-restart batch invisible to pq search")
+    graft.core.SharedFrames.clear()
+  }
+
   test("duplicated spans are maximal: disjoint, >= L tokens, gaps > L") {
     val L = 8
     val spans = graft.ops.Dedup
