@@ -370,6 +370,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           derive(inner).map(nc => c.withNewChildren(Seq(nc)))
         case ae: AggregateExpression if isCountStar(ae) =>
           byName.get(d.countCol).map(countOf)
+        // COUNT(DISTINCT dims'): kept Expand attrs survive into the
+        // rewritten Expand with their replicated dim values, and
+        // DISTINCT ignores the multiplicity change — pass through
+        case ae: AggregateExpression if ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(children) if children.nonEmpty && children.forall {
+                case a: AttributeReference => keptSet.contains(a)
+                case _ => false
+              } => Some(ae)
+            case _ => None
+          }
         case ae: AggregateExpression => deriveAggLeaf(ae, d, byName)
         // aggregate-free functions of the groupings (grouping()/
         // grouping_id() bit-ops over the gid, dim expressions) — constant
@@ -443,6 +454,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           derive(inner).map(nc => c.withNewChildren(Seq(nc)))
         case ae: AggregateExpression if isCountStar(ae) =>
           byName.get(d.countCol).map(countOf)
+        // COUNT(DISTINCT dims...): the summary holds exactly the base's
+        // distinct dim combinations (it IS the group-by over them), and
+        // DISTINCT is multiplicity-free, so the count re-targets 1:1 —
+        // null dim tuples are skipped identically on both sides
+        case ae: AggregateExpression if ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(children) if children.nonEmpty && children.forall {
+                case a: AttributeReference => d.dims.contains(a.name)
+                case _ => false
+              } =>
+              Some(AggregateExpression(
+                Count(children.map { case a: AttributeReference => byName(a.name) }),
+                Complete, isDistinct = true))
+            case _ => None
+          }
         case ae: AggregateExpression => deriveAggLeaf(ae, d, byName)
         case l: Literal => Some(l)
         // deterministic structure around derivable pieces — the analyzer

@@ -158,9 +158,11 @@ object CoreQueries extends QueryGroup {
     * lets the DuckDB oracle pin it with integer arithmetic; the manual
     * `SUM(x)/COUNT(*)` form exercises the generic deterministic-
     * expression recursion (arithmetic AROUND derivable aggregates);
-    * and COUNT(measure) routes onto the registered per-measure
-    * non-null count. All three still compute from the 6-row summary,
-    * never the base scan (ExtensionsSpec pins the plan). */
+    * COUNT(measure) routes onto the registered per-measure non-null
+    * count; and COUNT(DISTINCT dim) re-targets 1:1 because the summary
+    * holds exactly the base's distinct dim combinations and DISTINCT
+    * is multiplicity-free. All of them still compute from the 6-row
+    * summary, never the base scan (ExtensionsSpec pins the plan). */
   private def summaryAvg(s: SparkSession, dir: String): DataFrame = {
     registerLineitemSummary(s, dir)
     Tables.lineitem(s, dir)
@@ -170,6 +172,7 @@ object CoreQueries extends QueryGroup {
         (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
           count(lit(1))).as("avg_price_star"),
         count(col("l_extendedprice")).as("n_price"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_linestatus")
   }
@@ -503,6 +506,7 @@ object CoreQueries extends QueryGroup {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    AS avg_price_star,
         |  count(l_extendedprice) AS n_price,
+        |  count(DISTINCT l_returnflag) AS n_flags,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     // the updated base — (pre-cut minus the retracted stripe) union

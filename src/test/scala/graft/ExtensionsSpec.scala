@@ -566,6 +566,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
         (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
           count(lit(1))).as("avg_price_star"),
         count(col("l_extendedprice")).as("n_price"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_linestatus")
     // direct values FIRST, with no registration in the catalog
@@ -594,6 +595,11 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(scansBase(li.groupBy("l_returnflag")
       .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") *
         rand(7)).as("s"))))
+    // COUNT(DISTINCT non-dim) cannot be answered from the summary —
+    // only dim distinct-counts re-target (multiplicity-free over the
+    // summary's exact distinct dim combinations)
+    assert(scansBase(li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_quantity")).as("n"))))
     SummaryCatalog.clear(spark)
   }
 
