@@ -651,6 +651,79 @@ class StreamingSpec extends SparkSuite {
     graft.core.SharedFrames.clear()
   }
 
+  test("streaming summary maintenance: maintain == rebuild with retractions, " +
+    "resumes across a session boundary, no-data re-run is a no-op") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graftsummarystream").toFile.getAbsolutePath
+    val store = s"$tmp/store"
+    // exact money as integer cents: sum-merge == rebuild needs exact
+    // arithmetic (the DECIMAL discipline; cents are its integer twin)
+    val o = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val third = o.length / 3
+    val (sa, sb, sc) = (o.take(third), o.slice(third, 2 * third), o.drop(2 * third))
+    // batch 2 RETRACTS half of batch 1's rows (GDPR-style removal set)
+    val retract = sa.filter(_._1 % 2 == 0).toSet
+    def ins(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (_, p, cents) => (p, 1L, cents) }
+    def del(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (_, p, cents) => (p, -1L, -cents) }
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[(String, Long, Long)]
+      def stream = src.toDF().toDF("o_orderpriority", "cnt", "cents")
+      src.addData(ins(sa))
+      graft.streaming.SummaryStream.runSummaryMaintenance(
+        stream, Seq("o_orderpriority"), store, s"$tmp/ckptA")
+      src.addData(ins(sb) ++ del(retract.toSeq))
+      graft.streaming.SummaryStream.runSummaryMaintenance(
+        stream, Seq("o_orderpriority"), store, s"$tmp/ckptA")
+    }
+    // ---- restart boundary (the IndexStream resume discipline) ----
+    graft.core.SharedFrames.clear()
+    spark.catalog.clearCache()
+    val sparkB = spark.newSession()
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = sparkB.sqlContext
+      import sparkB.implicits._
+      val srcB = MemoryStream[(String, Long, Long)]
+      srcB.addData(ins(sc))
+      graft.streaming.SummaryStream.runSummaryMaintenance(
+        srcB.toDF().toDF("o_orderpriority", "cnt", "cents"),
+        Seq("o_orderpriority"), store, s"$tmp/ckptB")
+    }
+    def viewNow(): Map[String, (Long, Long)] =
+      graft.streaming.SummaryStream
+        .loadView(sparkB, store, Seq("o_orderpriority"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = viewNow()
+    // direct rebuild over (everything inserted) minus (every retraction)
+    val net = sa.filterNot(retract.contains) ++ sb ++ sc
+    val exp = net.groupBy(_._2).map { case (p, rows) =>
+      p -> (rows.size.toLong, rows.map(_._3).sum)
+    }
+    assert(got.nonEmpty && got == exp,
+      s"streamed view diverged from the direct rebuild: got ${got.take(2)}")
+    // AvailableNow with no new data must add nothing (same lineage)
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = sparkB.sqlContext
+      import sparkB.implicits._
+      val srcC = MemoryStream[(String, Long, Long)]
+      graft.streaming.SummaryStream.runSummaryMaintenance(
+        srcC.toDF().toDF("o_orderpriority", "cnt", "cents"),
+        Seq("o_orderpriority"), store, s"$tmp/ckptB2")
+    }
+    assert(viewNow() == got, "empty re-run changed the view")
+    graft.core.SharedFrames.clear()
+  }
+
   test("foreachBatch upsert is idempotent and only updates if better") {
     val tmp = Files.createTempDirectory("graftupsert").toFile.getAbsolutePath
     val store = s"$tmp/store"
