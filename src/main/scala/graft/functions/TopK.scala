@@ -208,6 +208,102 @@ case class TopKLongAgg(
     copy(valueExpr = newChildren(0), idExpr = newChildren(1))
 }
 
+/** [[TopKLongAgg]] carrying one inert Long PAYLOAD per entry: ordering is
+  * still (value desc, id asc) — the payload never participates — but the
+  * survivor rows come out of the aggregate WITH their payload, so a top-k
+  * cut that needs extra columns (BM25's n_terms_hit) is ONE aggregation
+  * instead of heap + join-back-to-the-scores (the join-back re-reads the
+  * scored frame and forces it persisted; at 100 TB that is a second pass
+  * over the scores, at bench scale it is an extra exchange + broadcast
+  * per call site). Same bounded-heap shape and k-entry map-side partials. */
+case class TopKLongPayloadAgg(
+    valueExpr: Expression,
+    idExpr: Expression,
+    payloadExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long, Long)]] {
+
+  require(k >= 1, "top_k_long_payload: k must be >= 1")
+
+  // heap max = WORST kept entry: smallest value, then largest id
+  private val worstFirst: Ordering[(Long, Long, Long)] =
+    Ordering.by(t => (-t._1, t._2))
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def keeps(buf: mutable.PriorityQueue[(Long, Long, Long)],
+                    cand: (Long, Long, Long)): Boolean =
+    buf.size < k || worstFirst.lt(cand, buf.head)
+
+  private def add(buf: mutable.PriorityQueue[(Long, Long, Long)],
+                  cand: (Long, Long, Long)): Unit =
+    if (keeps(buf, cand)) {
+      if (buf.size >= k) buf.dequeue()
+      buf.enqueue(cand)
+    }
+
+  override def update(buf: mutable.PriorityQueue[(Long, Long, Long)],
+                      input: InternalRow): mutable.PriorityQueue[(Long, Long, Long)] = {
+    val v = valueExpr.eval(input)
+    val id = idExpr.eval(input)
+    val p = payloadExpr.eval(input)
+    if (v != null && id != null && p != null)
+      add(buf, (v.asInstanceOf[Long], id.asInstanceOf[Long],
+        p.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Long, Long, Long)],
+                     other: mutable.PriorityQueue[(Long, Long, Long)])
+  : mutable.PriorityQueue[(Long, Long, Long)] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  /** Array of (value, id, payload) structs, best first (value desc, id asc). */
+  override def eval(buf: mutable.PriorityQueue[(Long, Long, Long)]): Any =
+    new GenericArrayData(
+      buf.toArray.sortBy(t => (-t._1, t._2))
+        .map(t => InternalRow(t._1, t._2, t._3): Any))
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 24)
+    bb.putInt(buf.size)
+    buf.foreach { case (v, id, p) => bb.putLong(v); bb.putLong(id); bb.putLong(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.enqueue((bb.getLong, bb.getLong, bb.getLong)))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("value", LongType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("payload", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(valueExpr, idExpr, payloadExpr)
+  override def prettyName: String = "top_k_long_payload"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKLongPayloadAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKLongPayloadAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKLongPayloadAgg =
+    copy(valueExpr = newChildren(0), idExpr = newChildren(1),
+      payloadExpr = newChildren(2))
+}
+
 object TopK {
   /** Column API: `topK(value, id, k)` aggregate over doubles keyed by a
     * long id; value/id are cast so callers can pass any numeric column. */
@@ -225,5 +321,17 @@ object TopK {
     shim.column(TopKLongAgg(
       shim.expression(value.cast("bigint")),
       shim.expression(id.cast("bigint")), k).toAggregateExpression())
+  }
+
+  /** [[topKLong]] with one inert BIGINT payload carried per entry (never
+    * compared) — the single-aggregation top-k cut for callers that need a
+    * passenger column back out. */
+  def topKLongPayload(value: Column, id: Column, payload: Column,
+                      k: Int): Column = {
+    val shim = org.apache.spark.sql.graftshim.ColumnInterop
+    shim.column(TopKLongPayloadAgg(
+      shim.expression(value.cast("bigint")),
+      shim.expression(id.cast("bigint")),
+      shim.expression(payload.cast("bigint")), k).toAggregateExpression())
   }
 }

@@ -214,35 +214,23 @@ object Retrieval {
   }
 
   /** Top-k cut over [[bm25ScoresFromIndex]] output: the bounded-heap
-    * [[graft.functions.TopK.topKLong]] aggregate — k rows per query
-    * survive the exchange, and the BIGINT score ranks EXACTLY (the
+    * [[graft.functions.TopK.topKLongPayload]] aggregate — k rows per
+    * query survive the exchange, the BIGINT score ranks EXACTLY (a
     * double-keyed heap would collapse distinct scores above 2^53, which
-    * idf ~ 0.67·N crosses around N ~ 1e10 docs).
-    *
-    * Persistence contract: an UNCACHED `scored0` is persisted via
-    * [[graft.core.SharedFrames.register]] (the cut reads it twice) and
-    * stays pinned until [[graft.core.SharedFrames.clear]] — callers
-    * outside the Verify/Bench runner discipline must call `clear()` at
-    * batch end, or pass an already-persisted frame to keep cache
-    * lifecycle in their own hands (already-cached inputs pass through
-    * untouched). */
-  def bm25TopKFromScores(scored0: DataFrame, k: Int = 10): DataFrame = {
-    // the cut reads its input twice (heap + join-back): persist a scores
-    // frame that is not already cached, or the whole upstream scoring
-    // plan runs twice (the session-shared scores pass through untouched)
-    val scored =
-      if (scored0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        graft.core.SharedFrames.register(scored0)
-      else scored0
-    val top = scored.groupBy("query_id")
-      .agg(graft.functions.TopK.topKLong(col("score"), col("doc_id"), k).as("top"))
+    * idf ~ 0.67·N crosses around N ~ 1e10 docs), and n_terms_hit rides
+    * the heap as an inert payload, so the cut is ONE aggregation: the
+    * former join-back to the scores frame (a second read that forced the
+    * scores persisted — one more pass at 100 TB, one more exchange +
+    * broadcast per call site at bench scale) is gone, and with it the
+    * persist-until-clear contract this scaladoc used to carry. */
+  def bm25TopKFromScores(scored0: DataFrame, k: Int = 10): DataFrame =
+    scored0.groupBy("query_id")
+      .agg(graft.functions.TopK.topKLongPayload(
+        col("score"), col("doc_id"), col("n_terms_hit"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.payload").as("n_terms_hit"), col("t.value").as("score"),
         (col("pos") + 1).cast("int").as("rank"))
-    top.join(scored, Seq("query_id", "doc_id"))
-      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
-        col("score"), col("rank"))
-  }
 
   def bm25TopK(docs: DataFrame, queryPred: Column, nTerms: Int = 5,
                k: Int = 10, tfOpt: Option[DataFrame] = None,
@@ -386,19 +374,30 @@ object Retrieval {
     val tf = tfOpt.getOrElse(termFrequencies(docs))
     val scored = scoredOpt.getOrElse(
       bm25ScoresFromIndex(buildBm25Index(docs, Some(tf)), queryPred, nTerms))
-    // cands / dt / vecs are each read 2-3 times below, but deliberately
-    // NOT persisted: every duplicate subtree is a pipelined scan of the
-    // cached tf/scores frames whose exchanges ReuseExchange already
-    // dedups — persisting them measured SLOWER (it breaks the codegen
-    // pipelining for frames this small)
-    val cands = bm25TopKFromScores(scored, k)
-      .select(col("query_id"), col("doc_id"), col("rank"))
+    // cands is read 3 times below (query-vector join, candidate-token
+    // probe, final left join), and each re-evaluation re-runs the TopK
+    // heap aggregate + join-back and its AQE stages — persisting the
+    // queries·k-row cut collapses those three subtrees to one cache read
+    // (dt / vecs stay unpersisted: pipelined scans of cached frames)
+    val cands = graft.core.SharedFrames.register(
+      bm25TopKFromScores(scored, k)
+        .select(col("query_id"), col("doc_id"), col("rank")))
     val qt = queryTerms(tf, queryPred, nTerms)
     val dt = tf
       .join(broadcast(cands.select("doc_id").distinct()), Seq("doc_id"))
       .select(col("doc_id"), col("tok"))
     // char-3-gram hashed token vectors for the involved vocabulary only
-    // (substr clamps, so a 1–2 char token contributes itself as its gram)
+    // (substr clamps, so a 1–2 char token contributes itself as its gram).
+    // DENSE-ARRAY layout: the (tok, dim, v) sparse rows roll up into one
+    // hashDim-long array per token, so the q×d token-pair join below
+    // carries ONE row per (qtok, dtok) pair instead of one per matching
+    // dim — hashDim× fewer join rows — and the dot product becomes an
+    // in-row codegen expression, deleting the widest aggregation of the
+    // old plan (the 5-key groupBy that re-shuffled every (q, d, qtok,
+    // dtok, dim) row). Exact-integer equality with the sparse form:
+    // absent dims are 0 and contribute 0 to the dot; a token pair whose
+    // dims never overlap now yields dot = 0 instead of no row, which the
+    // existing greatest(max, 0) clamp maps to the same mx.
     val vecs = qt.select(col("tok")).union(dt.select(col("tok"))).distinct()
       .select(col("tok"), explode(transform(
         sequence(lit(1), greatest(length(col("tok")) - 2, lit(1))),
@@ -412,18 +411,26 @@ object Retrieval {
       // hashDim > 16 and destroy the ±1 Rademacher property
       .agg(sum(lit(1L) - lit(2L) * pmod(expr(s"h div $hashDim"), lit(2)))
         .as("v"))
+      // vocab-bounded rollup to a dense map, then a fixed-length array
+      .groupBy("tok")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("v"))))
+        .as("m"))
+      .select(col("tok"), transform(sequence(lit(0), lit(hashDim - 1)),
+        d => coalesce(element_at(col("m"), d), lit(0L))).as("arr"))
     val qv = qt.join(vecs, Seq("tok"))
-      .select(col("query_id"), col("tok").as("qtok"), col("dim"),
-        col("v").as("vq"))
+      .select(col("query_id"), col("tok").as("qtok"), col("arr").as("qarr"))
     val dv = dt.join(vecs, Seq("tok"))
-      .select(col("doc_id"), col("tok").as("dtok"), col("dim"),
-        col("v").as("vd"))
-    val dots = cands
+      .select(col("doc_id"), col("tok").as("dtok"), col("arr").as("darr"))
+    // unrolled exact-long dot: element_at with literal indices keeps the
+    // whole expression inside whole-stage codegen (no higher-order lambda)
+    val dot = (1 to hashDim).map(i =>
+      element_at(col("qarr"), i) * element_at(col("darr"), i))
+      .reduce(_ + _)
+    val maxsim = cands
       .join(qv, Seq("query_id"))
-      .join(dv, Seq("doc_id", "dim"))
-      .groupBy("query_id", "doc_id", "rank", "qtok", "dtok")
-      .agg(sum(col("vq") * col("vd")).as("dot"))
-    val maxsim = dots
+      .join(dv, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rank"), col("qtok"),
+        col("dtok"), dot.as("dot"))
       .groupBy("query_id", "doc_id", "rank", "qtok")
       .agg(greatest(max(col("dot")), lit(0L)).as("mx"))
       .groupBy("query_id", "doc_id")

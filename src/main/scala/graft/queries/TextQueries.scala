@@ -655,7 +655,13 @@ object TextQueries extends QueryGroup {
       .select(col("doc_id"), col("lang"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
+    // c(w1,·) derived from the TYPE frame, not a second corpus-scale
+    // aggregation: n1 = Σ_w2 n12 exactly (every bigram occurrence with
+    // history w1 is counted once in some n12), so the second shuffle over
+    // corpus bigrams collapses to a vocab-bounded re-aggregation of c12 —
+    // the knScore discipline (guide §2.3 "aggregate before you shuffle";
+    // ReuseExchange shares c12's shuffle between the join and this agg)
+    val c1 = c12.groupBy("w1").agg(sum("n12").as("n1"))
     bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       // decimal-first: n12 is an unbounded corpus count (~1e12 bigrams at
@@ -804,9 +810,12 @@ object TextQueries extends QueryGroup {
         col("p.w1").as("w1"), col("p.w2").as("w2"))
     val tgt = bi.filter(col("source") === "src0")
     val c12t = tgt.groupBy("w1", "w2").agg(count(lit(1)).as("n12t"))
-    val c1t = tgt.groupBy("w1").agg(count(lit(1)).as("n1t"))
     val c12r = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12r"))
-    val c1r = bi.groupBy("w1").agg(count(lit(1)).as("n1r"))
+    // history counts derived from the TYPE frames (n1 = Σ_w2 n12, exact):
+    // two corpus/target-scale aggregations collapse to vocab-bounded
+    // re-aggregations of c12t/c12r — same lmMassBuild/knScore discipline
+    val c1t = c12t.groupBy("w1").agg(sum("n12t").as("n1t"))
+    val c1r = c12r.groupBy("w1").agg(sum("n12r").as("n1r"))
     val scored = bi
       .join(c12r, Seq("w1", "w2")).join(c1r, Seq("w1"))
       .join(broadcast(c12t), Seq("w1", "w2"), "left")

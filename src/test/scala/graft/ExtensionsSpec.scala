@@ -175,6 +175,48 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
       s"top_k did not plan as a partial object-hash aggregate:\n${plan.take(1200)}")
   }
 
+  test("top_k_long_payload == window formulation; payload inert in ordering") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted ties: equal values break by id ASC; payloads chosen so a
+    // payload-aware ordering would visibly reorder (worst payload on the
+    // best row)
+    val df = Seq(
+      ("a", 1L, 50L, 999L), ("a", 2L, 50L, 0L), ("a", 3L, 70L, 1L),
+      ("a", 4L, 10L, 500L),
+      ("b", 5L, 20L, 3L), ("b", 6L, 20L, 2L), ("b", 7L, 20L, 1L),
+      ("c", 8L, 90L, 42L)).toDF("g", "id", "v", "p")
+    val agg = df.groupBy("g")
+      .agg(graft.functions.TopK.topKLongPayload(
+        col("v"), col("id"), col("p"), 2).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("id"), col("t.value").as("v"),
+        col("t.payload").as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val win = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select("g", "rank", "id", "v", "p")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(agg == win, s"payload top-k diverged from window: " +
+      s"missing=${win -- agg} extra=${agg -- win}")
+    // scale shape unchanged: partial object-hash aggregate, not a window
+    val plan = df.groupBy("g")
+      .agg(graft.functions.TopK.topKLongPayload(
+        col("v"), col("id"), col("p"), 2).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("partial_top_k_long_payload"),
+      s"payload top_k did not plan as a partial object-hash aggregate:\n${
+        plan.take(1200)}")
+  }
+
   test("heavy_hitters SQL registration: exact regime + partial object-hash plan") {
     GraftExtensions.registerAll(spark)
     import org.apache.spark.sql.functions._
