@@ -117,6 +117,145 @@ object OrderStats {
     (ranked, offsets)
   }
 
+  /** The exact (value, id) ELEMENTS at requested rank positions — the
+    * quantile/boundary lookup that does NOT rank every row.
+    *
+    * Most rank consumers never needed per-row ranks: a winsorize wants
+    * the p1/p99 elements, a quintile label wants 4 boundary elements, an
+    * equi-depth histogram wants `buckets−1` boundary elements — and
+    * because `val_rank` is the position in the strict total order of
+    * (value, id), `rank(row) > b` ⟺ `(value, id) >lex element(b)`.
+    * So the full-data row_number window (a sort+shuffle of EVERY row,
+    * the expensive half of [[valueRankedBy]]) is replaced by:
+    *
+    *   1. the same one-pass per-(strata, cell) count aggregation
+    *      (map-side combined, ≤`cells` rows per stratum survive);
+    *   2. target-rank → cell resolution on that TINY frame (cumsum +
+    *      range match, broadcast);
+    *   3. a row_number window over ONLY the rows of the ≤|targets|
+    *      matched cells — a 1/`cells` fraction of the data — to pick the
+    *      exact elements.
+    *
+    * At 100 TB this is the difference between shuffling the corpus into
+    * a rank order and shuffling ~N/4096 rows: the boundary elements come
+    * from two map-side-combined passes, and per-row labels (quintile,
+    * bucket) become a broadcast COMPARE — a pure projection, no exchange
+    * of the labeled frame at all. Results are bit-identical to the
+    * rank-formula-over-[[valueRankedBy]] formulation (OrderStatsSpec
+    * law).
+    *
+    * `formulas` are (tag, SQL-over-`n`) pairs evaluated per stratum
+    * (`n` = stratum row count), e.g. `("p99", "(99 * (n - 1)) div 100 +
+    * 1")`. Out-of-range targets (rank < 1 or > n) are dropped — callers
+    * that can produce them handle absence on their side. Returns
+    * (strata..., tag, rank_target, `value`, `id`, n).
+    *
+    * The result is a LITERAL LocalRelation: the ≤|strata|·|formulas|
+    * boundary rows are pulled through two audited bounded collects (the
+    * IVF-seed class — cardinality is fixed by the call, never by data).
+    * Deliberate, for plan hygiene: consumers embed the boundary frame in
+    * broadcasts and chained stages (RFM chains three), and a lineage-
+    * bearing tiny frame multiplies the upstream subtree per reference —
+    * the literal frame keeps chained plans LINEAR and makes the label
+    * projection a constant-time compare. */
+  def rankElements(df: DataFrame, strata: Seq[String], value: String,
+                   id: String, formulas: Seq[(String, String)],
+                   cells: Int = GridCells): DataFrame = {
+    // PER-STRATUM grids (unlike valueRankedBy's shared grid): strata here
+    // may carry wildly different value ranges (RFM stacks recency-days
+    // next to revenue-cents), and a shared grid would collapse a
+    // narrow-range stratum into one cell — one reducer ranks the whole
+    // stratum. The per-stratum (lo, hi) pull is ≤|strata| rows, the same
+    // driver-bounded class as the |strata|·|formulas| result collect.
+    val mmRows = df.groupBy(strata.map(col): _*)
+      .agg(min(col(value).cast("long")).as("__lo"),
+        max(col(value).cast("long")).as("__hi"))
+      .collect()
+      .filter(!_.isNullAt(strata.size))
+    def emptyOut = df.limit(0).select(
+      strata.map(col) ++ Seq(lit("").as("tag"), lit(0L).as("rank_target"),
+        col(value), col(id), lit(0L).as("n")): _*)
+    if (mmRows.isEmpty) return emptyOut
+    val cellOf = mmRows.map { r =>
+      val (lo, hi) = (r.getAs[Long]("__lo"), r.getAs[Long]("__hi"))
+      val span = hi - lo + 1
+      require(span > 0 && span <= Long.MaxValue / cells,
+        s"value range [$lo,$hi] x $cells cells overflows the grid arithmetic")
+      val cond = strata.map(c => col(c) <=> lit(r.getAs[Any](c)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      (cond,
+        expr(s"CAST(((`$value` - ${lo}L) * ${cells}L) div ${span}L AS INT)"))
+    }
+    val withCell = df.withColumn("__cell",
+      cellOf.foldRight(lit(-1)) { case ((cond, cell), acc) =>
+        when(cond, cell).otherwise(acc)
+      })
+    val keys = strata :+ "__cell"
+    val offsetW = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("__cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // stratum size n rides the SAME tiny window exchange as the cumsum
+    // (unbounded frame over the identical partitioning) — no extra
+    // aggregation stage for sizes
+    val sizeW = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("__cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = withCell
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cell_n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cell_n")).over(offsetW), lit(0L)))
+      .withColumn("n", sum(col("__cell_n")).over(sizeW))
+    val tstructs = array(formulas.map { case (tag, f) =>
+      struct(lit(tag).as("tag"), expr(f).cast("long").as("rank_target"))
+    }: _*)
+    // one row per stratum WITHOUT a distinct/aggregate: the first
+    // non-empty cell of each stratum is exactly the offset-0 row
+    val targets = offsets.filter(col("__offset") === 0L)
+      .select(strata.map(col) ++
+        Seq(col("n"), explode(tstructs).as("__t")): _*)
+      .select(strata.map(col) ++ Seq(col("n"), col("__t.tag").as("tag"),
+        col("__t.rank_target").as("rank_target")): _*)
+      .filter(col("rank_target") >= 1L && col("rank_target") <= col("n"))
+      // disambiguate before the tiny locate join
+      .select(strata.map(c => col(c).as(s"__t_$c")) ++
+        Seq(col("n"), col("tag"), col("rank_target")): _*)
+    // locate each target's cell on the ≤cells-row offsets frame
+    val located = targets.join(broadcast(offsets.drop("n")),
+      strata.map(c => col(s"__t_$c") === offsets(c)).foldLeft(
+        col("rank_target") > offsets("__offset") &&
+          col("rank_target") <= offsets("__offset") + offsets("__cell_n"))(
+        _ && _))
+      .select(strata.map(c => col(s"__t_$c").as(c)) ++
+        Seq(col("tag"), col("rank_target"), col("n"), col("__cell"),
+          col("__offset")): _*)
+    // only the matched cells' rows get ranked — ≤|targets| cells total
+    // (semi-join tolerates duplicate build keys: no distinct stage)
+    val filtered = withCell.join(
+      broadcast(located.select(keys.map(col): _*)), keys, "left_semi")
+    val localW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(value), col(id))
+    val hits = located.select(
+      strata.map(c => col(c).as(s"__l_$c")) ++
+        Seq(col("__cell").as("__l_cell"), col("tag"), col("rank_target"),
+          col("n"), col("__offset")): _*)
+    val out = filtered
+      .withColumn("__local", row_number().over(localW).cast("long"))
+      .join(broadcast(hits),
+        strata.map(c => col(c) === col(s"__l_$c")).foldLeft(
+          col("__cell") === col("__l_cell") &&
+            col("__local") === col("rank_target") - col("__offset"))(_ && _))
+      .select(strata.map(col) ++ Seq(col("tag"), col("rank_target"),
+        col(value), col(id), col("n")): _*)
+    // BOUNDED collect (≤ |strata|·|formulas| element rows, the IVF-seed
+    // audit class): the returned frame is a literal LocalRelation —
+    // downstream broadcasts and chained stages (RFM chains three) embed
+    // constants instead of multiplying this call's plan per reference,
+    // and consumer label projections join a constant-size local relation
+    val outRows = out.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), out.schema)
+  }
+
   /** Exact equi-depth histogram: rows land in `buckets` rank bands of
     * near-equal size (sizes differ by at most 1), each band reported with
     * its count and value envelope. `bucket = ((rank−1)·buckets) div N` —
@@ -127,13 +266,27 @@ object OrderStats {
   def equiDepthHistogram(df: DataFrame, value: String, id: String,
                          buckets: Int = 10,
                          cells: Int = GridCells): DataFrame = {
-    val (ranked, offsets) = rankedWithOffsets(df, Nil, value, id, cells)
-    // N comes from the already-aggregated cell counts (a <=cells-row
-    // frame), not another full-data pass
-    val total = offsets.agg(sum(col("__cell_n")).as("__n"))
-    ranked.crossJoin(broadcast(total))
-      .withColumn("bucket",
-        expr(s"CAST(((val_rank - 1) * ${buckets}L) div __n AS INT) + 1"))
+    // boundary-element formulation: bucket(r) = ((r−1)·buckets) div N + 1
+    // changes value exactly after rank b_q = ((q·N − 1) div buckets) + 1,
+    // so the per-row bucket label is 1 + #{q : (v, id) >lex element(b_q)}
+    // — buckets−1 boundary elements from [[rankElements]] (two map-side
+    // combined passes) and a broadcast compare, instead of ranking every
+    // row through the full-data sort window (bit-identical; the former
+    // rank formulation is OrderStatsSpec's law oracle)
+    val bounds = rankElements(df, Nil, value, id,
+      (1 until buckets).map(q =>
+        (s"$q", s"(($q * n - 1) div $buckets) + 1")), cells)
+      .collect() // LocalRelation — a driver-local read, not a job
+    val label = (1 until buckets).map { q =>
+      bounds.find(_.getAs[String]("tag") == s"$q") match {
+        case Some(r) =>
+          when(col(value) > lit(r.getAs[Any](value)) ||
+            (col(value) === lit(r.getAs[Any](value)) &&
+              col(id) > lit(r.getAs[Any](id))), 1).otherwise(0)
+        case None => lit(0) // empty input
+      }
+    }.foldLeft(lit(1))(_ + _)
+    df.withColumn("bucket", label.cast("int"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         min(col(value)).as("lo"),

@@ -978,16 +978,35 @@ object CorpusQueries extends QueryGroup {
     * tiny per-cell count frame. The oracle is the per-source
     * single-reducer window the Spark plan provably avoids. */
   private def lenDeciles(s: SparkSession, dir: String): DataFrame = {
-    val v = Tables.documents(s, dir).select(col("source"),
-      size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
-        .cast("long").as("v"),
-      col("doc_id"))
-    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
-      v, Seq("source"), "v", "doc_id")
-    val sizes = offsets.groupBy("source").agg(sum(col("__cell_n")).as("n"))
-    ranked.join(broadcast(sizes), Seq("source"))
-      .withColumn("bucket",
-        expr("CAST(((val_rank - 1) * 10) div n AS INT) + 1"))
+    // persisted: the regex tokenize-count projection is the expensive
+    // part, and the boundary-lookup passes below (min/max probe, cell
+    // counts, boundary-cell rank, final label rollup) each re-derive
+    // their input — cache the NARROW (source, len, id) frame once
+    val v = graft.core.SharedFrames.register(
+      Tables.documents(s, dir).select(col("source"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long").as("v"),
+        col("doc_id")))
+    // decile labels via 9 boundary elements PER SOURCE (the label
+    // ((rank−1)·10) div n + 1 increments after rank (q·n−1) div 10 + 1),
+    // joined back as a |sources|-row broadcast map — the doc frame is
+    // never shuffled into rank order
+    val bm = graft.ops.OrderStats.rankElements(v, Seq("source"), "v",
+        "doc_id", (1 until 10).map(q =>
+          (s"$q", s"(($q * n - 1) div 10) + 1")))
+      .groupBy("source")
+      .agg(map_from_entries(collect_list(struct(
+        col("tag").cast("int").as("q"),
+        struct(col("v").as("bv"), col("doc_id").as("bid")).as("b"))))
+        .as("__bm"))
+    val label = (1 until 10).map { q =>
+      val b = element_at(col("__bm"), lit(q))
+      when(col("v") > b.getField("bv") ||
+        (col("v") === b.getField("bv") && col("doc_id") > b.getField("bid")),
+        1).otherwise(0)
+    }.foldLeft(lit(1))(_ + _)
+    v.join(broadcast(bm), Seq("source"))
+      .withColumn("bucket", label.cast("int"))
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         min(col("v")).as("lo_tokens"), max(col("v")).as("hi_tokens"))

@@ -517,14 +517,13 @@ object RelationalQueries extends QueryGroup {
     // (at production sampling rates the sample is ≪ corpus — persisting
     // it is the right call at any scale)
     val sampP = graft.core.SharedFrames.register(samp)
-    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
-      sampP, Nil, "cents", "rid")
-    val targets = Seq(1, 5, 25, 50, 75, 90, 95, 99).toDF("pct")
-      .crossJoin(offsets.agg(sum("__cell_n").as("n_sample")))
-      .withColumn("rank_target", expr("((n_sample - 1) * pct) div 100 + 1"))
-    ranked.join(broadcast(targets), col("val_rank") === col("rank_target"))
-      .select(col("pct"), col("rank_target"),
-        col("cents").as("value_cents"), col("n_sample"))
+    // 8 positional lookups via the boundary-element primitive — the
+    // sample is never shuffled into rank order
+    graft.ops.OrderStats.rankElements(sampP, Nil, "cents", "rid",
+        Seq(1, 5, 25, 50, 75, 90, 95, 99).map(p =>
+          (s"$p", s"((n - 1) * $p) div 100 + 1")))
+      .select(col("tag").cast("int").as("pct"), col("rank_target"),
+        col("cents").as("value_cents"), col("n").as("n_sample"))
       .orderBy("pct")
   }
 
@@ -542,23 +541,19 @@ object RelationalQueries extends QueryGroup {
         (col("c_acctbal").cast("decimal(18,2)") * 100)
           .cast("decimal(38,0)").cast("long").as("cents"),
         col("c_custkey"))
-    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
-      v, Seq("c_nationkey"), "cents", "c_custkey")
-    // group sizes from the tiny per-cell count frame — no second data pass
-    val sizes = offsets.groupBy("c_nationkey")
-      .agg(sum(col("__cell_n")).as("n"))
-    ranked.join(broadcast(sizes), Seq("c_nationkey"))
-      .filter(col("val_rank") === expr("(n + 1) div 2") ||
-        col("val_rank") === expr("n div 2 + 1") ||
-        col("val_rank") === expr("(9 * n + 9) div 10"))
+    // twin-median + p90 via per-nation positional lookups — ≤3 boundary
+    // elements per group, never a per-group rank of every customer
+    graft.ops.OrderStats.rankElements(v, Seq("c_nationkey"), "cents",
+        "c_custkey", Seq(
+          "m1" -> "(n + 1) div 2",
+          "m2" -> "n div 2 + 1",
+          "p90" -> "(9 * n + 9) div 10"))
       .groupBy("c_nationkey", "n")
       .agg(
-        (sum(when(col("val_rank") === expr("(n + 1) div 2"), col("cents"))
-            .otherwise(0L)) +
-          sum(when(col("val_rank") === expr("n div 2 + 1"), col("cents"))
-            .otherwise(0L))).as("medx2"),
-        max(when(col("val_rank") === expr("(9 * n + 9) div 10"), col("cents")))
-          .as("p90_cents"))
+        (sum(when(col("tag") === "m1", col("cents")).otherwise(0L)) +
+          sum(when(col("tag") === "m2", col("cents")).otherwise(0L)))
+          .as("medx2"),
+        max(when(col("tag") === "p90", col("cents"))).as("p90_cents"))
       .select(col("c_nationkey"), col("n"),
         round(col("medx2").cast("double") / 200, 6).as("median"),
         col("p90_cents"))
@@ -586,19 +581,35 @@ object RelationalQueries extends QueryGroup {
       .agg(max(col("days")).as("r_days"),
         count(lit(1)).as("f_cnt"),
         sum(col("cents")).cast("long").as("m_cents"))
-    // each rank stage is persisted: rankedWithOffsets runs a driver
-    // min/max action per call, so an unpersisted chain re-evaluates the
-    // orders rollup and every prior rank window once per remaining stage
-    def quintile(df0: DataFrame, v: String, q: String): DataFrame = {
-      val df = graft.core.SharedFrames.register(df0)
-      val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
-        df, Nil, v, "o_custkey")
-      ranked.crossJoin(broadcast(offsets.agg(sum("__cell_n").as("__n"))))
-        .withColumn(q, expr("((val_rank - 1) * 5) div __n + 1").cast("int"))
-        .drop("val_rank", "__n")
-    }
-    quintile(quintile(quintile(cust, "r_days", "r_q"), "f_cnt", "f_q"),
-        "m_cents", "m_q")
+    // Quintile labels via boundary ELEMENTS, all three dimensions in ONE
+    // rankElements pass: the label ((rank−1)·5) div n + 1 increments
+    // exactly after rank b_i = (i·n + 4) div 5, so label = 1 + #{i :
+    // (v, id) >lex element(b_i)}. The three dims stack into a (dim, v)
+    // long frame whose strata are the dims — one boundary pass instead
+    // of three full rank windows — and the 12 returned elements inline
+    // as LITERALS, so labeling every customer is a pure projection: the
+    // customer frame is never shuffled at all (was: three rank
+    // shuffles + three broadcast joins).
+    val cp = graft.core.SharedFrames.register(cust)
+    val stacked = cp.select(col("o_custkey"), expr(
+      "stack(3, 'r', r_days, 'f', f_cnt, 'm', m_cents) AS (dim, v)"))
+    val bRows = graft.ops.OrderStats.rankElements(stacked, Seq("dim"), "v",
+        "o_custkey", (1 to 4).map(i => (s"$i", s"($i * n + 4) div 5")))
+      .collect() // LocalRelation — a driver-local read, not a job
+    def label(dim: String, v: String): Column = (1 to 4).map { i =>
+      bRows.find(r => r.getAs[String]("dim") == dim &&
+        r.getAs[String]("tag") == s"$i") match {
+        case Some(r) =>
+          val (bv, bid) = (r.getAs[Long]("v"), r.getAs[Long]("o_custkey"))
+          when(col(v) > lit(bv) ||
+            (col(v) === lit(bv) && col("o_custkey") > lit(bid)), 1)
+            .otherwise(0)
+        case None => lit(0) // stratum absent (empty input)
+      }
+    }.foldLeft(lit(1))(_ + _).cast("int")
+    cp.withColumn("r_q", label("r", "r_days"))
+      .withColumn("f_q", label("f", "f_cnt"))
+      .withColumn("m_q", label("m", "m_cents"))
       .withColumn("segment",
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("int"))
       .select("o_custkey", "r_days", "f_cnt", "m_cents",
@@ -667,19 +678,23 @@ object RelationalQueries extends QueryGroup {
       .groupBy("o_custkey")
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("decimal(38,0)")).cast("long").as("v"))
-    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
-      cust, Nil, "v", "o_custkey")
-    val stats = offsets.agg(sum("__cell_n").as("n"))
-      .crossJoin(broadcast(cust.agg(sum(col("v")).cast("long").as("total"))))
-    val levels = Seq(1, 5, 10, 20).toDF("pct")
-      .crossJoin(broadcast(stats))
-      .withColumn("k", expr("(n * pct) div 100"))
-    ranked.crossJoin(broadcast(levels))
-      .filter(col("val_rank") > col("n") - col("k"))
-      .groupBy("pct", "n", "total", "k")
+    // the top-⌊n·p/100⌋ slice boundary is ONE element per level:
+    // rank > n − k  ⟺  (v, id) >lex element(n − k) — four boundary
+    // lookups + a broadcast compare; the customer frame is never ranked
+    val bounds = graft.ops.OrderStats.rankElements(cust, Nil, "v",
+        "o_custkey", Seq(1, 5, 10, 20).map(p =>
+          (s"$p", s"n - (n * $p) div 100")))
+      .select(col("tag").cast("int").as("pct"), col("n"),
+        col("v").as("bv"), col("o_custkey").as("bid"))
+    val total = cust.agg(sum(col("v")).cast("long").as("total"))
+    cust.crossJoin(broadcast(bounds))
+      .filter(col("v") > col("bv") ||
+        (col("v") === col("bv") && col("o_custkey") > col("bid")))
+      .groupBy("pct", "n")
       .agg(sum(col("v")).cast("long").as("top_cents"))
-      .select(col("pct"), col("k").as("n_top"), col("top_cents"),
-        col("total"),
+      .crossJoin(broadcast(total))
+      .select(col("pct"), expr("(n * pct) div 100").as("n_top"),
+        col("top_cents"), col("total"),
         expr("(1000000 * CAST(top_cents AS DECIMAL(38,0))) div total")
           .as("share_ppm"))
       .orderBy("pct")
@@ -697,16 +712,15 @@ object RelationalQueries extends QueryGroup {
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("decimal(38,0)").cast("long").as("cents"),
         (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("rid"))
-    val (ranked, offsets) = graft.ops.OrderStats.rankedWithOffsets(
-      v, Nil, "cents", "rid")
-    val thr = ranked
-      .crossJoin(broadcast(offsets.agg(sum("__cell_n").as("n"))))
-      .filter(col("val_rank") === expr("(n - 1) div 100 + 1") ||
-        col("val_rank") === expr("(99 * (n - 1)) div 100 + 1"))
-      .agg(min(when(col("val_rank") === expr("(n - 1) div 100 + 1"),
-        col("cents"))).as("lo"),
-        max(when(col("val_rank") === expr("(99 * (n - 1)) div 100 + 1"),
-          col("cents"))).as("hi"))
+    // p1/p99 via the positional lookup — no full-data rank window: the
+    // thresholds are two boundary ELEMENTS ([[graft.ops.OrderStats
+    // .rankElements]]), so the corpus is never shuffled into rank order
+    val el = graft.ops.OrderStats.rankElements(v, Nil, "cents", "rid",
+      Seq("lo" -> "(n - 1) div 100 + 1",
+        "hi" -> "(99 * (n - 1)) div 100 + 1"))
+    val thr = el
+      .agg(min(when(col("tag") === "lo", col("cents"))).as("lo"),
+        max(when(col("tag") === "hi", col("cents"))).as("hi"))
     v.crossJoin(broadcast(thr))
       .withColumn("clipped", greatest(least(col("cents"), col("hi")), col("lo")))
       .groupBy("l_returnflag")

@@ -85,6 +85,47 @@ class OrderStatsSpec extends SparkSuite {
     assert(plan.contains("__cell"))
   }
 
+  test("rankElements == formula-over-full-rank (global and per-stratum)") {
+    val rnd = new scala.util.Random(7)
+    // heavy ties + negatives, two strata of very different size
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, if (i % 7 == 0) "big" else "small",
+        rnd.nextInt(300).toLong - 150))
+    val df = rows.toDF("id", "g", "v").repartition(6)
+    val formulas = Seq(
+      "p1" -> "(n - 1) div 100 + 1",
+      "med1" -> "(n + 1) div 2",
+      "med2" -> "n div 2 + 1",
+      "p99" -> "(99 * (n - 1)) div 100 + 1")
+    for (strata <- Seq(Nil, Seq("g"))) {
+      val got = OrderStats.rankElements(df, strata, "v", "id", formulas,
+          cells = 64)
+        .collect()
+        .map(r => (if (strata.isEmpty) "" else r.getAs[String]("g"),
+          r.getAs[String]("tag"), r.getAs[Long]("rank_target"),
+          r.getAs[Long]("v"), r.getAs[Long]("id"), r.getAs[Long]("n"))).toSet
+      val ranked = OrderStats.valueRankedBy(df, strata, "v", "id", cells = 64)
+      val sizes = df.groupBy(strata.map(col): _*).agg(count(lit(1)).as("n"))
+      val joined = if (strata.isEmpty) ranked.crossJoin(broadcast(sizes))
+        else ranked.join(broadcast(sizes), strata)
+      val truth = formulas.flatMap { case (tag, f) =>
+        joined.filter(col("val_rank") === expr(f))
+          .collect()
+          .map(r => (if (strata.isEmpty) "" else r.getAs[String]("g"),
+            tag, r.getAs[Long]("val_rank"), r.getAs[Long]("v"),
+            r.getAs[Long]("id"), r.getAs[Long]("n")))
+      }.toSet
+      assert(got == truth, s"strata=$strata: " +
+        s"missing=${truth -- got} extra=${got -- truth}")
+    }
+    // empty input → schema-correct empty frame
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val e = OrderStats.rankElements(empty, Nil, "v", "id",
+      Seq("m" -> "(n + 1) div 2"))
+    assert(e.columns.toSeq == Seq("tag", "rank_target", "v", "id", "n"))
+    assert(e.count() == 0L)
+  }
+
   test("hash-sample quantiles: rank error within the sampling envelope") {
     // q_approx_quantiles' estimate vs the EXACT full-data quantile: the
     // estimated value's true rank must sit within a few sampling standard

@@ -433,14 +433,17 @@ class PlanSpec extends SparkSuite {
       s"frequent items regressed to the rank-window formulation:\n${plan.take(1200)}")
   }
 
-  test("q_equidepth_hist: data windows are cell-keyed; offsets broadcast back") {
+  test("q_equidepth_hist: bucket labels are literal compares — no window, no join") {
+    // the boundary-lookup rewrite (OrderStats.rankElements) resolves the
+    // 9 bucket-boundary elements up front (bounded collects) and inlines
+    // them as literals: the final plan must be scan → label projection →
+    // ONE aggregation — a rank window or a join here means the rewrite
+    // regressed to ranking every row
     val plan = formatted("q_equidepth_hist")
-    // the data-side window must be partitioned by the grid cell — an
-    // empty PARTITION BY over the lineitem rows is the single-reducer cliff
-    assert(plan.contains("__cell"),
-      s"two-level value rank lost its grid bucketing:\n${plan.take(1500)}")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"cell offsets no longer broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"bucket labeling regressed to a rank window:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"),
+      s"bucket labeling regressed to a join:\n${plan.take(1500)}")
   }
 
   test("q_gopher_quality / q_c4_filters: pure projections — no join, no window, no explode") {
