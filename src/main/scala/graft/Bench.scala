@@ -73,10 +73,12 @@ object Bench {
         (shared, queries)
       }
       val (sharedA, qA) = runPass()
-      // drop the shared caches (base-table cache stays warm — that is the
-      // steady-state a long-lived session sees) so pass B pays the real
-      // shared build cost again instead of a cache read
-      graft.core.SharedFrames.clear()
+      // drop the DERIVED shared caches (base-table cache stays warm —
+      // that is the steady-state a long-lived session sees) so pass B
+      // pays the real shared build cost again instead of a cache read;
+      // clearDerived (not clear) because a full clear also evicted the
+      // table scans and charged their re-decode to pass B's frames
+      graft.core.SharedFrames.clearDerived()
       val (sharedB, qB) = runPass()
 
       def minBy(a: Seq[(String, Double)], b: Seq[(String, Double)]) = {
@@ -90,7 +92,12 @@ object Bench {
       // its steady state on pass B), so min-of-two still overstates the
       // heavy tail; ~a dozen re-runs cost seconds and record steady state
       val prelim = minBy(qA, qB)
-      val topNames = prelim.sortBy(-_._2).take(12).map(_._1).toSet
+      // top-32 (was top-12 when the warm pass landed): the cold passes
+      // overstate every query that runs driver actions or fresh codegen
+      // per evaluation, and the 1–2s band is exactly where those live;
+      // ~32 re-runs cost under a minute and record steady state for the
+      // whole heavy tail (same drift-robustness rationale, wider net)
+      val topNames = prelim.sortBy(-_._2).take(32).map(_._1).toSet
       val qC = SparkEntry.queries.toSeq
         .filter { case (n, _) => topNames(n) && only.forall(_.contains(n)) }
         .map { case (n, fn) => n -> timed(fn) }

@@ -82,6 +82,23 @@ object SharedFrames {
     }
   }
 
+  /** Unpersist every DERIVED frame but keep the base-table scan caches
+    * ([[graft.core.Tables]] registers those under a `table:` key) and the
+    * queued teardown actions. This is the bench's between-passes clear:
+    * its documented intent is "shared build cost is real in both passes,
+    * base-table cache stays warm — the steady state a long-lived session
+    * sees", but a full [[clear]] also evicted the table caches, so pass
+    * B silently charged each table's re-decode + re-cache to whichever
+    * shared frame read it first (mv_lineitem read 2.8 s for a 6-row
+    * aggregate). Teardown actions stay queued for the final [[clear]]. */
+  def clearDerived(): Unit = {
+    named.keys.filterNot(_.contains(":table:")).foreach { k =>
+      named.remove(k).foreach(safeUnpersist)
+    }
+    var df = anonymous.poll()
+    while (df != null) { safeUnpersist(df); df = anonymous.poll() }
+  }
+
   private def safeUnpersist(df: DataFrame): Unit =
     try df.unpersist(blocking = false)
     catch { case _: Throwable => () }

@@ -694,7 +694,16 @@ object TextQueries extends QueryGroup {
   private def pplBuckets(s: SparkSession, dir: String): DataFrame =
     pplBucketFrame(s, dir).orderBy("doc_id")
 
-  private def pplBucketFrame(s: SparkSession, dir: String): DataFrame = {
+  /** Session-shared: the per-language rank over lm_mass is the expensive
+    * interior, and BOTH q_ppl_buckets and the curation funnel's
+    * perplexity gate read it — sharing halves the rank passes (one grid
+    * rank per session instead of one per consumer). */
+  private def pplBucketFrame(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.cached(s, s"pplbuckets:$dir") {
+      pplBucketFrameBuild(s, dir)
+    }
+
+  private def pplBucketFrameBuild(s: SparkSession, dir: String): DataFrame = {
     val sc = lmMass(s, dir)
       .select(col("doc_id"), col("lang"),
         expr("ps div n_bigrams").as("score"))
@@ -1118,7 +1127,8 @@ object TextQueries extends QueryGroup {
     * build time to the shared stage, not to whichever query runs first. */
   override def shared: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("lm_mass" -> (lmMass(_, _)),
-      "gopher_rep_flags" -> (gopherRepetitionFlags(_, _)))
+      "gopher_rep_flags" -> (gopherRepetitionFlags(_, _)),
+      "ppl_buckets" -> (pplBucketFrame(_, _)))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_perceptron_gate" -> perceptronGate,
