@@ -30,6 +30,7 @@ object SharedFrames {
   private val named = TrieMap.empty[String, DataFrame]
   private val anonymous = new ConcurrentLinkedQueue[DataFrame]()
   private val cleanups = new ConcurrentLinkedQueue[() => Unit]()
+  private val counts = TrieMap.empty[String, Long]
 
   /** Register a teardown action to run once at the next [[clear]] — the
     * hygiene hook for session-scoped side artifacts that are not cache
@@ -60,6 +61,24 @@ object SharedFrames {
     }
   }
 
+  /** Row count memoized once per (session, key) — the companion STAT of a
+    * [[cached]] frame. The iterative ops gate their round planning on the
+    * input's materialized size ([[graft.ops.Rounds.scopedForSize]]), and
+    * without the memo every op invocation over the same persisted shared
+    * frame re-counts it: one driver job of pure fixed cost each (seven
+    * graph/cluster queries count the SAME 256-row pair frame per run).
+    * In-session only, cleared with the frames ([[clear]]/[[clearDerived]]
+    * keyed identically), so every run still computes from its inputs. */
+  def memoCount(spark: SparkSession, key: String)(df: => DataFrame): Long = {
+    val k = sessionKey(spark, key)
+    counts.get(k) match {
+      case Some(n) => n
+      case None =>
+        val n = df.count()
+        counts.putIfAbsent(k, n).getOrElse(n)
+    }
+  }
+
   /** Persist a frame reused only within one query plan (e.g. a banded
     * signature frame self-joined once per band), registering it for
     * [[clear]] so it does not outlive the run. */
@@ -73,6 +92,7 @@ object SharedFrames {
   def clear(): Unit = {
     named.values.foreach(safeUnpersist)
     named.clear()
+    counts.clear()
     var df = anonymous.poll()
     while (df != null) { safeUnpersist(df); df = anonymous.poll() }
     var c = cleanups.poll()
@@ -95,6 +115,7 @@ object SharedFrames {
     named.keys.filterNot(_.contains(":table:")).foreach { k =>
       named.remove(k).foreach(safeUnpersist)
     }
+    counts.keys.filterNot(_.contains(":table:")).foreach(counts.remove)
     var df = anonymous.poll()
     while (df != null) { safeUnpersist(df); df = anonymous.poll() }
   }

@@ -28,6 +28,14 @@ object Tables {
     else read
   }
 
+  /** Memoized base-table row count — one job per (session, dir, name),
+    * shared by every op that sizes its round planning on a corpus-wide
+    * frame (see [[SharedFrames.memoCount]]). Keyed like the scan cache,
+    * so the bench's between-passes clear keeps it exactly when it keeps
+    * the scan. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    SharedFrames.memoCount(spark, s"table:$dir/$name")(t(spark, dir, name))
+
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")

@@ -190,10 +190,16 @@ object Dedup {
     * DedupSpec proves the independent family's candidate recall >= the
     * windowed family's on a planted near-dup corpus. */
   def minhashSignatures(sh: DataFrame, k: Int,
-                        independent: Boolean = true): DataFrame = {
+                        independent: Boolean = true,
+                        withSize: Boolean = false): DataFrame = {
     if (independent) {
+      // `withSize` rides the exact set size on the SAME per-doc
+      // aggregation (zero extra pass/shuffle) — the length-filter input
+      // of [[bandCandidatesLengthPruned]]; identical to the verify-side
+      // `sizes` count by construction (same frame, same grouping)
       val aggs = (1 to k).map(j =>
-        min(substring(md5(concat(lit(s"mh${j}_"), col("shingle"))), 1, 16)).as(s"h$j"))
+        min(substring(md5(concat(lit(s"mh${j}_"), col("shingle"))), 1, 16)).as(s"h$j")) ++
+        (if (withSize) Seq(count(lit(1)).as("sz")) else Nil)
       sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     } else {
       require(k >= 1 && 2 * (k - 1) + 16 <= 32,
@@ -230,6 +236,36 @@ object Dedup {
       .join(stacked.select(col("doc_id").as("id_b"), col("bi"), col("bk")),
         Seq("bi", "bk"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** [[bandCandidates]] with the PPJoin length filter folded into the band
+    * self-join — for candidates that will be VERIFIED at Jaccard >=
+    * `threshold` (`q_dedup_minhash`'s path; the curve/estimator queries
+    * measure the RAW candidate set and must not prune). J = c/(sa+sb−c)
+    * with c <= min and sa+sb−c >= max, and double division is monotone in
+    * both arguments, so fl(J) <= fl(min/max): every pair the verify's
+    * `jaccard >= threshold` filter can keep satisfies this filter — the
+    * prune is result-identical (DedupSpec law) while cutting
+    * size-incompatible candidates BEFORE the verify join probes the full
+    * feature sets, which at corpus scale is the expensive pass. `banded`
+    * must carry `sz` ([[minhashSignatures]] `withSize = true` — the size
+    * rides the signature aggregation for free). */
+  def bandCandidatesLengthPruned(banded: DataFrame, nBands: Int,
+                                 threshold: Double): DataFrame = {
+    val stacked = banded.select(col("doc_id"), col("sz"),
+      explode(array((1 to nBands).map(b =>
+        struct(lit(b).as("bi"), col(s"band$b").as("bk"))): _*)).as("band"))
+      .select(col("doc_id"), col("sz"),
+        col("band.bi").as("bi"), col("band.bk").as("bk"))
+    stacked.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
+        col("bi"), col("bk"))
+      .join(stacked.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        col("bi"), col("bk")), Seq("bi", "bk"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")) >= threshold)
       .select("id_a", "id_b")
       .distinct()
   }
@@ -312,12 +348,16 @@ object Dedup {
     * configuration). The fixpoint (min reachable label) is unique, so the
     * result is deterministic regardless of scheduling.
     *
-    * Convergence is detected by COUNTING changed labels per round (zero =
-    * fixpoint) — a label-sum comparison would be cheaper to express but
-    * Spark's non-ANSI Long sum wraps silently, and at billions of vertices
-    * "sum unchanged" no longer implies "no label changed". */
+    * Convergence is detected by COUNTING changed labels (zero = fixpoint)
+    * — a label-sum comparison would be cheaper to express but Spark's
+    * non-ANSI Long sum wraps silently, and at billions of vertices "sum
+    * unchanged" no longer implies "no label changed". Rounds run FUSED in
+    * pairs (two propagations per convergence action): the fixpoint is
+    * invariant under extra rounds, so a diameter-D component costs
+    * ceil(D/2) convergence jobs instead of D at an identical result. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false,
+                          knownSize: Option[Long] = None): DataFrame = {
     // Lazy truncation + reliable-mode checkpoint hygiene (see
     // [[RoundCheckpointer]]): the convergence-count action below
     // materializes each round's checkpoint, so a round costs ONE job,
@@ -331,8 +371,16 @@ object Dedup {
     // 3 shuffle stages otherwise each pay an AQE replan — and on (skew
     // splitting) for real ones. |edges| <= 2|pairs| + |V|, so the pair
     // count is an honest proxy for every frame the loop touches.
-    val p = SharedFrames.register(pairs.select(col("id_a"), col("id_b")))
-    val nPairs = p.count()
+    // `knownSize` = the caller vouches `pairs` is ALREADY persisted and
+    // this is its row count (or an honest upper bound — the value only
+    // gates round planning): skip the redundant re-persist and the count
+    // job. Session-shared pair frames are counted once per session
+    // ([[SharedFrames.memoCount]]) instead of once per consuming op.
+    val p = knownSize match {
+      case Some(_) => pairs.select(col("id_a"), col("id_b"))
+      case None => SharedFrames.register(pairs.select(col("id_a"), col("id_b")))
+    }
+    val nPairs = knownSize.getOrElse(p.count())
     Rounds.scopedForSize(pairs.sparkSession, nPairs) {
       // symmetric edges PLUS a self-loop per vertex: with (v, v) present,
       // min over neighbor labels already includes v's own label, so each
@@ -358,11 +406,22 @@ object Dedup {
       var iter = 0
       while (!converged && iter < maxIters) {
         val before = cp.beginRound()
+        // TWO propagation rounds per convergence action: the result (the
+        // unique min-reachable-label fixpoint) is invariant under extra
+        // rounds, and "no label changed" checked on the SECOND half-step
+        // is the same convergence criterion — so a diameter-D component
+        // costs ceil(D/2) driver jobs instead of D. The mid frame stays
+        // lineage-internal (plan depth is bounded at two rounds; lineage
+        // still truncates once per action).
+        val mid = edges
+          .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+          .groupBy("src").agg(min(col("lbl")).as("lbl"))
+          .select(col("src").as("id"), col("lbl"))
         // the self-loop row carries each vertex's own label through the
         // join, so min(lbl) is the next label and the own-label minimum
         // (dst == src) detects change — one aggregation computes both
         val next = truncate(edges
-          .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+          .join(mid.select(col("id").as("dst"), col("lbl")), Seq("dst"))
           .groupBy("src")
           .agg(min(col("lbl")).as("nlbl"),
             min(when(col("dst") === col("src"), col("lbl"))).as("own"))
@@ -373,7 +432,7 @@ object Dedup {
         // our checkpoints that predates this round is superseded — delete it
         cp.endRound(before)
         labels = next.select("id", "lbl")
-        iter += 1
+        iter += 2
       }
       require(converged,
         s"connectedComponents did not converge in $maxIters rounds — " +

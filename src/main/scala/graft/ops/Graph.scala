@@ -45,14 +45,18 @@ object Graph {
     */
   def pageRank(pairs: DataFrame, iters: Int = 5, damp: Int = 85,
                scale: Long = 1000000000000000L,
-               reliable: Boolean = false): DataFrame = {
+               reliable: Boolean = false,
+               knownSize: Option[Long] = None): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 100)
     val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
     // input persisted once, policy sized by it (|edges| <= 2|pairs|) so
-    // the edge-frame build runs under the scoped round planning too
-    val p = graft.core.SharedFrames.register(
+    // the edge-frame build runs under the scoped round planning too;
+    // `knownSize` callers vouch the frame is already persisted + counted
+    // (session-shared pair frames), skipping both jobs
+    val p = knownSize.fold(graft.core.SharedFrames.register(
+      pairs.select(col("id_a"), col("id_b"))))(_ =>
       pairs.select(col("id_a"), col("id_b")))
-    val nPairs = p.count()
+    val nPairs = knownSize.getOrElse(p.count())
     Rounds.scopedForSize(pairs.sparkSession, nPairs) {
       val fwd = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       val rev = p.select(col("id_b").as("src"), col("id_a").as("dst"))
@@ -111,12 +115,14 @@ object Graph {
     * @return (doc_id, community) — community = the round-`iters` label
     */
   def labelPropagation(pairs: DataFrame, iters: Int = 4,
-                       reliable: Boolean = false): DataFrame = {
+                       reliable: Boolean = false,
+                       knownSize: Option[Long] = None): DataFrame = {
     require(iters >= 1)
     val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
-    val p = graft.core.SharedFrames.register(
+    val p = knownSize.fold(graft.core.SharedFrames.register(
+      pairs.select(col("id_a"), col("id_b"))))(_ =>
       pairs.select(col("id_a"), col("id_b")))
-    val nPairs = p.count()
+    val nPairs = knownSize.getOrElse(p.count())
     Rounds.scopedForSize(pairs.sparkSession, nPairs) {
       val fwd = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       val rev = p.select(col("id_b").as("src"), col("id_a").as("dst"))
@@ -158,16 +164,18 @@ object Graph {
     *         seeds at 0
     */
   def hopDistances(pairs: DataFrame, seeds: DataFrame, maxHops: Int,
-                   reliable: Boolean = false): DataFrame = {
+                   reliable: Boolean = false,
+                   knownSize: Option[Long] = None): DataFrame = {
     require(maxHops >= 0)
     // Two iterated lineages (frontier, settled set) that read each other's
     // PRIOR rounds — one checkpointer each, so neither's supersede-delete
     // can drop a dir the other still needs (see RoundCheckpointer scaladoc)
     val cpFrontier = new RoundCheckpointer(pairs.sparkSession, reliable)
     val cpDist = new RoundCheckpointer(pairs.sparkSession, reliable)
-    val p = graft.core.SharedFrames.register(
+    val p = knownSize.fold(graft.core.SharedFrames.register(
+      pairs.select(col("id_a"), col("id_b"))))(_ =>
       pairs.select(col("id_a"), col("id_b")))
-    val nPairs = p.count()
+    val nPairs = knownSize.getOrElse(p.count())
     Rounds.scopedForSize(pairs.sparkSession, nPairs) {
       val fwd = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       val rev = p.select(col("id_b").as("src"), col("id_a").as("dst"))
@@ -218,12 +226,14 @@ object Graph {
     *         core_deg = degree within the surviving subgraph
     */
   def kCore(pairs: DataFrame, k: Int, iters: Int,
-            reliable: Boolean = false): DataFrame = {
+            reliable: Boolean = false,
+            knownSize: Option[Long] = None): DataFrame = {
     require(k >= 1 && iters >= 1)
     val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
-    val pc = graft.core.SharedFrames.register(
+    val pc = knownSize.fold(graft.core.SharedFrames.register(
+      pairs.select(col("id_a"), col("id_b"))))(_ =>
       pairs.select(col("id_a"), col("id_b")))
-    val nPairs = pc.count()
+    val nPairs = knownSize.getOrElse(pc.count())
     Rounds.scopedForSize(pairs.sparkSession, nPairs) {
       val fwd = pc.select(col("id_a").as("src"), col("id_b").as("dst"))
       val rev = pc.select(col("id_b").as("src"), col("id_a").as("dst"))

@@ -167,15 +167,28 @@ object OrderStats {
     // narrow-range stratum into one cell — one reducer ranks the whole
     // stratum. The per-stratum (lo, hi) pull is ≤|strata| rows, the same
     // driver-bounded class as the |strata|·|formulas| result collect.
+    // Stratum counts ride the SAME pass for free: they size the
+    // round-planning scope below (and nothing else — n still comes from
+    // the cell-count frame so the lookup plan is unchanged).
     val mmRows = df.groupBy(strata.map(col): _*)
       .agg(min(col(value).cast("long")).as("__lo"),
-        max(col(value).cast("long")).as("__hi"))
+        max(col(value).cast("long")).as("__hi"),
+        count(col(value)).as("__n"))
       .collect()
       .filter(!_.isNullAt(strata.size))
     def emptyOut = df.limit(0).select(
       strata.map(col) ++ Seq(lit("").as("tag"), lit(0L).as("rank_target"),
         col(value), col(id), lit(0L).as("n")): _*)
     if (mmRows.isEmpty) return emptyOut
+    // Sub-reducer-scale inputs run the whole bounded lookup (cell counts,
+    // locate, matched-cell rank, element collect) as ONE un-replanned job:
+    // AQE's per-stage materialization turns this ~5-exchange interior into
+    // as many driver jobs of pure fixed cost at local scale. The gate is
+    // the measured row count from the pull above — a real corpus keeps AQE
+    // on (skew-splitting the cell window is exactly what it needs), same
+    // policy and threshold as the iterative ops ([[Rounds.scopedForSize]]).
+    val nTotal = mmRows.map(_.getAs[Long]("__n")).sum
+    Rounds.scopedForSize(df.sparkSession, nTotal) {
     val cellOf = mmRows.map { r =>
       val (lo, hi) = (r.getAs[Long]("__lo"), r.getAs[Long]("__hi"))
       val span = hi - lo + 1
@@ -254,6 +267,7 @@ object OrderStats {
     val outRows = out.collect()
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(outRows: _*), out.schema)
+    }
   }
 
   /** Exact equi-depth histogram: rows land in `buckets` rank bands of

@@ -182,13 +182,18 @@ object Similarity {
     * @param allIds 1-column (vec_id) universe frame
     * @return (vec_id, degree, role, cluster_id) — cluster_id null for noise
     */
-  def dbscan(pairs: DataFrame, allIds: DataFrame, minPts: Int): DataFrame = {
+  def dbscan(pairs: DataFrame, allIds: DataFrame, minPts: Int,
+             knownPairs: Option[Long] = None,
+             knownIds: Option[Long] = None): DataFrame = {
     // round-planning policy keyed on the LARGEST frame the op touches
     // (the role join is corpus-wide, not pair-wide): below reducer scale
     // the whole cascade runs without AQE's per-stage replanning; above
-    // it AQE stays on for the joins that need skew handling
-    val nBiggest = math.max(
-      graft.core.SharedFrames.register(pairs).count(), allIds.count())
+    // it AQE stays on for the joins that need skew handling. known*
+    // callers vouch the frames are persisted/memo-counted already
+    // (session-shared pairs, base-table ids) — skips two count jobs.
+    val nPairs = knownPairs.getOrElse(
+      graft.core.SharedFrames.register(pairs).count())
+    val nBiggest = math.max(nPairs, knownIds.getOrElse(allIds.count()))
     Rounds.scopedForSize(pairs.sparkSession, nBiggest) {
     val p = pairs.select(col("id_a"), col("id_b"))
     val und = p.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -197,11 +202,14 @@ object Similarity {
       und.groupBy("src").agg(count(lit(1)).as("degree")))
     val core = graft.core.SharedFrames.register(
       deg.filter(col("degree") >= minPts).select(col("src").as("id")))
-    val coreEdges = p
+    // register core edges here (CC's symmetric build reads them twice) and
+    // hand CC the pair count as the planning bound (|coreEdges| <= |pairs|)
+    // so it skips its own register + count job
+    val coreEdges = graft.core.SharedFrames.register(p
       .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
       .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
-      .select("id_a", "id_b")
-    val cc = Dedup.connectedComponents(coreEdges)
+      .select("id_a", "id_b"))
+    val cc = Dedup.connectedComponents(coreEdges, knownSize = Some(nPairs))
     // singleton cores (no core neighbor) cluster as themselves
     val coreClusters = core
       .join(cc.withColumnRenamed("doc_id", "id"), Seq("id"), "left")

@@ -82,7 +82,7 @@ object CorpusQueries extends QueryGroup {
     * shuffled param order, and a fragment every 5th key — each a variant
     * the canonicalizer must collapse. Engine-portable SQL like
     * [[PiiFixtureSql]]. */
-  private val UrlFixtureSql: String =
+  private[graft] val UrlFixtureSql: String =
     """concat(
       |  CASE WHEN k % 2 = 0 THEN 'http' ELSE 'HTTP' END, '://',
       |  CASE WHEN k % 3 = 0 THEN 'example.com'
@@ -106,14 +106,14 @@ object CorpusQueries extends QueryGroup {
     Tables.orders(s, dir)
       .select(col("o_orderkey").as("k"))
       .withColumn("raw", expr(UrlFixtureSql))
-      .withColumn("nofrag", regexp_replace(col("raw"), "#.*$", ""))
-      .withColumn("scheme",
-        lower(regexp_extract(col("nofrag"), "^([a-zA-Z]+)://", 1)))
-      .withColumn("hostport",
-        regexp_extract(col("nofrag"), "^[a-zA-Z]+://([^/?#]+)", 1))
-      .withColumn("path",
-        regexp_extract(col("nofrag"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1))
-      .withColumn("qs", regexp_extract(col("nofrag"), "\\?(.*)$", 1))
+      // one native pass over the bytes instead of five regex passes —
+      // field-for-field identical to the regexp_replace/extract chain
+      // (see [[graft.functions.UrlSplit]]; ExtensionsSpec law + oracle)
+      .withColumn("u", graft.functions.UrlSplit.urlParts(col("raw")))
+      .withColumn("scheme", col("u.scheme"))
+      .withColumn("hostport", col("u.hostport"))
+      .withColumn("path", col("u.path"))
+      .withColumn("qs", col("u.qs"))
       .withColumn("host", lower(expr("split_part(hostport, ':', 1)")))
       .withColumn("port", expr(
         "CASE WHEN hostport LIKE '%:%' THEN split_part(hostport, ':', 2) " +

@@ -51,6 +51,13 @@ object DedupQueries extends QueryGroup {
       Dedup.jaccardPairs(sharedShingles(s, dir), 0.8)
     }
 
+  /** Session-memoized row count of [[sharedJaccardPairs]] — the planning
+    * stat every iterative graph op gates on; without it each of the seven
+    * consumers re-counts the same persisted frame (one fixed-cost driver
+    * job per op invocation). */
+  private[queries] def sharedJaccardPairsCount(s: SparkSession, dir: String): Long =
+    SharedFrames.memoCount(s, s"jacpairs:$dir")(sharedJaccardPairs(s, dir))
+
   /** df-pruned winnow fingerprint frame (doc_id, fp), built once per
     * (session, dir) — the winnow expression (a rolling hash over every
     * char of every doc) is the expensive part, shared by the overlap-pairs
@@ -126,8 +133,12 @@ object DedupQueries extends QueryGroup {
   private def minhash(s: SparkSession, dir: String): DataFrame = {
     val sh = sharedShingles(s, dir)
     val banded = SharedFrames.register(
-      Dedup.withBands(Dedup.minhashSignatures(sh, 8), 8, 2))
-    Dedup.verifyCandidates(Dedup.bandCandidates(banded, 4), sh, 0.7)
+      Dedup.withBands(Dedup.minhashSignatures(sh, 8, withSize = true), 8, 2))
+    // length filter in the band join (sz rides the signature agg free):
+    // size-incompatible collisions never reach the verify's feature-set
+    // probe — result-identical at the 0.7 verify (DedupSpec law)
+    Dedup.verifyCandidates(
+        Dedup.bandCandidatesLengthPruned(banded, 4, 0.7), sh, 0.7)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
@@ -285,7 +296,8 @@ object DedupQueries extends QueryGroup {
     * q_dedup_clusters and q_dedup_canonical. */
   private[queries] def sharedClusters(s: SparkSession, dir: String): DataFrame =
     SharedFrames.cached(s, s"clusters:$dir") {
-      Dedup.connectedComponents(sharedJaccardPairs(s, dir))
+      Dedup.connectedComponents(sharedJaccardPairs(s, dir),
+        knownSize = Some(sharedJaccardPairsCount(s, dir)))
     }
 
   /** Cluster-purity audit — the transitive-drift check a dedup owner
@@ -633,7 +645,8 @@ object DedupQueries extends QueryGroup {
     val pairs = sharedJaccardPairs(s, dir)
     val seeds = Tables.documents(s, dir)
       .filter(col("doc_id") < 10).select("doc_id")
-    graft.ops.Graph.hopDistances(pairs, seeds, maxHops = HopRadius)
+    graft.ops.Graph.hopDistances(pairs, seeds, maxHops = HopRadius,
+        knownSize = Some(sharedJaccardPairsCount(s, dir)))
       .orderBy("doc_id")
   }
 
@@ -643,7 +656,8 @@ object DedupQueries extends QueryGroup {
     * merging. Fixed {{LpIters}} synchronous rounds, argmax label with
     * min-label tiebreak, replayed exactly as unrolled SQL stages. */
   private def communities(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.labelPropagation(sharedJaccardPairs(s, dir), iters = LpIters)
+    graft.ops.Graph.labelPropagation(sharedJaccardPairs(s, dir), iters = LpIters,
+        knownSize = Some(sharedJaccardPairsCount(s, dir)))
       .orderBy("doc_id")
 
   /** Shared ExactSubstr-span oracle preamble: 8-gram seeds (corpus count
@@ -731,7 +745,9 @@ object DedupQueries extends QueryGroup {
   private def dbscanQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.dbscan(sharedJaccardPairs(s, dir),
         Tables.documents(s, dir).select(col("doc_id").as("vec_id")),
-        DbscanMinPts)
+        DbscanMinPts,
+        knownPairs = Some(sharedJaccardPairsCount(s, dir)),
+        knownIds = Some(Tables.rowCount(s, dir, "documents")))
       .withColumnRenamed("vec_id", "doc_id")
       .orderBy("doc_id")
 
@@ -760,7 +776,9 @@ object DedupQueries extends QueryGroup {
       .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("k1"))
     val jc = sharedClusters(s, dir)
     val sc = Dedup.connectedComponents(
-      sharedSimhash64Pairs(s, dir).select("id_a", "id_b"))
+      sharedSimhash64Pairs(s, dir).select("id_a", "id_b"),
+      knownSize = Some(SharedFrames.memoCount(s, s"simhash64:$dir")(
+        sharedSimhash64Pairs(s, dir))))
       .withColumnRenamed("cluster_id", "s_cluster")
     val flags = ex
       .join(jc, Seq("doc_id"), "left")
@@ -799,7 +817,8 @@ object DedupQueries extends QueryGroup {
     * stages (equality holds at any horizon: both engines run the same
     * rounds). */
   private def kcore(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.kCore(sharedJaccardPairs(s, dir), CoreK, CoreIters)
+    graft.ops.Graph.kCore(sharedJaccardPairs(s, dir), CoreK, CoreIters,
+        knownSize = Some(sharedJaccardPairsCount(s, dir)))
       .orderBy("doc_id")
 
   /** Unrolled peeling rounds e1..e`n` over the CTE `e0` (mirrors
@@ -868,7 +887,8 @@ object DedupQueries extends QueryGroup {
     * integer iteration (see [[graft.ops.Graph.pageRank]]) so five rounds
     * replay exactly as five unrolled SQL stages. */
   private def pagerank(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.pageRank(sharedJaccardPairs(s, dir), iters = PrIters)
+    graft.ops.Graph.pageRank(sharedJaccardPairs(s, dir), iters = PrIters,
+        knownSize = Some(sharedJaccardPairsCount(s, dir)))
       .orderBy("doc_id")
 
   private val PrIters = 5

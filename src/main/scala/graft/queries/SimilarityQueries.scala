@@ -622,7 +622,9 @@ object SimilarityQueries extends QueryGroup {
   private[queries] def sharedSimClusters(s: SparkSession, dir: String): DataFrame =
     SharedFrames.cached(s, s"simclusters:$dir") {
       graft.ops.Dedup.connectedComponents(
-        sharedLshPairs(s, dir).select(col("id_a"), col("id_b")))
+        sharedLshPairs(s, dir).select(col("id_a"), col("id_b")),
+        knownSize = Some(SharedFrames.memoCount(s, s"lshpairs:$dir")(
+          sharedLshPairs(s, dir))))
     }
 
   private def simClusters(s: SparkSession, dir: String): DataFrame = {

@@ -133,6 +133,38 @@ class DedupSpec extends SparkSuite {
       s"LSH missed too many: ${(brute -- lsh).size} of ${brute.size}")
   }
 
+  test("length-pruned band candidates: verified result identical, candidates subset") {
+    // corpus law at two thresholds + a planted size-boundary fixture:
+    // docs whose size ratio sits just under/over the threshold, sharing
+    // enough shingles to band-collide
+    val docs = Tables0.documents(spark, sf)
+    val corpus = Dedup.shingles(docs)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val planted = Seq(
+      (1L, base),                                    // 40 features
+      (2L, base),                                    // exact dup: ratio 1
+      (3L, (1 to 30).map(i => s"tok$i").mkString(" ")), // ratio 0.75 vs 1
+      (4L, (1 to 27).map(i => s"tok$i").mkString(" ")), // ratio 0.675 vs 1
+      (5L, (1 to 28).map(i => s"tok$i").mkString(" "))  // ratio 0.7 exactly
+    ).toDF("doc_id", "text")
+    for (sh <- Seq(corpus, Dedup.shingles(planted)); t <- Seq(0.7, 0.8)) {
+      val banded = Dedup.withBands(
+        Dedup.minhashSignatures(sh, 8, withSize = true), 8, 2)
+      val raw = Dedup.bandCandidates(banded.drop("sz"), 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pruned = Dedup.bandCandidatesLengthPruned(banded, 4, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pruned.subsetOf(raw), s"prune added pairs at t=$t")
+      def verified(c: org.apache.spark.sql.DataFrame) =
+        Dedup.verifyCandidates(c, sh, t)
+          .select("id_a", "id_b", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(verified(Dedup.bandCandidates(banded.drop("sz"), 4)) ==
+        verified(Dedup.bandCandidatesLengthPruned(banded, 4, t)),
+        s"verified sets differ at t=$t")
+    }
+  }
+
   test("independent minhash slots: candidate recall >= windowed variant") {
     // planted corpus: 40 base docs, each with a near-dup variant (one
     // word changed out of ~20 -> shingle jaccard ~0.85); plus noise docs
