@@ -157,11 +157,23 @@ object Bench {
       // shared_top: where the shared_sec goes, without reading
       // target/bench.json — the 3 most expensive shared-frame builds
       val topS = shared.sortBy(-_._2).take(3)
+      // queries_cold: the same top-15 queries' PASS-A (cold) numbers.
+      // The headline per-query values are min-over-warm-passes — right
+      // for round-over-round drift robustness, wrong for a core-count
+      // scaling probe: at this SF the warm MIN is fixed-cost-dominated
+      // and reads ≈flat in the core count (round-11 scaling block read
+      // ~1.0 everywhere and was flagged). The cold pass carries the
+      // compute signal, so a probe comparing runs at different
+      // SPARK_GRAFT_CPUS should ratio THESE numbers. Additions-only:
+      // nothing existing is renamed, removed, or re-measured.
+      val qaMap = qA.toMap
+      val coldQ = topQ.map { case (n, _) => n -> qaMap.getOrElse(n, -1.0) }
       compact =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec",$driftJson"n_queries":${queries.size},""" +
           f""""queries_sec":${queries.map(_._2).sum}%.3f,"shared_sec":${shared.map(_._2).sum}%.3f,""" +
           s""""shared_top":${js(topS)},""" +
-          s""""queries_top15_only":true,"queries":${js(topQ)},"sf":"$sfDir"}"""
+          s""""queries_top15_only":true,"queries":${js(topQ)},""" +
+          s""""queries_cold":${js(coldQ)},"sf":"$sfDir"}"""
     } finally {
       graft.core.SharedFrames.clear()
       graft.core.Tables.cacheScans = false

@@ -31,6 +31,12 @@ object SharedFrames {
   private val anonymous = new ConcurrentLinkedQueue[DataFrame]()
   private val cleanups = new ConcurrentLinkedQueue[() => Unit]()
   private val counts = TrieMap.empty[String, Long]
+  // session keys whose USER key was table-class ("table:" prefix checked
+  // on the raw key at registration, BEFORE session prefixing) — the set
+  // clearDerived keeps. A substring scan of the composed session key
+  // would misclassify a derived frame whose user-supplied data dir
+  // happens to contain ":table:".
+  private val tableKeys = TrieMap.empty[String, Unit]
 
   /** Register a teardown action to run once at the next [[clear]] — the
     * hygiene hook for session-scoped side artifacts that are not cache
@@ -50,6 +56,7 @@ object SharedFrames {
     * immediately, so no cache block leaks on concurrent first calls. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = sessionKey(spark, key)
+    if (key.startsWith("table:")) tableKeys.put(k, ())
     named.get(k) match {
       case Some(df) => df
       case None =>
@@ -71,6 +78,7 @@ object SharedFrames {
     * keyed identically), so every run still computes from its inputs. */
   def memoCount(spark: SparkSession, key: String)(df: => DataFrame): Long = {
     val k = sessionKey(spark, key)
+    if (key.startsWith("table:")) tableKeys.put(k, ())
     counts.get(k) match {
       case Some(n) => n
       case None =>
@@ -87,12 +95,24 @@ object SharedFrames {
     df.persist()
   }
 
+  /** Contract check for `knownSize`-style fast paths: the caller vouches
+    * `df` is already persisted (so the callee may skip its own
+    * register+count without the loop re-evaluating the build subtree
+    * every round). Nothing else enforces that claim, so a future caller
+    * passing an unpersisted frame would silently recompute per round —
+    * assert it here instead. */
+  def assertPersisted(df: DataFrame, what: String): Unit =
+    require(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      s"$what: knownSize supplied for an UNPERSISTED frame — the caller " +
+        "must persist (SharedFrames.cached/register) before vouching a size")
+
   /** Unpersist and forget every registered frame. Safe to call twice; a
     * frame whose session has already stopped is skipped. */
   def clear(): Unit = {
     named.values.foreach(safeUnpersist)
     named.clear()
     counts.clear()
+    tableKeys.clear()
     var df = anonymous.poll()
     while (df != null) { safeUnpersist(df); df = anonymous.poll() }
     var c = cleanups.poll()
@@ -112,10 +132,10 @@ object SharedFrames {
     * shared frame read it first (mv_lineitem read 2.8 s for a 6-row
     * aggregate). Teardown actions stay queued for the final [[clear]]. */
   def clearDerived(): Unit = {
-    named.keys.filterNot(_.contains(":table:")).foreach { k =>
+    named.keys.filterNot(tableKeys.contains).foreach { k =>
       named.remove(k).foreach(safeUnpersist)
     }
-    counts.keys.filterNot(_.contains(":table:")).foreach(counts.remove)
+    counts.keys.filterNot(tableKeys.contains).foreach(counts.remove)
     var df = anonymous.poll()
     while (df != null) { safeUnpersist(df); df = anonymous.poll() }
   }

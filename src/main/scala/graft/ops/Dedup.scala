@@ -377,7 +377,9 @@ object Dedup {
     // job. Session-shared pair frames are counted once per session
     // ([[SharedFrames.memoCount]]) instead of once per consuming op.
     val p = knownSize match {
-      case Some(_) => pairs.select(col("id_a"), col("id_b"))
+      case Some(_) =>
+        SharedFrames.assertPersisted(pairs, "connectedComponents")
+        pairs.select(col("id_a"), col("id_b"))
       case None => SharedFrames.register(pairs.select(col("id_a"), col("id_b")))
     }
     val nPairs = knownSize.getOrElse(p.count())

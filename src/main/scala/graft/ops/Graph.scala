@@ -53,6 +53,8 @@ object Graph {
     // the edge-frame build runs under the scoped round planning too;
     // `knownSize` callers vouch the frame is already persisted + counted
     // (session-shared pair frames), skipping both jobs
+    knownSize.foreach(_ =>
+      graft.core.SharedFrames.assertPersisted(pairs, "Graph iterative op"))
     val p = knownSize.fold(graft.core.SharedFrames.register(
       pairs.select(col("id_a"), col("id_b"))))(_ =>
       pairs.select(col("id_a"), col("id_b")))
@@ -119,6 +121,8 @@ object Graph {
                        knownSize: Option[Long] = None): DataFrame = {
     require(iters >= 1)
     val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
+    knownSize.foreach(_ =>
+      graft.core.SharedFrames.assertPersisted(pairs, "Graph iterative op"))
     val p = knownSize.fold(graft.core.SharedFrames.register(
       pairs.select(col("id_a"), col("id_b"))))(_ =>
       pairs.select(col("id_a"), col("id_b")))
@@ -172,6 +176,8 @@ object Graph {
     // can drop a dir the other still needs (see RoundCheckpointer scaladoc)
     val cpFrontier = new RoundCheckpointer(pairs.sparkSession, reliable)
     val cpDist = new RoundCheckpointer(pairs.sparkSession, reliable)
+    knownSize.foreach(_ =>
+      graft.core.SharedFrames.assertPersisted(pairs, "Graph iterative op"))
     val p = knownSize.fold(graft.core.SharedFrames.register(
       pairs.select(col("id_a"), col("id_b"))))(_ =>
       pairs.select(col("id_a"), col("id_b")))
@@ -230,6 +236,8 @@ object Graph {
             knownSize: Option[Long] = None): DataFrame = {
     require(k >= 1 && iters >= 1)
     val cp = new RoundCheckpointer(pairs.sparkSession, reliable)
+    knownSize.foreach(_ =>
+      graft.core.SharedFrames.assertPersisted(pairs, "Graph.kCore"))
     val pc = knownSize.fold(graft.core.SharedFrames.register(
       pairs.select(col("id_a"), col("id_b"))))(_ =>
       pairs.select(col("id_a"), col("id_b")))

@@ -160,7 +160,31 @@ object OrderStats {
     * projection a constant-time compare. */
   def rankElements(df: DataFrame, strata: Seq[String], value: String,
                    id: String, formulas: Seq[(String, String)],
-                   cells: Int = GridCells): DataFrame = {
+                   cells: Int = GridCells,
+                   knownSize: Option[Long] = None): DataFrame = knownSize match {
+    case Some(n) =>
+      // ONE-ACTION path (callers that can vouch an input size bound):
+      // the per-stratum (lo, hi) grid parameters stay IN THE PLAN as a
+      // broadcast-joined tiny frame instead of a driver collect, so the
+      // whole lookup — grid probe, cell counts, locate, matched-cell
+      // rank — executes under a single bounded driver action (the
+      // element collect). Besides deleting a driver job per call, this
+      // removes the per-stratum Catalyst when-chain and the
+      // strata-cardinality driver collect the two-action path carries
+      // (a data-dependent stratum column no longer grows either).
+      // `n` is an honest upper bound on df's rows, used ONLY to gate
+      // round planning (AQE off below reducer scale, same policy as the
+      // iterative ops).
+      Rounds.scopedForSize(df.sparkSession, n) {
+        rankElementsOneAction(df, strata, value, id, formulas, cells)
+      }
+    case None => rankElementsTwoAction(df, strata, value, id, formulas, cells)
+  }
+
+  private def rankElementsTwoAction(
+      df: DataFrame, strata: Seq[String], value: String,
+      id: String, formulas: Seq[(String, String)],
+      cells: Int): DataFrame = {
     // PER-STRATUM grids (unlike valueRankedBy's shared grid): strata here
     // may carry wildly different value ranges (RFM stacks recency-days
     // next to revenue-cents), and a shared grid would collapse a
@@ -203,6 +227,63 @@ object OrderStats {
       cellOf.foldRight(lit(-1)) { case ((cond, cell), acc) =>
         when(cond, cell).otherwise(acc)
       })
+    boundaryLookup(withCell, strata, value, id, formulas)
+    }
+  }
+
+  /** One-action variant of the boundary lookup ([[rankElements]] with
+    * `knownSize`): the per-stratum grid parameters stay IN THE PLAN as a
+    * broadcast-joined ≤|strata|-row frame instead of a driver collect.
+    * Cell geometry is step-division — cell = (v − lo) div step with
+    * step = ceil(span/cells) — instead of the two-action path's
+    * proportional map ((v − lo)·cells div span): both are monotone
+    * non-decreasing in v, which is the only property the rank arithmetic
+    * relies on (cells only partition the strict (v, id) order into
+    * contiguous runs), so the returned elements are identical. Step
+    * division needs no span·cells product, so the product-overflow
+    * require() has nothing to guard; span ≥ 0 is asserted in-plan on the
+    * tiny frame (DECIMAL interior, no long wrap for any lo/hi).
+    * Rows of a stratum whose values are ALL null drop at the inner grid
+    * join (the two-action path routes them to a sentinel cell; `value`
+    * and `id` are non-null by the primitive's contract, so callers see
+    * no difference — law-checked in OrderStatsSpec). */
+  private def rankElementsOneAction(
+      df: DataFrame, strata: Seq[String], value: String,
+      id: String, formulas: Seq[(String, String)],
+      cells: Int): DataFrame = {
+    val mm = df.groupBy(strata.map(col): _*)
+      .agg(min(col(value).cast("long")).as("__lo"),
+        max(col(value).cast("long")).as("__hi"))
+      .filter(col("__lo").isNotNull)
+      // ceil(span/cells) = (hi − lo + cells) div cells, DECIMAL-widened
+      // on this ≤|strata|-row frame; assert_true preserves the old
+      // require()'s failure mode for an un-griddable range (hi < lo is
+      // impossible from min/max — the assert documents and enforces it)
+      .withColumn("__step", when(
+        assert_true(col("__hi") >= col("__lo")).isNull,
+        expr(s"CAST((CAST(__hi AS DECIMAL(38,0)) - __lo + $cells) div $cells AS BIGINT)")))
+      .withColumn("__step", greatest(col("__step"), lit(1L)))
+    val mmj = mm.select(
+      strata.map(c => col(c).as(s"__mm_$c")) ++
+        Seq(col("__lo"), col("__step")): _*)
+    val joined =
+      if (strata.isEmpty) df.crossJoin(broadcast(mmj))
+      else df.join(broadcast(mmj),
+        strata.map(c => col(c) <=> col(s"__mm_$c")).reduce(_ && _))
+    val withCell = joined
+      .withColumn("__cell",
+        expr(s"CAST(((`$value` - __lo) div __step) AS INT)"))
+      .drop(strata.map(c => s"__mm_$c") ++ Seq("__lo", "__step", "__hi"): _*)
+    boundaryLookup(withCell, strata, value, id, formulas)
+  }
+
+  /** Shared interior of both [[rankElements]] paths: cell counts →
+    * target location → matched-cell rank → bounded element collect.
+    * `withCell` must carry the original `df` columns plus a monotone
+    * `__cell` grid column. */
+  private def boundaryLookup(
+      withCell: DataFrame, strata: Seq[String], value: String,
+      id: String, formulas: Seq[(String, String)]): DataFrame = {
     val keys = strata :+ "__cell"
     val offsetW = Window.partitionBy(strata.map(col): _*)
       .orderBy(col("__cell"))
@@ -265,9 +346,8 @@ object OrderStats {
     // constants instead of multiplying this call's plan per reference,
     // and consumer label projections join a constant-size local relation
     val outRows = out.collect()
-    df.sparkSession.createDataFrame(
+    withCell.sparkSession.createDataFrame(
       java.util.Arrays.asList(outRows: _*), out.schema)
-    }
   }
 
   /** Exact equi-depth histogram: rows land in `buckets` rank bands of
@@ -279,7 +359,8 @@ object OrderStats {
     * tie drift a quantile-boundary formulation has). */
   def equiDepthHistogram(df: DataFrame, value: String, id: String,
                          buckets: Int = 10,
-                         cells: Int = GridCells): DataFrame = {
+                         cells: Int = GridCells,
+                         knownSize: Option[Long] = None): DataFrame = {
     // boundary-element formulation: bucket(r) = ((r−1)·buckets) div N + 1
     // changes value exactly after rank b_q = ((q·N − 1) div buckets) + 1,
     // so the per-row bucket label is 1 + #{q : (v, id) >lex element(b_q)}
@@ -289,7 +370,7 @@ object OrderStats {
     // rank formulation is OrderStatsSpec's law oracle)
     val bounds = rankElements(df, Nil, value, id,
       (1 until buckets).map(q =>
-        (s"$q", s"(($q * n - 1) div $buckets) + 1")), cells)
+        (s"$q", s"(($q * n - 1) div $buckets) + 1")), cells, knownSize)
       .collect() // LocalRelation — a driver-local read, not a job
     val label = (1 until buckets).map { q =>
       bounds.find(_.getAs[String]("tag") == s"$q") match {

@@ -191,6 +191,8 @@ object Similarity {
     // it AQE stays on for the joins that need skew handling. known*
     // callers vouch the frames are persisted/memo-counted already
     // (session-shared pairs, base-table ids) — skips two count jobs.
+    knownPairs.foreach(_ =>
+      graft.core.SharedFrames.assertPersisted(pairs, "Similarity.dbscan"))
     val nPairs = knownPairs.getOrElse(
       graft.core.SharedFrames.register(pairs).count())
     val nBiggest = math.max(nPairs, knownIds.getOrElse(allIds.count()))

@@ -993,7 +993,8 @@ object CorpusQueries extends QueryGroup {
     // never shuffled into rank order
     val bm = graft.ops.OrderStats.rankElements(v, Seq("source"), "v",
         "doc_id", (1 until 10).map(q =>
-          (s"$q", s"(($q * n - 1) div 10) + 1")))
+          (s"$q", s"(($q * n - 1) div 10) + 1")),
+        knownSize = Some(Tables.rowCount(s, dir, "documents")))
       .groupBy("source")
       .agg(map_from_entries(collect_list(struct(
         col("tag").cast("int").as("q"),

@@ -775,8 +775,11 @@ object DedupQueries extends QueryGroup {
     val ex = fps.join(canon, Seq("fp"))
       .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("k1"))
     val jc = sharedClusters(s, dir)
+    // the persisted frame goes in UNWRAPPED (CC projects id_a/id_b
+    // itself): a .select here would hide the persist from the
+    // assertPersisted contract check and from cache lookup
     val sc = Dedup.connectedComponents(
-      sharedSimhash64Pairs(s, dir).select("id_a", "id_b"),
+      sharedSimhash64Pairs(s, dir),
       knownSize = Some(SharedFrames.memoCount(s, s"simhash64:$dir")(
         sharedSimhash64Pairs(s, dir))))
       .withColumnRenamed("cluster_id", "s_cluster")

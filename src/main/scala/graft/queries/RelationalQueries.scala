@@ -477,7 +477,8 @@ object RelationalQueries extends QueryGroup {
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("decimal(38,0)").cast("long").as("cents"),
         (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("rid"))
-    graft.ops.OrderStats.equiDepthHistogram(v, "cents", "rid", buckets = 10)
+    graft.ops.OrderStats.equiDepthHistogram(v, "cents", "rid", buckets = 10,
+        knownSize = Some(Tables.rowCount(s, dir, "lineitem")))
       .select(col("bucket"), col("n_rows"),
         col("lo").as("lo_cents"), col("hi").as("hi_cents"),
         col("total").cast("long").as("total_cents"),
@@ -519,9 +520,12 @@ object RelationalQueries extends QueryGroup {
     val sampP = graft.core.SharedFrames.register(samp)
     // 8 positional lookups via the boundary-element primitive — the
     // sample is never shuffled into rank order
+    // knownSize: the UNSAMPLED fact count is an honest upper bound on
+    // the sample — it only gates round planning (one-action path)
     graft.ops.OrderStats.rankElements(sampP, Nil, "cents", "rid",
         Seq(1, 5, 25, 50, 75, 90, 95, 99).map(p =>
-          (s"$p", s"((n - 1) * $p) div 100 + 1")))
+          (s"$p", s"((n - 1) * $p) div 100 + 1")),
+        knownSize = Some(Tables.rowCount(s, dir, "lineitem")))
       .select(col("tag").cast("int").as("pct"), col("rank_target"),
         col("cents").as("value_cents"), col("n").as("n_sample"))
       .orderBy("pct")
@@ -547,7 +551,8 @@ object RelationalQueries extends QueryGroup {
         "c_custkey", Seq(
           "m1" -> "(n + 1) div 2",
           "m2" -> "n div 2 + 1",
-          "p90" -> "(9 * n + 9) div 10"))
+          "p90" -> "(9 * n + 9) div 10"),
+        knownSize = Some(Tables.rowCount(s, dir, "customer")))
       .groupBy("c_nationkey", "n")
       .agg(
         (sum(when(col("tag") === "m1", col("cents")).otherwise(0L)) +
@@ -594,7 +599,9 @@ object RelationalQueries extends QueryGroup {
     val stacked = cp.select(col("o_custkey"), expr(
       "stack(3, 'r', r_days, 'f', f_cnt, 'm', m_cents) AS (dim, v)"))
     val bRows = graft.ops.OrderStats.rankElements(stacked, Seq("dim"), "v",
-        "o_custkey", (1 to 4).map(i => (s"$i", s"($i * n + 4) div 5")))
+        "o_custkey", (1 to 4).map(i => (s"$i", s"($i * n + 4) div 5")),
+        // 3 stacked dims x |customers|, customers <= orders rows
+        knownSize = Some(3 * Tables.rowCount(s, dir, "orders")))
       .collect() // LocalRelation — a driver-local read, not a job
     def label(dim: String, v: String): Column = (1 to 4).map { i =>
       bRows.find(r => r.getAs[String]("dim") == dim &&
@@ -683,7 +690,8 @@ object RelationalQueries extends QueryGroup {
     // lookups + a broadcast compare; the customer frame is never ranked
     val bounds = graft.ops.OrderStats.rankElements(cust, Nil, "v",
         "o_custkey", Seq(1, 5, 10, 20).map(p =>
-          (s"$p", s"n - (n * $p) div 100")))
+          (s"$p", s"n - (n * $p) div 100")),
+        knownSize = Some(Tables.rowCount(s, dir, "orders")))
       .select(col("tag").cast("int").as("pct"), col("n"),
         col("v").as("bv"), col("o_custkey").as("bid"))
     val total = cust.agg(sum(col("v")).cast("long").as("total"))
@@ -717,7 +725,8 @@ object RelationalQueries extends QueryGroup {
     // .rankElements]]), so the corpus is never shuffled into rank order
     val el = graft.ops.OrderStats.rankElements(v, Nil, "cents", "rid",
       Seq("lo" -> "(n - 1) div 100 + 1",
-        "hi" -> "(99 * (n - 1)) div 100 + 1"))
+        "hi" -> "(99 * (n - 1)) div 100 + 1"),
+      knownSize = Some(Tables.rowCount(s, dir, "lineitem")))
     val thr = el
       .agg(min(when(col("tag") === "lo", col("cents"))).as("lo"),
         max(when(col("tag") === "hi", col("cents"))).as("hi"))

@@ -621,8 +621,10 @@ object SimilarityQueries extends QueryGroup {
     * dir) — the iterative propagation is the expensive part. */
   private[queries] def sharedSimClusters(s: SparkSession, dir: String): DataFrame =
     SharedFrames.cached(s, s"simclusters:$dir") {
+      // unwrapped (CC projects id_a/id_b itself): a .select here would
+      // hide the persist from the assertPersisted contract check
       graft.ops.Dedup.connectedComponents(
-        sharedLshPairs(s, dir).select(col("id_a"), col("id_b")),
+        sharedLshPairs(s, dir),
         knownSize = Some(SharedFrames.memoCount(s, s"lshpairs:$dir")(
           sharedLshPairs(s, dir))))
     }

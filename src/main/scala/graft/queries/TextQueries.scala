@@ -654,13 +654,25 @@ object TextQueries extends QueryGroup {
             element_at(col("w"), i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("lang"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // vacuous filter (split/explode never yields null elements; the
+      // inner join below would drop null keys anyway) that EQUALIZES the
+      // inferred null constraints across every c12 consumer: the join on
+      // (w1, w2) infers `isnotnull(w1) AND isnotnull(w2)` under c12 while
+      // the c1 branch infers only `isnotnull(w1)`, and the mismatched
+      // Filter nodes make the two c12 subtrees non-identical — so
+      // ReuseExchange could never fire and the corpus-scale bigram
+      // explode + partial aggregation ran TWICE per LM build. With the
+      // constraint already established here, both branches canonicalize
+      // to the same subtree and c12's exchange is planned once.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     // c(w1,·) derived from the TYPE frame, not a second corpus-scale
     // aggregation: n1 = Σ_w2 n12 exactly (every bigram occurrence with
     // history w1 is counted once in some n12), so the second shuffle over
     // corpus bigrams collapses to a vocab-bounded re-aggregation of c12 —
     // the knScore discipline (guide §2.3 "aggregate before you shuffle";
-    // ReuseExchange shares c12's shuffle between the join and this agg)
+    // ReuseExchange shares c12's shuffle between the join and this agg,
+    // which the explicit notnull filter above makes actually fire)
     val c1 = c12.groupBy("w1").agg(sum("n12").as("n1"))
     bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -758,6 +770,13 @@ object TextQueries extends QueryGroup {
           struct(element_at(col("w"), i).as("w1"),
             element_at(col("w"), i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // vacuous notnull filter, same rationale as lmMassBuild: c12 feeds
+      // FOUR branches (the corpus join infers both notnulls, `left` only
+      // w1, `right` only w2, `types` none), and without one shared
+      // constraint the four c12 subtrees carry four different inferred
+      // Filter nodes — four separate corpus-scale explodes. Equalized,
+      // they canonicalize identically and c12's exchange plans once.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     // left/right continuation statistics from the TYPE frame, not the
     // corpus: n1 = c(w1,·) recovered as sum(n12), f1 = N1+(w1,·)
@@ -817,6 +836,12 @@ object TextQueries extends QueryGroup {
             element_at(col("w"), i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("source"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // vacuous notnull filter equalizing the inferred constraints across
+      // the c12r/c1r (and c12t/c1t) branches — see lmMassBuild: without
+      // it the raw-LM count tables each replay the corpus bigram explode
+      // because their inferred Filter nodes differ and ReuseExchange
+      // cannot fire.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     val tgt = bi.filter(col("source") === "src0")
     val c12t = tgt.groupBy("w1", "w2").agg(count(lit(1)).as("n12t"))
     val c12r = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12r"))
@@ -888,8 +913,18 @@ object TextQueries extends QueryGroup {
         struct(element_at(col("w"), i).as("w1"),
           element_at(col("w"), i + 1).as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val nTotal = bi.agg(count(lit(1)).as("n_total"))
-    bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      // vacuous notnull filter equalizing inferred constraints across the
+      // c12 consumers (see lmMassBuild) so the type-frame subtrees
+      // canonicalize identically and the bigram exchange plans once
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+    // N = Σ c12 over the UNFILTERED type frame — exact (every bigram
+    // occurrence is counted in exactly one c12), so the corpus-scale
+    // global count collapses to a vocab-bounded re-aggregation of c12
+    // (the lmMassBuild/knScore discipline): the second corpus bigram
+    // explode this query ran is gone
+    val c12all = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nTotal = c12all.agg(sum(col("c12")).as("n_total"))
+    c12all
       .filter(col("c12") >= CollocMinSupport)
       .join(toks.select(col("tok").as("w1"), col("c1").as("ca")), Seq("w1"))
       .join(toks.select(col("tok").as("w2"), col("c1").as("cb")), Seq("w2"))

@@ -97,9 +97,12 @@ class OrderStatsSpec extends SparkSuite {
       "med1" -> "(n + 1) div 2",
       "med2" -> "n div 2 + 1",
       "p99" -> "(99 * (n - 1)) div 100 + 1")
-    for (strata <- Seq(Nil, Seq("g"))) {
+    // both execution paths must return the same elements: knownSize=None
+    // (two driver actions, literal grid) and knownSize=Some (ONE driver
+    // action, broadcast-joined grid with step-division cells)
+    for (strata <- Seq(Nil, Seq("g")); known <- Seq(None, Some(4000L))) {
       val got = OrderStats.rankElements(df, strata, "v", "id", formulas,
-          cells = 64)
+          cells = 64, knownSize = known)
         .collect()
         .map(r => (if (strata.isEmpty) "" else r.getAs[String]("g"),
           r.getAs[String]("tag"), r.getAs[Long]("rank_target"),
@@ -115,15 +118,17 @@ class OrderStatsSpec extends SparkSuite {
             tag, r.getAs[Long]("val_rank"), r.getAs[Long]("v"),
             r.getAs[Long]("id"), r.getAs[Long]("n")))
       }.toSet
-      assert(got == truth, s"strata=$strata: " +
+      assert(got == truth, s"strata=$strata known=$known: " +
         s"missing=${truth -- got} extra=${got -- truth}")
     }
-    // empty input → schema-correct empty frame
+    // empty input → schema-correct empty frame (both paths)
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
-    val e = OrderStats.rankElements(empty, Nil, "v", "id",
-      Seq("m" -> "(n + 1) div 2"))
-    assert(e.columns.toSeq == Seq("tag", "rank_target", "v", "id", "n"))
-    assert(e.count() == 0L)
+    for (known <- Seq(None, Some(0L))) {
+      val e = OrderStats.rankElements(empty, Nil, "v", "id",
+        Seq("m" -> "(n + 1) div 2"), knownSize = known)
+      assert(e.columns.toSeq == Seq("tag", "rank_target", "v", "id", "n"))
+      assert(e.count() == 0L)
+    }
   }
 
   test("hash-sample quantiles: rank error within the sampling envelope") {
