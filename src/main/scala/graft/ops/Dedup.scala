@@ -156,6 +156,17 @@ object Dedup {
   /** Exact pairwise Jaccard over a shingle equi-join; emits pairs with
     * jaccard >= `threshold`. */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    // NOTE (r12): an early-attach variant (sizes riding the shingle rows
+    // into the self-join + PPJoin length prune before the pair count,
+    // join-backs deleted) was implemented and MEASURED WORSE here: with
+    // the shingle frame cached, the un-persisted sizes+join interior is
+    // re-evaluated once per join side (AQE stage reuse does not fire
+    // across InMemoryTableScan subtrees), and the lsh-curve truth build
+    // (threshold 0) regressed 24->42 task-seconds. The join-back form
+    // evaluates `sizes` exactly once. The lossless pruned shape at scale
+    // is [[prefixJaccardPairs]] (which REGISTERS its annotated prefix
+    // frame); the banded detectors prune via
+    // [[bandCandidatesLengthPruned]].
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
@@ -305,6 +316,10 @@ object Dedup {
     * `id_a < id_b` convention. */
   def incrementalJaccardPairs(shOld: DataFrame, shNew: DataFrame,
                               threshold: Double): DataFrame = {
+    // NOTE (r12): the jaccardPairs early-attach + length-prune variant
+    // was tried here too and measured 9->17 jobs / +40% task time — the
+    // un-persisted union-sizes interior re-evaluates once per consumer
+    // (three join sides read it). Join-back keeps it at one evaluation.
     val all = shOld.unionByName(shNew)
     val sizes = all.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val newNew = shNew.select(col("doc_id").as("id_a"), col("shingle"))
@@ -580,19 +595,50 @@ object Dedup {
     // lcm(1..dfMax) so every L/df is an exact integer
     val L: Long = (1 to dfMax).foldLeft(1L)((a, b) =>
       a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    // EXACT integer interior without per-row DECIMAL aggregation (r12):
+    // w2 = (L/df)^2 <= L^2 (~5.4e16 at dfMax 20) fits a LONG, but per-doc
+    // and per-pair SUMS of w2 overflow 2^63 at corpus scale — the old
+    // form summed DECIMAL(38,0), a non-codegen-friendly 128-bit add per
+    // row in the two hottest aggregations. Split each w2 into hi/lo LONG
+    // halves at 2^28 and sum the halves: Σhi <= (L^2/2^28)·n ~ 2e8·n and
+    // Σlo < 2^28·n stay far under 2^63 for any per-doc/per-pair
+    // multiplicity n <= ~3e10 (no document carries 30 G shingles), and
+    // the exact total Σw2 = Σhi·2^28 + Σlo is recombined in DECIMAL once
+    // per GROUP (doc or pair), not per row. Bit-identical output: every
+    // step is exact integer arithmetic and the final double cast sees
+    // the same integer. Topology unchanged (norms joined back onto the
+    // aggregated pair frame — an early-attach variant measured +50% task
+    // time here because the un-persisted weighted frame re-evaluates per
+    // join side over cached scans).
+    val two28 = 1L << 28
     val dfs = feats.groupBy(featureCol).agg(count(lit(1)).as("df"))
-    val wsh = feats.join(dfs, Seq(featureCol))
+    // REGISTERED (r12): the weighted frame feeds three plan arms (both
+    // join sides + norms), and without a persist the df-count aggregation
+    // and join re-evaluate once per arm (AbTfidf decomposition: the
+    // ~0.7 s dfs+join interior ran 3x of the 2.7 s total; exchange reuse
+    // does not fire across cached-scan subtrees). Same discipline as
+    // prefixJaccardPairs' prefix frame.
+    val wsh = SharedFrames.register(feats.join(dfs, Seq(featureCol))
       .withColumn("w2",
-        ((lit(L).cast("long") / col("df")).cast("long") *
-          (lit(L).cast("long") / col("df")).cast("long")).cast("decimal(38,0)"))
-      .select(col("doc_id"), col(featureCol).as("feat"), col("w2"))
-    val norms = wsh.groupBy("doc_id").agg(sum("w2").as("s2"))
-    val a = wsh.select(col("doc_id").as("id_a"), col("feat"), col("w2"))
+        (lit(L).cast("long") / col("df")).cast("long") *
+          (lit(L).cast("long") / col("df")).cast("long"))
+      .select(col("doc_id"), col(featureCol).as("feat"),
+        expr(s"w2 div $two28").as("w2h"), (col("w2") % two28).as("w2l")))
+    def whole(hi: String, lo: String) =
+      expr(s"CAST($hi AS DECIMAL(38,0)) * $two28 + $lo")
+    val norms = wsh.groupBy("doc_id")
+      .agg(sum("w2h").as("nh"), sum("w2l").as("nl"))
+      .select(col("doc_id"), whole("nh", "nl").as("s2"))
+    val a = wsh.select(col("doc_id").as("id_a"), col("feat"),
+      col("w2h"), col("w2l"))
     val b = wsh.select(col("doc_id").as("id_b"), col("feat"))
     val dots = a.join(b, Seq("feat"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(sum("w2").as("s_ab"), count(lit(1)).as("n_common"))
+      .agg(sum("w2h").as("sh"), sum("w2l").as("sl"),
+        count(lit(1)).as("n_common"))
+      .select(col("id_a"), col("id_b"), whole("sh", "sl").as("s_ab"),
+        col("n_common"))
     dots
       .join(norms.select(col("doc_id").as("id_a"), col("s2").as("na")), Seq("id_a"))
       .join(norms.select(col("doc_id").as("id_b"), col("s2").as("nb")), Seq("id_b"))

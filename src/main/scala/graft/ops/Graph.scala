@@ -72,19 +72,30 @@ object Graph {
       val base = (scale * (100 - damp)) / (100 * n)
       var ranks = degs.select(col("src").as("doc_id"),
         lit(scale / n).as("pr_scaled"))
-      for (_ <- 1 to iters) {
-        val next = edges
-          .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .withColumn("share", expr("pr_scaled div deg"))
-          .groupBy(col("dst").as("doc_id"))
-          .agg(sum("share").as("in_mass"))
-          .select(col("doc_id"),
-            // overflow-audited: mass conservation bounds in_mass by the
-            // TOTAL rank mass ~scale (1e15) at any graph size, so
-            // damp·in_mass <= ~8.5e16 — three orders under 2^63
-            (lit(base) + expr(s"($damp * in_mass) div 100")).as("pr_scaled"))
+      def oneRound(r: DataFrame): DataFrame = edges
+        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .withColumn("share", expr("pr_scaled div deg"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum("share").as("in_mass"))
+        .select(col("doc_id"),
+          // overflow-audited: mass conservation bounds in_mass by the
+          // TOTAL rank mass ~scale (1e15) at any graph size, so
+          // damp·in_mass <= ~8.5e16 — three orders under 2^63
+          (lit(base) + expr(s"($damp * in_mass) div 100")).as("pr_scaled"))
+      // rounds FUSED in pairs (the CC discipline, Dedup.scala): exactly
+      // `iters` propagations still run, but lineage truncates every TWO —
+      // half the checkpoint chains, and the two per-round reads of the
+      // static persisted edge frame sit in ONE plan where the planner can
+      // share them. Result is bit-identical: fusion changes only where
+      // the plan is cut, never which rounds run.
+      var i = 0
+      while (i < iters) {
+        val k = math.min(2, iters - i)
+        var cur = ranks
+        for (_ <- 1 to k) cur = oneRound(cur)
         // truncate lineage so the logical plan stays O(1) across rounds
-        ranks = cp.round(next)
+        ranks = cp.round(cur)
+        i += k
       }
       // execute the horizon inside the scope (lazy local checkpoints
       // materialize here, under the chosen round planning; blocks are
@@ -134,14 +145,21 @@ object Graph {
         fwd.unionByName(rev).distinct().repartition(col("src")))
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
-      for (_ <- 1 to iters) {
-        val next = edges
-          .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .groupBy("dst", "label").agg(count(lit(1)).as("c"))
-          .groupBy(col("dst").as("doc_id"))
-          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-          .select(col("doc_id"), (-col("m.nl")).as("label"))
-        labels = cp.round(next)
+      def oneRound(l: DataFrame): DataFrame = edges
+        .join(l.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy("dst", "label").agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("doc_id"), (-col("m.nl")).as("label"))
+      // pair-fused like pageRank: same `iters` synchronous rounds, the
+      // lineage cut every two — bit-identical labels at the horizon
+      var i = 0
+      while (i < iters) {
+        val k = math.min(2, iters - i)
+        var cur = labels
+        for (_ <- 1 to k) cur = oneRound(cur)
+        labels = cp.round(cur)
+        i += k
       }
       labels.count() // run the horizon under the scoped round planning
       labels.select(col("doc_id"), col("label").as("community"))
@@ -191,6 +209,12 @@ object Graph {
       var dist = nodes.join(seeds, Seq("doc_id"), "left_semi")
         .withColumn("hops", lit(0L))
       var frontier = dist
+      // NOT pair-fused (unlike pageRank/LPA, r12): each round reads its
+      // own output TWICE downstream (the next expansion AND the dist
+      // union), so deferring the checkpoint clones the un-truncated
+      // round subtree across both consumers — measured 11→18 jobs /
+      // +0.4 s on q_contamination_hops when tried. Fusion only pays when
+      // the round body reads its input once.
       for (k <- 1 to maxHops) {
         val next = edges
           .join(frontier.select(col("doc_id").as("src")), Seq("src"))
@@ -247,6 +271,11 @@ object Graph {
       val rev = pc.select(col("id_b").as("src"), col("id_a").as("dst"))
       var edges = graft.core.SharedFrames.register(
         fwd.unionByName(rev).distinct())
+      // NOT pair-fused (unlike pageRank/LPA, r12): a peel reads its input
+      // edge frame THREE times (degree build + two semi-joins), so a
+      // deferred checkpoint clones the inner peel's subtree three ways —
+      // measured 12→16 jobs / +0.3 s on q_kcore when tried. One
+      // truncation per peel is the cheap shape here.
       for (_ <- 1 to iters) {
         val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select("src")
