@@ -24,7 +24,25 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     def read = spark.read.parquet(s"$dir/$name.parquet")
-    if (cacheScans) SharedFrames.cached(spark, s"table:$dir/$name")(read)
+    if (cacheScans) SharedFrames.cached(spark, s"table:$dir/$name") {
+      // The generated single-file tables carry ONE parquet row group, so
+      // a bare cached scan materializes as ONE partition — and every
+      // query's pre-exchange map work (explodes, hashing, partial
+      // aggregation: the expensive half of most plans) then runs on one
+      // core regardless of the session's core count. Spread the CACHE
+      // over the cores once at build time, sized by file bytes so tiny
+      // dimension tables stay single-partition (a 25-row nation in 32
+      // slices is pure scheduling overhead). Production (cacheScans =
+      // false) is untouched: scans stay visible to Catalyst, and real
+      // multi-row-group files already split by maxPartitionBytes.
+      val bytes =
+        try new java.io.File(s"$dir/$name.parquet").length() catch {
+          case _: Throwable => 0L
+        }
+      val cores = spark.sparkContext.defaultParallelism
+      val parts = math.max(1L, math.min(cores.toLong, bytes / (128L << 10)))
+      if (parts > 1) read.repartition(parts.toInt) else read
+    }
     else read
   }
 

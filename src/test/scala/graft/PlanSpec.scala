@@ -501,4 +501,33 @@ class PlanSpec extends SparkSuite {
     val cur = formatted("q_curriculum_order")
     assert(!cur.contains("SortMergeJoin"), cur.take(1200))
   }
+
+  test("every partition-less window runs over an aggregated (domain-bounded) frame") {
+    // The Verify/Bench logs are saturated with WindowExec "No Partition
+    // Defined" warnings; each site was audited in r12 and is BOUNDED —
+    // the window's input is a domain frame collapsed by an aggregation
+    // (distinct values / thresholds / deciles / grid cells), never the
+    // raw data. This pins the witness mechanically: every global Window
+    // in the optimized plan must have an Aggregate beneath it, so a new
+    // global window over raw rows fails here and must either take a
+    // partition key or justify its bound.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // every query family with an audited global-window site: KS drift
+    // pair (distinct values), AUC/PR (distinct scores), CUSUM (distinct
+    // days), gini / curriculum / vocab growth (grid-cell offset cumsums,
+    // decile cumsums), stratified sample (tier offsets)
+    val names = Seq("q_ks_drift", "q_ks_matrix", "q_auc", "q_pr_curve",
+      "q_cusum_drift", "q_gini", "q_vocab_growth", "q_stratified_sample",
+      "q_curriculum_order", "q_ppl_buckets")
+    for (n <- names) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan
+      val globals = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      globals.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$n: partition-less window over a non-aggregated input:\n$w")
+      }
+    }
+  }
 }
