@@ -39,8 +39,14 @@ object Tables {
         try new java.io.File(s"$dir/$name.parquet").length() catch {
           case _: Throwable => 0L
         }
-      val cores = spark.sparkContext.defaultParallelism
-      val parts = math.max(1L, math.min(cores.toLong, bytes / (128L << 10)))
+      // measurement knobs (defaults are the shipped behavior; the driver
+      // never sets them): slice size and partition cap for the cache
+      // layout, so the local per-task overhead vs parallelism trade can
+      // be A/B'd inside one host window
+      val sliceKb = sys.env.getOrElse("SPARK_GRAFT_CACHE_SLICE_KB", "128").toLong
+      val cap = sys.env.get("SPARK_GRAFT_CACHE_MAXPARTS").map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+      val parts = math.max(1L, math.min(cap.toLong, bytes / (sliceKb << 10)))
       if (parts > 1) read.repartition(parts.toInt) else read
     }
     else read

@@ -215,7 +215,12 @@ case class TopKLongAgg(
   * instead of heap + join-back-to-the-scores (the join-back re-reads the
   * scored frame and forces it persisted; at 100 TB that is a second pass
   * over the scores, at bench scale it is an extra exchange + broadcast
-  * per call site). Same bounded-heap shape and k-entry map-side partials. */
+  * per call site). Same bounded-heap shape and k-entry map-side partials.
+  *
+  * Payload nullability can NOT change which rows survive the cut: a row
+  * with non-null (value, id) but NULL payload is kept with payload 0 (the
+  * sentinel the join-back formulation's left join would have produced as
+  * a coalesced null) — membership is decided by (value, id) alone. */
 case class TopKLongPayloadAgg(
     valueExpr: Expression,
     idExpr: Expression,
@@ -249,10 +254,13 @@ case class TopKLongPayloadAgg(
                       input: InternalRow): mutable.PriorityQueue[(Long, Long, Long)] = {
     val v = valueExpr.eval(input)
     val id = idExpr.eval(input)
-    val p = payloadExpr.eval(input)
-    if (v != null && id != null && p != null)
+    if (v != null && id != null) {
+      // null payload -> sentinel 0, NOT a drop: the payload is inert in
+      // the ordering, so its nullability must not change membership
+      val p = payloadExpr.eval(input)
       add(buf, (v.asInstanceOf[Long], id.asInstanceOf[Long],
-        p.asInstanceOf[Long]))
+        if (p == null) 0L else p.asInstanceOf[Long]))
+    }
     buf
   }
 

@@ -247,6 +247,18 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
         r.getLong(4))).toSet
     assert(agg == win, s"payload top-k diverged from window: " +
       s"missing=${win -- agg} extra=${agg -- win}")
+    // payload NULLABILITY cannot change membership: a null payload keeps
+    // its row with sentinel 0 (the coalesced-null a join-back would give)
+    val withNull = Seq(("a", 1L, 50L, Some(9L)), ("a", 2L, 70L, None),
+      ("a", 3L, 60L, Some(7L))).toDF("g", "id", "v", "p")
+    val topNull = withNull.groupBy("g")
+      .agg(graft.functions.TopK.topKLongPayload(
+        col("v"), col("id"), col("p"), 2).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id"), col("t.payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topNull == Set((2L, 0L), (3L, 7L)),
+      s"null payload changed top-k membership: $topNull")
     // scale shape unchanged: partial object-hash aggregate, not a window
     val plan = df.groupBy("g")
       .agg(graft.functions.TopK.topKLongPayload(
