@@ -82,20 +82,17 @@ object Graph {
           // TOTAL rank mass ~scale (1e15) at any graph size, so
           // damp·in_mass <= ~8.5e16 — three orders under 2^63
           (lit(base) + expr(s"($damp * in_mass) div 100")).as("pr_scaled"))
-      // rounds FUSED in pairs (the CC discipline, Dedup.scala): exactly
-      // `iters` propagations still run, but lineage truncates every TWO —
-      // half the checkpoint chains, and the two per-round reads of the
-      // static persisted edge frame sit in ONE plan where the planner can
-      // share them. Result is bit-identical: fusion changes only where
-      // the plan is cut, never which rounds run.
-      var i = 0
-      while (i < iters) {
-        val k = math.min(2, iters - i)
-        var cur = ranks
-        for (_ <- 1 to k) cur = oneRound(cur)
+      // NOT pair-fused (r12): fusion was tried here (the CC/LPA
+      // discipline — lineage cut every two rounds, result bit-identical)
+      // and measured a consistent +0.4–0.5 s on the driver-shaped bench
+      // (1.20 → 1.56–1.71 s across three full runs) while the UNfused
+      // kCore/hops improved in the same runs — the deeper two-join
+      // segment plans cost more locally than the saved checkpoint.
+      // LabelPropagation keeps its fusion (measured neutral, 0.83 →
+      // 0.85 s, and it halves reliable-mode checkpoint writes).
+      for (_ <- 1 to iters) {
         // truncate lineage so the logical plan stays O(1) across rounds
-        ranks = cp.round(cur)
-        i += k
+        ranks = cp.round(oneRound(ranks))
       }
       // execute the horizon inside the scope (lazy local checkpoints
       // materialize here, under the chosen round planning; blocks are
